@@ -1,0 +1,8 @@
+"""LLM-data-pipeline operators: dedup, similarity search, text analysis,
+as-of joins, multimodal column plumbing. Importing registers their queries."""
+
+import flock_spark.operators.dedup  # noqa: F401
+import flock_spark.operators.similarity  # noqa: F401
+import flock_spark.operators.text  # noqa: F401
+import flock_spark.operators.asof  # noqa: F401
+import flock_spark.operators.multimodal  # noqa: F401

@@ -1,0 +1,83 @@
+"""DuckDB-oracle comparison harness (mirrors the driver's t2 check).
+
+Runs a registered Spark query and its oracle SQL over the same parquet tables
+and compares row count, schema width, and an order-insensitive value multiset
+(exact equality after canonicalization — stricter than a tolerance compare,
+matching the driver's hash-based gate).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+from collections import Counter
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from flock_spark.catalog import TABLE_NAMES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _canon(v):
+    """Canonicalize a cell for multiset comparison across engines."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("ts", datetime.datetime(v.year, v.month, v.day).isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("b", bytes(v))
+    return v
+
+
+def compare(spark: SparkSession, fn, oracle_sql: str, sf_dir: str) -> None:
+    """Assert the Spark query and oracle agree (sorted-by-name columns,
+    order-insensitive row multiset). Raises AssertionError with a diff."""
+    sdf = fn(spark, sf_dir)
+    s_cols = sorted(sdf.columns)
+    s_rows = [tuple(row[c] for c in s_cols) for row in sdf.collect()]
+
+    o_cols_raw, o_rows_raw = run_oracle(oracle_sql, sf_dir)
+    order = sorted(range(len(o_cols_raw)), key=lambda i: o_cols_raw[i])
+    o_cols = [o_cols_raw[i] for i in order]
+    o_rows = [tuple(r[i] for i in order) for r in o_rows_raw]
+
+    assert s_cols == o_cols, f"column mismatch: spark={s_cols} oracle={o_cols}"
+    assert len(s_rows) == len(o_rows), f"row count: spark={len(s_rows)} oracle={len(o_rows)}"
+
+    s_multi = Counter(tuple(_canon(v) for v in r) for r in s_rows)
+    o_multi = Counter(tuple(_canon(v) for v in r) for r in o_rows)
+    if s_multi != o_multi:
+        only_s = list((s_multi - o_multi).items())[:5]
+        only_o = list((o_multi - s_multi).items())[:5]
+        raise AssertionError(
+            f"value mismatch ({sum((s_multi - o_multi).values())} rows differ)\n"
+            f"  spark-only sample: {only_s}\n  oracle-only sample: {only_o}"
+        )

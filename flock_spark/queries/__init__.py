@@ -1,0 +1,6 @@
+"""Query modules. Importing this package registers every query in the registry."""
+
+import flock_spark.queries.relational  # noqa: F401
+import flock_spark.queries.nexmark  # noqa: F401
+import flock_spark.queries.tpch  # noqa: F401
+import flock_spark.queries.windows_time  # noqa: F401

@@ -1,0 +1,930 @@
+"""Core relational operator coverage (SURVEY.md §2.2–§2.8).
+
+Each entry maps a reference operator family to its Spark-first expression:
+projections/filters (ProjectionExec/FilterExec — reference
+flock/src/distributed_plan/planner.rs:90,122-124), hash aggregation
+(HashAggregateExec partial/final — stage.rs:277-306), hash joins
+(planner.rs:169,239), analytic window functions (nexmark q6 —
+benchmarks/src/nexmark/query/q6.sql), sorts/limits (stage.rs:630-656), plus
+the set ops / grouping sets / pivot surface Spark adds for free.
+
+Cross-engine exactness conventions (see registry.py): money aggregates go
+through DECIMAL(38,4) so sums are exact and order-insensitive on both engines;
+per-row double arithmetic is IEEE-deterministic and left raw; order-dependent
+double window aggregates are rounded to 4 decimals on both sides.
+
+Scale posture: every query is a declarative plan — Catalyst pushes filters
+into the parquet scan, prunes columns, does partial aggregation map-side, and
+AQE picks broadcast vs shuffled joins at runtime. Nothing here collects to the
+driver or loops over rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.registry import register
+
+
+def dsum(expr: str) -> str:
+    """Exact (engine-portable) sum of a money/metric expression.
+
+    Doubles are quantized to DECIMAL(38,6) before summing, making the sum an
+    exact integer computation with identical results on Spark and DuckDB
+    regardless of addition order. Valid in both SQL dialects verbatim.
+
+    Scale 6 matters: source money columns have ≤2 decimals, so products of up
+    to three of them have ≤6 true decimals — every value lands exactly on a
+    representable decimal and the double→decimal cast never hits a rounding
+    tie (where Spark's HALF_UP and DuckDB could disagree).
+    """
+    return f"sum(CAST(({expr}) AS DECIMAL(38,6)))"
+
+
+def davg(expr: str) -> str:
+    """Exact-sum-based average: deterministic double on both engines."""
+    return f"(CAST({dsum(expr)} AS DOUBLE) / count({expr}))"
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / scalar expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_arith",
+    oracle="""
+    SELECT event_id, user_id, value * 0.908 AS price, ts
+    FROM events
+    """,
+    tags=("projection",),
+    doc="Scalar projection with arithmetic (ProjectionExec; nexmark q1 shape).",
+)
+def proj_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.col("value") * 0.908).alias("price"), "ts"
+    )
+
+
+@register(
+    "filter_mod",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_id % 123 = 0
+    """,
+    tags=("filter",),
+    doc="Modulo predicate filter (FilterExec; nexmark q2 shape).",
+)
+def filter_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 123 == 0)
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "filter_complex",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 200000
+      AND (o_orderstatus = 'O' OR o_orderpriority LIKE '1%')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    tags=("filter",),
+    doc="Compound predicate: BETWEEN + OR + LIKE + timestamp bound, all pushed to the scan.",
+)
+def filter_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 200000)
+        & ((F.col("o_orderstatus") == "O") | F.col("o_orderpriority").like("1%"))
+        & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment)                       AS seg_upper,
+           substring(c_name, 10, 9)                  AS name_digits,
+           length(c_name)                            AS name_len,
+           concat(c_mktsegment, '#', c_name)         AS tagged,
+           replace(c_name, 'Customer', 'C')          AS short_name,
+           trim('  pad  ')                           AS trimmed
+    FROM customer
+    """,
+    tags=("scalar",),
+    doc="String scalar surface: upper/substring/length/concat/replace/trim.",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_name")).alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)               AS o_year,
+           CAST(month(o_orderdate) AS BIGINT)              AS o_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since,
+           o_orderdate + INTERVAL 30 DAY                   AS due_date
+    FROM orders
+    """,
+    tags=("scalar", "datetime"),
+    doc="Datetime scalar surface: extract/trunc/diff/interval arithmetic "
+    "(reference TPC-H SQL uses EXTRACT and date arithmetic — flock/src/datasource/tpch/queries).",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           sqrt(l_extendedprice)            AS price_sqrt,
+           abs(l_extendedprice - 50000.0)   AS price_dev,
+           ceil(l_discount * 100)           AS disc_pct_ceil,
+           floor(l_extendedprice / 1000)    AS price_k,
+           CAST(l_extendedprice * l_discount AS DECIMAL(38,6)) AS disc_amount,
+           l_quantity * l_quantity          AS qty_sq
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+    doc="Math scalar surface (IEEE-exact ops only: sqrt/abs/ceil/floor/round).",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("price_dev"),
+        F.ceil(F.col("l_discount") * 100).cast("double").alias("disc_pct_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("double").alias("price_k"),
+        (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)").alias("disc_amount"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+    )
+
+
+@register(
+    "case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("scalar", "aggregate"),
+    doc="CASE WHEN bucketing + count.",
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_basic",
+    oracle=f"""
+    SELECT event_type,
+           count(*)                       AS cnt,
+           {dsum('value')}                AS sum_value,
+           {davg('value')}                AS avg_value,
+           min(ts)                        AS first_ts,
+           max(ts)                        AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate",),
+    doc="Grouped aggregate: count/sum/avg/min/max (nexmark q11 shape; "
+    "two-phase partial→final agg is automatic in Spark — reference splits "
+    "stages at HashAggregateExec Final, stage.rs:277-306).",
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.expr(dsum("value")).alias("sum_value"),
+        F.expr(davg("value")).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS uniq_users,
+           count(*)                AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate",),
+    doc="COUNT(DISTINCT) per group (reference rewrites to two-level agg — "
+    "stage.rs:528-543; Catalyst's Expand rewrite is equivalent).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("uniq_users"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+    tags=("aggregate",),
+    doc="GROUP BY + HAVING (post-aggregation filter).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(F.count("*").alias("n_orders")).filter(F.col("n_orders") >= 12)
+
+
+@register(
+    "distinct_select",
+    oracle="""
+    SELECT DISTINCT event_type, user_id % 10 AS user_bucket
+    FROM events
+    """,
+    tags=("aggregate", "distinct"),
+    doc="SELECT DISTINCT over computed columns.",
+)
+def distinct_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return e.select("event_type", (F.col("user_id") % 10).alias("user_bucket")).distinct()
+
+
+@register(
+    "rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           {dsum('l_quantity')} AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "rollup"),
+    doc="ROLLUP grouping sets with GROUPING() indicators (not in the reference "
+    "surface — SURVEY §2.4 notes cube/rollup as Spark-native extensions).",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.expr(dsum("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "cube_agg",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {dsum('o_totalprice')} AS sum_price,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "cube"),
+    doc="CUBE grouping sets.",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.expr(dsum("o_totalprice")).alias("sum_price"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "pivot_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
+           {dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "pivot"),
+    doc="Pivot (wide aggregation); oracle phrased as CASE-WHEN sums.",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+    out = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.expr(dsum("l_quantity")))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    """,
+    tags=("join",),
+    doc="Partitioned inner equi-join (HashJoinExec — planner.rs:169); Catalyst/AQE "
+    "picks broadcast vs sort-merge by size.",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = tbl(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n_name, count(*) AS cnt
+    FROM events JOIN nation ON user_id % 25 = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "broadcast"),
+    doc="Broadcast join against a small dimension (side-input join, nexmark q13 "
+    "shape — reference loads side input per-function, actor.rs:575-629; Spark "
+    "broadcasts the dim to every executor instead).",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        e.join(F.broadcast(n), e.user_id % 25 == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c_custkey,
+           count(o_orderkey)                              AS n_orders,
+           coalesce({dsum('o_totalprice')}, 0)            AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join", "outer"),
+    doc="Left outer join + null-aware aggregation (not in reference surface — "
+    "SURVEY §2.3 'NOT implemented'; Spark-native).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(F.expr(dsum("o_totalprice")), F.lit(0).cast("decimal(38,6)")).alias("total_spend"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(cn.n_cust, 0) AS n_cust,
+           coalesce(sn.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) sn
+      ON cn.nk = sn.nk
+    """,
+    tags=("join", "outer"),
+    doc="Full outer join of two aggregates with coalesce.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        tbl(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        tbl(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = cn.join(sn, "nk", "full_outer")
+    return j.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join", "semi"),
+    doc="Left-semi join (EXISTS).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+    doc="Left-anti join (NOT EXISTS).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "range"),
+    doc="Equi-join + range (BETWEEN) residual predicate — the reference plans "
+    "this as FilterExec above HashJoinExec (planner.rs:236-239, nexmark q4/q6/q9); "
+    "Spark produces the same shape (join condition + post-filter).",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+    o = tbl(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate").between(F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return j.groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "join_self_agg_max",
+    oracle="""
+    SELECT user_id, num
+    FROM (SELECT user_id, count(*) AS num FROM events GROUP BY user_id) ub
+    JOIN (SELECT max(num) AS maxn
+          FROM (SELECT user_id, count(*) AS num FROM events GROUP BY user_id) x) mx
+      ON num = maxn
+    """,
+    tags=("join", "aggregate"),
+    doc="Self-join of aggregates against global max (nexmark q5 'hot items' — "
+    "benchmarks/src/nexmark/query/q5.sql).",
+)
+def join_self_agg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("num"))
+    mx = counts.agg(F.max("num").alias("maxn"))
+    return counts.join(F.broadcast(mx), counts.num == mx.maxn).select("user_id", "num")
+
+
+@register(
+    "join_global_max",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    JOIN (SELECT max(l_extendedprice) AS maxprice FROM lineitem) m
+      ON l_extendedprice = maxprice
+    """,
+    tags=("join", "aggregate"),
+    doc="Join against a global scalar aggregate (nexmark q7 'highest bid' — "
+    "benchmarks/src/nexmark/query/q7.sql). Scalar side is broadcast.",
+)
+def join_global_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+    m = l.agg(F.max("l_extendedprice").alias("maxprice"))
+    return l.join(F.broadcast(m), l.l_extendedprice == m.maxprice).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+    tags=("join", "cross"),
+    doc="Cross join (small×small) with inequality filter.",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = tbl(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ak"), F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_regionkey").alias("bk"), F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("ak") != F.col("bk")).select("from_region", "to_region")
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rownum_topk",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 CAST(row_number() OVER (PARTITION BY p_brand
+                                         ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+          FROM part) t
+    WHERE rn <= 3
+    """,
+    tags=("window",),
+    doc="Top-k per group via ROW_NUMBER (nexmark q6 shape — q6.sql:6-16).",
+)
+def window_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tbl(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                   ROWS UNBOUNDED PRECEDING) AS running_value
+    FROM events
+    """,
+    tags=("window",),
+    doc="Running sum over an ordered row frame (exact decimal accumulation — "
+    "sliding-window double sums differ across engines' frame algorithms).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).alias("running_value"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           CAST(datediff('second', ts,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_sec
+    FROM events
+    """,
+    tags=("window",),
+    doc="LAG/LEAD navigation + inter-event gap.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias("gap_sec"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS BIGINT) AS qty_rank,
+           CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS BIGINT) AS qty_dense
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+    tags=("window",),
+    doc="RANK / DENSE_RANK with ties.",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)  # noqa: E741
+    w = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).cast("long").alias("qty_rank"),
+        F.dense_rank().over(w).cast("long").alias("qty_dense"),
+    )
+
+
+@register(
+    "window_frame_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           (CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+            / count(*) OVER w) AS mavg_10
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+    doc="Moving average over a bounded row frame (ROWS BETWEEN 10 PRECEDING — "
+    "reference q6 Flink variant, flock/src/datasource/nexmark/queries/q6.sql:12-13). "
+    "Exact decimal numerator; double division is deterministic.",
+)
+def window_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, W.currentRow)
+    mavg = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return e.select("event_id", "user_id", mavg.alias("mavg_10"))
+
+
+@register(
+    "window_percentiles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bal_quartile,
+           percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS bal_pct
+    FROM customer
+    """,
+    tags=("window",),
+    doc="NTILE + PERCENT_RANK (global ordering).",
+)
+def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    """,
+    tags=("window",),
+    doc="FIRST_VALUE / LAST_VALUE over full-partition frames.",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — Spark-native, absent in reference surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT user_id, count(*) AS cnt FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id FROM events WHERE event_type = 'view'
+    ) u GROUP BY user_id
+    """,
+    tags=("setop",),
+    doc="UNION ALL + aggregate.",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.unionAll(views).groupBy("user_id").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("setop",),
+    doc="INTERSECT (distinct semantics).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("setop",),
+    doc="EXCEPT (distinct semantics).",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "signup").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+    doc="Global top-k (SortExec + GlobalLimitExec — stage.rs:630-656; Spark "
+    "plans TakeOrderedAndProject: per-partition top-k then merge, no full sort).",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "sort_multi_col",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+    doc="Multi-column mixed-direction sort + limit.",
+)
+def sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderstatus", F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderstatus", "o_orderpriority", "o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt
+    FROM lineitem
+    WHERE l_extendedprice > (SELECT avg(l_extendedprice) * 1.5 FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    tags=("subquery",),
+    doc="Scalar subquery in a predicate (avg used as filter bound; boundary "
+    "coincidence on doubles is measure-zero, so raw avg is safe here).",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+    threshold = l.agg((F.avg("l_extendedprice") * 1.5).alias("t"))
+    return (
+        l.join(F.broadcast(threshold))
+        .filter(F.col("l_extendedprice") > F.col("t"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS cnt
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "semi"),
+    doc="IN-subquery → left-semi join.",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    rich = tbl(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        o.join(rich, o.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "correlated_exists",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    tags=("subquery", "semi"),
+    doc="Correlated EXISTS with an extra predicate (decorrelated to a semi-join).",
+)
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -1,0 +1,189 @@
+"""Time-window aggregations (SURVEY §2.9 — the reference's streaming windows).
+
+The reference drives tumbling/hopping/session/global windows with bespoke
+Lambda window drivers (flock-function/src/aws/window/{tumbling,hopping,
+session,global}.rs). In Spark these are *expressions*: `window()` /
+`session_window()` group keys work identically over batch DataFrames and
+Structured Streaming micro-batches, so the same query text serves both; the
+streaming runners live in flock_spark.streaming.
+
+Window semantics pinned here (and verified against the DuckDB oracles):
+- tumbling/hopping starts are epoch-aligned (Spark's default origin matches
+  DuckDB's `time_bucket`);
+- an event at time t belongs to hopping windows with start in (t - size, t]
+  aligned to the slide — exactly size/slide windows;
+- session windows close when the gap to the next event is >= the timeout
+  (Spark's window is [ts, ts+gap), end-exclusive), mirroring the reference's
+  gap logic in session.rs:64-186.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.queries.relational import dsum
+from flock_spark.registry import register
+
+
+@register(
+    "tumbling_window_agg",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS w_end,
+           event_type,
+           count(*) AS cnt,
+           {dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window_time", "streaming"),
+    doc="Tumbling window aggregate (reference: tumbling.rs:31-188 buffers "
+    "window_size epochs per worker; Spark expresses it as a window() group key "
+    "— one shuffle, partial agg map-side).",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.expr(dsum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "hopping_window_agg",
+    oracle=f"""
+    SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+           count(*) AS cnt, {dsum('value')} AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - (k.k * INTERVAL '30 minutes') AS w_start,
+             event_type, value
+      FROM events, (VALUES (0), (1)) k(k)
+    ) expanded
+    GROUP BY w_start, event_type
+    """,
+    tags=("window_time", "streaming"),
+    doc="Hopping (sliding) window: size 1 h, hop 30 min — every event lands in "
+    "exactly 2 windows (reference: hopping.rs:31-124 drains hop epochs and "
+    "keeps the overlap; Spark's window() replicates rows per window).",
+)
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.expr(dsum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH gaps AS (
+      SELECT ts, value,
+             CASE WHEN ts - lag(ts) OVER (ORDER BY ts) >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sessions AS (
+      SELECT ts, value,
+             sum(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           count(*) AS cnt
+    FROM sessions
+    GROUP BY sess_id
+    """,
+    tags=("window_time", "streaming", "session"),
+    doc="Global sessionization with a 10-minute gap (reference: session window "
+    "driver session.rs:187-321; gap semantics session.rs:64-186). Spark "
+    "session_window end = last event + gap, end-exclusive; oracle reproduces "
+    "it with the lag/cumsum island technique.",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "session_window_by_key",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '6 hours'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS cnt
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+    tags=("window_time", "streaming", "session"),
+    doc="Per-key sessionization (6 h gap). The reference partitions one Lambda "
+    "per distinct key via the fork's HashDiff partitioning (session.rs:25,"
+    "255-261); Spark's session_window + groupBy(user_id) shuffles by key — "
+    "same co-location, no custom partitioner.",
+)
+def session_window_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "tumbling_daily_distinct",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+           count(DISTINCT user_id) AS uniq_users,
+           count(*) AS cnt
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("window_time", "aggregate"),
+    doc="Daily tumbling window + COUNT(DISTINCT) (windowed distinct — the "
+    "shape behind reference q11-style per-window counts).",
+)
+def tumbling_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").alias("uniq_users"), F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "uniq_users", "cnt")
+    )
