@@ -1,1 +1,420 @@
-"""(stub — filled in below)"""
+"""Deduplication operators over the ``documents`` table.
+
+The reference has no dedup surface; these are the LLM-training-pipeline
+extensions (BASELINE.json north star) designed Spark-first:
+
+- exact dedup               → hash groupBy (one shuffle, map-side partial)
+- normalized exact dedup    → same after canonicalization
+- n-gram Jaccard pairs      → explode shingles + self-join (exact; the
+                              correctness baseline for the sketches below)
+- MinHash signatures + LSH  → the scale path: O(docs × bands) instead of
+                              O(pairs); banded self-join only collides
+                              near-duplicates
+- SimHash + banded Hamming  → 32-bit fingerprints; pigeonhole banding makes
+                              the Hamming-≤3 pair search a 4-way equi-join
+                              instead of a cross join
+- embedding near-dup        → cosine pairs within label blocks
+
+All hashing is the md5-based portable family (operators/hashing.py), so even
+the sketch-based operators have *exact* DuckDB oracles — signature for
+signature, pair for pair.
+
+Scale: at 100 TB the only change is bucketing documents by doc_id and raising
+shingle/band parallelism; every operator below is a constant number of
+shuffles with map-side combine, no driver-side loops, no cross joins (the
+SimHash oracle's cross join exists only on the DuckDB side for verification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.operators.hashing import (
+    duck_md5_long,
+    spark_md5_long,
+    universal_hash,
+)
+from flock_spark.registry import register
+
+N_MINHASH = 12
+N_BANDS = 4  # bands of 3 rows each (collision prob = jaccard^3 per band)
+BAND_R = 3
+MERSENNE_P = 2_147_483_647
+SHINGLE_K = 5
+JACCARD_NUM, JACCARD_DEN = 3, 10  # threshold 0.3
+HAMMING_MAX = 3
+COSINE_T = 0.35
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup",),
+    doc="Exact dedup: group by full text, keep the lowest doc_id. One hash "
+    "shuffle; at scale, group by md5(text) instead to shrink shuffle keys.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    ).select("keep_id", "n_copies", "fp")
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+    """,
+    tags=("dedup",),
+    doc="Exact dedup after canonicalization (lowercase + whitespace collapse).",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.groupBy(norm.alias("norm_text"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies", F.md5(F.col("norm_text").cast("binary")).alias("fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by Jaccard and MinHash)
+# ---------------------------------------------------------------------------
+
+
+def _spark_shingles(d: DataFrame, distinct: bool) -> DataFrame:
+    """doc_id → exploded character-K-gram shingles (JVM-side, no UDF)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
+        f" i -> substring(text, i, {SHINGLE_K}))"
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return d.select("doc_id", F.explode(grams).alias("shingle"))
+
+
+def _duck_shingles(distinct: bool) -> str:
+    inner = (
+        f"[substring(text, i, {SHINGLE_K})"
+        f" for i in generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))]"
+    )
+    if distinct:
+        inner = f"list_distinct({inner})"
+    return f"SELECT doc_id, unnest({inner}) AS shingle FROM documents"
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_duck_shingles(distinct=True)}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_common,
+           (n_common / (sa.n + sb.n - n_common)) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {JACCARD_DEN} * n_common >= {JACCARD_NUM} * (sa.n + sb.n - n_common)
+    """,
+    tags=("dedup", "join"),
+    doc=f"Exact character-{SHINGLE_K}-gram Jaccard near-dup pairs (threshold "
+    f"{JACCARD_NUM / JACCARD_DEN}). Threshold test is integer arithmetic — no float "
+    "boundary. This is the exact baseline the MinHash sketch approximates; at "
+    "scale the shingle self-join is the bottleneck (hot shingles) and "
+    "dedup_minhash_lsh_pairs is the production path.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    sh = _spark_shingles(d, distinct=True).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            JACCARD_DEN * F.col("n_common")
+            >= JACCARD_NUM * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _spark_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    sh = _spark_shingles(d, distinct=False)
+    hashed = sh.withColumn("h", F.expr(spark_md5_long("shingle")))
+    aggs = [
+        F.min(F.expr(universal_hash("h", i))).alias(f"mh{i}") for i in range(N_MINHASH)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _duck_minhash_sig_sql() -> str:
+    mins = ",\n           ".join(
+        f"min({universal_hash('h', i)}) AS mh{i}" for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH sh AS ({_duck_shingles(distinct=False)}),
+    hs AS (SELECT doc_id, {duck_md5_long('shingle')} AS h FROM sh)
+    SELECT doc_id, {mins}
+    FROM hs GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=_duck_minhash_sig_sql(),
+    tags=("dedup", "sketch"),
+    doc=f"MinHash signatures ({N_MINHASH} portable md5-based hash functions). "
+    "Map-side partial min makes this one narrow shuffle of 8-byte values per "
+    "hash — the signature table is tiny regardless of corpus size.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_minhash_sig(spark, sf_dir)
+
+
+def _band_expr(j: int) -> str:
+    """Band value: injective string combine of the band's minhash rows
+    (engine-neutral — CAST+concat behave identically; avoids BIGINT overflow
+    that an arithmetic combine of 3 × 31-bit values would risk)."""
+    parts = " || '_' || ".join(
+        f"CAST(mh{BAND_R * j + r} AS STRING)" for r in range(BAND_R)
+    )
+    return f"({parts})"
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS ({_duck_minhash_sig_sql()}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_idx, {_band_expr(j)} AS band_val FROM sig" for j in range(N_BANDS))}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("dedup", "sketch", "join"),
+    doc=f"LSH candidate pairs: {N_BANDS} bands × {BAND_R} rows over the "
+    "MinHash signature; docs collide only when a whole band matches "
+    "(collision prob ≈ jaccard^3 per band). The self-join is on "
+    "(band_idx, band_val) — at scale its cost is proportional to true "
+    "near-duplicates, not to all pairs. Exact oracle: identical hash family "
+    "on both engines.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _spark_minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(_band_expr(j)) for j in range(N_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.withColumn("h", F.expr(spark_md5_long("tok")))
+    bit_sums = [
+        F.sum(F.expr(f"2 * ((h >> {j}) & 1) - 1")).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    fp = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", F.expr(fp).alias("simhash"))
+
+
+def _duck_simhash_sql() -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(2 * ((h >> {j}) & 1) - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    hs AS (SELECT doc_id, {duck_md5_long('tok')} AS h FROM toks WHERE tok <> ''),
+    sums AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM sums
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_duck_simhash_sql(),
+    tags=("dedup", "sketch"),
+    doc=f"{SIMHASH_BITS}-bit SimHash fingerprints over token hashes (+1/-1 "
+    "bit votes, sign-aggregated). Single shuffle with map-side partial sums.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_simhash(spark, sf_dir)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sig AS ({_duck_simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    tags=("dedup", "sketch", "join"),
+    doc=f"SimHash near-dup pairs (Hamming ≤ {HAMMING_MAX}) via pigeonhole "
+    f"banding: the 32-bit fingerprint splits into 4 bytes; any pair within "
+    f"Hamming {HAMMING_MAX} must agree on ≥1 whole byte, so Spark joins on "
+    "(byte_idx, byte) then post-filters — linear in collisions, never "
+    "all-pairs. The DuckDB oracle uses the brute-force cross join (verifying "
+    "the banded join loses nothing).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _spark_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.expr(f"(simhash >> {8 * j}) & 255") for j in range(4)])
+        ).alias("byte_idx", "byte_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.byte_idx") == F.col("b.byte_idx"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= HAMMING_MAX)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {COSINE_T}
+    """,
+    tags=("dedup", "embedding", "join"),
+    doc=f"Embedding near-dup pairs (cosine ≥ {COSINE_T}) blocked by label — "
+    "the block key stands in for an ANN bucket (see similarity.py for LSH "
+    "bucketing); comparisons stay within blocks, never all-pairs. Dot "
+    "products via JVM-side zip_with/aggregate (no Python). Rounded to 6 "
+    "decimals on both engines so accumulation-order ulps can't flip the "
+    "threshold.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+
+    def dot(x: str, y: str) -> str:
+        return f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0D, (acc, z) -> acc + z)"
+
+    cos = F.expr(
+        f"round({dot('a.v', 'b.v')} / (sqrt({dot('a.v', 'a.v')}) * sqrt({dot('b.v', 'b.v')})), 6)"
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_T)
+    )

@@ -1,1 +1,201 @@
-"""(stub — filled in below)"""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Two paths, mirroring a production ANN stack:
+
+- brute-force cosine top-k — the exactness baseline; queries broadcast
+  against the corpus, dot products computed JVM-side with zip_with/aggregate
+  (whole-stage codegen; no Python in the hot path);
+- LSH (random-hyperplane / SimHash-for-vectors) bucketing — the scale path:
+  sign-pattern buckets computed per vector in one projection, then search
+  only within the query's bucket. Hyperplanes are fixed integer literals
+  (seeded, inlined below) so Spark and the DuckDB oracle share them exactly.
+
+Similarities are rounded to 6 decimals on both engines before ranking/
+thresholding so accumulation-order ulps can't flip an order or a cut.
+
+Scale: brute force is O(Q × N) — fine for small Q (broadcast queries);
+bucketed search divides the corpus by 2^n_planes. At 100 TB you'd persist the
+bucketed table sorted by bucket (partition pruning turns a query into a
+single-bucket scan) and re-rank the collisions exactly, which is precisely
+what ann_lsh_topk does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.registry import register
+
+# 8 hyperplanes × 64 integer weights, generated once with random.Random(7).
+HYPERPLANES: list[list[int]] = [
+    [-1, -2, 0, 2, -3, -3, 3, 1, -3, -1, 1, -3, 1, -2, -3, -3, 0, 0, -3, -2, -3, 1, 0, -3, 3, 1, -3, -2, 2, 2, 1, -3, 1, 1, 0, -3, -2, -3, 1, 3, -2, -1, 0, -2, 1, -3, 1, -1, 1, 3, 2, -2, -3, 1, 1, 2, -2, -1, -3, 1, 2, -3, 1, -3],
+    [1, -2, 0, 2, 1, 0, 3, -1, 0, 1, 0, -1, -1, -2, 3, -2, 2, 3, -2, -3, 1, -1, 1, 0, -1, 2, 0, -1, 1, -3, -3, 1, 0, -2, 3, -1, -2, 0, 0, -3, 2, -3, 3, 1, 1, 3, 3, -1, -1, 2, -1, 1, 0, 1, 3, 0, -3, 3, -3, -1, 0, 2, 2, -3],
+    [-3, 2, 2, -1, 2, 1, 2, 3, 0, -1, 2, 0, 2, -1, -3, 0, -1, -2, 1, -3, 0, -3, -2, 3, -1, -2, 2, -2, 0, 0, 3, 0, -3, -2, 0, 0, 1, -1, -2, 3, 0, 3, 1, -1, 2, 0, -1, 2, 0, -2, -2, -3, -2, -2, -2, 2, -2, -3, 0, 3, 1, -2, -1, -1],
+    [-3, -2, 0, 1, -1, 1, 1, -1, -2, 2, 3, 1, 1, 2, 2, 2, -3, 0, 3, 3, 3, 2, 3, 1, 0, 0, 0, 0, -3, 0, 2, 0, -3, -2, -3, -2, 0, -2, -3, -1, 1, -3, -3, -3, 1, -2, 1, -3, -1, 1, -3, -3, 3, -2, 1, 0, -2, 2, -1, -1, 1, -1, 0, -3],
+    [-3, 3, 0, 0, 0, 0, -1, -3, -2, -3, 2, -1, 2, -1, 0, 3, 2, -2, 1, -3, -2, 1, -1, -2, 2, 1, -3, 3, 1, -1, 2, 3, -3, 2, 3, -1, 1, -1, -2, -1, 3, -2, 1, 1, 3, 1, -1, 2, -2, 1, 3, 3, 3, 3, -2, 3, -2, 3, 0, 2, 3, -2, -2, 1],
+    [0, -1, 2, -3, -3, 3, -1, 0, -1, -2, 2, 1, -1, 0, 3, 2, -1, -1, -3, -2, -3, -2, 0, -2, -1, -2, 0, 1, 1, 3, -3, 0, 2, -1, 3, 2, -3, 3, 2, -3, 0, 3, 2, 3, -2, 0, -2, 0, 3, 2, -1, -3, 3, 2, 0, 0, 0, 2, -3, 2, -2, -2, -2, -3],
+    [-2, 1, 0, 3, 2, -2, 1, 3, 1, 0, 2, -1, -2, 1, 1, -2, -3, -3, 3, 2, 2, -3, 1, 2, -2, 0, 3, -2, 3, 3, -2, -3, -1, -2, -1, 1, -2, 3, 1, -1, -1, 1, 0, 3, -2, -3, 2, -1, 0, 2, 1, 3, 1, 0, 3, 1, -2, 1, -2, 1, 1, -3, 3, 0],
+    [3, -2, 1, -3, 3, 3, -2, -2, -2, 0, 1, 2, -3, 1, -3, -1, 2, 1, 1, 1, 0, 3, 3, -3, 1, -3, -2, -2, -1, -3, 3, -3, 1, 0, 1, -3, 3, -3, 0, -1, 1, 1, 1, 1, -2, 2, -1, 0, 1, 1, 3, 0, 1, -2, 2, 1, -1, 1, -2, 3, 0, -2, 0, -3],
+]
+
+N_BUCKET_PLANES = 4  # 16 buckets over ~500 vectors ≈ 31 candidates/bucket
+TOP_K = 5
+
+
+def _dot(x: str, y: str) -> str:
+    """Engine-portable fold dot product over double arrays (Spark dialect)."""
+    return f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0D, (acc, z) -> acc + z)"
+
+
+def _spark_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+
+
+def _plane_dot_spark(j: int) -> str:
+    w = ", ".join(str(c) for c in HYPERPLANES[j])
+    return f"aggregate(zip_with(v, array({w}), (p, q) -> p * CAST(q AS DOUBLE)), 0D, (acc, z) -> acc + z)"
+
+
+def _plane_dot_duck(j: int) -> str:
+    w = ", ".join(f"{c}" for c in HYPERPLANES[j])
+    return (
+        f"list_sum(list_transform(generate_series(1, 64),"
+        f" i -> v[i] * ([{w}])[i]))"
+    )
+
+
+def _bucket_spark() -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_spark(j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_BUCKET_PLANES)
+    )
+
+
+def _bucket_duck() -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_duck(j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_BUCKET_PLANES)
+    )
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      FROM q JOIN e c ON q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "embedding"),
+    doc=f"Brute-force cosine top-{TOP_K}: query set (vec_id %% 50 = 0) "
+    "broadcast against the corpus; exact ranking baseline for the LSH path.",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spark_vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    j = F.broadcast(q).crossJoin(e).filter(F.col("query_id") != F.col("vec_id"))
+    scored = j.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.expr(f"round({_dot('qv', 'v')} / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('v', 'v')})), 6)").alias(
+            "cos_sim"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM (SELECT vec_id, CAST({_bucket_duck()} AS BIGINT) AS bucket FROM e) b
+    GROUP BY bucket
+    """,
+    tags=("similarity", "embedding", "sketch"),
+    doc=f"Random-hyperplane LSH bucket assignment ({N_BUCKET_PLANES} planes → "
+    f"{1 << N_BUCKET_PLANES} sign-pattern buckets) + occupancy. The bucket "
+    "id is the partition key a 100 TB ANN index would sort/prune on.",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spark_vecs(spark, sf_dir)
+    b = e.select("vec_id", F.expr(f"CAST({_bucket_spark()} AS BIGINT)").alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, label, v, CAST({_bucket_duck()} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, bucket, cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+    """,
+    tags=("similarity", "embedding", "sketch"),
+    doc="Bucketed ANN: candidates restricted to the query's LSH bucket, then "
+    "exact cosine re-rank of the collisions (top-3). The join is on the "
+    "bucket key — search cost divides by the bucket count.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spark_vecs(spark, sf_dir)
+    b = e.select(
+        "vec_id", "label", "v", F.expr(f"CAST({_bucket_spark()} AS BIGINT)").alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    cand = F.broadcast(q).join(b, "bucket").filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        F.expr(f"round({_dot('qv', 'v')} / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('v', 'v')})), 6)").alias(
+            "cos_sim"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )

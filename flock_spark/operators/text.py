@@ -1,1 +1,166 @@
-"""(stub — filled in below)"""
+"""Text-analysis operators over ``documents`` (LLM-pipeline extensions).
+
+All JVM-side expressions (no Python UDFs): token statistics, language-ID via
+stopword scoring, quality scoring from length/token/stopword ratios, and
+md5-based document fingerprinting. Counting uses the replace-length trick
+(``(length(s) - length(replace(s, pat, ''))) / length(pat)``) which both
+engines evaluate identically — no regex-dialect drift in anything compared
+against the oracle.
+
+Scale: each operator is a single projection or one grouped aggregate over the
+corpus — embarrassingly parallel, no shuffle except the final group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.registry import register
+
+# stopword markers per language, matched as ' word ' inside ' ' || text || ' '
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "que", "y"],
+}
+
+
+def _occ(pat: str) -> str:
+    """Engine-neutral SQL: occurrence count of `pat` in padded text."""
+    s = "(' ' || text || ' ')"
+    return f"((length({s}) - length(replace({s}, '{pat}', ''))) / {len(pat)})"
+
+
+def _tok_count() -> str:
+    """Engine-neutral-ish token count: words = occurrences of ' ' + 1 in
+    trimmed single-spaced text; robust because corpus is single-spaced."""
+    return "(CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS BIGINT))"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {_tok_count()} AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           n_chars AS n_chars_declared,
+           (CAST(length(replace(text, ' ', '')) AS DOUBLE) / {_tok_count()}) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text",),
+    doc="Token counting + char stats (whitespace tokenizer; exact integer "
+    "arithmetic, deterministic division).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(_tok_count()).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.col("n_chars").alias("n_chars_declared"),
+        F.expr(f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / {_tok_count()}").alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return "(" + " + ".join(_occ(f" {w} ") for w in LANG_MARKERS[lang]) + ")"
+
+
+def _langid_sql() -> str:
+    """Predicted language = argmax of stopword scores, ties broken by the
+    fixed key order en > de > fr > es > unknown (strictly-greater chain)."""
+    en, de, fr, es = (_lang_score_sql(x) for x in ("en", "de", "fr", "es"))
+    return f"""
+    SELECT doc_id, lang AS lang_declared,
+           CAST({en} AS BIGINT) AS score_en,
+           CAST({de} AS BIGINT) AS score_de,
+           CAST({fr} AS BIGINT) AS score_fr,
+           CAST({es} AS BIGINT) AS score_es,
+           CASE
+             WHEN {en} >= {de} AND {en} >= {fr} AND {en} >= {es} AND {en} > 0 THEN 'en'
+             WHEN {de} >= {fr} AND {de} >= {es} AND {de} > 0 THEN 'de'
+             WHEN {fr} >= {es} AND {fr} > 0 THEN 'fr'
+             WHEN {es} > 0 THEN 'es'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM documents
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_sql(),
+    tags=("text",),
+    doc="Heuristic language-ID: per-language stopword occurrence scores with "
+    "a deterministic argmax. (The corpus' lang column is synthetic/random — "
+    "lang_pred is a function of the text only, and the declared label is "
+    "carried through for inspection.)",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_sql = _langid_sql()
+    d = tbl(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(register_sql)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           {_tok_count()} AS n_tokens,
+           CAST({_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')} AS BIGINT) AS stop_hits,
+           (CAST({_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')} AS DOUBLE) / {_tok_count()}) AS stop_ratio,
+           (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN {_tok_count()} >= 20 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN ({_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')}) > 0 THEN 0.25 ELSE 0.0 END
+           ) AS quality
+    FROM documents
+    """,
+    tags=("text",),
+    doc="Quality scoring: length band + token count + stopword presence → "
+    "additive score in [0,1] (the length/punct/stopword-ratio family used by "
+    "C4/Gopher-style filters), all exact arithmetic.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    stop = f"{_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')}"
+    return d.select(
+        "doc_id",
+        F.expr(_tok_count()).alias("n_tokens"),
+        F.expr(f"CAST({stop} AS BIGINT)").alias("stop_hits"),
+        F.expr(f"CAST({stop} AS DOUBLE) / {_tok_count()}").alias("stop_ratio"),
+        F.expr(
+            f"CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END"
+            f" + CASE WHEN {_tok_count()} >= 20 THEN 0.25 ELSE 0.0 END"
+            f" + CASE WHEN ({stop}) > 0 THEN 0.25 ELSE 0.0 END"
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT substring(md5(text), 1, 2) AS bucket,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "dedup"),
+    doc="Document fingerprinting: md5 content hash, bucketed by 2-hex-char "
+    "prefix (256-way) — the partitioning scheme a 100 TB fingerprint store "
+    "would shard on.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return (
+        d.select(fp.alias("fp"))
+        .groupBy(F.substring("fp", 1, 2).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_distinct"))
+    )
