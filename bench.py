@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with a noop-format write (full pipeline execution, no
+driver-side collect). Timings are per-query wall clock after a warm-up query
+that pays one-time session/JIT costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flock_spark.registry import REGISTRY, get_queries  # noqa: E402
+from flock_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+    "nexmark_q4_avg_of_max",
+    "nexmark_q6_double_rownum",
+    "join_range_theta",
+    "tumbling_window_agg",
+    "session_window_by_key",
+    "dedup_minhash_lsh_pairs",
+    "ann_topk_bruteforce",
+    "asof_join_window",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    get_queries()
+    spark = get_spark("flock_spark_bench")
+
+    # warm-up: JVM/codegen/parquet-footer costs paid once
+    REGISTRY["tpch_q6"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # best of 2: first run pays per-query JIT/compile, second measures the
+    # engine's repeatable throughput (reported timing = min)
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,11 @@ def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    # semi-join the build side down to keys that actually have events —
+    # cogroup invokes the UDF once per key in EITHER side, so unmatched
+    # order keys would each pay a Python call for an empty result
+    keys = e.select(F.col("user_id").alias("o_custkey")).distinct()
+    o = o.join(F.broadcast(keys), "o_custkey", "left_semi")
 
     def merge(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
         events_pdf = events_pdf.sort_values(["ts", "event_id"])

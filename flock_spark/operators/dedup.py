@@ -244,7 +244,9 @@ def _band_expr(j: int) -> str:
     "on both engines.",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _spark_minhash_sig(spark, sf_dir)
+    # cache: both sides of the self-join read the signature table, and it is
+    # tiny (N_MINHASH longs per doc) no matter the corpus size
+    sig = _spark_minhash_sig(spark, sf_dir).cache()
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.expr(_band_expr(j)) for j in range(N_BANDS)])).alias(
@@ -336,7 +338,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the banded join loses nothing).",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _spark_simhash(spark, sf_dir)
+    sig = _spark_simhash(spark, sf_dir).cache()  # reused by both join sides
     bands = sig.select(
         "doc_id",
         "simhash",

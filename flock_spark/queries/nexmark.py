@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from flock_spark.catalog import tbl
-from flock_spark.queries.relational import davg
+from flock_spark.queries.relational import favg
 from flock_spark.registry import register
 
 _EXPIRES = "o_orderdate + INTERVAL 90 DAY"
@@ -56,7 +56,7 @@ def nexmark_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nexmark_q4_avg_of_max",
     oracle=f"""
-    SELECT category, {davg('final')} AS avg_final
+    SELECT category, {favg('final')} AS avg_final
     FROM (SELECT o_orderkey, o_orderpriority AS category,
                  max(l_extendedprice) AS final
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -78,13 +78,13 @@ def nexmark_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_auction = j.groupBy("o_orderkey", F.col("o_orderpriority").alias("category")).agg(
         F.max("l_extendedprice").alias("final")
     )
-    return per_auction.groupBy("category").agg(F.expr(davg("final")).alias("avg_final"))
+    return per_auction.groupBy("category").agg(F.expr(favg("final")).alias("avg_final"))
 
 
 @register(
     "nexmark_q6_double_rownum",
     oracle=f"""
-    SELECT seller, {davg('price')} AS avg_last10
+    SELECT seller, {favg('price')} AS avg_last10
     FROM (SELECT seller, price, sale_ts,
                  CAST(row_number() OVER (PARTITION BY seller
                                          ORDER BY sale_ts DESC, auction) AS BIGINT) AS time_rank
@@ -121,7 +121,7 @@ def nexmark_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = j.withColumn("price_rank", F.row_number().over(w_price)).filter(F.col("price_rank") == 1)
     w_time = W.partitionBy("seller").orderBy(F.col("sale_ts").desc(), F.col("auction"))
     last10 = winners.withColumn("time_rank", F.row_number().over(w_time)).filter(F.col("time_rank") <= 10)
-    return last10.groupBy("seller").agg(F.expr(davg("price")).alias("avg_last10"))
+    return last10.groupBy("seller").agg(F.expr(favg("price")).alias("avg_last10"))
 
 
 @register(

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flock_spark.catalog import tbl
-from flock_spark.queries.relational import dsum
+from flock_spark.queries.relational import fsum
 from flock_spark.registry import register
 
 
@@ -34,7 +34,7 @@ from flock_spark.registry import register
            CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS w_end,
            event_type,
            count(*) AS cnt,
-           {dsum('value')} AS sum_value
+           {fsum('value')} AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -47,7 +47,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.expr(dsum("value")).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), F.expr(fsum("value")).alias("sum_value"))
         .select(
             F.col("w.start").alias("w_start"),
             F.col("w.end").alias("w_end"),
@@ -62,7 +62,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hopping_window_agg",
     oracle=f"""
     SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
-           count(*) AS cnt, {dsum('value')} AS sum_value
+           count(*) AS cnt, {fsum('value')} AS sum_value
     FROM (
       SELECT time_bucket(INTERVAL '30 minutes', ts) - (k.k * INTERVAL '30 minutes') AS w_start,
              event_type, value
@@ -79,7 +79,7 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.expr(dsum("value")).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), F.expr(fsum("value")).alias("sum_value"))
         .select(
             F.col("w.start").alias("w_start"),
             F.col("w.end").alias("w_end"),

@@ -1,0 +1,65 @@
+"""Data sinks (reference: flock/src/datasink/mod.rs).
+
+Reference sink types (datasink/mod.rs:67-103): Blackhole / S3 / DynamoDB /
+SQS / EFS, with formats CSV / JSON / Parquet / SerdeBinary (mod.rs:47-63).
+Spark mapping: Blackhole → "noop", object-store sinks → parquet/csv/json
+writers (path-addressed; S3 vs local is just the URI scheme), KV/queue sinks
+→ foreachBatch writers. SerdeBinary (Arrow Flight payload bytes) has no
+user-facing counterpart — Spark's shuffle/file formats own the wire format.
+
+Scale: writers partition output by the DataFrame's partitioning; callers
+repartition by a key before writing when downstream reads prune on it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+BATCH_FORMATS = {"parquet", "csv", "json", "orc"}
+
+
+def write_batch(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> None:
+    """Materialize a batch result (reference datasink write dispatch,
+    mod.rs:137-160)."""
+    if fmt == "noop":
+        df.write.format("noop").mode(mode).save()
+        return
+    if fmt not in BATCH_FORMATS:
+        raise ValueError(f"unsupported sink format: {fmt}")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+
+
+def write_stream(
+    df: DataFrame,
+    fmt: str,
+    path: str | None,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Start a streaming sink; returns the StreamingQuery handle."""
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+    )
+    if fmt == "noop":
+        return writer.format("noop").start()
+    if fmt not in BATCH_FORMATS:
+        raise ValueError(f"unsupported stream sink format: {fmt}")
+    return writer.format(fmt).start(path)
+
+
+def foreach_batch_sink(
+    df: DataFrame, handler: Callable[[DataFrame, int], None], checkpoint: str
+):
+    """KV/queue-style sink (reference DynamoDB/SQS sinks) via foreachBatch —
+    the idempotent-write escape hatch."""
+    return (
+        df.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,171 @@
+"""Streaming queries registered in the parity ledger.
+
+Each runs a real Structured Streaming query over a bounded file stream and
+returns the drained result. Because the input is bounded and fully drained,
+the final answer equals the batch answer — so these entries carry *exact*
+DuckDB oracles (the same oracles as their batch twins), closing the loop the
+reference closes with its local window replays (SURVEY §5: per-query replay
+tests, e.g. q5.rs:76-130).
+
+Window-driver parity (reference → here):
+- element-wise (elementwise.rs)  → streaming_elementwise_filter
+- tumbling (tumbling.rs)         → streaming_tumbling_agg
+- session (session.rs)           → streaming_session_foreachbatch
+- global/proc-time q12 (global.rs:226-232 injects p_time=now())
+                                 → streaming_proctime_agg (proc-time column
+                                   injected; only deterministic columns are
+                                   emitted, since now() isn't replayable)
+- agg-self-join q5 (q5.rs)       → streaming_q5_foreachbatch (per-batch full
+                                   recompute via foreachBatch — Flock's own
+                                   execution model)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.queries.relational import fsum
+from flock_spark.registry import register
+from flock_spark.streaming.runner import run_foreach_batch, run_to_memory
+from flock_spark.streaming.source import bounded_stream
+
+
+@register(
+    "streaming_elementwise_filter",
+    oracle="""
+    SELECT event_id, user_id, value * 0.908 AS price
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+    tags=("streaming",),
+    doc="Element-wise streaming query (stateless map/filter per micro-batch — "
+    "reference elementwise.rs:30-186): projection + filter over a file "
+    "stream, drained append-mode.",
+)
+def streaming_elementwise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = bounded_stream(spark, sf_dir, "events")
+    out = s.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", (F.col("value") * 0.908).alias("price")
+    )
+    return run_to_memory(out, output_mode="append")
+
+
+@register(
+    "streaming_tumbling_agg",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+           count(*) AS cnt, {fsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window_time"),
+    doc="Tumbling-window streaming aggregate with a watermark (reference "
+    "tumbling.rs; watermark is the designed-in late-data policy the "
+    "reference lacks — SURVEY §2.9). Complete-mode drain of a bounded "
+    "stream == batch answer.",
+)
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = bounded_stream(spark, sf_dir, "events")
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.expr(fsum("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value")
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_proctime_agg",
+    oracle="""
+    SELECT user_id, count(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming",),
+    doc="Processing-time query (nexmark q12): a p_time = current_timestamp() "
+    "column is injected exactly as the reference's global window driver does "
+    "(global.rs:226-232, actor.rs:650-660); the emitted columns are the "
+    "deterministic ones (per-key counts), since wall-clock isn't replayable.",
+)
+def streaming_proctime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = bounded_stream(spark, sf_dir, "events").withColumn("p_time", F.current_timestamp())
+    agg = s.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_session_foreachbatch",
+    oracle="""
+    WITH gaps AS (
+      SELECT ts,
+             CASE WHEN ts - lag(ts) OVER (ORDER BY ts) >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sessions AS (
+      SELECT ts, sum(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT min(ts) AS session_start, max(ts) + INTERVAL '10 minutes' AS session_end,
+           count(*) AS cnt
+    FROM sessions
+    GROUP BY sess_id
+    """,
+    tags=("streaming", "session"),
+    doc="Sessionization via foreachBatch full recompute — the reference's own "
+    "model (windows re-executed per delivery; session.rs + local replay "
+    "q5.rs:76-130). Batches accumulate into a staging view; the final "
+    "session_window aggregation runs over everything seen.",
+)
+def streaming_session_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = bounded_stream(spark, sf_dir, "events").select("ts")
+    seen: list = []
+
+    def absorb(df: DataFrame, _epoch: int) -> None:
+        seen.append(df.toPandas())
+
+    run_foreach_batch(s, absorb)
+    import pandas as pd
+
+    all_rows = spark.createDataFrame(pd.concat(seen, ignore_index=True), schema=s.schema)
+    return (
+        all_rows.groupBy(F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "streaming_q5_foreachbatch",
+    oracle="""
+    SELECT user_id, num
+    FROM (SELECT user_id, count(*) AS num FROM events GROUP BY user_id) ub
+    JOIN (SELECT max(num) AS maxn
+          FROM (SELECT user_id, count(*) AS num FROM events GROUP BY user_id) x) mx
+      ON num = maxn
+    """,
+    tags=("streaming", "join"),
+    doc="nexmark q5 (hot items) as a streaming query: an aggregate self-join "
+    "is not expressible as one incremental streaming query, so it re-runs "
+    "per micro-batch over accumulated state via foreachBatch — exactly the "
+    "reference's per-window recompute (q5.sql + hopping replay q5.rs:76-130).",
+)
+def streaming_q5_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = bounded_stream(spark, sf_dir, "events").select("user_id")
+    counts: dict[int, int] = {}
+
+    def absorb(df: DataFrame, _epoch: int) -> None:
+        for row in df.groupBy("user_id").count().collect():
+            counts[row["user_id"]] = counts.get(row["user_id"], 0) + row["count"]
+
+    run_foreach_batch(s, absorb)
+    out = spark.createDataFrame(
+        [(k, v) for k, v in counts.items()], schema="user_id long, num long"
+    )
+    mx = out.agg(F.max("num").alias("maxn"))
+    return out.join(F.broadcast(mx), out.num == mx.maxn).select("user_id", "num")

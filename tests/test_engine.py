@@ -1,0 +1,72 @@
+"""Engine API + sinks tests (reference query.rs / datasink parity)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flock_spark.engine import LocalLauncher, Query, QueryType, Table, WindowSpec
+from flock_spark.sinks import write_batch
+
+
+def test_query_registration_and_execute(spark, sf_dir):
+    q = Query(
+        sql="""
+        SELECT o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY o_orderpriority
+        """,
+        tables=[Table("orders")],
+        query_type=QueryType.OLAP,
+    )
+    out = LocalLauncher(spark, sf_dir).execute(q)
+    assert out.count() == 5
+
+
+def test_query_with_aliased_table(spark, sf_dir):
+    q = Query(
+        sql="SELECT count(*) AS n FROM bid",
+        tables=[Table("bid", source_table="events")],
+    )
+    out = LocalLauncher(spark, sf_dir).execute(q)
+    assert out.collect()[0]["n"] == 1000
+
+
+def test_window_spec_columns(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tumble = WindowSpec("tumbling", size_sec=86400).column("o_orderdate")
+    out = e.groupBy(tumble.alias("w")).agg(F.count("*").alias("cnt"))
+    assert out.agg(F.sum("cnt")).collect()[0][0] == e.count()
+    hop = WindowSpec("hopping", size_sec=86400, hop_sec=43200).column("o_orderdate")
+    out2 = e.groupBy(hop.alias("w")).agg(F.count("*").alias("cnt"))
+    assert out2.agg(F.sum("cnt")).collect()[0][0] == 2 * e.count()
+
+
+def test_parquet_and_csv_sinks_roundtrip(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "out_parquet")
+        write_batch(df, "parquet", p)
+        assert spark.read.parquet(p).count() == df.count()
+        c = os.path.join(d, "out_csv")
+        write_batch(df, "csv", c)
+        back = spark.read.option("header", "true").csv(c)
+        assert back.count() == df.count()
+
+
+def test_noop_sink(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    write_batch(df, "noop", path="")  # Blackhole — must simply not raise
+
+
+def test_sink_via_launcher(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as d:
+        q = Query(
+            sql="SELECT r_regionkey, r_name FROM region",
+            tables=[Table("region")],
+            sink_format="json",
+            sink_path=os.path.join(d, "regions_json"),
+        )
+        LocalLauncher(spark, sf_dir).execute(q)
+        assert spark.read.json(os.path.join(d, "regions_json")).count() == 5
