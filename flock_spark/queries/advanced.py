@@ -1,0 +1,214 @@
+"""Advanced aggregate / semi-structured / skew-handling coverage.
+
+Beyond the reference's operator surface (SURVEY §2 lists none of these), but
+required of a complete analytics engine: JSON extraction over the events
+props column, ordered collect/string aggregation, exact percentiles, moment
+statistics computed from exact sums (deterministic cross-engine, unlike
+naive stddev/corr whose float accumulation order differs), a salted-join
+skew mitigation whose result provably equals the plain join, and a two-level
+rollup demonstrating the continuous-aggregate (hypertable-style) pattern of
+answering coarse windows from a fine-grained rollup without rescanning facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.registry import register
+
+SALT = 8
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT k_val, count(*) AS cnt
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+          FROM events) t
+    GROUP BY k_val
+    """,
+    tags=("json", "scalar"),
+    doc="JSON field extraction from the props column (the reference decodes "
+    "JSON events via arrow::json — flock/src/transmute.rs:255+; Spark reads "
+    "the path with get_json_object, JVM-side).",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT event_type, list_sort(list(DISTINCT user_id % 25)) AS user_buckets
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "array"),
+    doc="Array aggregation: collect_set sorted for deterministic comparison "
+    "(collect order is partition-dependent; the sort pins it).",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.array_sort(F.collect_set(F.col("user_id") % 25)).alias("user_buckets")
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS members
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregate", "string"),
+    doc="Ordered string aggregation (string_agg ≈ array_join of the sorted "
+    "collect list).",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+    doc="Exact interpolated percentiles per group (Spark percentile() ≡ "
+    "DuckDB quantile_cont; rounded to absorb interpolation-arithmetic ulps). "
+    "At scale, percentile_approx (t-digest) replaces the exact sort — "
+    "engine-specific sketches can't hash-match an oracle, so the exact form "
+    "is the verified one.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+_STATS_SUMS = """
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+"""
+
+_STATS_SELECT = """
+    SELECT l_returnflag, n,
+           round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6)  AS qty_stddev,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr
+    FROM sums
+"""
+
+
+@register(
+    "agg_stats_exact",
+    oracle=f"WITH sums AS ({_STATS_SUMS}) {_STATS_SELECT}",
+    tags=("aggregate", "stats"),
+    doc="Sample stddev + Pearson correlation computed from exact decimal "
+    "moment sums (n, Σx, Σx², Σy, Σy², Σxy) instead of the built-in "
+    "accumulators — the builtins' float accumulation order differs across "
+    "engines/partitionings; moment sums are exact and order-insensitive, so "
+    "the derived statistics are bit-deterministic. Same trick keeps stddev "
+    "reproducible across cluster re-partitionings at 100 TB.",
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(f"WITH sums AS ({_STATS_SUMS}) {_STATS_SELECT}")
+
+
+@register(
+    "approx_count_distinct_hll",
+    oracle=None,  # HLL sketches are engine-specific — rows-only check
+    tags=("aggregate", "approx"),
+    doc="HyperLogLog distinct estimate per event_type (Spark "
+    "approx_count_distinct, rsd 5%). No oracle: sketch estimates are "
+    "engine-specific by design; the exact twin is agg_count_distinct.",
+)
+def approx_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS cnt
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew"),
+    doc=f"Skew-mitigated join: the build side is replicated {SALT}× with a "
+    "salt column and the probe side joins on (key, deterministic salt), "
+    "splitting each hot key across {SALT} reducers. The oracle is the plain "
+    "join — salting must be semantics-preserving. (AQE's skew-join handles "
+    "this automatically for sort-merge joins; explicit salting is the "
+    "portable fallback for stateful/streaming joins where AQE can't help.)",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events").withColumn("salt", (F.col("event_id") % SALT).cast("int"))
+    c = tbl(spark, sf_dir, "customer").crossJoin(
+        spark.range(SALT).select(F.col("id").cast("int").alias("salt"))
+    )
+    j = e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+    return j.groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "rollup_two_level",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d_start,
+           count(*) AS cnt,
+           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("aggregate", "window_time", "rollup"),
+    doc="Continuous-aggregate pattern (hypertable rollup): facts aggregate "
+    "once into an hourly rollup keeping integer micro-unit sums; the daily "
+    "answer re-aggregates the 24× smaller rollup instead of rescanning "
+    "facts. Integer sums re-aggregate exactly — the oracle computes daily "
+    "directly from facts and must match bit-for-bit.",
+)
+def rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    hourly = e.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)")).alias("sum_micro"),
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", F.col("w.start")).alias("d_start"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            (F.sum("sum_micro").cast("double") / 1000000.0).alias("sum_value"),
+        )
+    )
+    return daily

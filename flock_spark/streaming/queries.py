@@ -169,3 +169,42 @@ def streaming_q5_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = out.agg(F.max("num").alias("maxn"))
     return out.join(F.broadcast(mx), out.num == mx.maxn).select("user_id", "num")
+
+
+@register(
+    "streaming_stateful_running_count",
+    oracle="""
+    SELECT user_id, count(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+    "per-key running counts held in the state store across micro-batches — "
+    "the Spark analog of the reference's state backends + arena "
+    "(flock/src/state/mod.rs:63-121, runtime/arena/mod.rs). Update-mode "
+    "emissions land in the sink per batch; the final value per key equals "
+    "the batch count (oracle).",
+)
+def streaming_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    s = bounded_stream(spark, sf_dir, "events").select("user_id")
+
+    def running_count(key, pdf_iter, state):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "cnt": [cnt]})
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id long, cnt long",
+        stateStructType="cnt long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    drained = run_to_memory(out, output_mode="update")
+    # last emission per key = total; emissions are monotone so max == last
+    return drained.groupBy("user_id").agg(F.max("cnt").alias("cnt"))

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the plan properties that make these
+queries survive a 100 TB deployment, pinned so a refactor can't silently
+lose them (brief: '.explain the plan and iterate until it's the plan you'd
+want').
+
+- predicate pushdown reaches the parquet scan (PushedFilters non-empty)
+- column pruning reaches the scan (ReadSchema excludes unused columns)
+- dimension joins broadcast (no shuffle of the fact table for dims)
+- grouped aggregation is two-phase (map-side partial before the exchange)
+- global top-k plans as TakeOrderedAndProject (per-partition top-k + merge,
+  never a full global sort)
+- hot expression pipelines run inside WholeStageCodegen
+"""
+
+from __future__ import annotations
+
+from flock_spark.registry import REGISTRY, get_queries
+
+get_queries()
+
+
+def plan_of(spark, sf_dir, name: str, execute: bool = False) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    if execute:
+        # AQE finalizes the plan (and its WholeStageCodegen spans) lazily;
+        # run this exact DataFrame so its plan reaches isFinalPlan=true.
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_complex")
+    assert "PushedFilters: [" in plan
+    # the between bounds push down as gte/lte on o_totalprice
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "proj_arith")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    for name in ("tpch_q5", "join_broadcast_dim"):
+        assert "BroadcastHashJoin" in plan_of(spark, sf_dir, name), name
+
+
+def test_agg_is_two_phase(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q1", execute=True)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # '*(n)' prefixes mark WholeStageCodegen spans in the final adaptive plan
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
