@@ -44,6 +44,37 @@ TPCH_SQL["tpch_q1"] = f"""
     GROUP BY l_returnflag, l_linestatus
 """
 
+# The driver's tables have no partsupp; where TPC-H needs one (q2/q11/q16/q20)
+# a `supply` relation is derived from lineitem: one row per (partkey, suppkey)
+# with unit cost = min observed l_extendedprice/l_quantity. Same join pattern,
+# same correlated-subquery shape, schema-adapted.
+_SUPPLY = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           round(min(l_extendedprice / l_quantity), 6) AS ps_supplycost,
+           CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+"""
+
+TPCH_SQL["tpch_q2"] = f"""
+    WITH supply AS ({_SUPPLY})
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part
+    JOIN supply   ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND ps_supplycost = (SELECT min(s2.ps_supplycost)
+                           FROM supply s2
+                           JOIN supplier sup2 ON sup2.s_suppkey = s2.ps_suppkey
+                           JOIN nation n2 ON sup2.s_nationkey = n2.n_nationkey
+                           JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                           WHERE s2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
 TPCH_SQL["tpch_q3"] = f"""
     SELECT l_orderkey,
            {fsum('l_extendedprice * (1 - l_discount)')} AS revenue,
@@ -92,6 +123,63 @@ TPCH_SQL["tpch_q6"] = f"""
       AND l_quantity < 24
 """
 
+TPCH_SQL["tpch_q7"] = f"""
+    SELECT supp_nation, cust_nation, l_year, {fsum('volume')} AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+              OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+TPCH_SQL["tpch_q8"] = f"""
+    SELECT o_year,
+           round({fsum("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END")}
+                 / {fsum('volume')}, 6) AS mkt_share
+    FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region   ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+TPCH_SQL["tpch_q9"] = f"""
+    SELECT nation, o_year, {fsum('amount')} AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - p_retailprice * 0.1 * l_quantity AS amount
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
 TPCH_SQL["tpch_q10"] = f"""
     SELECT c_custkey, c_name,
            {fsum('l_extendedprice * (1 - l_discount)')} AS revenue,
@@ -118,6 +206,33 @@ TPCH_SQL["tpch_q12"] = """
     GROUP BY l_linestatus
 """
 
+TPCH_SQL["tpch_q11"] = f"""
+    WITH supply AS ({_SUPPLY})
+    SELECT ps_partkey, {fsum('ps_supplycost * ps_availqty')} AS part_value
+    FROM supply
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+    GROUP BY ps_partkey
+    HAVING {fsum('ps_supplycost * ps_availqty')} >
+           (SELECT {fsum('s2.ps_supplycost * s2.ps_availqty')} * 0.001
+            FROM supply s2
+            JOIN supplier sup2 ON s2.ps_suppkey = sup2.s_suppkey
+            JOIN nation n2 ON sup2.s_nationkey = n2.n_nationkey
+            WHERE n2.n_name = 'NATION_2')
+    ORDER BY part_value DESC, ps_partkey
+"""
+
+TPCH_SQL["tpch_q13"] = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
 TPCH_SQL["tpch_q14"] = f"""
     SELECT (100.0 * {fsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
             / CAST({fsum('l_extendedprice * (1 - l_discount)')} AS DOUBLE)) AS promo_revenue
@@ -137,6 +252,17 @@ TPCH_SQL["tpch_q15"] = f"""
     SELECT s_suppkey, s_name, total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+TPCH_SQL["tpch_q16"] = """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'SMALL'
+      AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 TPCH_SQL["tpch_q17"] = f"""
@@ -168,6 +294,45 @@ TPCH_SQL["tpch_q19"] = f"""
            AND l_quantity BETWEEN 20 AND 40)
 """
 
+TPCH_SQL["tpch_q20"] = """
+    WITH yearly AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey)
+    SELECT s_name, s_suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_4'
+      AND s_suppkey IN (SELECT y.l_suppkey
+                        FROM yearly y
+                        JOIN part ON y.l_partkey = p_partkey
+                        WHERE p_name LIKE 'red%'
+                          AND y.qty > (SELECT 0.5 * avg(y2.qty) FROM yearly y2))
+    ORDER BY s_name
+"""
+
+TPCH_SQL["tpch_q21"] = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND n_name = 'NATION_9'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
 TPCH_SQL["tpch_q22"] = f"""
     SELECT c_mktsegment, count(*) AS numcust, {fsum('c_acctbal')} AS totacctbal
     FROM customer c
@@ -179,6 +344,15 @@ TPCH_SQL["tpch_q22"] = f"""
 
 _DOCS = {
     "tpch_q1": "Pricing summary: wide grouped aggregate, 8 aggs over 2 keys. Map-side partial agg collapses 600k rows to ~6 groups before the shuffle.",
+    "tpch_q2": "Min-cost supplier per part in region: correlated min subquery over the lineitem-derived supply relation (no partsupp in driver schema).",
+    "tpch_q7": "Volume shipping between two nations: double nation join with OR'd direction pairs; nations broadcast.",
+    "tpch_q8": "National market share: conditional-sum ratio per order year over a 7-way join; dims broadcast.",
+    "tpch_q9": "Product-type profit by nation and year; supply cost adapted to 10% of retail price (no partsupp).",
+    "tpch_q11": "Important stock: grouped value with HAVING against a scalar-subquery fraction of the total (supply derived from lineitem).",
+    "tpch_q13": "Customer order-count distribution: outer join with join-side filter, then two-level aggregation.",
+    "tpch_q16": "Supplier count by part attributes with NOT IN (negative-balance suppliers) anti-join.",
+    "tpch_q20": "Promotion-candidate suppliers: nested IN subquery over a yearly-quantity CTE with scalar avg threshold.",
+    "tpch_q21": "Waiting suppliers: EXISTS + NOT EXISTS correlated self-joins on lineitem (returnflag stands in for the missing receipt/commit dates).",
     "tpch_q3": "Shipping priority: 3-way join, agg, top-10. Customer filter pushes below the join.",
     "tpch_q4": "Order priority check: correlated EXISTS decorrelated to a semi-join.",
     "tpch_q5": "Local supplier volume: 6-way join; nation/region/supplier broadcast.",
