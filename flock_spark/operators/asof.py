@@ -5,14 +5,17 @@ Spark has no native AS OF join (SURVEY §2.3 'NOT implemented' in the
 reference either), so both recommended fallbacks are provided — and both are
 held to the *same* DuckDB oracle:
 
-- asof_join_window   — composition of built-in ops: equi-join on the key,
-                       filter to prior orders, ROW_NUMBER pick of the latest.
-                       Best when per-key match lists are short.
-- asof_join_pandas   — applyInPandas + pandas.merge_asof per key group:
-                       sort-merge semantics, linear in group size. The scale
-                       path when each key has many events AND many orders
-                       (the window variant would materialize the full
-                       event × prior-order product before ranking).
+- asof_join_window   — composition of built-in ops: union orders (state
+                       rows) with events (probe rows), sort within key, and
+                       carry the latest order forward with last(ignoreNulls)
+                       over an unbounded-preceding frame. One shuffle, one
+                       sort, linear in |events| + |orders| — never the
+                       event × prior-order product a naive join+ROW_NUMBER
+                       formulation would materialize.
+- asof_join_pandas   — applyInPandas + pandas.merge_asof per key cogroup:
+                       same sort-merge idea executed in Arrow batches; the
+                       variant to reach for when extra per-match Python
+                       logic is needed.
 
 Tie policy (pinned): latest o_orderdate wins; equal dates break to the
 highest o_orderkey — pandas merge_asof picks the last row in sort order, so
@@ -45,18 +48,54 @@ WHERE rn = 1
     "asof_join_window",
     oracle=_ASOF_ORACLE,
     tags=("asof", "join"),
-    doc="As-of join via equi-join + ROW_NUMBER (composition of built-ins; "
-    "single shuffle on the key).",
+    doc="As-of join via union + carry-forward: order rows and event rows "
+    "interleave in (key, time) order and last(o_orderkey, ignoreNulls) over "
+    "an unbounded-preceding frame attaches the latest prior order to each "
+    "event. Linear in |events|+|orders| with a single hash shuffle on the "
+    "key — the plan survives dense keys where a join+rank formulation "
+    "explodes into the event × prior-order product.",
 )
 def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = tbl(spark, sf_dir, "events")
-    o = tbl(spark, sf_dir, "orders")
-    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
-    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    e = tbl(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    # tag=0 sorts order rows before event rows at equal timestamps, making
+    # the match inclusive (o_orderdate <= ts); ascending o_orderkey makes
+    # "last" resolve equal-date ties to the highest orderkey.
+    orders_t = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    events_t = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        "event_id",
+        "ts",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "tag", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = orders_t.unionByName(events_t)
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        u.withColumn("m_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("m_orderdate", F.last("o_orderdate", ignorenulls=True).over(w))
+        .filter((F.col("tag") == 1) & F.col("m_orderkey").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("m_orderkey").alias("o_orderkey"),
+            F.col("m_orderdate").alias("o_orderdate"),
+        )
     )
 
 
