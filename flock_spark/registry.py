@@ -52,6 +52,7 @@ def _load_all() -> None:
     """Import all query/operator modules so their @register calls run."""
     import flock_spark.queries  # noqa: F401
     import flock_spark.operators  # noqa: F401
+    import flock_spark.sources.nexmark_gen  # noqa: F401
     import flock_spark.streaming  # noqa: F401
 
 

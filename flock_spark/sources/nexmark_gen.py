@@ -1,0 +1,293 @@
+"""Deterministic NEXMark + YSB event generators (no external data).
+
+The reference's primary sources are seeded in-function generators: NEXMark
+person/auction/bid streams (flock/src/datasource/nexmark/nexmark.rs:285-398,
+event proportions 1 person : 3 auctions : 46 bids per 50-event block,
+config.rs:135-138, seeded per-id event.rs:89) and the YSB ad_event stream
+with a static campaign dimension of 100 campaigns × 10 ads
+(flock/src/datasource/ysb/ysb.rs:108-260, generator.rs:43-50).
+
+Spark-first reformulation: generation is a *projection over spark.range(n)*
+— embarrassingly parallel, no shuffle, no driver loop, and linear in n on
+any cluster size. Every derived column is portable SQL shared verbatim with
+the DuckDB oracle (md5-based hashing from operators/hashing.py), so the
+generated tables themselves — and every query over them — hash-match
+cross-engine. This replaces the reference's seeded SmallRng with a seeded
+hash: same property (reproducible streams), engine-neutral.
+
+Event-time layout mirrors the reference's epochs: 50 events per logical
+second (one block), `date_time = BASE + epoch seconds`. The slot within a
+block picks the event type: slot 0 → person, 1-3 → auction, 4-49 → bid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flock_spark.registry import register
+
+N_EVENTS = 50_000  # 1000 events/s × 50 s equivalent; 1000 persons, 3000 auctions, 46000 bids
+BLOCK = 50
+PERSONS_PER_BLOCK = 1
+AUCTIONS_PER_BLOCK = 3
+BASE_TS = "TIMESTAMP '2024-01-01 00:00:00'"
+
+N_CAMPAIGNS = 100
+ADS_PER_CAMPAIGN = 10
+
+# portable 60-bit md5 hash of a string expression (see operators/hashing.py);
+# Spark spells hex→int as conv(), DuckDB as a 0x-prefixed cast.
+_H_SPARK = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_H_DUCK = "(('0x' || substring(md5({x}), 1, 15))::BIGINT)"
+
+_STATES = ["or", "id", "ca", "az", "wa"]
+_CITIES = ["Phoenix", "Seattle", "Portland", "Boise", "Sacramento"]
+_ITEMS = ["toaster", "bicycle", "guitar", "laptop", "couch"]
+
+
+def _pick(options: list[str], h: str) -> str:
+    """CASE expression choosing options[hash % len] — portable verbatim."""
+    n = len(options)
+    arms = " ".join(
+        f"WHEN ({h} % {n}) = {i} THEN '{v}'" for i, v in enumerate(options)
+    )
+    return f"(CASE {arms} END)"
+
+
+def _nexmark_sql(h: str, from_clause: str) -> dict[str, str]:
+    """The three table-generation queries; `h` is the engine's md5-long
+    template, `from_clause` yields a relation with column `id` (0..n-1)."""
+
+    def hh(x: str) -> str:
+        return h.format(x=x)
+
+    # Spark has no // operator and DuckDB no DIV — use integer CAST(floor)
+    blk = f"CAST(floor(id / {BLOCK}) AS BIGINT)"
+    slot = f"(id % {BLOCK})"
+
+    person = f"""
+    SELECT CAST({blk} AS BIGINT)                       AS p_id,
+           'person_' || CAST({blk} AS STRING)          AS name,
+           'p' || CAST({blk} AS STRING) || '@mail.com' AS email_address,
+           substring(md5('cc' || CAST(id AS STRING)), 1, 16) AS credit_card,
+           {_pick(_CITIES, hh("'city' || CAST(id AS STRING)"))} AS city,
+           {_pick(_STATES, hh("'state' || CAST(id AS STRING)"))} AS state,
+           {BASE_TS} + {blk} * INTERVAL 1 SECOND       AS p_date_time
+    FROM {from_clause}
+    WHERE {slot} = 0
+    """
+
+    a_local = f"({blk} * {AUCTIONS_PER_BLOCK} + ({slot} - {PERSONS_PER_BLOCK}))"
+    n_persons = N_EVENTS // BLOCK
+    auction = f"""
+    SELECT CAST({a_local} AS BIGINT)                   AS a_id,
+           {_pick(_ITEMS, hh("'item' || CAST(id AS STRING)"))} AS item_name,
+           'desc_' || CAST(id AS STRING)               AS description,
+           CAST(100 + {hh("'ib' || CAST(id AS STRING)")} % 900 AS BIGINT)   AS initial_bid,
+           CAST(1000 + {hh("'rv' || CAST(id AS STRING)")} % 9000 AS BIGINT) AS reserve,
+           {BASE_TS} + {blk} * INTERVAL 1 SECOND       AS a_date_time,
+           {BASE_TS} + ({blk} + 10 + {hh("'ex' || CAST(id AS STRING)")} % 20) * INTERVAL 1 SECOND AS expires,
+           CAST({hh("'sl' || CAST(id AS STRING)")} % {n_persons} AS BIGINT) AS seller,
+           CAST({hh("'ct' || CAST(id AS STRING)")} % 10 AS BIGINT)          AS category
+    FROM {from_clause}
+    WHERE {slot} BETWEEN {PERSONS_PER_BLOCK} AND {PERSONS_PER_BLOCK + AUCTIONS_PER_BLOCK - 1}
+    """
+
+    n_auctions = (N_EVENTS // BLOCK) * AUCTIONS_PER_BLOCK
+    hot = f"({blk} * {AUCTIONS_PER_BLOCK})"  # first auction of the current block
+    bid_h = hh("'au' || CAST(id AS STRING)")
+    # hot-key skew mirroring event.rs:355-364: half the bids hit the block's
+    # first auction, the rest spread uniformly
+    bid = f"""
+    SELECT CAST(CASE WHEN {bid_h} % 2 = 0 THEN {hot}
+                     ELSE {bid_h} % {n_auctions} END AS BIGINT) AS auction,
+           CAST({hh("'bd' || CAST(id AS STRING)")} % {n_persons} AS BIGINT) AS bidder,
+           CAST(100 + {hh("'pr' || CAST(id AS STRING)")} % 9999900 AS BIGINT) AS price,
+           {BASE_TS} + {blk} * INTERVAL 1 SECOND AS b_date_time
+    FROM {from_clause}
+    WHERE {slot} >= {PERSONS_PER_BLOCK + AUCTIONS_PER_BLOCK}
+    """
+    return {"person": person, "auction": auction, "bid": bid}
+
+
+def _ysb_sql(h: str, from_clause: str) -> dict[str, str]:
+    def hh(x: str) -> str:
+        return h.format(x=x)
+
+    n_ads = N_CAMPAIGNS * ADS_PER_CAMPAIGN
+    campaign = f"""
+    SELECT 'ad_' || CAST(id AS STRING) AS c_ad_id,
+           'camp_' || CAST(CAST(floor(id / {ADS_PER_CAMPAIGN}) AS BIGINT) AS STRING) AS campaign_id
+    FROM {from_clause}
+    """
+    ad_event = f"""
+    SELECT 'u' || CAST({hh("'u' || CAST(id AS STRING)")} % 10000 AS STRING) AS user_id,
+           'pg' || CAST({hh("'p' || CAST(id AS STRING)")} % 1000 AS STRING) AS page_id,
+           'ad_' || CAST({hh("'a' || CAST(id AS STRING)")} % {n_ads} AS STRING) AS ad_id,
+           {_pick(["banner", "modal", "sponsored"], hh("'t' || CAST(id AS STRING)"))} AS ad_type,
+           {_pick(["view", "click", "purchase"], hh("'e' || CAST(id AS STRING)"))} AS event_type,
+           {BASE_TS} + CAST(floor(id / 1000) AS BIGINT) * INTERVAL 1 SECOND AS event_time,
+           '10.0.' || CAST(id % 256 AS STRING) || '.1' AS ip_address
+    FROM {from_clause}
+    """
+    return {"campaign": campaign, "ad_event": ad_event}
+
+
+def _spark_range_view(spark: SparkSession, n: int, name: str) -> None:
+    spark.range(n).createOrReplaceTempView(name)
+
+
+def nexmark_table(spark: SparkSession, table: str) -> DataFrame:
+    """Generate one NEXMark table (person/auction/bid), parallel over range."""
+    _spark_range_view(spark, N_EVENTS, "nexmark_ids")
+    sql = _nexmark_sql(_H_SPARK, "nexmark_ids")[table]
+    return spark.sql(sql)
+
+
+def ysb_table(spark: SparkSession, table: str) -> DataFrame:
+    n = N_CAMPAIGNS * ADS_PER_CAMPAIGN if table == "campaign" else N_EVENTS
+    _spark_range_view(spark, n, f"ysb_ids_{table}")
+    sql = _ysb_sql(_H_SPARK, f"ysb_ids_{table}")[table]
+    return spark.sql(sql)
+
+
+def _duck_nexmark(table: str) -> str:
+    return _nexmark_sql(_H_DUCK, f"range({N_EVENTS}) t(id)")[table]
+
+
+def _duck_ysb(table: str) -> str:
+    n = N_CAMPAIGNS * ADS_PER_CAMPAIGN if table == "campaign" else N_EVENTS
+    return _ysb_sql(_H_DUCK, f"range({n}) t(id)")[table]
+
+
+# --------------------------------------------------------------------------
+# Registered queries: the generators themselves + the NEXMark queries that
+# need the real person/auction/bid schemas (q1 currency, q2 mod-filter over
+# auction ids, q5 hot items, YSB campaign counts).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nexmark_gen_bid",
+    oracle=f"""
+    SELECT auction, bidder, price, b_date_time
+    FROM ({_duck_nexmark("bid")}) b
+    """,
+    tags=("nexmark", "source"),
+    doc="Deterministic NEXMark bid generator: projection over range(n), "
+    "seeded md5 hashing, 46/50 of events, hot-auction skew — the Spark table "
+    "and the DuckDB-generated table are identical row sets "
+    "(nexmark.rs:285-398 parity).",
+)
+def nexmark_gen_bid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nexmark_table(spark, "bid")
+
+
+@register(
+    "nexmark_gen_person_auction",
+    oracle=f"""
+    SELECT p.p_id, p.name, p.state, p.p_date_time, a.a_id, a.seller, a.category
+    FROM ({_duck_nexmark("person")}) p
+    JOIN ({_duck_nexmark("auction")}) a ON a.seller = p.p_id
+    """,
+    tags=("nexmark", "source", "join"),
+    doc="Person ⋈ auction over the generated tables (seller FK integrity "
+    "check is the join itself).",
+)
+def nexmark_gen_person_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = nexmark_table(spark, "person")
+    a = nexmark_table(spark, "auction")
+    return p.join(a, a.seller == p.p_id).select(
+        "p_id", "name", "state", "p_date_time", "a_id", "seller", "category"
+    )
+
+
+@register(
+    "nexmark_q1_currency",
+    oracle=f"""
+    SELECT auction, bidder, round(0.908 * price, 6) AS price_eur, b_date_time
+    FROM ({_duck_nexmark("bid")}) b
+    """,
+    tags=("nexmark", "projection"),
+    doc="NEXMark q1: dollar→euro conversion 0.908*price "
+    "(benchmarks/src/nexmark/query/q1.sql) over the generated bid stream.",
+)
+def nexmark_q1_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = nexmark_table(spark, "bid")
+    return b.selectExpr(
+        "auction", "bidder", "round(0.908 * price, 6) AS price_eur", "b_date_time"
+    )
+
+
+@register(
+    "nexmark_q2_mod_filter",
+    oracle=f"""
+    SELECT auction, price FROM ({_duck_nexmark("bid")}) b
+    WHERE auction % 123 = 0
+    """,
+    tags=("nexmark", "filter"),
+    doc="NEXMark q2: auction %% 123 = 0 selection "
+    "(benchmarks/src/nexmark/query/q2.sql).",
+)
+def nexmark_q2_mod_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = nexmark_table(spark, "bid")
+    return b.filter("auction % 123 = 0").select("auction", "price")
+
+
+@register(
+    "nexmark_q5_hot_items",
+    oracle=f"""
+    WITH counts AS (
+      SELECT auction, b_date_time AS wstart, count(*) AS num
+      FROM ({_duck_nexmark("bid")}) b
+      GROUP BY auction, b_date_time)
+    SELECT c.auction, c.wstart, c.num
+    FROM counts c
+    JOIN (SELECT wstart, max(num) AS mx FROM counts GROUP BY wstart) m
+      ON c.wstart = m.wstart AND c.num = m.mx
+    """,
+    tags=("nexmark", "aggregate", "join"),
+    doc="NEXMark q5: hottest auction per window — per-epoch bid counts "
+    "self-joined with the per-window max (benchmarks/src/nexmark/query/"
+    "q5.sql; epochs are already 1 s so the epoch timestamp IS the window).",
+)
+def nexmark_q5_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = nexmark_table(spark, "bid")
+    counts = b.groupBy("auction", F.col("b_date_time").alias("wstart")).agg(
+        F.count("*").alias("num")
+    )
+    mx = counts.groupBy("wstart").agg(F.max("num").alias("mx"))
+    return (
+        counts.join(mx, "wstart")
+        .filter(F.col("num") == F.col("mx"))
+        .select("auction", "wstart", "num")
+    )
+
+
+@register(
+    "ysb_campaign_counts",
+    oracle=f"""
+    SELECT campaign_id, count(*) AS n_views
+    FROM ({_duck_ysb("ad_event")}) e
+    JOIN ({_duck_ysb("campaign")}) c ON e.ad_id = c.c_ad_id
+    WHERE event_type = 'view'
+    GROUP BY campaign_id
+    """,
+    tags=("ysb", "join", "aggregate"),
+    doc="The YSB query (benchmarks/src/ysb/ysb.sql): view-filtered ad events "
+    "joined to the 1000-row campaign dimension (broadcast — no shuffle of "
+    "the event stream), counted per campaign. Generators mirror "
+    "ysb/generator.rs:43-50 (100 campaigns × 10 ads).",
+)
+def ysb_campaign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    e = ysb_table(spark, "ad_event").filter(F.col("event_type") == "view")
+    c = ysb_table(spark, "campaign")
+    return (
+        e.join(F.broadcast(c), e.ad_id == c.c_ad_id)
+        .groupBy("campaign_id")
+        .agg(F.count("*").alias("n_views"))
+    )
