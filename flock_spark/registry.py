@@ -53,6 +53,7 @@ def _load_all() -> None:
     import flock_spark.queries  # noqa: F401
     import flock_spark.operators  # noqa: F401
     import flock_spark.sources.nexmark_gen  # noqa: F401
+    import flock_spark.sources.side_input  # noqa: F401
     import flock_spark.streaming  # noqa: F401
 
 

@@ -208,3 +208,30 @@ def streaming_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFr
     drained = run_to_memory(out, output_mode="update")
     # last emission per key = total; emissions are monotone so max == last
     return drained.groupBy("user_id").agg(F.max("cnt").alias("cnt"))
+
+
+@register(
+    "streaming_hopping_agg",
+    oracle="""
+    SELECT wstart, count(*) AS cnt
+    FROM (SELECT date_trunc('hour', ts) AS wstart FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS wstart FROM events) w
+    GROUP BY wstart
+    """,
+    tags=("streaming", "window_time"),
+    doc="Hopping (sliding) window streaming aggregate — reference "
+    "hopping.rs:31-124 (size 2, hop 1, in hours here): each event lands in "
+    "two overlapping windows. The oracle materializes the overlap as a "
+    "UNION ALL of the two window starts, which is exactly Spark's hopping "
+    "window expansion (Expand node) — window(ts, '2 hours', '1 hour').",
+)
+def streaming_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = bounded_stream(spark, sf_dir, "events")
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("wstart"), "cnt")
+    )
+    return run_to_memory(agg, output_mode="complete")

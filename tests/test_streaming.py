@@ -49,3 +49,56 @@ def test_streaming_watermark_drops_nothing_when_drained(spark, sf_dir):
     out = run_to_memory(agg, output_mode="complete")
     total = out.agg(F.sum("cnt")).collect()[0][0]
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """The designed-in late-data policy (SURVEY §2.9: the reference has NO
+    watermark — bitmap completeness instead; Spark's withWatermark is the
+    deliberate improvement). Three micro-batches: batch 0 carries the
+    [10:00, 11:00) window's rows and advances the watermark to 11:50;
+    batch 1 closes and emits that window (cnt 2); batch 2's 10:15 row is
+    below the watermark — if it were admitted it would re-open the closed
+    window and append-mode would emit it twice; the watermark filter must
+    drop it."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    ts = lambda s: f"2024-01-01 {s}:00"  # noqa: E731
+
+    def write(name, stamps):
+        df = spark.createDataFrame([Row(ts=ts(s)) for s in stamps]).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.parquet(src + "/" + name)
+        time.sleep(1.1)  # distinct mtimes pin micro-batch order (oldest first)
+
+    write("f1", ["10:00", "10:30", "12:00"])
+    write("f2", ["13:00"])
+    write("f3", ["10:15", "14:00"])
+
+    s = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("wstart"), "cnt")
+    )
+    out = run_to_memory(agg, output_mode="append")
+    rows = [(str(r["wstart"]), r["cnt"]) for r in out.collect()]
+    got = dict(rows)
+    assert len(rows) == len(got), f"duplicate window emission: {rows}"
+    # [10:00,11:00) closed with 2 rows; the late 10:15 row was dropped, not
+    # re-opened as a duplicate emission
+    assert got.get("2024-01-01 10:00:00") == 2
+    # 12:00's window closes once 14:00 advances the watermark; the 13:00 and
+    # 14:00 windows never close before end-of-stream, so they never emit
+    assert got.get("2024-01-01 12:00:00") == 1
+    assert "2024-01-01 14:00:00" not in got
