@@ -28,8 +28,10 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q9",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q21",
     "nexmark_q4_avg_of_max",
     "nexmark_q6_double_rownum",
     "join_range_theta",
@@ -39,6 +41,8 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "asof_join_window",
     "text_quality_score",
+    "nexmark_q5_hot_items",
+    "ysb_campaign_counts",
 ]
 
 
