@@ -291,3 +291,42 @@ def ysb_campaign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("campaign_id")
         .agg(F.count("*").alias("n_views"))
     )
+
+
+@register(
+    "streaming_nexmark_q1",
+    oracle=f"""
+    SELECT auction, bidder, round(0.908 * price, 6) AS price_eur, b_date_time
+    FROM ({_duck_nexmark("bid")}) b
+    """,
+    tags=("nexmark", "streaming", "source"),
+    doc="NEXMark q1 executed as a real Structured Streaming query fed by the "
+    "generator (the reference's source-function → worker loop, "
+    "nexmark/source.rs:32-77): generated bids land in parquet, stream in "
+    "as micro-batches, and the drained append-mode result equals the batch "
+    "generator oracle exactly.",
+)
+def streaming_nexmark_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from flock_spark.streaming.runner import run_to_memory
+
+    path = os.path.join(tempfile.gettempdir(), "flock_spark_nexmark_bid_stream")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        nexmark_table(spark, "bid").repartition(4).write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, path)
+    s = (
+        spark.readStream.schema(
+            "auction bigint, bidder bigint, price bigint, b_date_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    out = s.selectExpr(
+        "auction", "bidder", "round(0.908 * price, 6) AS price_eur", "b_date_time"
+    )
+    return run_to_memory(out, output_mode="append")
