@@ -235,3 +235,33 @@ def streaming_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("wstart"), "cnt")
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+    FROM events e JOIN orders o
+      ON e.user_id = o.o_custkey
+     AND o.o_orderdate BETWEEN e.ts - INTERVAL 30 DAY AND e.ts
+    """,
+    tags=("streaming", "join"),
+    doc="Stateful stream-stream inner join with watermarks on both sides and "
+    "an event-time range bound — the capability the reference approximates "
+    "with per-window full recomputes (SURVEY §2.3: only stream-static and "
+    "per-window self-joins exist there). The time bound lets the state "
+    "store evict rows outside the 30-day correlation window; a bounded "
+    "drain equals the batch join exactly.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = bounded_stream(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    od = bounded_stream(spark, sf_dir, "orders").withWatermark("o_orderdate", "1 hour")
+    j = ev.join(
+        od,
+        F.expr(
+            "user_id = o_custkey AND "
+            "o_orderdate BETWEEN ts - INTERVAL 30 DAY AND ts"
+        ),
+    )
+    out = j.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    return run_to_memory(out, output_mode="append")

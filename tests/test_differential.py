@@ -1,0 +1,80 @@
+"""Property-based differential testing: random filter/aggregate queries run
+on both engines must agree. The reference has no randomized testing
+(SURVEY §5 'Not present'); this layer catches dialect and semantics drift
+that fixed golden queries can't.
+
+Queries are drawn from a grammar whose SQL is valid verbatim in both Spark
+and DuckDB: conjunctions/disjunctions of numeric comparisons over lineitem,
+aggregated with count(*) and an exact fixed-point sum per group. Counts and
+integer sums are exact on both engines, so any mismatch is a real bug, not
+float noise.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flock_spark.catalog import register_views
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_NUM_COLS = {
+    "l_quantity": (1, 50),
+    "l_extendedprice": (900, 105000),
+    "l_discount": (0, 1),
+    "l_partkey": (1, 2001),
+    "l_suppkey": (1, 101),
+    "l_linenumber": (1, 7),
+}
+_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def predicate(draw):
+    col = draw(st.sampled_from(sorted(_NUM_COLS)))
+    lo, hi = _NUM_COLS[col]
+    op = draw(st.sampled_from(_OPS))
+    if col == "l_discount":
+        val = round(draw(st.floats(min_value=0.0, max_value=0.1)), 2)
+    else:
+        val = draw(st.integers(min_value=lo, max_value=hi))
+    return f"{col} {op} {val}"
+
+
+@st.composite
+def where_clause(draw):
+    preds = draw(st.lists(predicate(), min_size=1, max_size=3))
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    return joiner.join(preds)
+
+
+def _sql(where: str) -> str:
+    return f"""
+    SELECT l_returnflag, count(*) AS cnt,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+    FROM lineitem
+    WHERE {where}
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=where_clause())
+def test_random_filter_agg_matches_duckdb(spark, where):
+    sql = _sql(where)
+    register_views(spark, SF_DIR, ["lineitem"])
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want, f"engines disagree for WHERE {where}"
