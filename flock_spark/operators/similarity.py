@@ -264,3 +264,113 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: partition the corpus into cells around centroids,
+# search only the query's cell. Complements the LSH path: LSH cells are
+# random sign patterns; IVF cells follow the data distribution.
+# --------------------------------------------------------------------------
+
+CENTROID_MOD = 101  # vectors with vec_id % 101 == 7 serve as centroids
+CENTROID_REM = 7
+IVF_TOP_K = 3
+
+_IVF_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             WHERE vec_id % {CENTROID_MOD} = {CENTROID_REM}),
+    assign AS (
+      SELECT vec_id, label, v, cid AS cell FROM (
+        SELECT e.vec_id, e.label, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    q AS (SELECT * FROM assign WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      FROM q JOIN assign c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cell, cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored) t
+    WHERE rn <= {IVF_TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_ORACLE,
+    tags=("similarity", "embedding", "sketch"),
+    doc=f"IVF ANN: corpus assigned to data-driven cells (nearest of the "
+    f"deterministic centroid subset vec_id % {CENTROID_MOD} = {CENTROID_REM}; "
+    "assignment via one broadcast-GEMM pass in mapInPandas), then exact "
+    f"top-{IVF_TOP_K} re-rank within the query's cell only. At 100 TB the "
+    "assigned table persists partitioned by cell — a query prunes to one "
+    "cell's partition. Assignment and ranking round to 6 decimals with id "
+    "tie-breaks, so Spark and DuckDB pick identical cells and neighbors.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = _spark_vecs(spark, sf_dir)
+    crows = sorted(
+        e.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_REM)
+        .select("vec_id", "v")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    cm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cids, cn))
+
+    def assign(batches):
+        import pandas as pd
+
+        c_ids, c_norm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            s = np.round(xn @ c_norm.T, 6)  # rows × centroids
+            # centroids are sorted by cid, and argmax returns the FIRST
+            # maximum — ties on rounded sim resolve to the lowest cid
+            cells = c_ids[np.argmax(s, axis=1)]
+            out = pdf[["vec_id", "label"]].copy()
+            out["cell"] = cells
+            out["v"] = pdf["v"]
+            yield out
+
+    assigned = e.mapInPandas(
+        assign, schema="vec_id long, label long, cell long, v array<double>"
+    ).withColumn("norm", F.expr(f"sqrt({_dot('v', 'v')})"))
+    q = assigned.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = F.broadcast(q).join(assigned, "cell").filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.round(_pair_dot()(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= IVF_TOP_K)
+    )
