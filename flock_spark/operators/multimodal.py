@@ -114,3 +114,51 @@ def mm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(CAST(0 AS BIGINT), n_frames - 1)")).alias("frame_idx"),
         "n_frames",
     )
+
+
+RESIZE_CROP = 64  # deterministic fake resize: crop to first 64 content chars
+
+
+@register(
+    "mm_resize_stub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(substring(text, 1, {RESIZE_CROP}))) AS BIGINT)
+             AS resized_bytes,
+           md5(substring(text, 1, {RESIZE_CROP})) AS resized_md5,
+           224 AS target_w, 224 AS target_h
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+    doc="Resize-step plumbing (decode libs absent — the transform is a "
+    "deterministic crop stand-in, clearly stubbed): mapInPandas consumes the "
+    "payload batch-wise and emits the transformed payload's size/checksum "
+    "plus target dims. A real resize swaps only the body of _fake_resize; "
+    "schema, batching, and partitioning are production-shaped.",
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _fake_resize(payload: bytes) -> bytes:
+        # stand-in for Image.resize((224, 224)): deterministic truncation
+        return payload.decode("utf-8", errors="ignore")[:RESIZE_CROP].encode("utf-8")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [t.encode("utf-8") for t in pdf["text"]]
+            resized = [_fake_resize(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized_bytes": [len(r) for r in resized],
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                    "target_w": 224,
+                    "target_h": 224,
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, resized_bytes long, resized_md5 string, "
+        "target_w int, target_h int",
+    )

@@ -20,6 +20,7 @@ Window semantics pinned here (and verified against the DuckDB oracles):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from flock_spark.catalog import tbl
@@ -186,4 +187,32 @@ def tumbling_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 day").alias("w"))
         .agg(F.countDistinct("user_id").alias("uniq_users"), F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("w_start"), "uniq_users", "cnt")
+    )
+
+
+@register(
+    "window_ntile_pct",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_extendedprice, l_linenumber)
+    """,
+    tags=("window_fn",),
+    doc="Remaining rank-family analytics: ntile / percent_rank / cume_dist "
+    "over a per-key frame (completes SURVEY §2.5's WindowAggExec surface).",
+)
+def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)  # noqa: E741
+    w = W.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_linenumber")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )

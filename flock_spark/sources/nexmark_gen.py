@@ -330,3 +330,33 @@ def streaming_nexmark_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "auction", "bidder", "round(0.908 * price, 6) AS price_eur", "b_date_time"
     )
     return run_to_memory(out, output_mode="append")
+
+
+@register(
+    "nexmark_q10_date_format",
+    oracle=f"""
+    SELECT auction, bidder, price, b_date_time,
+           strftime(b_date_time, '%Y-%m-%d') AS dt,
+           strftime(b_date_time, '%H:%M') AS hm
+    FROM ({_duck_nexmark("bid")}) b
+    WHERE auction % 11 = 0
+    """,
+    tags=("nexmark", "projection"),
+    doc="NEXMark q10 (log to partitioned file system, "
+    "flock/src/datasource/nexmark/queries/q10.sql): bids with DATE_FORMAT "
+    "partition columns — at scale the dt/hm columns are the write "
+    "partitionBy keys, so downstream readers prune by day/minute. Spark "
+    "date_format and DuckDB strftime spell the same formatting.",
+)
+def nexmark_q10_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = nexmark_table(spark, "bid").filter("auction % 11 = 0")
+    return b.select(
+        "auction",
+        "bidder",
+        "price",
+        "b_date_time",
+        F.date_format("b_date_time", "yyyy-MM-dd").alias("dt"),
+        F.date_format("b_date_time", "HH:mm").alias("hm"),
+    )
