@@ -265,3 +265,32 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = j.select("event_id", "user_id", "o_orderkey", "o_orderdate")
     return run_to_memory(out, output_mode="append")
+
+
+@register(
+    "json_wire_decode",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "source", "json"),
+    doc="JSON wire-format round trip: rows serialize to JSON strings "
+    "(to_json) and parse back through from_json with an explicit schema "
+    "before aggregating — the reference's payload decode path for "
+    "Kinesis/Kafka JSON records (flock/src/datasource/kinesis.rs:48-91, "
+    "transmute.rs arrow::json). Lossless round trip ⇒ same aggregate as "
+    "the parquet oracle; all JVM-side (no Python).",
+)
+def json_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = bounded_stream(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    wire = e.select(F.to_json(F.struct("event_id", "user_id", "event_type")).alias("payload"))
+    decoded = wire.select(
+        F.from_json(
+            "payload", "event_id bigint, user_id bigint, event_type string"
+        ).alias("r")
+    ).select("r.*")
+    agg = decoded.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.sum("user_id").alias("sum_users")
+    )
+    return run_to_memory(agg, output_mode="complete")

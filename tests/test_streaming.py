@@ -102,3 +102,53 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # 14:00 windows never close before end-of-stream, so they never emit
     assert got.get("2024-01-01 12:00:00") == 1
     assert "2024-01-01 14:00:00" not in got
+
+
+def test_streaming_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """Fault-tolerance parity: the reference persists state to S3/EFS and
+    dedups re-delivered windows (actor.rs PROCESSED_WINDOWS); Spark's
+    checkpoint + file-sink transaction log give the same guarantee. A query
+    stopped mid-stream and restarted from its checkpoint must produce each
+    input row exactly once."""
+    import os
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "ck_src")
+    sink = str(tmp_path / "ck_sink")
+    ck = str(tmp_path / "ck_state")
+    os.makedirs(src, exist_ok=True)
+
+    def write(name, ids):
+        spark.createDataFrame([Row(event_id=i) for i in ids]).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    write("f1", [1, 2, 3])
+    write("f2", [4, 5])
+
+    def start():
+        s = (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        return (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    write("f3", [6, 7, 8])  # arrives while the query is down
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8]  # every row exactly once
