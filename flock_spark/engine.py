@@ -75,21 +75,38 @@ class Query:
     window: WindowSpec = field(default_factory=WindowSpec)
     sink_format: str | None = None  # None = return DataFrame (Blackhole ≈ "noop")
     sink_path: str | None = None
+    output_mode: str = "complete"  # streaming drain mode (append for no-agg)
 
     def plan(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         """Register tables and produce the (lazy) DataFrame plan — the
         analog of query.rs:171-186 (register → logical → optimized →
-        physical), all delegated to Catalyst."""
+        physical), all delegated to Catalyst. Under QueryType.STREAMING the
+        same SQL binds to streaming sources instead of batch scans — the
+        reference's OLAP/Streaming duality (query.rs:67-78) with zero
+        query-text changes."""
+        streaming = self.query_type is QueryType.STREAMING
+        if streaming:
+            from flock_spark.streaming.source import bounded_stream
         for t in self.tables:
             backing = t.source_table or t.name
             if backing not in SCHEMAS:
                 raise KeyError(f"unknown catalog table: {backing}")
-            tbl(spark, sf_dir, backing).createOrReplaceTempView(t.name)
+            src = (
+                bounded_stream(spark, sf_dir, backing)
+                if streaming
+                else tbl(spark, sf_dir, backing)
+            )
+            src.createOrReplaceTempView(t.name)
         return spark.sql(self.sql)
 
 
 class LocalLauncher:
-    """reference: flock/src/launcher/local.rs — plan + execute in-process."""
+    """reference: flock/src/launcher/local.rs — plan + execute in-process.
+
+    OLAP queries return their (lazy) DataFrame; STREAMING queries run as a
+    real Structured Streaming job over bounded streams and return the
+    drained result — the local analog of the reference's per-epoch replay
+    loops (q5.rs:76-130)."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
@@ -97,6 +114,10 @@ class LocalLauncher:
 
     def execute(self, query: Query) -> DataFrame:
         df = query.plan(self.spark, self.sf_dir)
+        if query.query_type is QueryType.STREAMING:
+            from flock_spark.streaming.runner import run_to_memory
+
+            df = run_to_memory(df, output_mode=query.output_mode)
         if query.sink_format and query.sink_format != "noop":
             if not query.sink_path:
                 raise ValueError("sink_path required for a materializing sink")

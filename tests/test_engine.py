@@ -70,3 +70,20 @@ def test_sink_via_launcher(spark, sf_dir):
         )
         LocalLauncher(spark, sf_dir).execute(q)
         assert spark.read.json(os.path.join(d, "regions_json")).count() == 5
+
+
+def test_same_query_olap_and_streaming_agree(spark, sf_dir):
+    """The reference's core duality (query.rs:67-78): one declarative Query
+    runs as OLAP or as a streaming job with no SQL changes — and both modes
+    produce the same answer on bounded input."""
+    sql = """
+        SELECT event_type, count(*) AS cnt
+        FROM events GROUP BY event_type
+    """
+    olap = LocalLauncher(spark, sf_dir).execute(
+        Query(sql=sql, tables=[Table("events")], query_type=QueryType.OLAP)
+    )
+    streamed = LocalLauncher(spark, sf_dir).execute(
+        Query(sql=sql, tables=[Table("events")], query_type=QueryType.STREAMING)
+    )
+    assert sorted(map(tuple, olap.collect())) == sorted(map(tuple, streamed.collect()))
