@@ -420,3 +420,143 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= COSINE_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: LSH pairs → connected components → canonical
+# doc per cluster → deduplicated corpus. The component step is an *iterative*
+# distributed algorithm (min-label propagation to fixpoint) — the operator
+# class the registry otherwise lacks; the oracle computes the same components
+# with a recursive CTE, so even the iteration is hash-verified.
+# ---------------------------------------------------------------------------
+
+def _duck_pairs_sql() -> str:
+    sig = _duck_minhash_sig_sql()
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, {_band_expr(j)} AS band_val FROM sig"
+        for j in range(N_BANDS)
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+    """
+
+
+def _duck_components_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_duck_pairs_sql()}),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(doc, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT reach.doc, edges.d FROM reach JOIN edges ON reach.r = edges.s)
+    SELECT doc AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY doc
+    """
+
+
+def _spark_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _spark_minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(_band_expr(j)) for j in range(N_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _spark_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation to fixpoint. Each iteration is one distributed
+    join + aggregate; iteration count is the cluster diameter (near-dup
+    clusters are small, so a handful). Labels are cached per round and the
+    loop is driver-controlled — the legitimate driver-side loop: it moves no
+    data, only convergence decisions."""
+    pairs = _spark_lsh_pairs(spark, sf_dir)
+    # localCheckpoint truncates lineage each round — without it the plan
+    # tree doubles per iteration and planning itself OOMs (the standard
+    # iterative-algorithm discipline; on a cluster use checkpoint() to
+    # reliable storage instead)
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("s", "d")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc"))
+        .distinct()
+        .withColumn("lab", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        prop = (
+            edges.join(labels, edges.s == labels.doc)
+            .select(F.col("d").alias("doc"), "lab")
+            .union(labels)
+            .groupBy("doc")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("lab", "old"), "doc")
+            .filter(F.col("lab") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
+@register(
+    "dedup_clusters",
+    oracle=_duck_components_sql(),
+    tags=("dedup", "iterative"),
+    doc="Connected components over the LSH candidate-pair graph via "
+    "distributed min-label propagation to fixpoint (iterative-algorithm "
+    "class; each round is one join+agg, rounds = cluster diameter). The "
+    "oracle computes identical components with a recursive CTE, so the "
+    "iteration itself is hash-verified.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_components(spark, sf_dir)
+
+
+@register(
+    "dedup_drop_duplicates",
+    oracle=f"""
+    WITH comp AS ({_duck_components_sql()})
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN comp ON d.doc_id = comp.doc_id
+    WHERE comp.doc_id IS NULL OR comp.doc_id = comp.cluster_id
+    """,
+    tags=("dedup", "iterative"),
+    doc="The pipeline's actual dedup step: keep every document that is not "
+    "in any near-dup cluster, plus one canonical representative (min id) "
+    "per cluster. Anti-join against the non-canonical cluster members — "
+    "the corpus scan stays one pass.",
+)
+def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _spark_components(spark, sf_dir)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    non_canonical = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(non_canonical, "doc_id", "left_anti")
