@@ -374,3 +374,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= IVF_TOP_K)
     )
+
+
+@register(
+    "embedding_normalize_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e)
+    SELECT vec_id,
+           round(nrm, 6) AS norm,
+           list_transform(v, x -> CAST(round(127 * x / nrm) AS BIGINT)) AS q8
+    FROM n
+    """,
+    tags=("similarity", "embedding"),
+    doc="Storage-side ANN prep: L2-normalize then symmetric int8 quantize "
+    "(×127, round) — 8× smaller than float64 at <1% cosine error, the form "
+    "a 100 TB vector corpus persists in. All JVM-side array transforms "
+    "(whole-stage codegen); integer outputs are bit-exact cross-engine.",
+)
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spark_vecs(spark, sf_dir)
+    n = e.withColumn("nrm", F.expr(f"sqrt({_dot('v', 'v')})"))
+    return n.select(
+        "vec_id",
+        F.round("nrm", 6).alias("norm"),
+        F.expr("transform(v, x -> CAST(round(127 * x / nrm) AS BIGINT))").alias("q8"),
+    )

@@ -164,3 +164,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring("fp", 1, 2).alias("bucket"))
         .agg(F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_distinct"))
     )
+
+
+@register(
+    "pipeline_quality_dedup_stats",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 30
+        AND length(replace(text, ' ', '')) * 10 < length(text) * 9),
+    uniq AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM kept GROUP BY text)
+    SELECT count(*) AS n_docs,
+           sum(n_copies) - count(*) AS n_dropped_dups,
+           sum(length(k.text)) AS total_chars
+    FROM uniq JOIN kept k ON uniq.doc_id = k.doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+    doc="End-to-end training-data pipeline slice in one declarative plan: "
+    "quality gate (min length, space-ratio) → exact dedup keeping the "
+    "lowest doc_id → corpus statistics. Composes entirely from scans, "
+    "filters, and two aggregations — one shuffle per agg, no Python; the "
+    "same chained plan shape holds at 100 TB with the MinHash cluster "
+    "dedup slotted in place of the exact groupBy.",
+)
+def pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    kept = d.filter(
+        (F.length("text") >= 30)
+        & (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 10
+           < F.length("text") * 9)
+    ).select("doc_id", "text")
+    uniq = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    )
+    joined = uniq.select("doc_id", "n_copies").join(kept, "doc_id")
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_copies") - F.count("*")).alias("n_dropped_dups"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
