@@ -216,3 +216,52 @@ def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "session_custom_gap_pandas",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 1 HOUR * (1 + user_id % 3)
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("window_time", "session", "pandas_udf"),
+    doc="Per-key DYNAMIC session gap (gap = (1 + user_id % 3) hours) via "
+    "grouped-map applyInPandas — the custom sessionization the built-in "
+    "session_window (fixed gap) can't express; the reference's session "
+    "driver keeps exactly this per-key gap state (session.rs:64-186). "
+    "Oracle: classic gaps-and-islands (lag + running sum of breaks). One "
+    "shuffle on the key; each group sessionizes linearly in Arrow batches.",
+)
+def session_custom_gap_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = tbl(spark, sf_dir, "events").select("user_id", "ts")
+
+    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        gap_sec = 3600 * (1 + int(pdf["user_id"].iloc[0]) % 3)
+        brk = (pdf["ts"].diff().dt.total_seconds() > gap_sec).astype("int64")
+        sid = brk.cumsum()
+        out = (
+            pdf.assign(session_id=sid)
+            .groupby("session_id", as_index=False)
+            .agg(user_id=("user_id", "first"), session_start=("ts", "min"),
+                 n_events=("ts", "count"))
+        )
+        return out[["user_id", "session_id", "session_start", "n_events"]]
+
+    return e.groupBy("user_id").applyInPandas(
+        sessionize,
+        schema="user_id long, session_id long, session_start timestamp, n_events long",
+    )
