@@ -17,8 +17,11 @@ package keeps only the *observable semantics*:
 - ``flock_spark.queries``     — relational / NEXMark-shaped / TPC-H / time-window queries
 - ``flock_spark.operators``   — dedup, similarity search, text analysis, as-of join,
                                 multimodal plumbing (the LLM-pipeline extensions)
+- ``flock_spark.sources``     — deterministic NEXMark/YSB generators (seeded md5 over
+                                range(n)) and the CSV side-input table
 - ``flock_spark.streaming``   — Structured Streaming sources/runners mirroring the
                                 reference's window drivers (flock-function/src/aws/window/)
+- ``flock_spark.sinks``       — batch/streaming writers + foreachBatch KV sinks
 - ``flock_spark.engine``      — flock-like declarative Query API
                                 (reference: flock/src/query.rs:82-103)
 

@@ -212,3 +212,31 @@ def rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS cnt,
+           CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(grouping(c_nationkey) AS BIGINT) AS g_nat
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    tags=("aggregate", "grouping"),
+    doc="Explicit GROUPING SETS with grouping() indicators (SURVEY §2.4 "
+    "lists cube/rollup/grouping-sets as absent in the reference; provided "
+    "here). Plans as one Expand + single aggregation — one pass over the "
+    "fact table for all three groupings.",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, count(*) AS cnt,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(grouping(c_nationkey) AS BIGINT) AS g_nat
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
