@@ -96,7 +96,7 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT ts, value,
-             CASE WHEN ts - lag(ts) OVER (ORDER BY ts) >= INTERVAL '10 minutes'
+             CASE WHEN ts - lag(ts) OVER (ORDER BY ts) > INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS brk
       FROM events
     ), sessions AS (
@@ -135,7 +135,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL '6 hours'
+                       > INTERVAL '6 hours'
                   THEN 1 ELSE 0 END AS brk
       FROM events
     ), sessions AS (

@@ -360,3 +360,121 @@ def nexmark_q10_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("b_date_time", "yyyy-MM-dd").alias("dt"),
         F.date_format("b_date_time", "HH:mm").alias("hm"),
     )
+
+
+@register(
+    "nexmark_q0_passthrough",
+    oracle=f"""
+    SELECT auction, bidder, price, b_date_time
+    FROM ({_duck_nexmark("bid")}) b
+    """,
+    tags=("nexmark", "projection"),
+    doc="NEXMark q0: raw passthrough of the bid stream "
+    "(benchmarks/src/nexmark/query/q0.sql) — the no-op baseline the "
+    "reference uses to price pure invocation/transport overhead. Here it "
+    "prices generation + scan: a single narrow projection, no shuffle.",
+)
+def nexmark_q0_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nexmark_table(spark, "bid").select("auction", "bidder", "price", "b_date_time")
+
+
+@register(
+    "nexmark_q11_session_bids",
+    oracle=f"""
+    WITH b AS ({_duck_nexmark("bid")}),
+    gaps AS (
+      SELECT bidder, b_date_time,
+             CASE WHEN b_date_time - lag(b_date_time)
+                       OVER (PARTITION BY bidder ORDER BY b_date_time)
+                       > INTERVAL '10 seconds'
+                  THEN 1 ELSE 0 END AS brk
+      FROM b
+    ), sessions AS (
+      SELECT bidder, b_date_time,
+             sum(brk) OVER (PARTITION BY bidder ORDER BY b_date_time
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT bidder, min(b_date_time) AS starttime, count(*) AS bid_count
+    FROM sessions
+    GROUP BY bidder, sess_id
+    """,
+    tags=("nexmark", "session", "window_time"),
+    doc="NEXMark q11: bids per bidder per session, gap 10 s "
+    "(flock/src/datasource/nexmark/queries/q11.sql, driven by the Session "
+    "window driver session.rs:187-321). The reference dedicates one Lambda "
+    "per distinct bidder via the fork's HashDiff partitioning; Spark's "
+    "session_window + groupBy(bidder) gives the same per-key co-location "
+    "through the hash shuffle, scaling with executors instead of keys. "
+    "Oracle: gaps-and-islands rewrite (lag + running sum).",
+)
+def nexmark_q11_session_bids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = nexmark_table(spark, "bid")
+    return (
+        b.groupBy(F.session_window("b_date_time", "10 seconds").alias("w"), "bidder")
+        .agg(F.count("*").alias("bid_count"))
+        .select("bidder", F.col("w.start").alias("starttime"), "bid_count")
+    )
+
+
+@register(
+    "nexmark_q12_proctime_tumble",
+    oracle=f"""
+    SELECT bidder,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + CAST(floor(date_diff('second',
+                                    TIMESTAMP '2024-01-01 00:00:00',
+                                    b_date_time) / 10) * 10 AS BIGINT)
+               * INTERVAL 1 SECOND AS p_window,
+           count(*) AS bid_count
+    FROM ({_duck_nexmark("bid")}) b
+    GROUP BY 1, 2
+    """,
+    tags=("nexmark", "window_time", "aggregate"),
+    doc="NEXMark q12: bids per bidder per 10 s processing-time window "
+    "(benchmarks/src/nexmark/query/q12.sql; the reference injects "
+    "p_time = now() per batch, global.rs:226-232). Arrival order equals "
+    "generation order here, so the injected processing clock is the "
+    "deterministic epoch timestamp — same plan shape (tumble on an "
+    "injected column), reproducible results. The streaming twin with a "
+    "real wall clock is streaming_proctime_agg.",
+)
+def nexmark_q12_proctime_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    b = nexmark_table(spark, "bid").withColumn("p_time", F.col("b_date_time"))
+    return (
+        b.groupBy("bidder", F.window("p_time", "10 seconds").alias("w"))
+        .agg(F.count("*").alias("bid_count"))
+        .select("bidder", F.col("w.start").alias("p_window"), "bid_count")
+    )
+
+
+@register(
+    "nexmark_q13_side_input",
+    oracle=f"""
+    SELECT auction, bidder, price, b_date_time, s.value AS side_value
+    FROM ({_duck_nexmark("bid")}) b
+    JOIN (SELECT id AS key, id * 10 AS value FROM range(25) t(id)) s
+      ON b.auction % 25 = s.key
+    """,
+    tags=("nexmark", "join", "source"),
+    doc="NEXMark q13: bid stream enriched from the CSV side input on "
+    "auction mod N (benchmarks/src/nexmark/query/q13.sql, worker-side CSV "
+    "load actor.rs:575-629). The dimension is broadcast so the bid side "
+    "keeps its scan partitioning — no shuffle at any scale; the side input "
+    "re-reads per batch in streaming, giving the reference's per-function "
+    "reload semantics.",
+)
+def nexmark_q13_side_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flock_spark.sources.side_input import side_input
+
+    b = nexmark_table(spark, "bid")
+    s = side_input(spark).select("key", F.col("value").alias("side_value"))
+    return b.join(F.broadcast(s), b.auction % 25 == s.key).select(
+        "auction", "bidder", "price", "b_date_time", "side_value"
+    )

@@ -100,7 +100,7 @@ def streaming_proctime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT ts,
-             CASE WHEN ts - lag(ts) OVER (ORDER BY ts) >= INTERVAL '10 minutes'
+             CASE WHEN ts - lag(ts) OVER (ORDER BY ts) > INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS brk
       FROM events
     ), sessions AS (
