@@ -179,13 +179,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole signature per-row via higher-order functions: shingle array →
+    # md5-long array → fold to 12 running mins. No explode, no shuffle — a
+    # single narrow map stage regardless of corpus size (the exploded
+    # formulation shuffles len(text) rows/doc; this shuffles nothing).
     d = tbl(spark, sf_dir, "documents")
-    sh = _spark_shingles(d, distinct=False)
-    hashed = sh.withColumn("h", F.expr(spark_md5_long("shingle")))
-    aggs = [
-        F.min(F.expr(universal_hash("h", i))).alias(f"mh{i}") for i in range(N_MINHASH)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    hs = (
+        f"transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
+        f" i -> {spark_md5_long(f'substring(text, i, {SHINGLE_K})')})"
+    )
+    fam = ", ".join(universal_hash("h", i) for i in range(N_MINHASH))
+    mins = (
+        f"aggregate({hs},"
+        f" array_repeat(CAST(9223372036854775807 AS BIGINT), {N_MINHASH}),"
+        f" (acc, h) -> zip_with(acc, array({fam}), (x, y) -> least(x, y)))"
+    )
+    sig = d.select("doc_id", F.expr(mins).alias("mins"))
+    return sig.select(
+        "doc_id", *[F.col("mins")[i].alias(f"mh{i}") for i in range(N_MINHASH)]
+    )
 
 
 def _duck_minhash_sig_sql() -> str:
