@@ -6,3 +6,4 @@ import flock_spark.operators.similarity  # noqa: F401
 import flock_spark.operators.text  # noqa: F401
 import flock_spark.operators.asof  # noqa: F401
 import flock_spark.operators.multimodal  # noqa: F401
+import flock_spark.operators.corpus  # noqa: F401

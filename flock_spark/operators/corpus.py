@@ -1,0 +1,191 @@
+"""Corpus-preparation operators over ``documents`` — the dataset-curation
+steps that sit around dedup in a training-data pipeline: deterministic
+splits, benchmark decontamination, vocabulary statistics, and repetition
+scoring (Gopher-style filters).
+
+The reference has no such surface (it is a streaming SQL engine); these are
+the LLM-pipeline extensions from the BASELINE.json north star, designed
+Spark-first:
+
+- split: pure per-row hash projection, no shuffle, reproducible on any
+  cluster layout (never ``rand()`` — re-running must give the same split).
+- decontamination: word-shingle semi-join against the eval set; the eval
+  side is tiny and broadcast, so the corpus never shuffles.
+- vocabulary: explode + count with map-side partial aggregation, top-k via
+  TakeOrderedAndProject (no full sort at any scale).
+- repetition: per-row higher-order functions over the token array — zero
+  shuffle, linear scan per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.operators.hashing import duck_md5_long, spark_md5_long
+from flock_spark.registry import register
+
+TEST_PCT = 10  # hash-split: lowest 10% of the key space becomes eval
+CONTAM_K = 5  # word-shingle width for decontamination
+VOCAB_TOP = 100
+
+
+@register(
+    "corpus_split_stratified",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {duck_md5_long("'split' || CAST(doc_id AS STRING)")} % 100
+                     < {TEST_PCT}
+                THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS n_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("corpus", "pipeline"),
+    doc=f"Deterministic stratified train/test split: md5(doc_id) mod 100 < "
+    f"{TEST_PCT} → test, independently within every lang stratum. A pure "
+    "projection — the assignment is a function of the row alone, so it is "
+    "identical on 1 or 1000 executors and on re-runs (rand() would not be); "
+    "reported here as per-stratum counts so the balance is auditable.",
+)
+def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    key = spark_md5_long("'split' || CAST(doc_id AS STRING)")
+    split = F.expr(
+        f"CASE WHEN {key} % 100 < {TEST_PCT} THEN 'test' ELSE 'train' END"
+    )
+    return (
+        d.groupBy("lang", split.alias("split"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+def _word_shingles_spark() -> str:
+    """Spark SQL: distinct word-CONTAM_K-gram array of ``text``."""
+    toks = "split(trim(text), ' ')"
+    return (
+        f"array_distinct(transform("
+        f" sequence(1, greatest(size({toks}) - {CONTAM_K - 1}, 1)),"
+        f" i -> array_join(slice({toks}, i, {CONTAM_K}), ' ')))"
+    )
+
+
+def _word_shingles_duck() -> str:
+    toks = "string_split(trim(text), ' ')"
+    return (
+        f"list_distinct([array_to_string({toks}[i:i+{CONTAM_K - 1}], ' ')"
+        f" for i in generate_series(1, greatest(len({toks}) - {CONTAM_K - 1}, 1))])"
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_word_shingles_duck()}) AS shingle
+                FROM documents),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_contaminated
+      FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+      WHERE s.doc_id % 100 <> 0
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_contaminated FROM hits
+    """,
+    tags=("corpus", "pipeline", "join"),
+    doc=f"Benchmark decontamination: training docs sharing any distinct "
+    f"word-{CONTAM_K}-gram with the eval set (doc_id % 100 = 0 stands in for "
+    "a benchmark corpus), with the overlap count per doc. The eval shingle "
+    "set is small by construction, so it broadcasts and the corpus-side "
+    "scan never shuffles — at 100 TB this is one pass over the training "
+    "split. Dropping the flagged docs is the anti-join of this result.",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle"))
+    eval_sh = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+@register(
+    "corpus_vocab_topk",
+    oracle=f"""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+          FROM documents) t
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT {VOCAB_TOP}
+    """,
+    tags=("corpus", "aggregate", "sort"),
+    doc=f"Corpus vocabulary: top-{VOCAB_TOP} tokens by frequency. Explode + "
+    "count benefits from map-side partial aggregation (the distinct-token "
+    "universe, not the corpus, crosses the shuffle); the ordered limit "
+    "plans as TakeOrderedAndProject — per-partition heaps, no global sort.",
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(VOCAB_TOP)
+    )
+
+
+@register(
+    "corpus_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents),
+    per_tok AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
+    SELECT doc_id,
+           sum(c) AS n_tokens,
+           count(*) AS n_distinct,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_share
+    FROM per_tok
+    GROUP BY doc_id
+    """,
+    tags=("corpus", "pipeline"),
+    doc="Repetition scoring (Gopher-style quality filter): per-doc distinct-"
+    "token ratio and the share of the single most frequent token. Computed "
+    "per-row with higher-order functions — sort the token array once, then "
+    "one fold counts the longest equal-run — so the whole operator is a "
+    "narrow projection with no shuffle (the oracle uses the classic "
+    "two-level group-by instead; identical results).",
+)
+def corpus_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = "array_sort(split(trim(text), ' '))"
+    # fold over the sorted tokens: (prev token, current run, max run)
+    max_run = (
+        f"aggregate({toks},"
+        f" named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mx', 0L),"
+        f" (acc, t) -> named_struct("
+        f"   'prev', t,"
+        f"   'run', IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1, 1L),"
+        f"   'mx', greatest(acc.mx,"
+        f"         IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1, 1L))),"
+        f" acc -> acc.mx)"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(array_distinct({toks})) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            f"round(CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks}), 6)"
+        ).alias("distinct_ratio"),
+        F.expr(f"round(CAST({max_run} AS DOUBLE) / size({toks}), 6)").alias(
+            "top_token_share"
+        ),
+    )
