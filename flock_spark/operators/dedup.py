@@ -287,20 +287,25 @@ SIMHASH_BITS = 32
 
 
 def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row higher-order functions (same design as _spark_minhash_sig):
+    # token array → md5-long array → fold the 32 signed bit votes in one
+    # pass → sign-threshold into the fingerprint. No explode, no shuffle.
     d = tbl(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    hashed = toks.withColumn("h", F.expr(spark_md5_long("tok")))
-    bit_sums = [
-        F.sum(F.expr(f"2 * ((h >> {j}) & 1) - 1")).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    hs = (
+        f"transform(filter(split(text, ' '), t -> t <> ''),"
+        f" t -> {spark_md5_long('t')})"
+    )
+    votes = (
+        f"aggregate({hs}, array_repeat(0L, {SIMHASH_BITS}),"
+        f" (acc, h) -> zip_with(acc,"
+        f"   transform(sequence(0, {SIMHASH_BITS - 1}), j -> 2 * ((h >> j) & 1) - 1),"
+        f"   (x, y) -> x + y))"
+    )
     fp = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN votes[{j}] >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
+    sums = d.select("doc_id", F.expr(votes).alias("votes"))
     return sums.select("doc_id", F.expr(fp).alias("simhash"))
 
 
