@@ -294,3 +294,42 @@ def json_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"), F.sum("user_id").alias("sum_users")
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_session_native",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '6 hours'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS cnt
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "session"),
+    doc="Native streaming sessionization: session_window inside a streaming "
+    "aggregation, with the state store merging sessions across micro-batches "
+    "(Spark >= 3.2). This is the direct replacement for the reference's "
+    "session driver + HashDiff per-key routing (session.rs:187-321): the "
+    "shuffle co-locates each user's fragments, the state store replaces the "
+    "arena. Complements streaming_session_foreachbatch, which reproduces "
+    "the reference's full-recompute model instead.",
+)
+def streaming_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = bounded_stream(spark, sf_dir, "events")
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select("user_id", F.col("w.start").alias("session_start"), "cnt")
+    )
+    return run_to_memory(agg, output_mode="complete")
