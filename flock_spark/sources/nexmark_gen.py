@@ -252,15 +252,19 @@ def nexmark_q2_mod_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5.sql; epochs are already 1 s so the epoch timestamp IS the window).",
 )
 def nexmark_q5_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    # window-max instead of the SQL's agg self-join: the generated bid table
+    # is scanned once (the join formulation re-generates it for each side)
+    # and the per-window max needs no second aggregate + join shuffle
     b = nexmark_table(spark, "bid")
     counts = b.groupBy("auction", F.col("b_date_time").alias("wstart")).agg(
         F.count("*").alias("num")
     )
-    mx = counts.groupBy("wstart").agg(F.max("num").alias("mx"))
+    mx = F.max("num").over(W.partitionBy("wstart"))
     return (
-        counts.join(mx, "wstart")
+        counts.withColumn("mx", mx)
         .filter(F.col("num") == F.col("mx"))
         .select("auction", "wstart", "num")
     )
