@@ -333,3 +333,32 @@ def streaming_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("session_start"), "cnt")
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_q13_side_input",
+    oracle="""
+    SELECT side_value, count(*) AS cnt
+    FROM events
+    JOIN (SELECT id AS key, id * 10 AS side_value FROM range(25) t(id)) s
+      ON events.user_id % 25 = s.key
+    GROUP BY side_value
+    """,
+    tags=("streaming", "join", "nexmark"),
+    doc="NEXMark q13 in its native mode: a stream enriched by the bounded "
+    "CSV side input via stream-static broadcast join (reference loads the "
+    "CSV inside each worker per invocation, actor.rs:575-629; Spark "
+    "re-resolves the static side per micro-batch, giving the same refresh "
+    "semantics with no shuffle of the stream).",
+)
+def streaming_q13_side_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.sources.side_input import side_input
+
+    s = bounded_stream(spark, sf_dir, "events")
+    dim = side_input(spark).select("key", F.col("value").alias("side_value"))
+    agg = (
+        s.join(F.broadcast(dim), s.user_id % 25 == dim.key)
+        .groupBy("side_value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return run_to_memory(agg, output_mode="complete")

@@ -62,3 +62,24 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 def test_semi_anti_join_plans(spark, sf_dir):
     assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
     assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
+
+
+def test_sketches_are_shuffle_free(spark, sf_dir):
+    # minhash signatures / simhash / repetition stats fold per-row with
+    # higher-order functions — a narrow map stage, no Exchange at any scale
+    for name in ("dedup_minhash_signatures", "dedup_simhash", "corpus_repetition_stats"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "Generate" not in plan, name  # no explode either
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    # the eval shingle set broadcasts; the corpus side never hash-shuffles
+    # rows into the join
+    plan = plan_of(spark, sf_dir, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
