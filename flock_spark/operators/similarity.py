@@ -404,3 +404,105 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nrm", 6).alias("norm"),
         F.expr("transform(v, x -> CAST(round(127 * x / nrm) AS BIGINT))").alias("q8"),
     )
+
+
+def _favg_fixed(expr: str) -> str:
+    """Fixed-point exact average (engine-neutral; see relational.fsum):
+    micro-unit BIGINT sum → identical double on both engines."""
+    return (
+        f"(CAST(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 / count(*))"
+    )
+
+
+def _centroid_spark() -> str:
+    # Spark arrays are 0-indexed
+    return "array(" + ", ".join(_favg_fixed(f"v[{i}]") for i in range(64)) + ")"
+
+
+def _centroid_duck() -> str:
+    # DuckDB lists are 1-indexed
+    return "[" + ", ".join(_favg_fixed(f"v[{i + 1}]") for i in range(64)) + "]"
+
+
+_DUCK_VECS = """SELECT vec_id, label,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+FROM embeddings"""
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT label, count(*) AS n_vecs, {_centroid_duck()} AS centroid
+    FROM ({_DUCK_VECS}) e
+    GROUP BY label
+    """,
+    tags=("similarity", "embedding", "aggregate"),
+    doc="Per-label centroid: 64 per-dimension fixed-point averages inside "
+    "one grouped aggregation — map-side partial sums mean the shuffle "
+    "carries 64 longs per (partition, label), never a vector row. This is "
+    "the M-step primitive for distributed k-means / class prototypes; "
+    "micro-unit BIGINT accumulation keeps the result bit-identical across "
+    "engines and partition orders.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spark_vecs(spark, sf_dir)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.expr(_centroid_spark()).alias("centroid"),
+    )
+
+
+@register(
+    "embedding_nearest_centroid",
+    oracle=f"""
+    WITH e AS ({_DUCK_VECS}),
+    cent AS (
+      SELECT label AS c_label, {_centroid_duck()} AS cvec
+      FROM e GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label, cent.c_label,
+             round(
+               list_sum(list_transform(generate_series(1, 64), i -> v[i] * cvec[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64), i -> cvec[i] * cvec[i])))),
+               6) AS sim
+      FROM e CROSS JOIN cent),
+    best AS (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, c_label) AS rn
+      FROM scored)
+    SELECT label, c_label AS assigned, count(*) AS cnt
+    FROM best WHERE rn = 1
+    GROUP BY label, c_label
+    """,
+    tags=("similarity", "embedding", "join"),
+    doc="Nearest-centroid assignment (the k-means E-step / prototype "
+    "classifier), reported as a label-vs-assigned confusion matrix. The "
+    "centroid table is tiny (one row per label) and broadcasts; each corpus "
+    "partition scores its vectors against all centroids locally — at any "
+    "scale the corpus never shuffles, and one more groupBy of "
+    "(label, assigned) pairs produces the matrix. Cosine rounded to 6 "
+    "before the argmax so accumulation-order ulps can't flip an assignment.",
+)
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = _spark_vecs(spark, sf_dir)
+    cent = e.groupBy(F.col("label").alias("c_label")).agg(
+        F.expr(_centroid_spark()).alias("cvec")
+    )
+    sim = F.expr(
+        f"round({_dot('v', 'cvec')} / (sqrt({_dot('v', 'v')}) * sqrt({_dot('cvec', 'cvec')})), 6)"
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn("sim", sim)
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "c_label")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned"))
+        .agg(F.count("*").alias("cnt"))
+    )
