@@ -43,6 +43,8 @@ HEADLINE = [
     "text_quality_score",
     "nexmark_q5_hot_items",
     "ysb_campaign_counts",
+    "corpus_decontaminate",
+    "kmeans_two_iterations",
 ]
 
 

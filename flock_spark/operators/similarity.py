@@ -506,3 +506,90 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("c_label").alias("assigned"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+KMEANS_K = 10
+KMEANS_ITERS = 2
+
+
+def _duck_assign(evecs: str, cents: str) -> str:
+    """DuckDB: nearest-centroid assignment of e against a centroid CTE."""
+    return f"""
+      SELECT vec_id, c_label, v, vn FROM (
+        SELECT e.vec_id, cent.c_label, e.v, e.vn,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(
+                   list_sum(list_transform(generate_series(1, 64), i -> v[i] * cvec[i]))
+                   / (sqrt(vn) * sqrt(cn)), 6) DESC, cent.c_label) AS rn
+        FROM {evecs} e CROSS JOIN {cents} cent) t
+      WHERE rn = 1"""
+
+
+def _duck_recompute(assigned: str) -> str:
+    """DuckDB: fixed-point centroid recompute per cluster."""
+    return f"""
+      SELECT c_label, {_centroid_duck()} AS cvec,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> ({_centroid_duck()})[i] * ({_centroid_duck()})[i])) AS cn
+      FROM {assigned} GROUP BY c_label"""
+
+
+def _duck_kmeans_sql() -> str:
+    steps = [
+        f"e AS (SELECT vec_id, label, v,"
+        f" list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i])) AS vn"
+        f" FROM ({_DUCK_VECS}) raw)",
+        f"c0 AS (SELECT vec_id AS c_label, v AS cvec,"
+        f" vn AS cn FROM e WHERE vec_id < {KMEANS_K})",
+    ]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        steps.append(f"a{it} AS ({_duck_assign('e', prev)})")
+        steps.append(f"c{it} AS ({_duck_recompute(f'a{it}')})")
+        prev = f"c{it}"
+    final = KMEANS_ITERS
+    return (
+        "WITH " + ",\n    ".join(steps) + f"""
+    SELECT c_label, count(*) AS n_members, min(vec_id) AS min_member
+    FROM a{final} GROUP BY c_label"""
+    )
+
+
+@register(
+    "kmeans_two_iterations",
+    oracle=_duck_kmeans_sql(),
+    tags=("similarity", "embedding", "iterative"),
+    doc=f"Distributed k-means, {KMEANS_ITERS} Lloyd iterations with "
+    f"deterministic seeding (vectors 0..{KMEANS_K - 1}): each iteration is "
+    "a broadcast nearest-centroid assignment (corpus never shuffles) plus a "
+    "fixed-point centroid recompute (64 longs per cluster cross the "
+    "shuffle). Cosine rounded to 6 and ties broken by cluster id make every "
+    "iteration bit-reproducible, so the whole loop hash-matches an unrolled "
+    "CTE-chain oracle — the iterative-algorithm verification pattern, like "
+    "dedup_clusters' label propagation.",
+)
+def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = _spark_vecs(spark, sf_dir).withColumn("vn", F.expr(_dot("v", "v")))
+    cent = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("c_label"), F.col("v").alias("cvec"), F.col("vn").alias("cn")
+    )
+    sim = F.expr(f"round({_dot('v', 'cvec')} / (sqrt(vn) * sqrt(cn)), 6)")
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(sim.desc(), "c_label")
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c_label", "v", "vn")
+        )
+        new_c = assigned.groupBy("c_label").agg(F.expr(_centroid_spark()).alias("cvec"))
+        cent = new_c.withColumn("cn", F.expr(_dot("cvec", "cvec")))
+    return assigned.groupBy("c_label").agg(
+        F.count("*").alias("n_members"), F.min("vec_id").alias("min_member")
+    )
