@@ -78,3 +78,68 @@ def test_random_filter_agg_matches_duckdb(spark, where):
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     con.close()
     assert got == want, f"engines disagree for WHERE {where}"
+
+
+def _join_sql(where: str) -> str:
+    return f"""
+    SELECT o_orderpriority, count(*) AS cnt,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE {where}
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=where_clause())
+def test_random_join_agg_matches_duckdb(spark, where):
+    sql = _join_sql(where)
+    register_views(spark, SF_DIR, ["orders", "lineitem"])
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want, f"engines disagree for join WHERE {where}"
+
+
+def _window_sql(where: str) -> str:
+    # fully deterministic ORDER BY (unique (orderkey, linenumber) tiebreak)
+    return f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber, rn
+    FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+                 row_number() OVER (PARTITION BY l_suppkey
+                                    ORDER BY l_extendedprice DESC,
+                                             l_orderkey, l_linenumber) AS rn
+          FROM lineitem
+          WHERE {where}) t
+    WHERE rn <= 3
+    ORDER BY l_suppkey, rn
+    """
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=where_clause())
+def test_random_window_topk_matches_duckdb(spark, where):
+    sql = _window_sql(where)
+    register_views(spark, SF_DIR, ["lineitem"])
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want, f"engines disagree for window WHERE {where}"
