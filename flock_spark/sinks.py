@@ -20,15 +20,25 @@ from pyspark.sql import DataFrame
 BATCH_FORMATS = {"parquet", "csv", "json", "orc"}
 
 
-def write_batch(df: DataFrame, fmt: str, path: str, mode: str = "overwrite") -> None:
+def write_batch(
+    df: DataFrame,
+    fmt: str,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
     """Materialize a batch result (reference datasink write dispatch,
-    mod.rs:137-160)."""
+    mod.rs:137-160). ``partition_by`` writes hive-style key=value
+    directories so downstream scans prune whole partitions (the q10
+    dt/hm layout — at 100 TB readers of one day touch one directory)."""
     if fmt == "noop":
         df.write.format("noop").mode(mode).save()
         return
     if fmt not in BATCH_FORMATS:
         raise ValueError(f"unsupported sink format: {fmt}")
     writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         writer = writer.option("header", "true")
     getattr(writer, fmt)(path)
@@ -40,12 +50,15 @@ def write_stream(
     path: str | None,
     checkpoint: str,
     output_mode: str = "append",
+    partition_by: list[str] | None = None,
 ):
     """Start a streaming sink; returns the StreamingQuery handle."""
     writer = (
         df.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if fmt == "noop":
         return writer.format("noop").start()
     if fmt not in BATCH_FORMATS:

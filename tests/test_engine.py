@@ -87,3 +87,20 @@ def test_same_query_olap_and_streaming_agree(spark, sf_dir):
         Query(sql=sql, tables=[Table("events")], query_type=QueryType.STREAMING)
     )
     assert sorted(map(tuple, olap.collect())) == sorted(map(tuple, streamed.collect()))
+
+
+def test_partitioned_parquet_sink_prunes(spark, sf_dir):
+    # q10 semantics: write bids partitioned by the DATE_FORMAT day column,
+    # then a day-filtered read must prune to that partition's directory
+    from flock_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+    q10 = REGISTRY["nexmark_q10_date_format"].fn(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "bids_by_day")
+        write_batch(q10, "parquet", path, partition_by=["dt"])
+        back = spark.read.parquet(path)
+        one_day = back.filter(F.col("dt") == "2024-01-01")
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters")[1][:200]
+        assert one_day.count() == q10.filter(F.col("dt") == "2024-01-01").count()
