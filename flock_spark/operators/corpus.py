@@ -189,3 +189,28 @@ def corpus_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_share"
         ),
     )
+
+
+SAMPLE_PCT = 7
+
+
+@register(
+    "corpus_sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {duck_md5_long("'sample' || CAST(doc_id AS STRING)")} % 100 < {SAMPLE_PCT}
+    """,
+    tags=("corpus", "pipeline", "filter"),
+    doc=f"Deterministic {SAMPLE_PCT}% Bernoulli sample by hashed key — the "
+    "reproducible alternative to df.sample(): membership is a pure function "
+    "of doc_id, so the sample is stable across reruns, cluster layouts, and "
+    "engines (df.sample's RNG is partition-dependent and would not "
+    "oracle-match). The predicate is a plain filter, evaluated scan-side.",
+)
+def corpus_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    key = spark_md5_long("'sample' || CAST(doc_id AS STRING)")
+    return d.filter(F.expr(f"{key} % 100 < {SAMPLE_PCT}")).select(
+        "doc_id", "lang", "n_chars"
+    )
