@@ -20,6 +20,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Bench always generates the full 50 s NEXMark/YSB stream so round-over-round
+# numbers stay comparable (verification sweeps default to a smaller stream —
+# see sources/nexmark_gen.py). Must be set before flock_spark imports: the
+# generator SQL (and its DuckDB oracle) bake N_EVENTS in at import time.
+os.environ.setdefault("FLOCK_SPARK_NEXMARK_EVENTS", "50000")
+
 from flock_spark.registry import REGISTRY, get_queries  # noqa: E402
 from flock_spark.session import get_spark  # noqa: E402
 

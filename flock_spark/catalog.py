@@ -124,6 +124,15 @@ SCHEMAS: dict[str, T.StructType] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-process memo of resolved table DataFrames keyed by (session id, sf_dir,
+# name). DataFrames are immutable logical plans, so sharing one across queries
+# is safe and skips repeated parquet footer reads + schema inference — the
+# driver's correctness sweep runs ~140 queries against the same session/dir,
+# and rebuilding the scan per query dominated round-1 sweep cost. Keyed on the
+# session object id so a restarted SparkSession never reuses stale plans.
+_TBL_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+_VIEWS_MEMO: set[tuple[int, str, str]] = set()
+
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Parquet scan → columnar, predicate pushdown + column
@@ -135,6 +144,10 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps — the same ns→µs truncation DuckDB applies on read, keeping
     oracle comparisons exact.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TBL_MEMO.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     declared = SCHEMAS.get(name)
@@ -147,10 +160,16 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     field.name,
                     F.timestamp_micros(F.expr(f"{field.name} div 1000")),
                 )
+    _TBL_MEMO[key] = df
     return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
-    """Register temp views so queries can be phrased in pure SQL."""
+    """Register temp views so queries can be phrased in pure SQL (memoized
+    per session/dir/table, same rationale as the tbl() memo)."""
     for name in names or TABLE_NAMES:
+        key = (id(spark), sf_dir, name)
+        if key in _VIEWS_MEMO:
+            continue
         tbl(spark, sf_dir, name).createOrReplaceTempView(name)
+        _VIEWS_MEMO.add(key)

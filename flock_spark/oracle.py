@@ -60,7 +60,16 @@ def _canon(v):
 def compare(spark: SparkSession, fn, oracle_sql: str, sf_dir: str) -> None:
     """Assert the Spark query and oracle agree (sorted-by-name columns,
     order-insensitive row multiset). Raises AssertionError with a diff."""
+    from pyspark.sql import types as T
+
     sdf = fn(spark, sf_dir)
+    # Hard rule (round-1 driver finding): no query may OUTPUT a decimal
+    # column. Engines serialize decimals differently even when values match,
+    # so external hash gates fail; _canon() below would mask it locally.
+    # Decimal is for internal exact accumulation only — cast to DOUBLE at the
+    # output boundary (relational.dsumd / fsum).
+    decimal_cols = [f.name for f in sdf.schema.fields if isinstance(f.dataType, T.DecimalType)]
+    assert not decimal_cols, f"DECIMAL-typed output columns (cast to DOUBLE): {decimal_cols}"
     s_cols = sorted(sdf.columns)
     s_rows = [tuple(row[c] for c in s_cols) for row in sdf.collect()]
 

@@ -44,6 +44,17 @@ def dsum(expr: str) -> str:
     return f"sum(CAST(({expr}) AS DECIMAL(38,6)))"
 
 
+def dsumd(expr: str) -> str:
+    """Exact decimal accumulation with a DOUBLE output boundary.
+
+    DECIMAL stays internal: the sum is computed exactly (order-insensitive,
+    petascale-safe 38-digit accumulation) and the single final value is cast
+    to DOUBLE, which both engines serialize identically. No query may emit a
+    DECIMAL-typed output column — engines disagree on decimal wire
+    representation even when values match (round-1 driver hash-fails)."""
+    return f"CAST({dsum(expr)} AS DOUBLE)"
+
+
 def davg(expr: str) -> str:
     """Exact-sum-based average: deterministic double on both engines."""
     return f"(CAST({dsum(expr)} AS DOUBLE) / count({expr}))"
@@ -190,7 +201,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(l_extendedprice - 50000.0)   AS price_dev,
            ceil(l_discount * 100)           AS disc_pct_ceil,
            floor(l_extendedprice / 1000)    AS price_k,
-           CAST(l_extendedprice * l_discount AS DECIMAL(38,6)) AS disc_amount,
+           l_extendedprice * l_discount     AS disc_amount,
            l_quantity * l_quantity          AS qty_sq
     FROM lineitem
     """,
@@ -206,7 +217,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_extendedprice") - 50000.0).alias("price_dev"),
         F.ceil(F.col("l_discount") * 100).cast("double").alias("disc_pct_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).cast("double").alias("price_k"),
-        (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)").alias("disc_amount"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amount"),
         (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
     )
 
@@ -245,7 +256,7 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            count(*)                       AS cnt,
-           {dsum('value')}                AS sum_value,
+           {dsumd('value')}               AS sum_value,
            {davg('value')}                AS avg_value,
            min(ts)                        AS first_ts,
            max(ts)                        AS last_ts
@@ -261,7 +272,7 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
-        F.expr(dsum("value")).alias("sum_value"),
+        F.expr(dsumd("value")).alias("sum_value"),
         F.expr(davg("value")).alias("avg_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
@@ -325,7 +336,7 @@ def distinct_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
-           {dsum('l_quantity')} AS sum_qty,
+           {dsumd('l_quantity')} AS sum_qty,
            count(*) AS cnt
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -339,7 +350,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.expr(dsum("l_quantity")).alias("sum_qty"),
+        F.expr(dsumd("l_quantity")).alias("sum_qty"),
         F.count("*").alias("cnt"),
     )
 
@@ -348,7 +359,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_agg",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           {dsum('o_totalprice')} AS sum_price,
+           {dsumd('o_totalprice')} AS sum_price,
            count(*) AS cnt
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -359,7 +370,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tbl(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.expr(dsum("o_totalprice")).alias("sum_price"),
+        F.expr(dsumd("o_totalprice")).alias("sum_price"),
         F.count("*").alias("cnt"),
     )
 
@@ -368,8 +379,8 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_agg",
     oracle=f"""
     SELECT l_returnflag,
-           {dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
-           {dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_filled
+           {dsumd("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
+           {dsumd("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_filled
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -385,8 +396,8 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        F.col("O").alias("qty_open"),
-        F.col("F").alias("qty_filled"),
+        F.col("O").cast("double").alias("qty_open"),
+        F.col("F").cast("double").alias("qty_filled"),
     )
 
 
@@ -441,7 +452,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_custkey,
            count(o_orderkey)                              AS n_orders,
-           coalesce({dsum('o_totalprice')}, 0)            AS total_spend
+           coalesce({dsumd('o_totalprice')}, 0.0)         AS total_spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -455,7 +466,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c.join(o, c.c_custkey == o.o_custkey, "left")
     return joined.groupBy("c_custkey").agg(
         F.count("o_orderkey").alias("n_orders"),
-        F.coalesce(F.expr(dsum("o_totalprice")), F.lit(0).cast("decimal(38,6)")).alias("total_spend"),
+        F.coalesce(F.expr(dsumd("o_totalprice")), F.lit(0.0)).alias("total_spend"),
     )
 
 
@@ -635,8 +646,8 @@ def window_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT event_id, user_id,
-           sum(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                                   ROWS UNBOUNDED PRECEDING) AS running_value
+           CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
     FROM events
     """,
     tags=("window",),
@@ -649,7 +660,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(38,6)")).over(w).alias("running_value"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("running_value"),
     )
 
 

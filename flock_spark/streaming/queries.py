@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from flock_spark.queries.relational import fsum
 from flock_spark.registry import register
-from flock_spark.streaming.runner import run_foreach_batch, run_to_memory
+from flock_spark.streaming.runner import run_to_memory, stage_batches
 from flock_spark.streaming.source import bounded_stream
 
 
@@ -119,16 +119,10 @@ def streaming_proctime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window aggregation runs over everything seen.",
 )
 def streaming_session_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # micro-batches stage to parquet executor-side (never the driver); the
+    # final session aggregation is a distributed scan over the staged table
     s = bounded_stream(spark, sf_dir, "events").select("ts")
-    seen: list = []
-
-    def absorb(df: DataFrame, _epoch: int) -> None:
-        seen.append(df.toPandas())
-
-    run_foreach_batch(s, absorb)
-    import pandas as pd
-
-    all_rows = spark.createDataFrame(pd.concat(seen, ignore_index=True), schema=s.schema)
+    all_rows = stage_batches(s)
     return (
         all_rows.groupBy(F.session_window("ts", "10 minutes").alias("w"))
         .agg(F.count("*").alias("cnt"))
@@ -156,17 +150,10 @@ def streaming_session_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFram
     "reference's per-window recompute (q5.sql + hopping replay q5.rs:76-130).",
 )
 def streaming_q5_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-batch state lives in staged parquet, not a driver dict; the
+    # aggregate self-join over accumulated state runs fully in Spark
     s = bounded_stream(spark, sf_dir, "events").select("user_id")
-    counts: dict[int, int] = {}
-
-    def absorb(df: DataFrame, _epoch: int) -> None:
-        for row in df.groupBy("user_id").count().collect():
-            counts[row["user_id"]] = counts.get(row["user_id"], 0) + row["count"]
-
-    run_foreach_batch(s, absorb)
-    out = spark.createDataFrame(
-        [(k, v) for k, v in counts.items()], schema="user_id long, num long"
-    )
+    out = stage_batches(s).groupBy("user_id").agg(F.count("*").alias("num"))
     mx = out.agg(F.max("num").alias("maxn"))
     return out.join(F.broadcast(mx), out.num == mx.maxn).select("user_id", "num")
 

@@ -14,6 +14,7 @@ run_foreach_batch — the reference's execution model verbatim: re-run a full
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -32,6 +33,10 @@ def run_to_memory(
 
     Bounded sources (files) drain with Trigger.AvailableNow; unbounded ones
     (rate) pass run_for_sec to run wall-clock-bounded micro-batches instead.
+
+    A bounded drain that exceeds timeout_sec raises TimeoutError — returning
+    the partially-filled memory table would read as a value mismatch (or a
+    silent pass on a subset) instead of the real failure.
     """
     spark = stream_df.sparkSession
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
@@ -39,7 +44,11 @@ def run_to_memory(
     if run_for_sec is None:
         q = writer.trigger(availableNow=True).start()
         try:
-            q.awaitTermination(timeout_sec)
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"bounded stream '{name}' did not drain within {timeout_sec}s"
+                )
         finally:
             if q.isActive:
                 q.stop()
@@ -57,7 +66,8 @@ def run_foreach_batch(
     batch_fn: Callable[[DataFrame, int], None],
     timeout_sec: int = 300,
 ) -> None:
-    """Drain a bounded stream through foreachBatch(batch_fn)."""
+    """Drain a bounded stream through foreachBatch(batch_fn); raises
+    TimeoutError on an incomplete drain (see run_to_memory)."""
     checkpoint = tempfile.mkdtemp(prefix="flock_spark_ckpt_")
     q = (
         stream_df.writeStream.foreachBatch(batch_fn)
@@ -66,10 +76,39 @@ def run_foreach_batch(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(f"bounded foreachBatch stream did not drain within {timeout_sec}s")
     finally:
         if q.isActive:
             q.stop()
+
+
+def stage_batches(stream_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
+    """Drain a bounded stream by staging every micro-batch to parquet and
+    return a DataFrame over the staged table.
+
+    This is the scale-safe foreachBatch accumulator: each batch is written
+    executor-side (`df.write` inside the handler — no toPandas/collect, no
+    driver residency), so accumulated size is bounded by storage, not driver
+    memory. Writing each epoch to its own `epoch=N` directory with overwrite
+    makes redelivery after a failure idempotent — the Spark-sanctioned
+    exactly-once pattern for file targets. The returned DataFrame is a plain
+    parquet scan of everything staged (partition-discovered `epoch` column
+    dropped), so downstream aggregation runs fully distributed.
+    """
+    spark = stream_df.sparkSession
+    stage_dir = tempfile.mkdtemp(prefix="flock_spark_stage_")
+    cols = stream_df.columns
+
+    def absorb(df: DataFrame, epoch: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(stage_dir, f"epoch={epoch}"))
+
+    run_foreach_batch(stream_df, absorb, timeout_sec)
+    staged = [d for d in os.listdir(stage_dir) if d.startswith("epoch=")]
+    if not staged:
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.option("basePath", stage_dir).parquet(stage_dir).select(*cols)
 
 
 def accumulate_batches(spark: SparkSession, stream_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
