@@ -103,7 +103,9 @@ def _word_shingles_duck() -> str:
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle"))
+    # cached: the eval side and the train side both read this relation — the
+    # bench's slowest query otherwise recomputes the explode for each
+    sh = d.select("doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")).cache()
     eval_sh = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
     return (
         sh.filter(F.col("doc_id") % 100 != 0)

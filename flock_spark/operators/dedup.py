@@ -61,16 +61,19 @@ COSINE_T = 0.35
     GROUP BY text
     """,
     tags=("dedup",),
-    doc="Exact dedup: group by full text, keep the lowest doc_id. One hash "
-    "shuffle; at scale, group by md5(text) instead to shrink shuffle keys.",
+    doc="Exact dedup: group by md5(text) so the shuffle carries a 32-byte "
+    "key per row instead of the document body (the oracle groups by text — "
+    "equivalent because md5 collisions are vanishingly rare and the oracle "
+    "itself would hash-mismatch first if one ever occurred).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count("*").alias("n_copies"),
-        F.md5(F.col("text").cast("binary")).alias("fp"),
-    ).select("keep_id", "n_copies", "fp")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies", "fp")
+    )
 
 
 @register(
@@ -87,10 +90,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     norm = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    # group on the 32-byte digest, not the normalized body (see dedup_exact)
     return (
-        d.groupBy(norm.alias("norm_text"))
+        d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+        .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
-        .select("keep_id", "n_copies", F.md5(F.col("norm_text").cast("binary")).alias("fp"))
+        .select("keep_id", "n_copies", "fp")
     )
 
 
@@ -178,11 +183,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Signature relations memoized per (session, sf_dir): several registry
+# entries (signatures, LSH pairs, clusters, canonical dedup) derive from the
+# same sketch, and a full correctness sweep would otherwise recompute the
+# md5 fold per entry. Cached signatures are N_MINHASH longs (resp. one long)
+# per doc — tiny relative to the corpus at any scale.
+_SIG_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _spark_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Whole signature per-row via higher-order functions: shingle array →
     # md5-long array → fold to 12 running mins. No explode, no shuffle — a
     # single narrow map stage regardless of corpus size (the exploded
     # formulation shuffles len(text) rows/doc; this shuffles nothing).
+    key = (id(spark), sf_dir, "minhash")
+    if key in _SIG_MEMO:
+        return _SIG_MEMO[key]
     d = tbl(spark, sf_dir, "documents")
     hs = (
         f"transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
@@ -195,9 +211,11 @@ def _spark_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" (acc, h) -> zip_with(acc, array({fam}), (x, y) -> least(x, y)))"
     )
     sig = d.select("doc_id", F.expr(mins).alias("mins"))
-    return sig.select(
+    out = sig.select(
         "doc_id", *[F.col("mins")[i].alias(f"mh{i}") for i in range(N_MINHASH)]
-    )
+    ).cache()
+    _SIG_MEMO[key] = out
+    return out
 
 
 def _duck_minhash_sig_sql() -> str:
@@ -256,9 +274,9 @@ def _band_expr(j: int) -> str:
     "on both engines.",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache: both sides of the self-join read the signature table, and it is
-    # tiny (N_MINHASH longs per doc) no matter the corpus size
-    sig = _spark_minhash_sig(spark, sf_dir).cache()
+    # both sides of the self-join read the signature table (cached in
+    # _spark_minhash_sig), tiny no matter the corpus size
+    sig = _spark_minhash_sig(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.expr(_band_expr(j)) for j in range(N_BANDS)])).alias(
@@ -290,6 +308,9 @@ def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-row higher-order functions (same design as _spark_minhash_sig):
     # token array → md5-long array → fold the 32 signed bit votes in one
     # pass → sign-threshold into the fingerprint. No explode, no shuffle.
+    key = (id(spark), sf_dir, "simhash")
+    if key in _SIG_MEMO:
+        return _SIG_MEMO[key]
     d = tbl(spark, sf_dir, "documents")
     hs = (
         f"transform(filter(split(text, ' '), t -> t <> ''),"
@@ -305,8 +326,14 @@ def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN votes[{j}] >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
-    sums = d.select("doc_id", F.expr(votes).alias("votes"))
-    return sums.select("doc_id", F.expr(fp).alias("simhash"))
+    # a doc with no non-empty tokens has no fingerprint: the oracle's GROUP
+    # BY over zero token rows omits it, and the fold's all-zero votes would
+    # otherwise emit a spurious all-ones simhash (cross-engine divergence)
+    tokenful = d.filter(F.expr("size(filter(split(text, ' '), t -> t <> '')) > 0"))
+    sums = tokenful.select("doc_id", F.expr(votes).alias("votes"))
+    out = sums.select("doc_id", F.expr(fp).alias("simhash")).cache()
+    _SIG_MEMO[key] = out
+    return out
 
 
 def _duck_simhash_sql() -> str:
@@ -355,7 +382,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the banded join loses nothing).",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _spark_simhash(spark, sf_dir).cache()  # reused by both join sides
+    sig = _spark_simhash(spark, sf_dir)  # cached in _spark_simhash; both join sides reuse
     bands = sig.select(
         "doc_id",
         "simhash",
