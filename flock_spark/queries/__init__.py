@@ -2,6 +2,7 @@
 
 import flock_spark.queries.relational  # noqa: F401
 import flock_spark.queries.nexmark  # noqa: F401
+import flock_spark.queries.nexmark_native  # noqa: F401
 import flock_spark.queries.tpch  # noqa: F401
 import flock_spark.queries.windows_time  # noqa: F401
 import flock_spark.queries.advanced  # noqa: F401

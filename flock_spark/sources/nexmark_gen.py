@@ -96,7 +96,7 @@ def _nexmark_sql(h: str, from_clause: str) -> dict[str, str]:
            {BASE_TS} + {blk} * INTERVAL 1 SECOND       AS a_date_time,
            {BASE_TS} + ({blk} + 10 + {hh("'ex' || CAST(id AS STRING)")} % 20) * INTERVAL 1 SECOND AS expires,
            CAST({hh("'sl' || CAST(id AS STRING)")} % {n_persons} AS BIGINT) AS seller,
-           CAST({hh("'ct' || CAST(id AS STRING)")} % 10 AS BIGINT)          AS category
+           CAST(10 + {hh("'ct' || CAST(id AS STRING)")} % 5 AS BIGINT)      AS category
     FROM {from_clause}
     WHERE {slot} BETWEEN {PERSONS_PER_BLOCK} AND {PERSONS_PER_BLOCK + AUCTIONS_PER_BLOCK - 1}
     """
@@ -227,7 +227,7 @@ def nexmark_gen_person_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nexmark_q1_currency",
     oracle=f"""
-    SELECT auction, bidder, round(0.908 * price, 6) AS price_eur, b_date_time
+    SELECT auction, bidder, round(0.908 * CAST(price AS DOUBLE), 6) AS price_eur, b_date_time
     FROM ({_duck_nexmark("bid")}) b
     """,
     tags=("nexmark", "projection"),
@@ -237,7 +237,7 @@ def nexmark_gen_person_auction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nexmark_q1_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = nexmark_table(spark, "bid")
     return b.selectExpr(
-        "auction", "bidder", "round(0.908 * price, 6) AS price_eur", "b_date_time"
+        "auction", "bidder", "round(0.908 * CAST(price AS DOUBLE), 6) AS price_eur", "b_date_time"
     )
 
 
@@ -322,7 +322,7 @@ def ysb_campaign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_nexmark_q1",
     oracle=f"""
-    SELECT auction, bidder, round(0.908 * price, 6) AS price_eur, b_date_time
+    SELECT auction, bidder, round(0.908 * CAST(price AS DOUBLE), 6) AS price_eur, b_date_time
     FROM ({_duck_nexmark("bid")}) b
     """,
     tags=("nexmark", "streaming", "source"),
@@ -357,7 +357,7 @@ def streaming_nexmark_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     out = s.selectExpr(
-        "auction", "bidder", "round(0.908 * price, 6) AS price_eur", "b_date_time"
+        "auction", "bidder", "round(0.908 * CAST(price AS DOUBLE), 6) AS price_eur", "b_date_time"
     )
     return run_to_memory(out, output_mode="append")
 
