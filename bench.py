@@ -40,6 +40,8 @@ HEADLINE = [
     "tpch_q21",
     "nexmark_q4_avg_of_max",
     "nexmark_q6_double_rownum",
+    "nexmark_native_q4",
+    "nexmark_native_q6",
     "join_range_theta",
     "tumbling_window_agg",
     "session_window_by_key",

@@ -124,14 +124,20 @@ SCHEMAS: dict[str, T.StructType] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Per-process memo of resolved table DataFrames keyed by (session id, sf_dir,
-# name). DataFrames are immutable logical plans, so sharing one across queries
-# is safe and skips repeated parquet footer reads + schema inference — the
-# driver's correctness sweep runs ~140 queries against the same session/dir,
-# and rebuilding the scan per query dominated round-1 sweep cost. Keyed on the
-# session object id so a restarted SparkSession never reuses stale plans.
-_TBL_MEMO: dict[tuple[int, str, str], DataFrame] = {}
-_VIEWS_MEMO: set[tuple[int, str, str]] = set()
+# Per-process memo of resolved table DataFrames keyed by (application id,
+# sf_dir, name). DataFrames are immutable logical plans, so sharing one across
+# queries is safe and skips repeated parquet footer reads + schema inference —
+# the driver's correctness sweep runs ~140 queries against the same
+# session/dir, and rebuilding the scan per query dominated round-1 sweep cost.
+# The Spark application id is unique per context, so a restarted SparkSession
+# never reuses stale plans (unlike id(spark), which CPython may recycle).
+_TBL_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_VIEWS_MEMO: set[tuple[str, str, str]] = set()
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable identity of the live SparkContext for memoization keys."""
+    return spark.sparkContext.applicationId
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -144,7 +150,7 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps — the same ns→µs truncation DuckDB applies on read, keeping
     oracle comparisons exact.
     """
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     cached = _TBL_MEMO.get(key)
     if cached is not None:
         return cached
@@ -168,7 +174,7 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     """Register temp views so queries can be phrased in pure SQL (memoized
     per session/dir/table, same rationale as the tbl() memo)."""
     for name in names or TABLE_NAMES:
-        key = (id(spark), sf_dir, name)
+        key = (session_key(spark), sf_dir, name)
         if key in _VIEWS_MEMO:
             continue
         tbl(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -188,7 +188,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same sketch, and a full correctness sweep would otherwise recompute the
 # md5 fold per entry. Cached signatures are N_MINHASH longs (resp. one long)
 # per doc — tiny relative to the corpus at any scale.
-_SIG_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+_SIG_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _spark_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +196,9 @@ def _spark_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-long array → fold to 12 running mins. No explode, no shuffle — a
     # single narrow map stage regardless of corpus size (the exploded
     # formulation shuffles len(text) rows/doc; this shuffles nothing).
-    key = (id(spark), sf_dir, "minhash")
+    from flock_spark.catalog import session_key
+
+    key = (session_key(spark), sf_dir, "minhash")
     if key in _SIG_MEMO:
         return _SIG_MEMO[key]
     d = tbl(spark, sf_dir, "documents")
@@ -308,7 +310,9 @@ def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-row higher-order functions (same design as _spark_minhash_sig):
     # token array → md5-long array → fold the 32 signed bit votes in one
     # pass → sign-threshold into the fingerprint. No explode, no shuffle.
-    key = (id(spark), sf_dir, "simhash")
+    from flock_spark.catalog import session_key
+
+    key = (session_key(spark), sf_dir, "simhash")
     if key in _SIG_MEMO:
         return _SIG_MEMO[key]
     d = tbl(spark, sf_dir, "documents")

@@ -115,9 +115,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_tok_count()} AS n_tokens,
            CAST({_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')} AS BIGINT) AS stop_hits,
            (CAST({_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')} AS DOUBLE) / {_tok_count()}) AS stop_ratio,
-           (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
-            + CASE WHEN {_tok_count()} >= 20 THEN 0.25 ELSE 0.0 END
-            + CASE WHEN ({_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')}) > 0 THEN 0.25 ELSE 0.0 END
+           (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+            + CASE WHEN {_tok_count()} >= 20 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+            + CASE WHEN ({_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')}) > 0 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
            ) AS quality
     FROM documents
     """,
@@ -135,9 +135,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({stop} AS BIGINT)").alias("stop_hits"),
         F.expr(f"CAST({stop} AS DOUBLE) / {_tok_count()}").alias("stop_ratio"),
         F.expr(
-            f"CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END"
-            f" + CASE WHEN {_tok_count()} >= 20 THEN 0.25 ELSE 0.0 END"
-            f" + CASE WHEN ({stop}) > 0 THEN 0.25 ELSE 0.0 END"
+            # CAST each arm: bare decimal literals would type the sum DECIMAL
+            f"CASE WHEN length(text) BETWEEN 100 AND 5000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+            f" + CASE WHEN {_tok_count()} >= 20 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+            f" + CASE WHEN ({stop}) > 0 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
         ).alias("quality"),
     )
 

@@ -67,12 +67,20 @@ def write_stream(
 
 
 def foreach_batch_sink(
-    df: DataFrame, handler: Callable[[DataFrame, int], None], checkpoint: str
+    df: DataFrame,
+    handler: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    available_now: bool = False,
 ):
     """KV/queue-style sink (reference DynamoDB/SQS sinks) via foreachBatch —
-    the idempotent-write escape hatch."""
-    return (
+    the idempotent-write escape hatch. foreachBatch is at-least-once: the
+    handler MUST key its writes on (epoch, record key) so a redelivered
+    batch overwrites rather than duplicates. available_now=True drains a
+    bounded source and terminates (verification mode)."""
+    writer = (
         df.writeStream.foreachBatch(handler)
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

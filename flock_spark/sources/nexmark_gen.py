@@ -150,12 +150,14 @@ def _spark_range_view(spark: SparkSession, n: int, name: str) -> None:
 # projection per query. 46k bid rows cached in memory is negligible; at
 # production stream sizes generation is a straight pipeline over range(n) and
 # callers would skip the cache.
-_GEN_MEMO: dict[tuple[int, str, str, int], DataFrame] = {}
+_GEN_MEMO: dict[tuple[str, str, str, int], DataFrame] = {}
 
 
 def nexmark_table(spark: SparkSession, table: str) -> DataFrame:
     """Generate one NEXMark table (person/auction/bid), parallel over range."""
-    key = (id(spark), "nexmark", table, N_EVENTS)
+    from flock_spark.catalog import session_key
+
+    key = (session_key(spark), "nexmark", table, N_EVENTS)
     if key not in _GEN_MEMO:
         _spark_range_view(spark, N_EVENTS, "nexmark_ids")
         sql = _nexmark_sql(_H_SPARK, "nexmark_ids")[table]
@@ -164,8 +166,10 @@ def nexmark_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def ysb_table(spark: SparkSession, table: str) -> DataFrame:
+    from flock_spark.catalog import session_key
+
     n = N_CAMPAIGNS * ADS_PER_CAMPAIGN if table == "campaign" else N_EVENTS
-    key = (id(spark), "ysb", table, N_EVENTS)
+    key = (session_key(spark), "ysb", table, N_EVENTS)
     if key not in _GEN_MEMO:
         _spark_range_view(spark, n, f"ysb_ids_{table}")
         sql = _ysb_sql(_H_SPARK, f"ysb_ids_{table}")[table]

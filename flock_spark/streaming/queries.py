@@ -284,6 +284,119 @@ def json_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_kafka_wire_decode",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_users,
+           max(partition) AS max_partition
+    FROM (SELECT event_type, user_id, event_id % 8 AS partition FROM events) t
+    GROUP BY event_type
+    """,
+    tags=("streaming", "source", "json", "kafka"),
+    doc="Message-bus wire path, exercised end-to-end: events are staged once "
+    "as raw JSON-lines files in the Kafka record envelope (topic, partition, "
+    "offset, key, value-as-JSON-string — the shape "
+    "flock/src/datasource/kafka.rs:54-118 consumes), then read back with "
+    "readStream.schema(...).json(...) and decoded via from_json with an "
+    "explicit payload schema before aggregating. Against a real broker only "
+    "the reader line changes (readStream.format('kafka') yields the same "
+    "envelope columns); every transformation from the envelope down is "
+    "identical — this closes the 'config-only swap' claim with an executed "
+    "wire decode.",
+)
+def streaming_kafka_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from flock_spark.streaming.source import bounded_stream as _  # noqa: F401
+    from flock_spark.catalog import tbl
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"flock_spark_kafka_wire_{tag}")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        e = tbl(spark, sf_dir, "events")
+        wire = e.select(
+            F.lit("events").alias("topic"),
+            (F.col("event_id") % 8).alias("partition"),
+            F.col("event_id").alias("offset"),
+            F.col("event_id").cast("string").alias("key"),
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias("value"),
+        )
+        wire.repartition(4).write.mode("overwrite").json(tmp)
+        os.replace(tmp, path)
+    records = (
+        spark.readStream.schema(
+            "topic string, partition bigint, offset bigint, key string, value string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .json(path)
+    )
+    decoded = records.select(
+        "partition",
+        F.from_json(
+            "value", "event_id bigint, user_id bigint, event_type string, value double"
+        ).alias("r"),
+    ).select("partition", "r.*")
+    agg = decoded.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("sum_users"),
+        F.max("partition").alias("max_partition"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "queue_sink_exactly_once",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, sum(event_id) AS sum_ids
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sink", "queue"),
+    doc="Queue/KV sink path (reference DynamoDB/SQS sinks, "
+    "flock/src/datasink/mod.rs:137-160) driven through foreach_batch_sink: "
+    "each micro-batch is 'enqueued' by writing to an epoch-keyed location, "
+    "and the first epoch is deliberately delivered TWICE to model "
+    "foreachBatch's at-least-once contract — the epoch-keyed overwrite makes "
+    "the redelivery a no-op, so the drained queue contents still equal the "
+    "batch oracle exactly (exactly-once effect from at-least-once delivery).",
+)
+def queue_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from flock_spark.sinks import foreach_batch_sink
+
+    s = bounded_stream(spark, sf_dir, "events").select("event_id", "event_type")
+    qdir = tempfile.mkdtemp(prefix="flock_spark_queue_")
+    redelivered: set[int] = set()
+
+    def enqueue(df: DataFrame, epoch: int) -> None:
+        target = os.path.join(qdir, f"epoch={epoch}")
+        df.write.mode("overwrite").parquet(target)
+        if epoch == 0 and epoch not in redelivered:
+            redelivered.add(epoch)
+            df.write.mode("overwrite").parquet(target)  # simulated redelivery
+
+    q = foreach_batch_sink(
+        s, enqueue, checkpoint=tempfile.mkdtemp(prefix="flock_spark_ckpt_"), available_now=True
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("queue sink drain did not finish")
+    finally:
+        if q.isActive:
+            q.stop()
+    drained = spark.read.option("basePath", qdir).parquet(qdir)
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.sum("event_id").alias("sum_ids")
+    )
+
+
+@register(
     "streaming_session_native",
     oracle="""
     WITH gaps AS (

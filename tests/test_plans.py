@@ -83,3 +83,27 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
 def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "corpus_vocab_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_nexmark_native_q3_broadcasts_person(spark, sf_dir):
+    # person is 1/50 of events — it must ship to executors, not shuffle bids
+    plan = plan_of(spark, sf_dir, "nexmark_native_q3")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_query_set_is_bounded_topk(spark, sf_dir):
+    # the driver-side collect behind ann_topk_bruteforce must plan as a
+    # bounded TakeOrderedAndProject (O(1) rows), never a corpus-wide collect
+    from pyspark.sql import functions as F
+
+    from flock_spark.operators.similarity import N_QUERIES, _spark_vecs
+
+    q = (
+        _spark_vecs(spark, sf_dir)
+        .filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
