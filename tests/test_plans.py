@@ -107,3 +107,11 @@ def test_ann_query_set_is_bounded_topk(spark, sf_dir):
     )
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunking_and_redaction_are_narrow(spark, sf_dir):
+    # chunk/redact are per-row pipelines — no Exchange at any corpus size
+    # (chunking's explode is a Generate, which is narrow)
+    for name in ("doc_chunk_fixed_tokens", "text_pii_redact"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
