@@ -397,6 +397,30 @@ def queue_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_ingest",
+    oracle="""
+    SELECT DISTINCT md5(text) AS fp FROM documents
+    """,
+    tags=("streaming", "dedup"),
+    doc="Exact dedup at ingest: the document stream is fingerprinted "
+    "(md5(text) — 32-byte state key, never the body) and dropDuplicates "
+    "emits each fingerprint's first arrival, with the state store holding "
+    "the seen-set across micro-batches. Only the key is emitted, so the "
+    "result is deterministic under any partitioning/arrival order. This is "
+    "the streaming twin of dedup_exact — the ingest-time filter a training "
+    "pipeline runs before documents ever land. In production the seen-set "
+    "is bounded with dropDuplicatesWithinWatermark on an event-time column; "
+    "the driver's documents table has none, so the unbounded variant runs "
+    "here.",
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = bounded_stream(spark, sf_dir, "documents").select(
+        F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    return run_to_memory(s.dropDuplicates(["fp"]), output_mode="append")
+
+
+@register(
     "streaming_session_native",
     oracle="""
     WITH gaps AS (
