@@ -606,10 +606,11 @@ def _duck_kmeans_sql() -> str:
 def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    # cache the working set across Lloyd iterations (the standard iterative-
-    # ML pattern — Spark MLlib's KMeans persists its training set the same
-    # way): each iteration re-reads e for the E-step and the M-step
-    e = _spark_vecs(spark, sf_dir).withColumn("vn", F.expr(_dot("v", "v"))).cache()
+    # deliberately NOT cached: the columnar parquet re-scan per Lloyd step is
+    # cheaper than cache materialization + storage-memory churn here
+    # (measured: cached variant ~2× slower at sf0.1 across bench runs); at
+    # cluster scale with many iterations, persist(DISK_ONLY) once instead
+    e = _spark_vecs(spark, sf_dir).withColumn("vn", F.expr(_dot("v", "v")))
     cent = e.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("c_label"), F.col("v").alias("cvec"), F.col("vn").alias("cn")
     )

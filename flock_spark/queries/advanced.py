@@ -240,3 +240,77 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
     )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Stage a 4-column orders projection once per (sf_dir, fmt) in the given
+    file format, then scan it back with an explicit schema — the executed
+    evidence that the format's write AND read paths work (reference sink
+    formats, flock/src/datasink/mod.rs:47-63). Types are chosen to be
+    roundtrip-exact in text formats (long/double/string; Java double
+    serialization is shortest-roundtrip)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(f"{sf_dir}:{fmt}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"flock_spark_rt_{fmt}_{tag}")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        o = tbl(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        w = o.repartition(2).write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(tmp)
+        os.replace(tmp, path)
+    r = spark.read
+    schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+    if fmt == "csv":
+        return r.schema(schema).option("header", "true").csv(path)
+    return r.schema(schema).format(fmt).load(path)
+
+
+_RT_ORACLE = """
+    SELECT o_orderstatus, count(*) AS cnt,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+           sum(o_orderkey) AS key_sum
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "csv_roundtrip_scan",
+    oracle=_RT_ORACLE,
+    tags=("source", "format", "csv"),
+    doc="CSV write→read round trip over orders (header, explicit schema on "
+    "read — no inference pass), aggregated to prove value fidelity "
+    "including doubles (shortest-roundtrip serialization).",
+)
+def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _roundtrip(spark, sf_dir, "csv")
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+@register(
+    "orc_roundtrip_scan",
+    oracle=_RT_ORACLE,
+    tags=("source", "format", "orc"),
+    doc="ORC write→read round trip over orders (columnar alternative to "
+    "parquet; binary format, exact by construction), same fidelity check.",
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _roundtrip(spark, sf_dir, "orc")
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
