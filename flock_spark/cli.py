@@ -46,6 +46,20 @@ def cmd_run(name: str, sf_dir: str, limit: int) -> int:
     return 0
 
 
+def cmd_explain(name: str, sf_dir: str) -> int:
+    """Print the formatted physical plan of a registered query — the
+    plan-audit loop (see SCALE.md / tests/test_plans.py) as a one-liner."""
+    from flock_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+    if name not in REGISTRY:
+        print(f"unknown query: {name} (see `list`)", file=sys.stderr)
+        return 2
+    spark = _spark()
+    REGISTRY[name].fn(spark, sf_dir).explain("formatted")
+    return 0
+
+
 def cmd_fsql(sf_dir: str) -> int:
     from flock_spark.catalog import register_views
 
@@ -78,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("query")
     pr.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     pr.add_argument("--limit", type=int, default=20)
+    pe = sub.add_parser("explain")
+    pe.add_argument("query")
+    pe.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     pf = sub.add_parser("fsql")
     pf.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     args = p.parse_args(argv)
@@ -85,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_list()
     if args.cmd == "run":
         return cmd_run(args.query, args.sf_dir, args.limit)
+    if args.cmd == "explain":
+        return cmd_explain(args.query, args.sf_dir)
     return cmd_fsql(args.sf_dir)
 
 
