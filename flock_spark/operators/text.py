@@ -206,3 +206,39 @@ def pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_copies") - F.count("*")).alias("n_dropped_dups"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+# BPE-ish pre-tokenization pattern (GPT-2 style split classes: leading-space
+# word / number / punctuation runs), restricted to the lookahead-free subset
+# both Java regex and RE2 support — and backslash-free, so the same literal
+# is valid in Spark and DuckDB SQL strings.
+_BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_token_stats_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_bpe_tokens,
+           {_tok_count()} AS n_ws_tokens,
+           (CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
+            / {_tok_count()}) AS fertility
+    FROM documents
+    """,
+    tags=("text", "tokenizer"),
+    doc="BPE-ish token counting: GPT-2-style pre-tokenization classes "
+    "(leading-space word/number/punct runs) via regexp_extract_all, "
+    "compared against the whitespace count as a fertility ratio — the "
+    "pre-tokenizer pass a training pipeline runs to budget sequence "
+    "lengths before the real BPE merge table is applied. Pure JVM regexp, "
+    "narrow pipeline.",
+)
+def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    bpe = f"CAST(size(regexp_extract_all(text, '{_BPE_PAT}', 0)) AS BIGINT)"
+    return d.select(
+        "doc_id",
+        F.expr(bpe).alias("n_bpe_tokens"),
+        F.expr(_tok_count()).alias("n_ws_tokens"),
+        F.expr(f"CAST({bpe} AS DOUBLE) / {_tok_count()}").alias("fertility"),
+    )
