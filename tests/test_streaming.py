@@ -175,3 +175,29 @@ def test_queue_sink_idempotent_redelivery(spark, tmp_path):
 
     enqueue(batch, 1)  # a genuinely new epoch appends
     assert spark.read.parquet(qdir).count() == 200
+
+
+def test_stage_batches_multi_epoch(spark, tmp_path):
+    """stage_batches must accumulate every micro-batch across epochs
+    (executor-side parquet staging, no driver residency)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from flock_spark.streaming.runner import stage_batches
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        spark.createDataFrame(
+            [Row(k=i * 10 + j) for j in range(10)]
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    s = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    staged = stage_batches(s)
+    got = sorted(r["k"] for r in staged.collect())
+    assert got == list(range(30))
