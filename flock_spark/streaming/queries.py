@@ -421,6 +421,28 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id FROM events
+    """,
+    tags=("streaming", "dedup", "watermark"),
+    doc="Watermark-bounded streaming dedup: the event stream unioned with "
+    "itself (every row delivered twice — modeling at-least-once transport "
+    "duplicates) is restored to exactly-once by "
+    "dropDuplicatesWithinWatermark on the event id. Unlike "
+    "streaming_dedup_ingest's unbounded seen-set, the watermark EVICTS "
+    "dedup state older than the delay — the production shape for duplicate "
+    "transport suppression, where duplicates arrive close together and "
+    "state must not grow with the stream.",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = bounded_stream(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    doubled = s.union(s).withWatermark("ts", "1 hour")
+    out = doubled.dropDuplicatesWithinWatermark(["event_id"]).select("event_id", "user_id")
+    return run_to_memory(out, output_mode="append")
+
+
+@register(
     "streaming_session_native",
     oracle="""
     WITH gaps AS (
