@@ -53,6 +53,9 @@ HEADLINE = [
     "ysb_campaign_counts",
     "corpus_decontaminate",
     "kmeans_two_iterations",
+    # streaming path: full micro-batch drain is the measured cost
+    "streaming_tumbling_agg",
+    "streaming_kafka_wire_decode",
 ]
 
 
