@@ -162,3 +162,65 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, resized_bytes long, resized_md5 string, "
         "target_w int, target_h int",
     )
+
+
+AUDIO_WINDOW = 32  # fake-PCM samples (bytes) per analysis window
+
+
+@register(
+    "mm_audio_window_energy",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text))) AS i
+      FROM documents),
+    v AS (
+      SELECT s.doc_id,
+             CAST(floor((s.i - 1) / {AUDIO_WINDOW}) AS BIGINT) AS window_idx,
+             ascii(substring(d.text, s.i, 1)) AS amp
+      FROM samples s JOIN documents d ON s.doc_id = d.doc_id)
+    SELECT doc_id, window_idx,
+           CAST(sum(amp * amp) AS BIGINT) AS energy,
+           count(*) AS n_samples
+    FROM v GROUP BY doc_id, window_idx
+    """,
+    tags=("multimodal", "pandas_udf", "audio"),
+    doc=f"Audio feature-extraction shape: payload bytes as fake PCM samples, "
+    f"per-{AUDIO_WINDOW}-sample window energy (sum of squares) computed "
+    "vectorized per Arrow batch (np.frombuffer + reshape — the same batch "
+    "shape a real frame-energy/FFT extractor uses). Completes the "
+    "image/audio/video transform triple; decode stays honest-fake (ASCII "
+    "text bytes), which is exactly what makes the energy oracle-checkable.",
+)
+def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_w, out_e, out_n = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                amps = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(amps)
+                if n == 0:
+                    continue
+                n_windows = -(-n // AUDIO_WINDOW)
+                padded = np.zeros(n_windows * AUDIO_WINDOW, dtype=np.int64)
+                padded[:n] = amps
+                sq = (padded * padded).reshape(n_windows, AUDIO_WINDOW).sum(axis=1)
+                counts = np.full(n_windows, AUDIO_WINDOW, dtype=np.int64)
+                counts[-1] = n - (n_windows - 1) * AUDIO_WINDOW
+                out_doc.extend([doc_id] * n_windows)
+                out_w.extend(range(n_windows))
+                out_e.extend(sq.tolist())
+                out_n.extend(counts.tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "window_idx": out_w, "energy": out_e, "n_samples": out_n}
+            )
+
+    return d.mapInPandas(
+        energy, schema="doc_id long, window_idx long, energy long, n_samples long"
+    )
