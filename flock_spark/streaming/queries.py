@@ -381,15 +381,17 @@ def queue_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             redelivered.add(epoch)
             df.write.mode("overwrite").parquet(target)  # simulated redelivery
 
-    q = foreach_batch_sink(
-        s, enqueue, checkpoint=tempfile.mkdtemp(prefix="flock_spark_ckpt_"), available_now=True
-    )
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix="flock_spark_ckpt_")
+    q = foreach_batch_sink(s, enqueue, checkpoint=ckpt, available_now=True)
     try:
         if not q.awaitTermination(300):
             raise TimeoutError("queue sink drain did not finish")
     finally:
         if q.isActive:
             q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     drained = spark.read.option("basePath", qdir).parquet(qdir)
     return drained.groupBy("event_type").agg(
         F.count("*").alias("cnt"), F.sum("event_id").alias("sum_ids")

@@ -68,6 +68,8 @@ def run_foreach_batch(
 ) -> None:
     """Drain a bounded stream through foreachBatch(batch_fn); raises
     TimeoutError on an incomplete drain (see run_to_memory)."""
+    import shutil
+
     checkpoint = tempfile.mkdtemp(prefix="flock_spark_ckpt_")
     q = (
         stream_df.writeStream.foreachBatch(batch_fn)
@@ -82,6 +84,8 @@ def run_foreach_batch(
     finally:
         if q.isActive:
             q.stop()
+        # one-shot drain: the checkpoint has no replay value, don't leak /tmp
+        shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def stage_batches(stream_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
