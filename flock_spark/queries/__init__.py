@@ -6,3 +6,4 @@ import flock_spark.queries.nexmark_native  # noqa: F401
 import flock_spark.queries.tpch  # noqa: F401
 import flock_spark.queries.windows_time  # noqa: F401
 import flock_spark.queries.advanced  # noqa: F401
+import flock_spark.queries.layouts  # noqa: F401

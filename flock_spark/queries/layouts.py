@@ -1,0 +1,130 @@
+"""Storage-layout operators: partitioned writes with pruned reads, and
+bucketed co-located joins — registered (user-facing) versions of the layout
+strategies tests/test_bucketing.py proves, because at 100 TB the table
+LAYOUT is the optimization: a partition-pruned scan reads one directory of a
+petabyte table, and a bucketed join amortizes its shuffle across every
+downstream join on the same key (reference: q10's partitioned file-system
+sink, flock/src/datasource/nexmark/queries/q10.sql; SURVEY §2.10 maps
+Flock's consistent-hash routing to Spark partitioning).
+
+Layouts are materialized once per (sf_dir) into /tmp staging (partitioned
+parquet) and the session warehouse (bucketed tables), then every subsequent
+run — and both join sides — read the laid-out data. The oracles run the same
+logic over the original tables, proving layout changes results not at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.registry import register
+
+N_BUCKETS = 8
+
+
+def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"flock_spark_part_events_{tag}")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # hive-style event_type=X directories: readers prune whole dirs
+        tbl(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.replace(tmp, path)
+    return path
+
+
+@register(
+    "partitioned_write_prune_scan",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket, count(*) AS cnt,
+           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+    tags=("layout", "source", "pruning"),
+    doc="Partitioned write → pruned read: events land once in hive-style "
+    "event_type=X directories; the filtered scan touches ONLY the click "
+    "partition (PartitionFilters in the plan — pinned in test_plans). At "
+    "100 TB this is the difference between reading one directory and the "
+    "whole table; same aggregate as the unpartitioned oracle.",
+)
+def partitioned_write_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_events_path(spark, sf_dir)
+    e = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return e.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+
+
+def _drop_stale_location(spark: SparkSession, table: str) -> None:
+    """The in-memory catalog dies with the session but the warehouse
+    directory persists — remove an orphaned location so saveAsTable can
+    recreate the table in a fresh session."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = warehouse.removeprefix("file:") + "/" + table
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ot, lt = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    if not spark.catalog.tableExists(ot):
+        _drop_stale_location(spark, ot)
+        tbl(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).write.bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(ot)
+    if not spark.catalog.tableExists(lt):
+        _drop_stale_location(spark, lt)
+        tbl(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ).write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(lt)
+    return ot, lt
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("layout", "join", "bucketing"),
+    doc=f"Bucketed co-located fact-fact join: orders and lineitem persist "
+    f"bucketed {N_BUCKETS}-way on the order key, so the join (and any later "
+    "join/agg on that key) runs with NO shuffle of either side — the "
+    "write-once layout that amortizes the 100 TB shuffle. Joining the "
+    "bucketed tables must equal joining the originals (oracle).",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, lt = _bucketed_tables(spark, sf_dir)
+    o = spark.table(ot)
+    l = spark.table(lt)  # noqa: E741
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+        )
+    )

@@ -115,3 +115,22 @@ def test_chunking_and_redaction_are_narrow(spark, sf_dir):
     for name in ("doc_chunk_fixed_tokens", "text_pii_redact"):
         plan = plan_of(spark, sf_dir, name)
         assert "Exchange" not in plan, name
+
+
+def test_partitioned_scan_prunes(spark, sf_dir):
+    # the layout entry's filtered read must show a partition filter on
+    # event_type — whole-directory pruning, the 100 TB read-path win
+    plan = plan_of(spark, sf_dir, "partitioned_write_prune_scan")
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    # both sides persist bucketed on the order key: the join never shuffles
+    # on the join key (at tiny SF AQE may broadcast instead — also
+    # shuffle-free; at scale the bucketed scans align). The only allowed
+    # Exchange is the post-join aggregation's, keyed on o_orderstatus.
+    plan = plan_of(spark, sf_dir, "bucketed_colocated_join")
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
