@@ -216,3 +216,54 @@ def corpus_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.expr(f"{key} % 100 < {SAMPLE_PCT}")).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+MIX_DENOM = 1_000_000  # hash-fraction resolution for keep decisions
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    probs AS (
+      SELECT source, n_docs,
+             CAST(round(sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE)
+                             / n_docs) * {MIX_DENOM}) AS BIGINT) AS keep_ppm
+      FROM counts),
+    kept AS (
+      SELECT d.source, p.n_docs, p.keep_ppm
+      FROM documents d JOIN probs p ON d.source = p.source
+      WHERE ({duck_md5_long("'mix' || CAST(doc_id AS VARCHAR)")}) % {MIX_DENOM} < p.keep_ppm)
+    SELECT source, n_docs AS n_orig, keep_ppm, count(*) AS n_kept
+    FROM kept GROUP BY source, n_docs, keep_ppm
+    """,
+    tags=("corpus", "sampling", "pipeline"),
+    doc="Temperature-style source rebalancing (the multilingual-mixture "
+    "resampling step): per-source keep probability sqrt(n_min/n_s) "
+    "downsamples dominant sources toward the rarest. sqrt is IEEE "
+    "correctly-rounded — bit-identical cross-engine, unlike pow — and the "
+    "keep decision is an exact integer comparison of a seeded md5 fraction "
+    "against the ppm-quantized probability (no float boundary, no rand()). "
+    "The per-source probability table is tiny and broadcasts; the corpus "
+    "scan keeps its partitioning — one pass at any scale.",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    probs = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_docs",
+        F.expr(
+            f"CAST(round(sqrt(CAST(n_min AS DOUBLE) / n_docs) * {MIX_DENOM}) AS BIGINT)"
+        ).alias("keep_ppm"),
+    )
+    h = spark_md5_long("'mix' || CAST(doc_id AS STRING)")
+    kept = (
+        d.join(F.broadcast(probs), "source")
+        .filter(F.expr(f"({h}) % {MIX_DENOM}") < F.col("keep_ppm"))
+    )
+    return kept.groupBy("source", F.col("n_docs").alias("n_orig"), "keep_ppm").agg(
+        F.count("*").alias("n_kept")
+    )
