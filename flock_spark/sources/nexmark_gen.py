@@ -323,6 +323,33 @@ def ysb_campaign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bid_stream(spark: SparkSession) -> DataFrame:
+    """The generated bid table staged once as multi-file parquet, read back
+    as a bounded file stream (micro-batches of 2 files) — the generator →
+    worker stream loop (nexmark/source.rs:32-77)."""
+    import os
+    import shutil
+    import tempfile
+
+    # path keyed by N_EVENTS: a staged stream from a different-sized run must
+    # never be reused (the oracle regenerates at the current size)
+    path = os.path.join(
+        tempfile.gettempdir(), f"flock_spark_nexmark_bid_stream_{N_EVENTS}"
+    )
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        nexmark_table(spark, "bid").repartition(4).write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, path)
+    return (
+        spark.readStream.schema(
+            "auction bigint, bidder bigint, price bigint, b_date_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+
+
 @register(
     "streaming_nexmark_q1",
     oracle=f"""
@@ -337,33 +364,50 @@ def ysb_campaign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "generator oracle exactly.",
 )
 def streaming_nexmark_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from flock_spark.streaming.runner import run_to_memory
 
-    # path keyed by N_EVENTS: a staged stream from a different-sized run must
-    # never be reused (the oracle regenerates at the current size)
-    path = os.path.join(
-        tempfile.gettempdir(), f"flock_spark_nexmark_bid_stream_{N_EVENTS}"
-    )
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        nexmark_table(spark, "bid").repartition(4).write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, path)
-    s = (
-        spark.readStream.schema(
-            "auction bigint, bidder bigint, price bigint, b_date_time timestamp"
-        )
-        .option("maxFilesPerTrigger", 2)
-        .parquet(path)
-    )
-    out = s.selectExpr(
+    out = _bid_stream(spark).selectExpr(
         "auction", "bidder", "round(0.908 * CAST(price AS DOUBLE), 6) AS price_eur", "b_date_time"
     )
     return run_to_memory(out, output_mode="append")
+
+
+@register(
+    "streaming_nexmark_native_q7",
+    oracle=f"""
+    WITH b AS ({_duck_nexmark("bid")}),
+    w AS (SELECT auction, bidder, price, b_date_time,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + CAST(floor(date_diff('second',
+                                          TIMESTAMP '2024-01-01 00:00:00',
+                                          b_date_time) / 10) * 10 AS BIGINT)
+                     * INTERVAL 1 SECOND AS wstart
+          FROM b)
+    SELECT w.wstart, w.auction, w.bidder, w.price
+    FROM w JOIN (SELECT wstart AS w2, max(price) AS mp FROM w GROUP BY wstart) m
+      ON w.wstart = m.w2 AND w.price = m.mp
+    """,
+    tags=("nexmark", "native", "streaming", "window_time"),
+    doc="NEXMark q7 over the native bid stream as a REAL streaming query: "
+    "the reference's Tumbling(10 s) driver re-runs the max-join per window "
+    "(benchmarks/src/nexmark/main.rs:116-123, q7.sql); here micro-batches "
+    "stage to parquet executor-side (runner.stage_batches — the scale-safe "
+    "full-recompute model) and the per-window max join runs distributed "
+    "over everything staged. Emits every bid tied at its window's max.",
+)
+def streaming_nexmark_native_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flock_spark.streaming.runner import stage_batches
+
+    s = _bid_stream(spark)
+    staged = stage_batches(s)
+    w = staged.withColumn("wstart", F.window("b_date_time", "10 seconds").start)
+    mx = w.groupBy(F.col("wstart").alias("w2")).agg(F.max("price").alias("mp"))
+    return (
+        w.join(mx, (w.wstart == mx.w2) & (w.price == mx.mp))
+        .select("wstart", "auction", "bidder", "price")
+    )
 
 
 @register(
