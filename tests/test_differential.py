@@ -143,3 +143,54 @@ def test_random_window_topk_matches_duckdb(spark, where):
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     con.close()
     assert got == want, f"engines disagree for window WHERE {where}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(gap_sec=st.integers(min_value=60, max_value=86400))
+def test_random_session_gap_matches_duckdb(spark, gap_sec):
+    """session_window merges events exactly `gap` apart (strict > breaks) —
+    pinned across random gaps, since the off-by-one only shows at particular
+    gap/data alignments (round-1 lesson)."""
+    from pyspark.sql import functions as F
+
+    from flock_spark.catalog import tbl
+
+    e = tbl(spark, SF_DIR, "events")
+    got = sorted(
+        tuple(r)
+        for r in (
+            e.groupBy(F.session_window("ts", f"{gap_sec} seconds").alias("w"), "user_id")
+            .agg(F.count("*").alias("cnt"))
+            .select("user_id", F.col("w.start").alias("session_start"), "cnt")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL '{gap_sec} seconds'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM gaps)
+            SELECT user_id, min(ts) AS session_start, count(*) AS cnt
+            FROM sessions GROUP BY user_id, sess_id
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, f"session mismatch at gap={gap_sec}s"
