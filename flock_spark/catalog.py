@@ -172,9 +172,11 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register temp views so queries can be phrased in pure SQL (memoized
-    per session/dir/table, same rationale as the tbl() memo)."""
+    like tbl(), but keyed per SESSION object as well: temp views live in the
+    session, not the shared SparkContext, so a sibling spark.newSession()
+    must not hit a memo populated by another session)."""
     for name in names or TABLE_NAMES:
-        key = (session_key(spark), sf_dir, name)
+        key = (f"{session_key(spark)}/{id(spark)}", sf_dir, name)
         if key in _VIEWS_MEMO:
             continue
         tbl(spark, sf_dir, name).createOrReplaceTempView(name)

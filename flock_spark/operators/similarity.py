@@ -132,11 +132,13 @@ def _bucket_duck() -> str:
     doc=f"Brute-force cosine top-{TOP_K}, distributed-top-k shape: the query "
     f"matrix (≤{N_QUERIES} rows by construction) broadcasts to executors; "
     "each corpus partition computes one normalized GEMM per Arrow batch "
-    "(mapInPandas) and emits its local top-k per query under the final "
-    "(rounded sim, id) total order, so the global re-rank provably sees "
-    "every possible winner while touching |partitions|×|queries|×k rows, "
-    "not the full |queries|×|corpus| score matrix. No per-pair rows ever "
-    "shuffle — the same plan at 100 TB moves only candidate sets.",
+    "(mapInPandas) and keeps every candidate within a 2e-6 raw-score band "
+    "of its local k-th — a provably sufficient candidate set under ANY "
+    "round-to-6 ordering (see in-function proof), so the global Spark-side "
+    "re-rank sees every possible winner while touching about "
+    "|partitions|×|queries|×k rows, not the full |queries|×|corpus| score "
+    "matrix. No per-pair rows ever shuffle — the same plan at 100 TB moves "
+    "only candidate sets.",
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -168,23 +170,27 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             xn = x / np.linalg.norm(x, axis=1, keepdims=True)
             s = xn @ q_norm.T  # corpus_rows × queries
             s[ids[:, None] == q_ids[None, :]] = -np.inf  # exclude self-match
-            # preselect under the FINAL ordering (rounded sim desc, id asc):
-            # the global top-k under a total order is always a subset of the
-            # union of batch-local top-k under that same order, so k = TOP_K
-            # exactly and no tie can evict a global winner (round-1 advisor
-            # finding: raw-score preselection with a fixed margin could).
-            s6 = np.round(s, 6)
+            # Provable preselect WITHOUT reproducing Spark's rounding in
+            # numpy (np.round is half-even on the binary value; Spark round
+            # is HALF_UP on the shortest repr — they disagree on boundaries):
+            # keep every candidate within 2e-6 of the batch's k-th raw
+            # score. If a candidate is cut, >= k batch-mates beat it by
+            # > 2e-6 raw, hence by >= 1e-6 rounded (|round(x)-x| <= 5e-7),
+            # i.e. strictly under ANY round-to-6 — so it can never re-enter
+            # the global top-k and the final Spark-side re-rank sees every
+            # possible winner. Band width beyond k is ~0 for real cosines.
             k = min(TOP_K, s.shape[0])
+            kth = -np.partition(-s, k - 1, axis=0)[k - 1]  # per-query k-th raw
             frames = []
             for j in range(len(q_ids)):
-                order = np.lexsort((ids, -s6[:, j]))[:k]
+                keep = np.flatnonzero(s[:, j] >= kth[j] - 2e-6)
                 frames.append(
                     pd.DataFrame(
                         {
-                            "query_id": np.full(k, q_ids[j]),
-                            "neighbor_id": ids[order],
-                            "neighbor_label": labels[order].astype("int64"),
-                            "raw_sim": s[order, j],
+                            "query_id": np.full(len(keep), q_ids[j]),
+                            "neighbor_id": ids[keep],
+                            "neighbor_label": labels[keep].astype("int64"),
+                            "raw_sim": s[keep, j],
                         }
                     )
                 )

@@ -249,16 +249,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     formats, flock/src/datasink/mod.rs:47-63). Types are chosen to be
     roundtrip-exact in text formats (long/double/string; Java double
     serialization is shortest-roundtrip)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    from flock_spark.staging import stage_once
 
-    tag = hashlib.md5(f"{sf_dir}:{fmt}".encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"flock_spark_rt_{fmt}_{tag}")
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+    def write_rt(tmp: str) -> None:
         o = tbl(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         )
@@ -266,7 +259,8 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         if fmt == "csv":
             w = w.option("header", "true")
         getattr(w, fmt)(tmp)
-        os.replace(tmp, path)
+
+    path = stage_once(f"rt_{fmt}_{sf_dir}", "v1-orders4col", write_rt)
     r = spark.read
     schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
     if fmt == "csv":

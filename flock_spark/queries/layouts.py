@@ -25,22 +25,15 @@ N_BUCKETS = 8
 
 
 def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
+    from flock_spark.staging import stage_once
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"flock_spark_part_events_{tag}")
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+    def write_partitioned(tmp: str) -> None:
         # hive-style event_type=X directories: readers prune whole dirs
         tbl(spark, sf_dir, "events").write.partitionBy("event_type").mode(
             "overwrite"
         ).parquet(tmp)
-        os.replace(tmp, path)
-    return path
+
+    return stage_once(f"part_events_{sf_dir}", "v1-by-event-type", write_partitioned)
 
 
 @register(
@@ -82,8 +75,10 @@ def _drop_stale_location(spark: SparkSession, table: str) -> None:
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import hashlib
 
+    # v-suffix versions the projection/bucketing scheme: bump it when either
+    # changes so a stale warehouse table is never reused against a fresh oracle
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    ot, lt = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    ot, lt = f"orders_bkt_{tag}_v1", f"lineitem_bkt_{tag}_v1"
     if not spark.catalog.tableExists(ot):
         _drop_stale_location(spark, ot)
         tbl(spark, sf_dir, "orders").select(

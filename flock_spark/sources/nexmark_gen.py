@@ -28,12 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flock_spark.registry import register
 
-# 50 s of stream at 1000 events/s by default. Overridable so correctness
-# sweeps can run a smaller stream (generation + oracle re-generation happen
-# once per registered NEXMark query on BOTH engines); bench.py pins the full
-# 50k so benchmark numbers stay comparable across rounds. Both the Spark and
-# DuckDB generators read this one constant at import time, so any override
-# stays cross-engine consistent.
+# Stream length in events: default 20 s at 1000 events/s (20k events = 400
+# persons, 1200 auctions, 18400 bids) so correctness sweeps stay cheap
+# (generation + oracle re-generation happen once per registered NEXMark
+# query on BOTH engines); bench.py pins 50000 (the full 50 s stream) so
+# benchmark numbers stay comparable across rounds. Both the Spark and DuckDB
+# generators read this one constant at import time, so any override stays
+# cross-engine consistent.
 N_EVENTS = int(os.environ.get("FLOCK_SPARK_NEXMARK_EVENTS", "20000"))
 BLOCK = 50
 PERSONS_PER_BLOCK = 1
@@ -327,20 +328,20 @@ def _bid_stream(spark: SparkSession) -> DataFrame:
     """The generated bid table staged once as multi-file parquet, read back
     as a bounded file stream (micro-batches of 2 files) — the generator →
     worker stream loop (nexmark/source.rs:32-77)."""
-    import os
-    import shutil
-    import tempfile
+    import hashlib
 
-    # path keyed by N_EVENTS: a staged stream from a different-sized run must
-    # never be reused (the oracle regenerates at the current size)
-    path = os.path.join(
-        tempfile.gettempdir(), f"flock_spark_nexmark_bid_stream_{N_EVENTS}"
-    )
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+    from flock_spark.staging import stage_once
+
+    def write_bids(tmp: str) -> None:
         nexmark_table(spark, "bid").repartition(4).write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, path)
+
+    # version = hash of the generator SQL: any change to bid derivation (or
+    # to N_EVENTS, which the SQL embeds) invalidates the staged stream so it
+    # can never drift from the freshly-regenerated oracle
+    version = hashlib.md5(
+        _nexmark_sql(_H_SPARK, "ids")["bid"].encode()
+    ).hexdigest()[:10]
+    path = stage_once("nexmark_bid_stream", version, write_bids)
     return (
         spark.readStream.schema(
             "auction bigint, bidder bigint, price bigint, b_date_time timestamp"

@@ -304,19 +304,10 @@ def json_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wire decode.",
 )
 def streaming_kafka_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
-    from flock_spark.streaming.source import bounded_stream as _  # noqa: F401
     from flock_spark.catalog import tbl
+    from flock_spark.staging import stage_once
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"flock_spark_kafka_wire_{tag}")
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+    def write_wire(tmp: str) -> None:
         e = tbl(spark, sf_dir, "events")
         wire = e.select(
             F.lit("events").alias("topic"),
@@ -326,7 +317,8 @@ def streaming_kafka_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias("value"),
         )
         wire.repartition(4).write.mode("overwrite").json(tmp)
-        os.replace(tmp, path)
+
+    path = stage_once(f"kafka_wire_{sf_dir}", "v2-envelope-mod8", write_wire)
     records = (
         spark.readStream.schema(
             "topic string, partition bigint, offset bigint, key string, value string"
@@ -370,8 +362,10 @@ def queue_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flock_spark.sinks import foreach_batch_sink
 
+    from flock_spark.staging import ephemeral_dir
+
     s = bounded_stream(spark, sf_dir, "events").select("event_id", "event_type")
-    qdir = tempfile.mkdtemp(prefix="flock_spark_queue_")
+    qdir = ephemeral_dir("flock_spark_queue_")
     redelivered: set[int] = set()
 
     def enqueue(df: DataFrame, epoch: int) -> None:

@@ -101,8 +101,12 @@ def stage_batches(stream_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
     parquet scan of everything staged (partition-discovered `epoch` column
     dropped), so downstream aggregation runs fully distributed.
     """
+    from flock_spark.staging import ephemeral_dir
+
     spark = stream_df.sparkSession
-    stage_dir = tempfile.mkdtemp(prefix="flock_spark_stage_")
+    # ephemeral: the returned DataFrame reads these files for the rest of
+    # the run; removed at process exit instead of leaking across sweeps
+    stage_dir = ephemeral_dir("flock_spark_stage_")
     cols = stream_df.columns
 
     def absorb(df: DataFrame, epoch: int) -> None:
