@@ -194,3 +194,44 @@ def test_random_session_gap_matches_duckdb(spark, gap_sec):
     )
     con.close()
     assert got == want, f"session mismatch at gap={gap_sec}s"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(width_sec=st.integers(min_value=1, max_value=604800))
+def test_random_tumbling_width_matches_duckdb(spark, width_sec):
+    """window(ts, N seconds) buckets are epoch-aligned: start = floor(epoch/N)*N.
+    Pinned across random widths against the arithmetic oracle."""
+    from pyspark.sql import functions as F
+
+    from flock_spark.catalog import tbl
+
+    e = tbl(spark, SF_DIR, "events")
+    got = sorted(
+        tuple(r)
+        for r in (
+            e.groupBy(F.window("ts", f"{width_sec} seconds").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("wstart"), "cnt")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT to_timestamp(CAST(floor(epoch(ts) / {width_sec}) AS BIGINT)
+                                * {width_sec})::TIMESTAMP AS wstart,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, f"tumble mismatch at width={width_sec}s"
