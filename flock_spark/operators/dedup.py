@@ -128,11 +128,16 @@ def _duck_shingles(distinct: bool) -> str:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS ({_duck_shingles(distinct=True)}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    WITH base AS (
+      SELECT doc_id,
+             list_distinct([{duck_md5_long(f'substring(text, i, {SHINGLE_K})')}
+                            for i in generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))]) AS hs
+      FROM documents),
+    sh AS (SELECT doc_id, unnest(hs) AS h FROM base),
+    sizes AS (SELECT doc_id, len(hs) AS n FROM base),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b, n_common,
            (n_common / (sa.n + sb.n - n_common)) AS jaccard
@@ -144,18 +149,34 @@ def _duck_shingles(distinct: bool) -> str:
     tags=("dedup", "join"),
     doc=f"Exact character-{SHINGLE_K}-gram Jaccard near-dup pairs (threshold "
     f"{JACCARD_NUM / JACCARD_DEN}). Threshold test is integer arithmetic — no float "
-    "boundary. This is the exact baseline the MinHash sketch approximates; at "
-    "scale the shingle self-join is the bottleneck (hot shingles) and "
-    "dedup_minhash_lsh_pairs is the production path.",
+    "boundary. Both engines shingle on the 60-bit md5 hash (identical function, "
+    "so a collision affects both identically); per-doc set sizes come from the "
+    "shingle array without a shuffle. The probe side is repartitioned by doc_id "
+    "so pair generation parallelizes evenly (each doc's cost ∝ the document "
+    "frequencies of its own shingles) instead of inheriting the file scan's "
+    "partitioning; pair counting is map-side partial-aggregated in the same "
+    "stage. This is the exact baseline the MinHash sketch approximates — on a "
+    "dense corpus the pair-row blowup is Σ df² by nature, and "
+    "dedup_minhash_lsh_pairs is the production path at scale.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    sh = _spark_shingles(d, distinct=True).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    hs = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
+        f" i -> {spark_md5_long(f'substring(text, i, {SHINGLE_K})')}))"
+    )
+    base = d.select("doc_id", hs.alias("hs"))
+    sizes = base.select("doc_id", F.size("hs").alias("n"))
+    sh = base.select("doc_id", F.explode("hs").alias("h"))
+    # Spread the Σ df² pair-generation work across all cores: the scan is one
+    # file → one partition, and a broadcast join inherits probe partitioning.
+    # Explicit partition count — AQE would coalesce by shuffle *bytes* (tiny),
+    # but this stage's cost is the pair blowup, not its input size.
+    n_part = spark.sparkContext.defaultParallelism * 2
+    probe = sh.repartition(n_part, F.col("doc_id")).alias("a")
+    build = F.broadcast(sh.alias("b"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        probe.join(build, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
