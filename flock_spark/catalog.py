@@ -170,6 +170,24 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism iff the plan would
+    otherwise run on fewer partitions than cores.
+
+    The test-scale tables are single-row-group parquet files, so scans are
+    one partition no matter what split configs say — any heavy per-row
+    expression rooted directly on the scan (md5 shingle folds, sketch
+    signatures, array dot products) runs single-threaded without this. On a
+    real deployment the scan already has ≥ cores splits and this returns the
+    input unchanged (no shuffle).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register temp views so queries can be phrased in pure SQL (memoized
     like tbl(), but keyed per SESSION object as well: temp views live in the

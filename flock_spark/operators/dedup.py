@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flock_spark.catalog import tbl
+from flock_spark.catalog import spread, tbl
 from flock_spark.operators.hashing import (
     duck_md5_long,
     spark_md5_long,
@@ -222,7 +222,7 @@ def _spark_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_key(spark), sf_dir, "minhash")
     if key in _SIG_MEMO:
         return _SIG_MEMO[key]
-    d = tbl(spark, sf_dir, "documents")
+    d = spread(tbl(spark, sf_dir, "documents"))
     hs = (
         f"transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
         f" i -> {spark_md5_long(f'substring(text, i, {SHINGLE_K})')})"
@@ -336,7 +336,7 @@ def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_key(spark), sf_dir, "simhash")
     if key in _SIG_MEMO:
         return _SIG_MEMO[key]
-    d = tbl(spark, sf_dir, "documents")
+    d = spread(tbl(spark, sf_dir, "documents"))
     hs = (
         f"transform(filter(split(text, ' '), t -> t <> ''),"
         f" t -> {spark_md5_long('t')})"
@@ -470,7 +470,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    a = e.alias("a")
+    # spread the probe side: the per-pair dot products run on the join
+    # output, which inherits the probe partitioning (single-split scan)
+    a = spread(e).alias("a")
     b = e.alias("b")
 
     def dot(x: str, y: str) -> str:

@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Split even small files across cores: test-scale parquet is a single
+        # ~1 MB file, and without this every scan-rooted stage with heavy
+        # per-row compute (md5 shingle folds, sketches) runs single-threaded.
+        # At 100 TB the input is many splits and this floor is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -66,10 +66,14 @@ def test_semi_anti_join_plans(spark, sf_dir):
 
 def test_sketches_are_shuffle_free(spark, sf_dir):
     # minhash signatures / simhash / repetition stats fold per-row with
-    # higher-order functions — a narrow map stage, no Exchange at any scale
+    # higher-order functions — no key-based Exchange at any scale. The only
+    # Exchange allowed is catalog.spread()'s RoundRobin input balancing,
+    # which exists solely because test-scale parquet is a single split; no
+    # hashpartitioning may appear (that would mean the fold itself shuffles).
     for name in ("dedup_minhash_signatures", "dedup_simhash", "corpus_repetition_stats"):
         plan = plan_of(spark, sf_dir, name)
-        assert "Exchange" not in plan, name
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
         assert "Generate" not in plan, name  # no explode either
 
 
