@@ -53,6 +53,8 @@ HEADLINE = [
     "ysb_campaign_counts",
     "corpus_decontaminate",
     "kmeans_two_iterations",
+    "dedup_semdedup_prune",
+    "cdc_upsert_latest",
     # streaming path: full micro-batch drain is the measured cost
     "streaming_tumbling_agg",
     "streaming_kafka_wire_decode",

@@ -336,24 +336,16 @@ _IVF_ORACLE = f"""
 """
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=_IVF_ORACLE,
-    tags=("similarity", "embedding", "sketch"),
-    doc=f"IVF ANN: corpus assigned to data-driven cells (nearest of the "
-    f"deterministic centroid subset vec_id % {CENTROID_MOD} = {CENTROID_REM}; "
-    "assignment via one broadcast-GEMM pass in mapInPandas), then exact "
-    f"top-{IVF_TOP_K} re-rank within the query's cell only. At 100 TB the "
-    "assigned table persists partitioned by cell — a query prunes to one "
-    "cell's partition. Assignment and ranking round to 6 decimals with id "
-    "tie-breaks, so Spark and DuckDB pick identical cells and neighbors.",
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → IVF cell assignment (vec_id, label, cell, v, norm), shared by
+    the ANN search and SemDeDup pruning.
+
+    O(1) collect: exactly N_IVF_CENTROIDS centroid rows at any corpus size
+    (the LIMIT plans as TakeOrderedAndProject); assignment is one broadcast
+    GEMM pass per Arrow batch — the corpus never shuffles to get its cell."""
     import numpy as np
 
     e = _spark_vecs(spark, sf_dir)
-    # O(1) collect: exactly N_IVF_CENTROIDS rows at any corpus size; the
-    # LIMIT plans as TakeOrderedAndProject (partition-local top-k, merge)
     crows = (
         e.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_REM)
         .select("vec_id", "v")
@@ -367,8 +359,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((cids, cn))
 
     def assign(batches):
-        import pandas as pd
-
         c_ids, c_norm = bc.value
         for pdf in batches:
             if pdf.empty:
@@ -384,9 +374,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["v"] = pdf["v"]
             yield out
 
-    assigned = e.mapInPandas(
+    return e.mapInPandas(
         assign, schema="vec_id long, label long, cell long, v array<double>"
     ).withColumn("norm", F.expr(f"sqrt({_dot('v', 'v')})"))
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_ORACLE,
+    tags=("similarity", "embedding", "sketch"),
+    doc=f"IVF ANN: corpus assigned to data-driven cells (nearest of the "
+    f"deterministic centroid subset vec_id % {CENTROID_MOD} = {CENTROID_REM}; "
+    "assignment via one broadcast-GEMM pass in mapInPandas), then exact "
+    f"top-{IVF_TOP_K} re-rank within the query's cell only. At 100 TB the "
+    "assigned table persists partitioned by cell — a query prunes to one "
+    "cell's partition. Assignment and ranking round to 6 decimals with id "
+    "tie-breaks, so Spark and DuckDB pick identical cells and neighbors.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir)
     q = (
         assigned.filter(F.col("vec_id") % 50 == 0)
         .orderBy("vec_id")
@@ -413,6 +419,86 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= IVF_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup = cluster
+# the embedding space, then drop all but one of each within-cluster group of
+# high-cosine neighbors. The clustering makes it scale: candidate pairs are
+# an equi-join on the cell key, never a corpus cross join.
+# --------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.35  # same near-dup threshold as dedup_embedding_cosine
+
+_SEMDEDUP_ASSIGN = f"""
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             WHERE vec_id % {CENTROID_MOD} = {CENTROID_REM}
+             ORDER BY vec_id LIMIT {N_IVF_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cent c) t
+      WHERE rn = 1)
+"""
+
+
+@register(
+    "dedup_semdedup_prune",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN},
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEMDEDUP_T})
+    SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+    tags=("similarity", "embedding", "dedup", "pipeline"),
+    doc=f"SemDeDup semantic pruning: assign every embedding to its IVF cell "
+    f"(shared with ann_ivf_topk), then within each cell drop every vector "
+    f"that has a lower-id neighbor with cosine ≥ {SEMDEDUP_T} — the "
+    "canonical survivor per semantic group is the lowest id, so the kept "
+    "set is deterministic. Pair generation is an equi-join on the cell key "
+    "(cost ∝ within-cell pairs, never corpus²); pair dots are one numpy "
+    "einsum per Arrow batch; similarities round to 6 before the threshold "
+    "so engines agree at boundaries. At 100 TB the assigned table persists "
+    "partitioned by cell and each cell prunes independently.",
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "cell", "v", "norm")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = F.round(
+        _pair_dot()(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= SEMDEDUP_T)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+        )
     )
 
 

@@ -35,6 +35,15 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "o_totalprice" in plan.split("PushedFilters")[1][:300]
 
 
+def test_asof_cutoff_pushes_to_scan(spark, sf_dir):
+    # the time-travel cutoff filters the RAW int64 nanos column, so it must
+    # reach the parquet scan (row-group min/max pruning at scale) instead of
+    # stopping at the ns→µs conversion projection
+    plan = plan_of(spark, sf_dir, "cdc_snapshot_asof")
+    pushed = plan.split("PushedFilters: [")[1][:200]
+    assert "LessThanOrEqual(ts" in pushed
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "proj_arith")
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
