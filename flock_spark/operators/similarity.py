@@ -336,14 +336,25 @@ _IVF_ORACLE = f"""
 """
 
 
+_IVF_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus → IVF cell assignment (vec_id, label, cell, v, norm), shared by
     the ANN search and SemDeDup pruning.
 
     O(1) collect: exactly N_IVF_CENTROIDS centroid rows at any corpus size
     (the LIMIT plans as TakeOrderedAndProject); assignment is one broadcast
-    GEMM pass per Arrow batch — the corpus never shuffles to get its cell."""
+    GEMM pass per Arrow batch — the corpus never shuffles to get its cell.
+    The plan is memoized per (session, dir): building it runs a centroid
+    collect job, and semdedup references it on both sides of a self-join."""
     import numpy as np
+
+    from flock_spark.catalog import session_key
+
+    memo_key = (session_key(spark), sf_dir)
+    if memo_key in _IVF_MEMO:
+        return _IVF_MEMO[memo_key]
 
     e = _spark_vecs(spark, sf_dir)
     crows = (
@@ -374,9 +385,11 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["v"] = pdf["v"]
             yield out
 
-    return e.mapInPandas(
+    out = e.mapInPandas(
         assign, schema="vec_id long, label long, cell long, v array<double>"
     ).withColumn("norm", F.expr(f"sqrt({_dot('v', 'v')})"))
+    _IVF_MEMO[memo_key] = out
+    return out
 
 
 @register(
@@ -467,38 +480,37 @@ _SEMDEDUP_ASSIGN = f"""
     f"(shared with ann_ivf_topk), then within each cell drop every vector "
     f"that has a lower-id neighbor with cosine ≥ {SEMDEDUP_T} — the "
     "canonical survivor per semantic group is the lowest id, so the kept "
-    "set is deterministic. Pair generation is an equi-join on the cell key "
-    "(cost ∝ within-cell pairs, never corpus²); pair dots are one numpy "
-    "einsum per Arrow batch; similarities round to 6 before the threshold "
-    "so engines agree at boundaries. At 100 TB the assigned table persists "
-    "partitioned by cell and each cell prunes independently.",
+    "set is deterministic. One shuffle groups each cell onto one executor; "
+    "the whole within-cell pair matrix is ONE numpy GEMM + triangular mask "
+    "per cell (applyInPandas) — no pair join, no per-pair UDF calls; "
+    "similarities round to 6 before the threshold so engines agree at "
+    "boundaries. Parallelism = cell count, so at scale N_IVF_CENTROIDS "
+    "grows ~sqrt(corpus) (SemDeDup's own regime), keeping every cell's "
+    "GEMM bounded and the prune embarrassingly parallel.",
 )
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "cell", "v", "norm")
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    sim = F.round(
-        _pair_dot()(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
-        6,
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    import numpy as np
+
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "cell", "v")
+
+    def prune_cell(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.stack(pdf["v"].to_numpy())
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        s = np.round(xn @ xn.T, 6)
+        # dropped iff ANY lower-id vector in the cell is >= T similar:
+        # rows are id-sorted, so column i's lower-id neighbors are rows j<i
+        # — the strict upper triangle, one GEMM per cell
+        triu = np.triu(s, k=1)
+        kept = ~(triu >= SEMDEDUP_T).any(axis=0)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "kept": kept}
         )
-        .filter(sim >= SEMDEDUP_T)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(True))
-    )
-    return (
-        assigned.join(dropped, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
-        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune_cell, schema="vec_id long, cell long, kept boolean"
     )
 
 
