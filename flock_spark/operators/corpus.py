@@ -267,3 +267,53 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source", F.col("n_docs").alias("n_orig"), "keep_ppm").agg(
         F.count("*").alias("n_kept")
     )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             {duck_md5_long("'shuf' || CAST(doc_id AS STRING)")} AS hkey,
+             {duck_md5_long("'shuf' || CAST(doc_id AS STRING)")} % {N_SHARDS} AS shard
+      FROM documents),
+    positioned AS (
+      SELECT shard, n_chars,
+             row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS pos
+      FROM sharded)
+    SELECT shard, count(*) AS n_docs, sum(n_chars) AS n_chars,
+           max(pos) AS shard_len
+    FROM positioned
+    GROUP BY shard
+    """,
+    tags=("corpus", "pipeline", "sort"),
+    doc=f"Deterministic global training shuffle + shard assignment: shard = "
+    f"seeded md5(doc_id) % {N_SHARDS} is a pure projection (no global "
+    "sort), and each shard orders its rows by the same hash — together one "
+    "reproducible permutation of the corpus, identical on any cluster "
+    "layout and any rerun (df.orderBy(rand()) is neither). The only wide "
+    "op is the per-shard window, which parallelizes across shards; in "
+    "production N_SHARDS tracks the reader fleet (thousands), so no task "
+    "sees more than one shard's rows. Per-shard sizes reported so balance "
+    "is auditable (hash striping is binomial-tight at scale).",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    hkey = F.expr(spark_md5_long("'shuf' || CAST(doc_id AS STRING)"))
+    sharded = d.select(
+        "doc_id", "n_chars", hkey.alias("hkey"), (hkey % N_SHARDS).alias("shard")
+    )
+    positioned = sharded.withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("shard").orderBy("hkey", "doc_id")),
+    )
+    return positioned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.max("pos").alias("shard_len"),
+    )
