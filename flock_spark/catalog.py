@@ -171,29 +171,30 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_until(spark: SparkSession, sf_dir: str, cutoff_utc: str) -> DataFrame:
-    """events with ts <= cutoff, with the predicate applied to the RAW int64
-    nanosecond column *before* the ns→µs conversion.
+    """events with ts <= cutoff, with the predicate applied to the SCAN's own
+    ts column so it pushes into the parquet reader.
 
-    tbl()'s ts is `timestamp_micros(ts div 1000)` — a derived column, so a
-    filter on it cannot push past the projection into the parquet scan. For
-    time-travel queries the cutoff is the main pruning lever (row-group
-    min/max statistics skip every later file), so we translate the cutoff to
-    raw nanos and filter the scan column itself; the pushed filter shows up
-    as LessThanOrEqual(ts, …) in PushedFilters (pinned in test_plans).
+    For time-travel queries the cutoff is the main pruning lever (row-group
+    min/max statistics skip every later file), so the filter must land on
+    the stored column, not a derived one. The driver's parquet stores ts as
+    either TIMESTAMP(MICROS) (filter with a timestamp literal directly) or
+    int64 nanoseconds (readable via nanosAsLong; filter on the raw long,
+    then convert). Both paths show LessThanOrEqual(ts, …) in PushedFilters.
     """
     from datetime import datetime, timezone
 
-    cutoff_ns = int(
-        datetime.strptime(cutoff_utc, "%Y-%m-%d %H:%M:%S")
-        .replace(tzinfo=timezone.utc)
-        .timestamp()
-        * 1_000_000
-    ) * 1_000
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
-        F.col("ts") <= F.lit(cutoff_ns)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        cutoff_ns = int(
+            datetime.strptime(cutoff_utc, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1_000_000
+        ) * 1_000
+        raw = raw.filter(F.col("ts") <= F.lit(cutoff_ns))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.filter(F.col("ts") <= F.to_timestamp(F.lit(cutoff_utc)))
 
 
 def spread(df: DataFrame) -> DataFrame:

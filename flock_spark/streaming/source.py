@@ -25,14 +25,33 @@ from flock_spark.catalog import SCHEMAS
 EVENT_TYPES = ["click", "signup", "error", "view", "purchase"]
 
 
+def _events_ts_stored_as_long(sf_dir: str) -> bool:
+    """True iff events.ts is physically int64 nanoseconds (readable only via
+    nanosAsLong); False for TIMESTAMP(MICROS), which streams natively. The
+    driver has shipped both layouts across rounds, so detect per-directory."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir.rstrip('/')}/events.parquet").field("ts").type
+    return str(t) in ("int64", "timestamp[ns]")
+
+
 def bounded_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """readStream over one parquet table (explicit schema, required for
-    streaming). events.ts (timestamp[ns]) is read as long and truncated to
-    µs, matching the batch catalog path."""
+    streaming). events.ts matches the batch catalog path: int64-nanos files
+    are read as long and truncated to µs; TIMESTAMP(MICROS) files are read
+    as TIMESTAMP_NTZ directly (what batch schema inference yields)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = SCHEMAS[name]
+    ts_is_long = name == "events" and _events_ts_stored_as_long(sf_dir)
     read_fields = [
-        T.StructField(f.name, T.LongType() if name == "events" and f.name == "ts" else f.dataType)
+        T.StructField(
+            f.name,
+            T.LongType()
+            if ts_is_long and f.name == "ts"
+            # watermarks require TIMESTAMP (LTZ); under the UTC session tz the
+            # stored NTZ micros read as the same wall-clock instants
+            else (T.TimestampType() if name == "events" and f.name == "ts" else f.dataType),
+        )
         for f in schema.fields
     ]
     df = (
@@ -42,7 +61,7 @@ def bounded_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if name == "events":
+    if ts_is_long:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

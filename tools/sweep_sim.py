@@ -1,0 +1,99 @@
+"""Simulate the driver's CORRECTNESS sweep locally, with per-entry timing.
+
+Runs every registry entry at the given sf dir (default sf0.01): executes the
+Spark query, collects, runs the DuckDB oracle, and compares the same
+(rows, schema-width, order-insensitive value multiset) contract as
+flock_spark.oracle.compare. Prints a per-entry line `name  spark_s  duck_s  ok`
+and a sorted summary of the slowest entries, so the full-sweep wall cost the
+external driver pays is visible and optimizable.
+
+Usage: python tools/sweep_sim.py [sf_dir] [--only substr] [--limit N]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import traceback
+
+from flock_spark.session import get_spark
+from flock_spark import oracle as orc
+from flock_spark.registry import get_queries, get_oracles
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.01"
+    only = None
+    limit = None
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--only":
+            only = args.pop(0)
+        elif a == "--limit":
+            limit = int(args.pop(0))
+        else:
+            sf_dir = a
+
+    spark = get_spark()
+    queries = get_queries()
+    oracles = get_oracles()
+
+    rows = []
+    t_total = time.time()
+    names = [n for n in queries if only is None or only in n]
+    if limit:
+        names = names[:limit]
+    for name in names:
+        fn = queries[name]
+        t0 = time.time()
+        status = "ok"
+        spark_s = duck_s = 0.0
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sorted(sdf.columns)
+            s_rows = [tuple(r[c] for c in s_cols) for r in sdf.collect()]
+            spark_s = time.time() - t0
+            if name in oracles:
+                t1 = time.time()
+                o_cols_raw, o_rows_raw = orc.run_oracle(oracles[name], sf_dir)
+                order = sorted(range(len(o_cols_raw)), key=lambda i: o_cols_raw[i])
+                o_rows = [tuple(r[i] for i in order) for r in o_rows_raw]
+                duck_s = time.time() - t1
+                from collections import Counter
+
+                sc = Counter(tuple(orc._canon(v) for v in r) for r in s_rows)
+                oc = Counter(tuple(orc._canon(v) for v in r) for r in o_rows)
+                if len(s_rows) != len(o_rows):
+                    status = f"ROWS {len(s_rows)} vs {len(o_rows)}"
+                elif sc != oc:
+                    status = "HASH"
+            else:
+                status = "ok(rows-only)"
+        except Exception as e:  # noqa: BLE001
+            status = f"ERR {type(e).__name__}: {e}"
+            traceback.print_exc()
+        total = time.time() - t0
+        rows.append((name, spark_s, duck_s, total, status))
+        print(f"{name:42s} {spark_s:7.2f} {duck_s:7.2f} {total:7.2f}  {status}", flush=True)
+
+    wall = time.time() - t_total
+    print(f"\nTOTAL {wall:.1f}s for {len(rows)} entries")
+    bad = [r for r in rows if not r[4].startswith("ok")]
+    print(f"FAILURES: {len(bad)}")
+    for r in bad:
+        print("  ", r[0], r[4])
+    print("\nSLOWEST 15:")
+    for r in sorted(rows, key=lambda r: -r[3])[:15]:
+        print(f"  {r[0]:42s} {r[3]:7.2f}  (spark {r[1]:.2f} duck {r[2]:.2f})")
+    with open("/tmp/sweep_sim.json", "w") as f:
+        json.dump(
+            {r[0]: {"spark_s": r[1], "duck_s": r[2], "total_s": r[3], "status": r[4]} for r in rows},
+            f,
+            indent=1,
+        )
+
+
+if __name__ == "__main__":
+    main()
