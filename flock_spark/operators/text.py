@@ -242,3 +242,51 @@ def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_tok_count()).alias("n_ws_tokens"),
         F.expr(f"CAST({bpe} AS DOUBLE) / {_tok_count()}").alias("fertility"),
     )
+
+
+POSTINGS_HEAD = 16
+MIN_DF = 5
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''
+    )
+    SELECT tok, count(*) AS df,
+           (list_sort(list(doc_id)))[1:{POSTINGS_HEAD}] AS postings_head
+    FROM toks
+    GROUP BY tok
+    HAVING count(*) >= {MIN_DF}
+    """,
+    tags=("text", "index"),
+    doc="Inverted-index construction: token -> document-frequency + sorted "
+    "posting-list head, the core build step of corpus search and of "
+    "TF-IDF-weighted quality filters. explode(split) -> per-doc distinct "
+    "-> one shuffle on the token. The posting list is capped at "
+    f"{POSTINGS_HEAD} entries in the OUTPUT only (a result row must stay "
+    "O(1); full postings would make stopword rows gigabytes at 100 TB) — "
+    "production writes the full lists sharded by token instead. df keeps "
+    "the exact count either way.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
+                "postings_head"
+            ),
+        )
+        .filter(F.col("df") >= MIN_DF)
+    )

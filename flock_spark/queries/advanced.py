@@ -308,3 +308,82 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@register(
+    "join_inequality_only",
+    oracle="""
+    SELECT a.n_name AS lo_nation, b.n_name AS hi_nation,
+           b.n_nationkey - a.n_nationkey AS key_gap
+    FROM nation a JOIN nation b
+      ON a.n_nationkey < b.n_nationkey
+    """,
+    tags=("join", "theta"),
+    doc="Pure inequality join — no equi-key at all, so Catalyst plans a "
+    "BroadcastNestedLoopJoin (the join shape join_range_theta's "
+    "equi+residual form never reaches). Valid only when one side is small "
+    "enough to broadcast: O(n*m) comparisons is the unavoidable cost of a "
+    "keyless theta join, and at 100 TB the correct plan is exactly this — "
+    "broadcast the small side, never shuffle the big one. Reference "
+    "context: Flock's theta joins always carry an equi component "
+    "(benchmarks/src/nexmark/query/q4.sql BETWEEN rides on the "
+    "auction-id equi join); this entry covers the degenerate case it "
+    "cannot express.",
+)
+def join_inequality_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("lo_key"), F.col("n_name").alias("lo_nation")
+    )
+    b = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("hi_key"), F.col("n_name").alias("hi_nation")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("lo_key") < F.col("hi_key"))
+        .select(
+            "lo_nation",
+            "hi_nation",
+            (F.col("hi_key") - F.col("lo_key")).cast("int").alias("key_gap"),
+        )
+    )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(first_signup) AS step_signup,
+           CAST(sum(CASE WHEN first_purchase > first_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase_after
+    FROM per_user
+    """,
+    tags=("funnel", "aggregate", "window"),
+    doc="Ordered-funnel analysis: users who signed up, then purchased "
+    "strictly after — the event-sequence query behind conversion metrics. "
+    "One conditional-min aggregate per step (single shuffle on user_id), "
+    "then a global roll-up; no self-join of the event log, which is the "
+    "naive plan that dies at 100 TB (events x events on user_id).",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("step_signup"),
+        F.sum(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("step_purchase_after"),
+    )
