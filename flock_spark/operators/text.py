@@ -275,18 +275,18 @@ MIN_DF = 5
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct()
-    )
+    # collect_set dedups (tok, doc_id) inside the aggregate, so the whole
+    # index builds in ONE shuffle keyed by token (a separate distinct would
+    # add a second exchange on the wider (doc_id, tok) key)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    postings = F.sort_array(F.collect_set("doc_id"))
     return (
         toks.groupBy("tok")
         .agg(
-            F.count("*").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
-                "postings_head"
-            ),
+            F.size(postings).cast("long").alias("df"),
+            F.slice(postings, 1, POSTINGS_HEAD).alias("postings_head"),
         )
         .filter(F.col("df") >= MIN_DF)
     )
