@@ -9,3 +9,4 @@ import flock_spark.operators.multimodal  # noqa: F401
 import flock_spark.operators.corpus  # noqa: F401
 import flock_spark.operators.chunking  # noqa: F401
 import flock_spark.operators.incremental  # noqa: F401
+import flock_spark.operators.sketches  # noqa: F401

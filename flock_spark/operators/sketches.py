@@ -1,0 +1,319 @@
+"""Distributed sketches built from first principles on the portable hash
+family — HyperLogLog (distinct cardinality), Bloom filter (membership), and
+Count-Min (frequency). Reference context: Flock keeps no sketch machinery
+(its aggregates are exact per-window, flock/src/stream/window.rs); a 100 TB
+training-data pipeline needs sub-linear summaries — cardinality per shard,
+membership probes that avoid shuffling the corpus, heavy-hitter screens —
+so these are first-class operators here.
+
+Every sketch is engine-neutral and carries an EXACT DuckDB oracle: all
+randomness comes from the md5-based hash family (operators/hashing.py), all
+sketch state is integer (bucket maxima, bit words, cell counts), and any
+final float is produced by a single deterministic division — so the same
+SQL math yields bit-identical results on both engines, and the driver's
+value-hash gate applies to the sketches themselves, not just their inputs.
+
+Scale posture: sketch state is tiny and mergeable by construction — HLL
+bucket maxima merge with max, Bloom words with bit_or, CMS cells with sum —
+which is exactly what Spark's partial aggregation does map-side. The events
+table never moves: each sketch is one scan plus a shuffle of O(sketch size)
+partial rows per partition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flock_spark.catalog import tbl
+from flock_spark.operators.hashing import (
+    duck_md5_long,
+    spark_md5_long,
+    universal_hash,
+)
+from flock_spark.registry import register
+
+HLL_ALPHA_NUM = repr(0.709 * 4096 * 36028797018963968.0)  # alpha_64 * m^2 * 2^55
+
+BLOOM_BITS = 1024  # 32 words x 32 bits
+BLOOM_K = 4  # hash functions (family members 0..3)
+CMS_WIDTH = 256
+CMS_DEPTH = 4  # family members 4..7
+N_PROBES = 200  # membership/point-query probe ids 0..199 (user_id spans 0..149)
+
+
+@dataclass(frozen=True)
+class _Dialect:
+    md5l: object  # str expr -> 60-bit BIGINT hash SQL
+    str_t: str  # cast-to-string type name
+    range_src: str  # table source yielding column `id` in [0, N_PROBES)
+
+    def shl(self, amount_expr: str) -> str:
+        raise NotImplementedError
+
+    def shr(self, expr: str, bits: int) -> str:
+        raise NotImplementedError
+
+
+class _SparkD(_Dialect):
+    def shl(self, amount_expr: str) -> str:
+        return f"shiftleft(CAST(1 AS BIGINT), CAST({amount_expr} AS INT))"
+
+    def shr(self, expr: str, bits: int) -> str:
+        return f"shiftright({expr}, {bits})"
+
+    def shrv(self, expr: str, amount_expr: str) -> str:
+        return f"shiftright({expr}, CAST({amount_expr} AS INT))"
+
+
+class _DuckD(_Dialect):
+    def shl(self, amount_expr: str) -> str:
+        return f"(CAST(1 AS BIGINT) << ({amount_expr}))"
+
+    def shr(self, expr: str, bits: int) -> str:
+        return f"(({expr}) >> {bits})"
+
+    def shrv(self, expr: str, amount_expr: str) -> str:
+        return f"(({expr}) >> ({amount_expr}))"
+
+
+SPARK_D = _SparkD(md5l=spark_md5_long, str_t="STRING", range_src="range(200)")
+DUCK_D = _DuckD(md5l=duck_md5_long, str_t="VARCHAR", range_src="range(200) t(id)")
+
+
+def _hashed(d: _Dialect) -> str:
+    return f"SELECT {d.md5l(f'CAST(user_id AS {d.str_t})')} AS h FROM events"
+
+
+# ---------------------------------------------------------------- HLL ------
+
+
+def _hll_sql(d: _Dialect) -> str:
+    """m=64-bucket HLL per event_type; see hll_sketch_portable docstring."""
+    h = d.md5l(f"CAST(user_id AS {d.str_t})")
+    w = d.shr("h", 6)
+    return f"""
+    WITH hashed AS (
+      SELECT event_type, {h} AS h FROM events
+    ), rho AS (
+      SELECT event_type, (h % 64) AS bucket,
+             CASE WHEN {w} = 0 THEN 55
+                  ELSE 55 - length(bin({w})) END AS r
+      FROM hashed
+    ), buckets AS (
+      SELECT event_type, bucket, max(r) AS m_j
+      FROM rho GROUP BY event_type, bucket
+    ), sketch AS (
+      SELECT event_type,
+             count(*) AS n_hot,
+             sum({d.shl('55 - m_j')}) AS hot_sum
+      FROM buckets GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(64 - n_hot AS BIGINT) AS v_empty,
+           CAST(hot_sum + (64 - n_hot) * 36028797018963968 AS BIGINT)
+             AS harmonic_sum_scaled,
+           ({HLL_ALPHA_NUM}
+             / CAST(hot_sum + (64 - n_hot) * 36028797018963968 AS DOUBLE))
+             AS hll_estimate
+    FROM sketch
+    """
+
+
+@register(
+    "hll_sketch_portable",
+    oracle=_hll_sql(DUCK_D),
+    tags=("aggregate", "approx", "sketch"),
+    doc="HyperLogLog built from first principles on the portable md5 hash "
+    "family — unlike approx_count_distinct_hll (Spark's builtin sketch, "
+    "rows-only check), this sketch is engine-neutral and carries an EXACT "
+    "oracle: bucket maxima shuffle as <=64 small ints per group (mergeable "
+    "partial state — the property that lets HLL distribute), the leading-1 "
+    "rank uses length(bin(w)) (integer-exact, no float log2), and the "
+    "harmonic sum is an exact scaled BIGINT so the final estimate is one "
+    "bit-deterministic division. ~1% estimate error at 150 true distinct.",
+)
+def hll_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hll_sql(SPARK_D))
+
+
+# -------------------------------------------------------------- Bloom ------
+
+
+def _bloom_words_sql(d: _Dialect) -> str:
+    """Global Bloom filter over distinct user_id: 1024 bits as 32x32-bit
+    words (bit values stay < 2^32, far from BIGINT sign trouble on either
+    engine). K=4 positions per key via the universal hash family."""
+    pos_union = "\n      UNION\n".join(
+        f"      SELECT ({universal_hash('h', i)} % {BLOOM_BITS}) AS p FROM hashed"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH hashed AS (
+      {_hashed(d)}
+    ), pos AS (
+{pos_union}
+    )
+    SELECT CAST({d.shr('p', 5)} AS BIGINT) AS word_idx,
+           bit_or({d.shl('p % 32')}) AS bits,
+           CAST(count(*) AS BIGINT) AS bits_set
+    FROM pos
+    GROUP BY 1
+    """
+
+
+@register(
+    "bloom_filter_portable",
+    oracle=_bloom_words_sql(DUCK_D),
+    tags=("approx", "sketch", "membership"),
+    doc=f"Portable Bloom filter build: {BLOOM_BITS} bits over distinct "
+    "user_id, emitted as 32-bit words (word_idx, bits, bits_set). All "
+    f"{BLOOM_K} probe positions come from the md5 universal-hash family, so "
+    "the filter is identical on both engines — the sketch itself is "
+    "hash-verified, not just sampled. Mergeable by bit_or, which is what "
+    "partial aggregation already does map-side: at 100 TB each executor "
+    "ORs its local words and the exchange carries 32 rows per partition. "
+    "Production use: broadcast these words to probe membership without "
+    "shuffling the corpus (see bloom_membership_probe).",
+)
+def bloom_filter_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bloom_words_sql(SPARK_D))
+
+
+def _bloom_probe_sql(d: _Dialect) -> str:
+    ppos_union = "\n      UNION ALL\n".join(
+        f"      SELECT probe_id, ({universal_hash('h', i)} % {BLOOM_BITS}) AS p"
+        " FROM probes"
+        for i in range(BLOOM_K)
+    )
+    bit_test = d.shrv("b.bits", "p % 32")
+    return f"""
+    WITH bloom AS (
+      {_bloom_words_sql(d)}
+    ), probes AS (
+      SELECT id AS probe_id, {d.md5l(f'CAST(id AS {d.str_t})')} AS h
+      FROM {d.range_src}
+    ), ppos AS (
+{ppos_union}
+    ), checks AS (
+      SELECT probe_id,
+             CASE WHEN b.bits IS NULL THEN 0
+                  WHEN ({bit_test}) % 2 = 1 THEN 1 ELSE 0 END AS hit
+      FROM ppos LEFT JOIN bloom b ON CAST({d.shr('p', 5)} AS BIGINT) = b.word_idx
+    ), verdicts AS (
+      SELECT probe_id, CAST(min(hit) AS BIGINT) AS bloom_member
+      FROM checks GROUP BY probe_id
+    )
+    SELECT v.probe_id, v.bloom_member,
+           CASE WHEN e.user_id IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS true_member
+    FROM verdicts v
+    LEFT JOIN (SELECT DISTINCT user_id FROM events) e
+      ON v.probe_id = e.user_id
+    """
+
+
+@register(
+    "bloom_membership_probe",
+    oracle=_bloom_probe_sql(DUCK_D),
+    tags=("approx", "sketch", "membership", "join"),
+    doc=f"Bloom membership probe: {N_PROBES} candidate ids tested against "
+    "the built filter, emitting (bloom_member, true_member) per probe — "
+    "no false negatives by construction, false positives bounded by the "
+    "sketch size. This is the scale pattern for decontamination/among-set "
+    "checks: the filter words broadcast (KBs), the corpus streams past "
+    "them, and only bloom-positive rows pay the exact verification join. "
+    "The oracle replays the identical sketch, so even the false-positive "
+    "set matches exactly.",
+)
+def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bloom_probe_sql(SPARK_D))
+
+
+# ---------------------------------------------------------- Count-Min ------
+
+
+def _cms_cells_sql(d: _Dialect) -> str:
+    branches = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS depth,"
+        f" ({universal_hash('h', CMS_DEPTH + i)} % {CMS_WIDTH}) AS col,"
+        " count(*) AS cnt FROM hashed GROUP BY 1, 2"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH hashed AS (
+      {_hashed(d)}
+    ), cells AS (
+{branches}
+    )
+    SELECT CAST(depth AS BIGINT) AS depth, CAST(col AS BIGINT) AS col, cnt
+    FROM cells
+    """
+
+
+@register(
+    "countmin_sketch_portable",
+    oracle=_cms_cells_sql(DUCK_D),
+    tags=("approx", "sketch", "frequency"),
+    doc=f"Count-Min sketch build: {CMS_DEPTH}x{CMS_WIDTH} cells of exact "
+    "counts over user_id occurrences, one row per non-empty cell. Counts "
+    "are plain sums, so the sketch merges by + exactly as partial "
+    "aggregation merges map-side partials — the exchange carries at most "
+    f"{CMS_DEPTH * CMS_WIDTH} rows per partition regardless of corpus "
+    "size. The hash family makes the cell layout engine-neutral; the "
+    "oracle verifies every cell value.",
+)
+def countmin_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cms_cells_sql(SPARK_D))
+
+
+def _cms_point_sql(d: _Dialect) -> str:
+    ppos_union = "\n      UNION ALL\n".join(
+        f"      SELECT probe_id, {i} AS depth,"
+        f" ({universal_hash('h', CMS_DEPTH + i)} % {CMS_WIDTH}) AS col FROM probes"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH cells AS (
+      {_cms_cells_sql(d)}
+    ), probes AS (
+      SELECT id AS probe_id, {d.md5l(f'CAST(id AS {d.str_t})')} AS h
+      FROM {d.range_src}
+    ), ppos AS (
+{ppos_union}
+    ), est AS (
+      SELECT probe_id,
+             min(CASE WHEN c.cnt IS NULL THEN CAST(0 AS BIGINT) ELSE c.cnt END)
+               AS est_cnt
+      FROM ppos
+      LEFT JOIN cells c ON ppos.depth = c.depth AND ppos.col = c.col
+      GROUP BY probe_id
+    )
+    SELECT e.probe_id, e.est_cnt,
+           CASE WHEN x.c IS NULL THEN CAST(0 AS BIGINT) ELSE x.c END AS exact_cnt
+    FROM est e
+    LEFT JOIN (SELECT user_id, count(*) AS c FROM events GROUP BY user_id) x
+      ON e.probe_id = x.user_id
+    """
+
+
+@register(
+    "cms_point_query",
+    oracle=_cms_point_sql(DUCK_D),
+    tags=("approx", "sketch", "frequency", "join"),
+    doc=f"Count-Min point queries: {N_PROBES} probe ids read "
+    "min-over-depths from the sketch cells next to their exact counts "
+    "(est_cnt >= exact_cnt always; equality when no cell collision). The "
+    "heavy-hitter screen at 100 TB: the sketch broadcasts, candidate keys "
+    "are filtered by estimate, and only survivors pay the exact count. "
+    "Probes absent from the data demonstrate the overestimate honestly "
+    "(exact 0, est = collision mass).",
+)
+def cms_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cms_point_sql(SPARK_D))

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flock_spark.catalog import tbl
-from flock_spark.operators.hashing import duck_md5_long, spark_md5_long
 from flock_spark.registry import register
 
 SALT = 8
@@ -387,67 +386,4 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("step_purchase_after"),
-    )
-
-
-def _hll_sql(md5l, shr6: str, shl: str) -> str:
-    """Shared HLL-from-first-principles SQL; identical math on both engines.
-
-    m=64 buckets (6 bucket bits) over the portable 60-bit md5 hash; rho is
-    the leading-1 rank in the remaining 54-bit field via length(bin(w)),
-    which is integer-exact on both engines (no float log2). The harmonic
-    sum is kept as an EXACT scaled integer: 2^-M_j * 2^55 = 1 << (55-M_j),
-    summed as BIGINT (max 64 * 2^55 < 2^62, no overflow) — so the final
-    double estimate is one deterministic division, bit-identical across
-    engines, and the sketch gets an exact oracle instead of a rows-only
-    check. alpha_64 = 0.709 (Flajolet et al.).
-    """
-    h = md5l("CAST(user_id AS STRING)")
-    return f"""
-    WITH hashed AS (
-      SELECT event_type, {h} AS h FROM events
-    ), rho AS (
-      SELECT event_type, (h % 64) AS bucket,
-             CASE WHEN {shr6} = 0 THEN 55
-                  ELSE 55 - length(bin({shr6})) END AS r
-      FROM hashed
-    ), buckets AS (
-      SELECT event_type, bucket, max(r) AS m_j
-      FROM rho GROUP BY event_type, bucket
-    ), sketch AS (
-      SELECT event_type,
-             count(*) AS n_hot,
-             sum({shl}) AS hot_sum
-      FROM buckets GROUP BY event_type
-    )
-    SELECT event_type,
-           CAST(64 - n_hot AS BIGINT) AS v_empty,
-           CAST(hot_sum + (64 - n_hot) * 36028797018963968 AS BIGINT)
-             AS harmonic_sum_scaled,
-           (1.0462993238608057e+20
-             / CAST(hot_sum + (64 - n_hot) * 36028797018963968 AS DOUBLE))
-             AS hll_estimate
-    FROM sketch
-    """
-
-
-@register(
-    "hll_sketch_portable",
-    oracle=_hll_sql(
-        duck_md5_long, "(h >> 6)", "(CAST(1 AS BIGINT) << (55 - m_j))"
-    ).replace("AS STRING", "AS VARCHAR"),
-    tags=("aggregate", "approx", "sketch"),
-    doc="HyperLogLog built from first principles on the portable md5 hash "
-    "family — unlike approx_count_distinct_hll (Spark's builtin sketch, "
-    "rows-only check), this sketch is engine-neutral and carries an EXACT "
-    "oracle: bucket maxima shuffle as 64 small ints per group (mergeable "
-    "partial state — the same property that lets HLL sketches distribute), "
-    "and the harmonic sum is an exact scaled BIGINT so the estimate is "
-    "bit-deterministic. The estimator-accuracy twin is the builtin entry; "
-    "this one proves the sketch algebra end-to-end.",
-)
-def hll_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        _hll_sql(spark_md5_long, "shiftright(h, 6)", "shiftleft(CAST(1 AS BIGINT), 55 - m_j)")
     )
