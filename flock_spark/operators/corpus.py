@@ -317,3 +317,48 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("n_chars"),
         F.max("pos").alias("shard_len"),
     )
+
+
+MIN_BIGRAM_CNT = 3
+
+
+@register(
+    "corpus_bigram_counts",
+    oracle=f"""
+    WITH big AS (
+      SELECT doc_id,
+             unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1]))
+               AS bigram
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents) t
+    )
+    SELECT bigram, count(*) AS cnt,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM big
+    GROUP BY bigram
+    HAVING count(*) >= {MIN_BIGRAM_CNT}
+    """,
+    tags=("corpus", "ngram", "aggregate"),
+    doc="Bigram language-model counts: adjacent-token pairs built per-row "
+    "with an indexed array transform (no self-join of the token stream — "
+    "the positional-join formulation shuffles the exploded corpus TWICE "
+    "and dies at scale), then one count aggregate keyed by bigram with "
+    "map-side partials. The n-gram count table is the backbone of "
+    "KenLM-style LM filtering and of contamination n-gram checks; "
+    f"output bounded to bigrams with count >= {MIN_BIGRAM_CNT}.",
+)
+def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = "split(trim(text), ' ')"
+    bigrams = (
+        f"transform(slice({toks}, 1, size({toks}) - 1),"
+        f" (x, i) -> concat(x, ' ', element_at({toks}, i + 2)))"
+    )
+    return (
+        d.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("cnt") >= MIN_BIGRAM_CNT)
+    )

@@ -147,3 +147,29 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_inverted_index_single_exchange(spark, sf_dir):
+    # the whole index builds in ONE token-keyed shuffle: collect_set dedups
+    # (tok, doc_id) inside the aggregate, so no separate distinct exchange
+    plan = plan_of(spark, sf_dir, "text_inverted_index")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_single_key_shuffle(spark, sf_dir):
+    # one shuffle keyed by user_id for the per-step conditional mins; the
+    # final roll-up is a scalar aggregate over 150 rows (SinglePartition) —
+    # never a self-join of the event log
+    plan = plan_of(spark, sf_dir, "events_funnel_steps")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_portable_sketches_aggregate_two_phase(spark, sf_dir):
+    # sketch state must merge map-side (max/bit_or/sum partials) — that is
+    # the property that makes the sketches distribute at 100 TB
+    for name in ("hll_sketch_portable", "bloom_filter_portable",
+                 "countmin_sketch_portable"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("HashAggregate") >= 2, name
+        assert "partial" in plan.lower(), name
