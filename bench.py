@@ -55,6 +55,10 @@ HEADLINE = [
     "kmeans_two_iterations",
     "dedup_semdedup_prune",
     "cdc_upsert_latest",
+    "text_inverted_index",
+    "corpus_bigram_counts",
+    "hll_sketch_portable",
+    "bloom_membership_probe",
     # streaming path: full micro-batch drain is the measured cost
     "streaming_tumbling_agg",
     "streaming_kafka_wire_decode",

@@ -377,15 +377,18 @@ def queue_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import shutil
 
+    from flock_spark.streaming.runner import _drain_parallelism
+
     ckpt = tempfile.mkdtemp(prefix="flock_spark_ckpt_")
-    q = foreach_batch_sink(s, enqueue, checkpoint=ckpt, available_now=True)
-    try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("queue sink drain did not finish")
-    finally:
-        if q.isActive:
-            q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+    with _drain_parallelism(spark):
+        q = foreach_batch_sink(s, enqueue, checkpoint=ckpt, available_now=True)
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("queue sink drain did not finish")
+        finally:
+            if q.isActive:
+                q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     drained = spark.read.option("basePath", qdir).parquet(qdir)
     return drained.groupBy("event_type").agg(
         F.count("*").alias("cnt"), F.sum("event_id").alias("sum_ids")

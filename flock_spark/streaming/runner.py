@@ -14,12 +14,37 @@ run_foreach_batch — the reference's execution model verbatim: re-run a full
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# State-store instance count per streaming query = shuffle partitions at
+# query start. A verification sweep inherits whatever the surrounding
+# session sets (a plain driver session defaults to 200), and 200 state
+# stores per one-shot bounded drain doubles wall cost at test scale
+# (measured: 14.8 s vs 7.4 s for the stateful entry). Production streams
+# size this deliberately; bounded drains clamp it.
+DRAIN_PARTITION_CAP = 32
+
+
+@contextlib.contextmanager
+def _drain_parallelism(spark: SparkSession, cap: int = DRAIN_PARTITION_CAP):
+    """Clamp spark.sql.shuffle.partitions for the duration of a bounded
+    drain (micro-batches plan while the drain runs), then restore. The
+    partition count is fixed per streaming query at start, so this never
+    leaks into queries planned after the drain."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        if int(old) > cap:
+            spark.conf.set(key, str(cap))
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def run_to_memory(
@@ -41,23 +66,24 @@ def run_to_memory(
     spark = stream_df.sparkSession
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     writer = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name)
-    if run_for_sec is None:
-        q = writer.trigger(availableNow=True).start()
-        try:
-            finished = q.awaitTermination(timeout_sec)
-            if not finished:
-                raise TimeoutError(
-                    f"bounded stream '{name}' did not drain within {timeout_sec}s"
-                )
-        finally:
-            if q.isActive:
+    with _drain_parallelism(spark):
+        if run_for_sec is None:
+            q = writer.trigger(availableNow=True).start()
+            try:
+                finished = q.awaitTermination(timeout_sec)
+                if not finished:
+                    raise TimeoutError(
+                        f"bounded stream '{name}' did not drain within {timeout_sec}s"
+                    )
+            finally:
+                if q.isActive:
+                    q.stop()
+        else:
+            q = writer.start()
+            try:
+                q.awaitTermination(run_for_sec)
+            finally:
                 q.stop()
-    else:
-        q = writer.start()
-        try:
-            q.awaitTermination(run_for_sec)
-        finally:
-            q.stop()
     return spark.table(name)
 
 
@@ -71,21 +97,24 @@ def run_foreach_batch(
     import shutil
 
     checkpoint = tempfile.mkdtemp(prefix="flock_spark_ckpt_")
-    q = (
-        stream_df.writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(f"bounded foreachBatch stream did not drain within {timeout_sec}s")
-    finally:
-        if q.isActive:
-            q.stop()
-        # one-shot drain: the checkpoint has no replay value, don't leak /tmp
-        shutil.rmtree(checkpoint, ignore_errors=True)
+    with _drain_parallelism(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"bounded foreachBatch stream did not drain within {timeout_sec}s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+            # one-shot drain: the checkpoint has no replay value, don't leak /tmp
+            shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def stage_batches(stream_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
