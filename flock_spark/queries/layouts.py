@@ -123,3 +123,66 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
         )
     )
+
+
+ZBITS = 8  # bits interleaved per dimension (user_id < 2^8 needs all 8; hour < 2^5)
+Z_FILES = 16
+
+
+def _zvalue_expr(a: str, b: str) -> str:
+    """Unrolled Morton/Z-value bit interleave of two small non-negative int
+    columns — pure JVM bit arithmetic, whole-stage codegen."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"shiftleft((shiftright({a}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({b}, {i}) & 1), {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_events_path(spark: SparkSession, sf_dir: str) -> str:
+    from flock_spark.staging import stage_once
+
+    def write_z(tmp: str) -> None:
+        e = tbl(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+        z = F.expr(_zvalue_expr("user_id", "hour"))
+        (
+            e.withColumn("z", z)
+            .repartitionByRange(Z_FILES, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    return stage_once(f"zorder_events_{sf_dir}", "v1-user-hour-8bit", write_z)
+
+
+@register(
+    "zorder_layout_scan",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM events
+    WHERE user_id BETWEEN 40 AND 47 AND hour(ts) BETWEEN 8 AND 11
+    GROUP BY event_type
+    """,
+    tags=("layout", "pruning", "zorder"),
+    doc=f"Z-ordered (Morton-interleaved) layout: events land once range-"
+    f"partitioned and sorted by the interleave of (user_id, hour) into "
+    f"{Z_FILES} files, giving every file a tight min/max box in BOTH "
+    "dimensions — so a 2-D selective scan skips most files on parquet "
+    "row-group statistics alone, where a single-column sort helps only its "
+    "own dimension (partition dirs and buckets cover the other layout "
+    "axes; tests/test_bucketing.py quantifies the skip). The filtered "
+    "aggregate must equal the unordered oracle — layout never changes "
+    "results.",
+)
+def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _zorder_events_path(spark, sf_dir)
+    e = spark.read.parquet(path).filter(
+        F.col("user_id").between(40, 47) & F.col("hour").between(8, 11)
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )

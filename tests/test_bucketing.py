@@ -70,3 +70,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed):
         .agg(F.count("*").alias("cnt"))
     )
     assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_zorder_layout_skips_both_dimensions(spark, sf_dir):
+    """The Z-ordered events layout gives every file a tight min/max box in
+    BOTH (user_id, hour): the 2-D probe box the registered query uses must
+    be skippable for most files on parquet statistics alone. A single-column
+    sort can never do this for the second dimension (its hour ranges span
+    the full day in every file)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from flock_spark.queries.layouts import Z_FILES, _zorder_events_path
+    from flock_spark.registry import REGISTRY
+
+    # materialize layout + sanity-run the registered query
+    REGISTRY["zorder_layout_scan"].fn(spark, sf_dir).collect()
+    path = _zorder_events_path(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) == Z_FILES
+
+    def box(f, col):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        return min(s.min for s in stats), max(s.max for s in stats)
+
+    overlapping = 0
+    for f in files:
+        umin, umax = box(f, "user_id")
+        hmin, hmax = box(f, "hour")
+        if not (umax < 40 or umin > 47 or hmax < 8 or hmin > 11):
+            overlapping += 1
+    # the probe box (8 of 150 users x 4 of 24 hours ~ 0.9% of the space)
+    # must prune the large majority of files
+    assert overlapping <= Z_FILES // 3, f"{overlapping}/{Z_FILES} files overlap"
