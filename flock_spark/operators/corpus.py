@@ -353,12 +353,18 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(slice({toks}, 1, size({toks}) - 1),"
         f" (x, i) -> concat(x, ' ', element_at({toks}, i + 2)))"
     )
+    # two-level aggregate instead of count(DISTINCT doc_id): the distinct
+    # rewrite Expands the exploded stream 2x before the shuffle, while the
+    # (bigram, doc_id) pre-aggregation shuffles only distinct pairs (with
+    # map-side partials) and the second exchange carries one row per bigram
     return (
         d.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram", "doc_id")
+        .agg(F.count("*").alias("c"))
         .groupBy("bigram")
         .agg(
-            F.count("*").alias("cnt"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("c").alias("cnt"),
+            F.count("*").alias("n_docs"),
         )
         .filter(F.col("cnt") >= MIN_BIGRAM_CNT)
     )
