@@ -507,3 +507,58 @@ def streaming_q13_side_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "json_wire_corrupt_tolerant",
+    oracle="""
+    SELECT event_type, count(*) AS cnt
+    FROM events WHERE event_id % 97 <> 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT '_CORRUPT_' AS event_type, count(*) AS cnt
+    FROM events WHERE event_id % 97 = 0
+    """,
+    tags=("source", "json", "robustness"),
+    doc="Malformed-record tolerance on the JSON wire path: the staged "
+    "JSON-lines feed deterministically truncates every 97th record "
+    "(event_id % 97 = 0 — always unparseable, the closing brace is cut), "
+    "and the reader decodes with from_json's PERMISSIVE behavior: corrupt "
+    "payloads parse to NULL and are counted under '_CORRUPT_' instead of "
+    "failing the job. At 100 TB a single bad record must never kill the "
+    "pipeline — quarantine-and-continue is the only viable posture. The "
+    "oracle replays the corruption rule over the clean table, so the "
+    "quarantine count itself is value-verified.",
+)
+def json_wire_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.catalog import tbl
+    from flock_spark.staging import stage_once
+
+    def write_feed(tmp: str) -> None:
+        e = tbl(spark, sf_dir, "events")
+        payload = F.to_json(F.struct("event_id", "user_id", "event_type"))
+        # truncating to 10 chars cuts inside the first field name — never
+        # parseable JSON, so the corruption rule is airtight
+        line = F.when(
+            F.col("event_id") % 97 == 0, F.substring(payload, 1, 10)
+        ).otherwise(payload)
+        e.select(line.alias("value")).repartition(4).write.mode("overwrite").text(tmp)
+
+    path = stage_once(f"json_corrupt_{sf_dir}", "v1-mod97-trunc10", write_feed)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.from_json(
+            "value", "event_id bigint, user_id bigint, event_type string"
+        ).alias("r")
+    )
+    good = (
+        parsed.filter(F.col("r").isNotNull() & F.col("r.event_type").isNotNull())
+        .groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    bad = parsed.filter(
+        F.col("r").isNull() | F.col("r.event_type").isNull()
+    ).agg(F.count("*").alias("cnt")).select(
+        F.lit("_CORRUPT_").alias("event_type"), "cnt"
+    )
+    return good.unionAll(bad)
