@@ -867,6 +867,26 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sort_global_range",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    """,
+    tags=("sort",),
+    doc="Unlimited global ORDER BY: plans as a range-partitioned sort "
+    "(sampled bounds, parallel per-partition sorts, ordered partitions) — "
+    "the distributed total order behind sorted writes and merge phases. "
+    "Complements sort_limit_topk/sort_multi_col, whose LIMIT turns them "
+    "into TakeOrderedAndProject; without a limit the range exchange IS the "
+    "scalable plan (pinned in test_plans).",
+)
+def sort_global_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_acctbal").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+
+
+@register(
     "sort_multi_col",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice

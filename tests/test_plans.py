@@ -173,3 +173,11 @@ def test_portable_sketches_aggregate_two_phase(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("HashAggregate") >= 2, name
         assert "partial" in plan.lower(), name
+
+
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    # a global ORDER BY must distribute as a range-partitioned sort (sample
+    # bounds, parallel per-partition sorts) — never a single-partition sort
+    plan = plan_of(spark, sf_dir, "sort_global_range")
+    assert "rangepartitioning" in plan
+    assert "Sort" in plan
