@@ -10,3 +10,4 @@ import flock_spark.operators.corpus  # noqa: F401
 import flock_spark.operators.chunking  # noqa: F401
 import flock_spark.operators.incremental  # noqa: F401
 import flock_spark.operators.sketches  # noqa: F401
+import flock_spark.operators.graph  # noqa: F401
