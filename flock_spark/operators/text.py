@@ -290,3 +290,70 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= MIN_DF)
     )
+
+
+TFIDF_TOP = 5
+
+
+@register(
+    "text_tfidf_topk_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok <> '' GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tok WHERE tok <> '' GROUP BY tok
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round((tf.c * CAST(n.n_docs AS DOUBLE)) / df.df, 6) AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, tok, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok, score, rn FROM ranked WHERE rn <= {TFIDF_TOP}
+    """,
+    tags=("text", "index", "window"),
+    doc=f"TF-IDF keyword extraction: top-{TFIDF_TOP} terms per document "
+    "under term-frequency x linear inverse-document-frequency (c * N / df "
+    "— the linear-idf variant keeps the score a single deterministic "
+    "division of exact integers, where log-idf would hang cross-engine "
+    "parity on libm ulp agreement). One shuffle builds tf, one builds df "
+    "(distinct-token universe only), the scalar N broadcasts, and the "
+    "per-doc top-k is a rank window — the keyword/quality-signal "
+    "extraction pass of a curation pipeline, fed by the same token "
+    "pipeline as the inverted index.",
+)
+def text_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    df_t = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("c") * F.col("n_docs").cast("double")) / F.col("df"), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select("doc_id", "tok", "score", "rn")
+    )
