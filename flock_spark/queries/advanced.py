@@ -387,3 +387,53 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("step_purchase_after"),
     )
+
+
+@register(
+    "pandas_udaf_weighted_mean",
+    oracle="""
+    SELECT user_id,
+           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)
+                     * (event_id % 7 + 1)) AS DOUBLE)
+            / CAST(sum(event_id % 7 + 1) AS DOUBLE)) / 1000000.0
+             AS wavg_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("aggregate", "udf", "pandas"),
+    doc="Custom UDAF via a GROUPED_AGG pandas_udf (Arrow-batched, one "
+    "scalar per group) — the one Python-UDF family the other entries "
+    "don't exercise (mapInPandas, applyInPandas, cogroup, and "
+    "applyInPandasWithState cover the rest). Weighted mean with exact "
+    "int64 accumulation inside the UDF (inputs pre-quantized to "
+    "micro-units JVM-side), so the Python aggregate is order-insensitive "
+    "and bit-matches the SQL oracle — the same fixed-point discipline "
+    "fsum applies JVM-side, carried across the Arrow boundary. Note the "
+    "scale caveat of any Python UDAF: no map-side partial aggregation, "
+    "every group's rows cross the shuffle — fine for genuinely custom "
+    "aggregates, wrong for anything expressible with builtins.",
+)
+def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wavg(micro, w):
+        num = int((micro.astype("int64") * w.astype("int64")).sum())
+        den = int(w.astype("int64").sum())
+        return float(num) / float(den)
+
+    # the module's `from __future__ import annotations` stringifies inline
+    # annotations, which pandas_udf can't interpret — attach real objects
+    _wavg.__annotations__ = {"micro": pd.Series, "w": pd.Series, "return": float}
+    wavg_micro = pandas_udf(_wavg, "double")
+
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("micro"),
+        F.expr("event_id % 7 + 1").alias("w"),
+    )
+    # a GROUPED_AGG pandas UDF cannot mix with builtin aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — emit the custom aggregate alone
+    return e.groupBy("user_id").agg(
+        (wavg_micro("micro", "w") / 1000000.0).alias("wavg_value")
+    )
