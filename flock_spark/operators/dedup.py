@@ -631,3 +631,105 @@ def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
     non_canonical = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(non_canonical, "doc_id", "left_anti")
+
+
+def _mh_agree_sql(a: str, b: str) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN {a}.mh{i} = {b}.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    ) + ")"
+
+
+@register(
+    "dedup_minhash_estimate_vs_exact",
+    oracle=f"""
+    WITH sig AS ({_duck_minhash_sig_sql()}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_idx, {_band_expr(j)} AS band_val FROM sig" for j in range(N_BANDS))}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             list_distinct([{duck_md5_long(f'substring(text, i, {SHINGLE_K})')}
+                            for i in generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))]) AS hs
+      FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST({_mh_agree_sql('sa', 'sb')} AS BIGINT) AS n_agree,
+           round(CAST({_mh_agree_sql('sa', 'sb')} AS DOUBLE) / {N_MINHASH}, 6)
+             AS jaccard_est,
+           round(CAST(len(list_intersect(ba.hs, bb.hs)) AS DOUBLE)
+                 / (len(ba.hs) + len(bb.hs) - len(list_intersect(ba.hs, bb.hs))), 6)
+             AS jaccard_exact
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    JOIN base ba ON ba.doc_id = p.doc_a
+    JOIN base bb ON bb.doc_id = p.doc_b
+    """,
+    tags=("dedup", "sketch", "join"),
+    doc="Estimator validation for the MinHash sketch: every LSH candidate "
+    "pair carries BOTH its signature-agreement Jaccard estimate "
+    f"(n_agree/{N_MINHASH}) and the exact shingle-set Jaccard, side by "
+    "side — the audit a pipeline runs before trusting sketch thresholds "
+    "at scale (same pattern as cms_point_query for Count-Min). Exact "
+    "Jaccard is computed ONLY for the LSH candidates via per-doc shingle "
+    "arrays and array_intersect — O(candidates), never the all-pairs "
+    "blowup of dedup_ngram_jaccard. Integer agreement counts and "
+    "integer-ratio rounding keep both columns bit-identical cross-engine.",
+)
+def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _spark_minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(_band_expr(j)) for j in range(N_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hs = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
+        f" i -> {spark_md5_long(f'substring(text, i, {SHINGLE_K})')}))"
+    )
+    base = tbl(spark, sf_dir, "documents").select("doc_id", hs.alias("hs"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(N_MINHASH)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(N_MINHASH)])
+    ba = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    bb = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    agree = " + ".join(
+        f"CASE WHEN a_mh{i} = b_mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    inter = "size(array_intersect(hs_a, hs_b))"
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST(({agree}) AS BIGINT)").alias("n_agree"),
+            F.expr(f"round(CAST(({agree}) AS DOUBLE) / {N_MINHASH}, 6)").alias(
+                "jaccard_est"
+            ),
+            F.expr(
+                f"round(CAST({inter} AS DOUBLE)"
+                f" / (size(hs_a) + size(hs_b) - {inter}), 6)"
+            ).alias("jaccard_exact"),
+        )
+    )

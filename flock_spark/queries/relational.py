@@ -26,7 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from flock_spark.catalog import tbl
-from flock_spark.registry import register
+from flock_spark.registry import REGISTRY, register
 
 
 def dsum(expr: str) -> str:
@@ -662,6 +662,35 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("running_value"),
     )
+
+
+@register(
+    "window_range_frame_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_within_1k,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_within_1k
+    FROM orders
+    """,
+    tags=("window", "frame"),
+    doc="RANGE window frame (value-based bounds, not row counts): per "
+    "customer, the count and exact-decimal sum of orders priced within "
+    "1000 below the current order — peers with equal order-key values "
+    "share a frame, which ROWS frames cannot express. Completes the frame "
+    "surface next to the ROWS entries (window_running_sum, "
+    "window_frame_moving_avg).",
+)
+def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the DataFrame API's rangeBetween takes integer offsets only; the
+    # fractional value bound needs the SQL frame syntax (shared verbatim
+    # with the oracle — RANGE frames are ANSI)
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(REGISTRY["window_range_frame_sum"].oracle)
 
 
 @register(
