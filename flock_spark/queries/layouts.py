@@ -186,3 +186,57 @@ def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
     )
+
+
+def _evolved_events_path(spark: SparkSession, sf_dir: str) -> str:
+    from flock_spark.staging import stage_once
+
+    def write_versions(tmp: str) -> None:
+        e = tbl(spark, sf_dir, "events")
+        # v1 files predate the event_type column; v2 files carry it
+        e.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "value"
+        ).write.mode("overwrite").parquet(f"{tmp}/v=1")
+        e.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "value", "event_type"
+        ).write.mode("overwrite").parquet(f"{tmp}/v=2")
+
+    return stage_once(f"evolved_events_{sf_dir}", "v1-addcol-event-type", write_versions)
+
+
+@register(
+    "schema_evolution_merge_read",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 1 THEN event_type ELSE '_LEGACY_' END
+             AS event_type,
+           count(*) AS cnt,
+           (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("layout", "source", "schema"),
+    doc="Schema evolution across file generations: half the staged files "
+    "predate the event_type column, half carry it; a mergeSchema read "
+    "unions the schemas (absent columns read as NULL) and the query folds "
+    "legacy rows under '_LEGACY_'. At 100 TB tables ALWAYS span schema "
+    "versions — adding a column must never require rewriting petabytes, "
+    "and the read path must reconcile generations. The oracle replays the "
+    "version rule over the clean table, so the reconciliation itself is "
+    "value-verified.",
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _evolved_events_path(spark, sf_dir)
+    e = spark.read.option("mergeSchema", "true").option("basePath", path).parquet(
+        f"{path}/v=1", f"{path}/v=2"
+    )
+    return (
+        e.groupBy(F.coalesce("event_type", F.lit("_LEGACY_")).alias("event_type"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (
+                F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)")).cast("double")
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+    )

@@ -104,3 +104,24 @@ def test_partitioned_parquet_sink_prunes(spark, sf_dir):
         plan = one_day._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters")[1][:200]
         assert one_day.count() == q10.filter(F.col("dt") == "2024-01-01").count()
+
+
+def test_builtin_hll_estimate_within_rsd(spark, sf_dir):
+    # approx_count_distinct_hll is the registry's single rows-only entry
+    # (Spark's sketch can't hash-match DuckDB); pin its ACCURACY instead:
+    # every group's estimate must sit within ~3x the requested 5% rsd of
+    # the exact distinct count
+    from flock_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_count_distinct_hll"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["uniq_users"]
+        for r in REGISTRY["agg_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= 0.15 * exact[k], (k, est, exact[k])
