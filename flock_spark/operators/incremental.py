@@ -156,3 +156,58 @@ def rollup_reuse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("micro_sum").cast("double") / 1000000.0).alias("total_value"),
         )
     )
+
+
+@register(
+    "scd2_validity_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), facts AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT d.state, count(*) AS n_clicks,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM facts f
+    JOIN dim d ON f.user_id = d.user_id
+             AND f.ts >= d.valid_from
+             AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY d.state
+    """,
+    tags=("incremental", "join", "window", "scd"),
+    doc="Slowly-changing-dimension (SCD2) temporal join: the change log "
+    "becomes validity intervals (lead(ts) closes each version; the open "
+    "version has valid_to NULL), and facts join the version in force at "
+    "their event time — equi on the key plus a validity-range residual, "
+    "so the shuffle stays keyed and the interval test runs in codegen "
+    "(same plan family as join_range_theta). The warehouse pattern for "
+    "'enrich each event with the dimension as it was then' without "
+    "snapshotting the dimension per day.",
+)
+def scd2_validity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    facts = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = facts.alias("f").join(
+        dim.alias("d"),
+        (F.col("f.user_id") == F.col("d.user_id"))
+        & (F.col("f.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("f.ts") < F.col("d.valid_to"))),
+    )
+    return j.groupBy("state").agg(
+        F.count("*").alias("n_clicks"),
+        F.countDistinct(F.col("d.user_id")).cast("long").alias("n_users"),
+    )
