@@ -437,3 +437,51 @@ def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         (wavg_micro("micro", "w") / 1000000.0).alias("wavg_value")
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_active_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("aggregate", "cohort", "window_time"),
+    doc="Cohort retention matrix: users bucketed by first-seen week, counted "
+    "in each later activity week by offset — the analysis behind every "
+    "retention curve. Two aggregates on user_id (first-seen and distinct "
+    "activity weeks) share one shuffle key, then the cohort matrix is a "
+    "tiny |weeks|^2 aggregate; both week columns are week-truncated, so "
+    "the day difference is an exact multiple of 7 and the offset is "
+    "integer arithmetic on both engines. No per-cohort scans, no "
+    "self-join of the raw log.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("CAST(datediff(act_week, cohort_week) div 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )
