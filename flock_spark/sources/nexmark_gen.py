@@ -557,3 +557,60 @@ def nexmark_q13_side_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(F.broadcast(s), b.auction % 25 == s.key).select(
         "auction", "bidder", "price", "b_date_time", "side_value"
     )
+
+
+def _auction_stream(spark: SparkSession) -> DataFrame:
+    """The generated auction table staged once as multi-file parquet, read
+    back as a bounded file stream — the generator → worker loop for the
+    auction side (nexmark/source.rs:32-77)."""
+    import hashlib
+
+    from flock_spark.staging import stage_once
+
+    def write_auctions(tmp: str) -> None:
+        nexmark_table(spark, "auction").repartition(4).write.mode("overwrite").parquet(tmp)
+
+    version = hashlib.md5(
+        _nexmark_sql(_H_SPARK, "ids")["auction"].encode()
+    ).hexdigest()[:10]
+    path = stage_once("nexmark_auction_stream", version, write_auctions)
+    return (
+        spark.readStream.schema(
+            "a_id bigint, item_name string, description string,"
+            " initial_bid bigint, reserve bigint, a_date_time timestamp,"
+            " expires timestamp, seller bigint, category bigint"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+
+
+@register(
+    "streaming_nexmark_native_q3",
+    oracle=f"""
+    SELECT p.name, p.city, p.state, a.a_id
+    FROM ({{auction}}) a
+    JOIN ({{person}}) p ON a.seller = p.p_id
+    WHERE a.category = 10
+      AND (p.state = 'or' OR p.state = 'id' OR p.state = 'ca')
+    """.format(auction=_duck_nexmark("auction"), person=_duck_nexmark("person")),
+    tags=("nexmark", "native", "streaming", "join"),
+    doc="NEXMark q3 in its streaming mode: the auction stream enriched "
+    "incrementally against the bounded person relation (stream-static "
+    "broadcast join — the reference's q3 joins the NEXMarkSource's "
+    "auction events against persons the same way, q3.sql via "
+    "flock/src/datasource/nexmark/queries/). The static side re-resolves "
+    "per micro-batch; the stream never shuffles. Drained append-mode "
+    "result equals the batch join (nexmark_native_q3's oracle).",
+)
+def streaming_nexmark_native_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flock_spark.streaming.runner import run_to_memory
+
+    a = _auction_stream(spark).filter(F.col("category") == 10)
+    p = nexmark_table(spark, "person").filter(F.col("state").isin("or", "id", "ca"))
+    out = a.join(F.broadcast(p), F.col("seller") == F.col("p_id")).select(
+        "name", "city", "state", "a_id"
+    )
+    return run_to_memory(out, output_mode="append")
