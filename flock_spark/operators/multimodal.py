@@ -224,3 +224,75 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         energy, schema="doc_id long, window_idx long, energy long, n_samples long"
     )
+
+
+FRAME_BYTES = 16
+FRAME_STRIDE = 7  # sample every 7th frame
+FRAME_CAP = 8  # at most 8 sampled frames per payload
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, n_frames,
+             unnest(generate_series(0, least({FRAME_CAP} - 1,
+                                             (n_frames - 1) // {FRAME_STRIDE})))
+               AS sample_idx
+      FROM (SELECT doc_id,
+                   CAST(floor(octet_length(encode(text)) / {FRAME_BYTES}) AS BIGINT)
+                     AS n_frames
+            FROM documents) t
+      WHERE n_frames > 0
+    )
+    SELECT f.doc_id, f.sample_idx,
+           f.sample_idx * {FRAME_STRIDE} AS frame_idx,
+           md5(substring(d.text,
+                         CAST(f.sample_idx * {FRAME_STRIDE} * {FRAME_BYTES} + 1 AS INT),
+                         {FRAME_BYTES})) AS frame_md5
+    FROM frames f JOIN documents d ON f.doc_id = d.doc_id
+    """,
+    tags=("multimodal", "pandas_udf"),
+    doc=f"Frame SAMPLING for video-like payloads (vs mm_frame_index's full "
+    f"enumeration): every {FRAME_STRIDE}th {FRAME_BYTES}-byte frame, capped "
+    f"at {FRAME_CAP} per payload, extracted in mapInPandas with a content "
+    "md5 per sampled frame — the bounded-output pattern a training "
+    "pipeline uses so per-video cost is O(cap), not O(duration). The "
+    "Arrow batch sees the payload once and emits only sampled frames; "
+    "the oracle replays stride+cap+digest in SQL, so the sampled set and "
+    "frame contents are value-verified. Frame decode itself stays behind "
+    "the stubbed codec boundary (no image/video libs in this container).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_sidx, out_fidx, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // FRAME_BYTES
+                for sample_idx in range(FRAME_CAP):
+                    frame_idx = sample_idx * FRAME_STRIDE
+                    if frame_idx >= n_frames:
+                        break
+                    start = frame_idx * FRAME_BYTES
+                    frame = payload[start : start + FRAME_BYTES]
+                    out_doc.append(doc_id)
+                    out_sidx.append(sample_idx)
+                    out_fidx.append(frame_idx)
+                    out_md5.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "sample_idx": out_sidx,
+                    "frame_idx": out_fidx,
+                    "frame_md5": out_md5,
+                }
+            )
+
+    return d.mapInPandas(
+        sample,
+        schema="doc_id long, sample_idx long, frame_idx long, frame_md5 string",
+    )
