@@ -26,6 +26,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.01"
     only = None
     limit = None
+    plain = False
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -33,10 +34,25 @@ def main() -> None:
             only = args.pop(0)
         elif a == "--limit":
             limit = int(args.pop(0))
+        elif a == "--plain":
+            plain = True
         else:
             sf_dir = a
 
-    spark = get_spark()
+    if plain:
+        # mirror the external driver exactly: a default session with none of
+        # flock_spark.session's tuning (200 shuffle partitions, no minPartitionNum)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark()
     queries = get_queries()
     oracles = get_oracles()
 
