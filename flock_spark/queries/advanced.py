@@ -485,3 +485,86 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+_PROFILE_COLS = ["event_id", "user_id", "value", "event_type"]
+
+
+def _profile_branch(col: str) -> str:
+    return f"""
+      SELECT '{col}' AS col,
+             count(*) AS n_rows,
+             count({col}) AS n_nonnull,
+             CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+             CAST(min(CAST({col} AS DOUBLE)) AS DOUBLE) AS min_num,
+             CAST(max(CAST({col} AS DOUBLE)) AS DOUBLE) AS max_num
+      FROM events"""
+
+
+def _profile_sql() -> str:
+    branches = []
+    for c in _PROFILE_COLS:
+        b = _profile_branch(c)
+        if c == "event_type":  # non-numeric: profile counts only
+            b = b.replace(
+                f"CAST(min(CAST({c} AS DOUBLE)) AS DOUBLE) AS min_num",
+                "CAST(NULL AS DOUBLE) AS min_num",
+            ).replace(
+                f"CAST(max(CAST({c} AS DOUBLE)) AS DOUBLE) AS max_num",
+                "CAST(NULL AS DOUBLE) AS max_num",
+            )
+        branches.append(b)
+    return "\n      UNION ALL\n".join(branches)
+
+
+@register(
+    "table_profile_stats",
+    oracle=_profile_sql(),
+    tags=("aggregate", "profiling"),
+    doc="ANALYZE-style column profile: per column, row/non-null/distinct "
+    "counts plus numeric min/max — the statistics pass every ingestion "
+    "pipeline runs before trusting a new table (and what a cost-based "
+    "optimizer feeds on). One aggregate per column over a shared scan; at "
+    "100 TB each branch is a two-phase aggregate whose exchange carries "
+    "one row, and the distinct counts would switch to the HLL sketch "
+    "(hll_sketch_portable) when exactness isn't required.",
+)
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_profile_sql())
+
+
+HIST_BUCKET = 50.0
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT CAST(floor(value / {HIST_BUCKET}) AS BIGINT) AS bucket,
+           CAST(floor(value / {HIST_BUCKET}) * {HIST_BUCKET} AS DOUBLE) AS bucket_lo,
+           count(*) AS cnt,
+           CAST(min(value) AS DOUBLE) AS min_v,
+           CAST(max(value) AS DOUBLE) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("aggregate", "profiling", "histogram"),
+    doc=f"Equi-width numeric histogram (width {HIST_BUCKET}): the binned "
+    "distribution profile behind data-quality dashboards and optimizer "
+    "range statistics. Bucketing is floor division (exact on both "
+    "engines), one two-phase aggregate, |buckets| output rows.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / HIST_BUCKET)
+    return (
+        e.groupBy(
+            b.cast("long").alias("bucket"),
+            (b * HIST_BUCKET).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").cast("double").alias("min_v"),
+            F.max("value").cast("double").alias("max_v"),
+        )
+    )
