@@ -743,6 +743,12 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PI_DIM = 64
 PI_QSCALE = 1000  # embeddings quantized to milli-units: |q| <= ~320
+# quantization uses floor(x*scale + 0.5), NOT round(): engine round()
+# semantics differ on exact .5 ties (Spark HALF_UP vs DuckDB half-even)
+# and float32-origin embeddings DO land on exact ties at scale. The
+# float is widened to DOUBLE before ANY arithmetic (engines disagree
+# on mixed float32*int precision); floor(+0.5) over pure double IEEE
+# ops is then bit-identical on both engines
 PI_VBITS = 20  # iteration vector rescaled to < 2^20 between steps
 PI_ITERS = 4
 
@@ -751,7 +757,7 @@ def _pi_oracle() -> str:
     base = f"""
     WITH q AS (
       SELECT vec_id, i AS dim,
-             CAST(round(embedding[i] * {PI_QSCALE}) AS BIGINT) AS q
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {PI_QSCALE} + 0.5) AS BIGINT) AS q
       FROM embeddings, generate_series(1, {PI_DIM}) t(i)
     ), v0 AS (
       SELECT i AS dim, CAST({PI_QSCALE} AS BIGINT) AS val
@@ -808,7 +814,7 @@ def embedding_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("pos") + 1).alias("dim"),
-        F.expr(f"CAST(round(x * {PI_QSCALE}) AS BIGINT)").alias("q"),
+        F.expr(f"CAST(floor(CAST(x AS DOUBLE) * {PI_QSCALE} + 0.5) AS BIGINT)").alias("q"),
     ).cache()  # iteration-invariant; re-deriving the explode per join doubles cost
     v = spark.range(1, PI_DIM + 1).select(
         F.col("id").alias("dim"), F.lit(PI_QSCALE).cast("long").alias("val")
