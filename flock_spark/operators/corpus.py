@@ -27,7 +27,14 @@ from flock_spark.operators.hashing import duck_md5_long, spark_md5_long
 from flock_spark.registry import register
 
 TEST_PCT = 10  # hash-split: lowest 10% of the key space becomes eval
-CONTAM_K = 5  # word-shingle width for decontamination
+# Word-shingle width for decontamination. Real pipelines use 8-13-gram
+# overlap on natural text; the synthetic corpus draws from a ~30-word
+# vocabulary, where 5-grams (30^5 space vs ~50-word docs) never collide and
+# the entry's result was provably empty — vacuous as driver evidence. 3-grams
+# are the proportionally-equivalent width for this vocabulary: ~30% of train
+# docs genuinely share an eval shingle, so the hash gate checks real overlap
+# counts, not an empty set.
+CONTAM_K = 3
 VOCAB_TOP = 100
 
 

@@ -553,12 +553,36 @@ def _spark_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Final label relation memoized per (session, sf_dir): both dedup_clusters
+# and dedup_drop_duplicates need the components, and the fixpoint loop is the
+# most expensive derivation in the dedup family — recomputing it per entry
+# doubled full-sweep cost. The memoized value is already localCheckpointed
+# (materialized, lineage-free), so reuse is a free scan.
+_COMPONENTS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _spark_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation to fixpoint. Each iteration is one distributed
     join + aggregate; iteration count is the cluster diameter (near-dup
     clusters are small, so a handful). Labels are cached per round and the
     loop is driver-controlled — the legitimate driver-side loop: it moves no
     data, only convergence decisions."""
+    from flock_spark.catalog import session_key
+    from flock_spark.session import clamped_shuffle_partitions
+
+    key = (session_key(spark), sf_dir)
+    if key in _COMPONENTS_MEMO:
+        return _COMPONENTS_MEMO[key]
+    with clamped_shuffle_partitions(spark, 32):
+        out = _spark_components_uncached(spark, sf_dir)
+    _COMPONENTS_MEMO[key] = out
+    return out
+
+
+def _spark_components_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The per-round relations (candidate edges, labels) are tiny compared to
+    # the corpus — the caller clamps shuffle partitions so a plain
+    # 200-partition session doesn't schedule 200 tasks per round per stage.
     pairs = _spark_lsh_pairs(spark, sf_dir)
     # localCheckpoint truncates lineage each round — without it the plan
     # tree doubles per iteration and planning itself OOMs (the standard

@@ -103,6 +103,20 @@ def graph_pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     # iteration-invariant adjacency with out-degree attached, built once
     adj = edges.join(deg, "u").cache()
+    # Overflow precondition (Spark long sums wrap silently in non-ANSI mode;
+    # the DuckDB oracle's sum(BIGINT) promotes to HUGEINT, so a wrap would
+    # diverge rather than error). Rank mass is conserved up to damping, so
+    # any grouped sum s <= n_nodes * R0, and the damping step multiplies by
+    # 85 before dividing — require 85 * n_nodes * R0 < 2^62 (one slack bit),
+    # i.e. n_nodes < ~5.4e7 at R0 = 1e9. Past that, shrink R0 (rank precision)
+    # rather than returning wrapped ranks. The count doubles as the action
+    # that materializes the adjacency cache before the iteration loop.
+    n_nodes = adj.select("u").distinct().count()
+    if 85 * n_nodes * R0 >= 1 << 62:
+        raise OverflowError(
+            f"pagerank int64 bound exceeded: n_nodes={n_nodes} at R0={R0}; "
+            f"lower R0 so 85*n_nodes*R0 < 2^62"
+        )
     ranks = deg.select("u", F.lit(R0).cast("long").alias("r"))
     for _ in range(N_ITER):
         contrib = adj.join(ranks, "u").select(

@@ -172,12 +172,12 @@ AUDIO_WINDOW = 32  # fake-PCM samples (bytes) per analysis window
     oracle=f"""
     WITH samples AS (
       SELECT doc_id,
-             unnest(generate_series(1, length(text))) AS i
+             unnest(generate_series(1, octet_length(encode(text)))) AS i
       FROM documents),
     v AS (
       SELECT s.doc_id,
              CAST(floor((s.i - 1) / {AUDIO_WINDOW}) AS BIGINT) AS window_idx,
-             ascii(substring(d.text, s.i, 1)) AS amp
+             ('0x' || substring(hex(encode(d.text)), s.i * 2 - 1, 2))::BIGINT AS amp
       FROM samples s JOIN documents d ON s.doc_id = d.doc_id)
     SELECT doc_id, window_idx,
            CAST(sum(amp * amp) AS BIGINT) AS energy,
@@ -189,8 +189,11 @@ AUDIO_WINDOW = 32  # fake-PCM samples (bytes) per analysis window
     f"per-{AUDIO_WINDOW}-sample window energy (sum of squares) computed "
     "vectorized per Arrow batch (np.frombuffer + reshape — the same batch "
     "shape a real frame-energy/FFT extractor uses). Completes the "
-    "image/audio/video transform triple; decode stays honest-fake (ASCII "
-    "text bytes), which is exactly what makes the energy oracle-checkable.",
+    "image/audio/video transform triple; decode stays honest-fake (UTF-8 "
+    "text bytes), which is exactly what makes the energy oracle-checkable. "
+    "The oracle reads each byte's value from hex(encode(text)) — byte-exact "
+    "with np.frombuffer(uint8) even on non-ASCII text (character-based "
+    "ascii()/length() would diverge there).",
 )
 def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -247,9 +250,9 @@ FRAME_CAP = 8  # at most 8 sampled frames per payload
     )
     SELECT f.doc_id, f.sample_idx,
            f.sample_idx * {FRAME_STRIDE} AS frame_idx,
-           md5(substring(d.text,
-                         CAST(f.sample_idx * {FRAME_STRIDE} * {FRAME_BYTES} + 1 AS INT),
-                         {FRAME_BYTES})) AS frame_md5
+           md5(lower(substring(hex(encode(d.text)),
+                               CAST(f.sample_idx * {FRAME_STRIDE} * {FRAME_BYTES} * 2 + 1 AS INT),
+                               {FRAME_BYTES * 2}))) AS frame_md5
     FROM frames f JOIN documents d ON f.doc_id = d.doc_id
     """,
     tags=("multimodal", "pandas_udf"),
@@ -260,8 +263,12 @@ FRAME_CAP = 8  # at most 8 sampled frames per payload
     "pipeline uses so per-video cost is O(cap), not O(duration). The "
     "Arrow batch sees the payload once and emits only sampled frames; "
     "the oracle replays stride+cap+digest in SQL, so the sampled set and "
-    "frame contents are value-verified. Frame decode itself stays behind "
-    "the stubbed codec boundary (no image/video libs in this container).",
+    "frame contents are value-verified. The digest is md5 over the frame's "
+    "lowercase hex — BOTH engines slice the same byte representation "
+    "(DuckDB md5/substring are VARCHAR-only, so raw-byte slicing would "
+    "silently fall back to characters and diverge on non-ASCII text). "
+    "Frame decode itself stays behind the stubbed codec boundary (no "
+    "image/video libs in this container).",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents").select(
@@ -278,11 +285,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if frame_idx >= n_frames:
                         break
                     start = frame_idx * FRAME_BYTES
-                    frame = payload[start : start + FRAME_BYTES]
+                    frame = bytes(payload[start : start + FRAME_BYTES])
                     out_doc.append(doc_id)
                     out_sidx.append(sample_idx)
                     out_fidx.append(frame_idx)
-                    out_md5.append(hashlib.md5(frame).hexdigest())
+                    # digest over lowercase hex: the byte representation both
+                    # engines can slice and md5 identically (see oracle doc)
+                    out_md5.append(hashlib.md5(frame.hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": out_doc,

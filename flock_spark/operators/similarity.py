@@ -816,6 +816,26 @@ def embedding_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("dim"),
         F.expr(f"CAST(floor(CAST(x AS DOUBLE) * {PI_QSCALE} + 0.5) AS BIGINT)").alias("q"),
     ).cache()  # iteration-invariant; re-deriving the explode per join doubles cost
+    # Overflow precondition (Spark long sums wrap silently in non-ANSI mode,
+    # while the DuckDB oracle promotes sum(BIGINT) to HUGEINT — a wrap would
+    # diverge, not error). Worst-case bounds per iteration:
+    #   |val| < 2^PI_VBITS (rescale invariant; v0 = PI_QSCALE < 2^PI_VBITS)
+    #   |dot| <= PI_DIM * qmax * 2^PI_VBITS
+    #   |w|   <= n_vecs * qmax * |dot|  <= n_vecs * qmax^2 * PI_DIM * 2^PI_VBITS
+    # Require that bound < 2^62 (one slack bit). With qmax ~= 320 this admits
+    # n_vecs up to ~2^20.6 (~1.6M vectors); beyond that, raise PI_QSCALE down /
+    # PI_VBITS down rather than returning wrapped values. The check is one
+    # O(1)-result aggregate over the cached quantized relation (n_vecs is
+    # exact as count(*)/PI_DIM — every vector contributes PI_DIM rows).
+    st = q.agg(
+        F.max(F.abs(F.col("q"))).alias("qmax"), F.count(F.lit(1)).alias("n_rows")
+    ).collect()[0]
+    qmax, n_vecs = int(st["qmax"] or 0), int(st["n_rows"]) // PI_DIM
+    if n_vecs * qmax * qmax * PI_DIM * (1 << PI_VBITS) >= 1 << 62:
+        raise OverflowError(
+            f"power iteration int64 bound exceeded: n_vecs={n_vecs}, qmax={qmax}; "
+            f"lower PI_QSCALE or PI_VBITS so n*qmax^2*{PI_DIM}*2^{PI_VBITS} < 2^62"
+        )
     v = spark.range(1, PI_DIM + 1).select(
         F.col("id").alias("dim"), F.lit(PI_QSCALE).cast("long").alias("val")
     )

@@ -8,9 +8,30 @@ UTC session time zone pins timestamp semantics to the oracle's.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def clamped_shuffle_partitions(spark: SparkSession, cap: int):
+    """Clamp spark.sql.shuffle.partitions while the context is active, then
+    restore. Used by bounded streaming drains (state-store instance count is
+    fixed per query at start) and by driver-controlled iterative loops whose
+    per-round relations are tiny (labels, ranks): under a plain 200-partition
+    session each round would otherwise schedule 200 tasks per stage for a
+    few thousand rows. Production sizing replaces the clamp with deliberate
+    spark.sql.shuffle.partitions; plans built after the context restore the
+    surrounding setting."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        if int(old) > cap:
+            spark.conf.set(key, str(cap))
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def get_spark(

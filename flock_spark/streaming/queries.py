@@ -192,7 +192,8 @@ def streaming_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFr
         outputMode="update",
         timeoutConf="NoTimeout",
     )
-    drained = run_to_memory(out, output_mode="update")
+    # 150 distinct keys: 8 state-store instances, not the drain default
+    drained = run_to_memory(out, output_mode="update", cap=8)
     # last emission per key = total; emissions are monotone so max == last
     return drained.groupBy("user_id").agg(F.max("cnt").alias("cnt"))
 
@@ -227,31 +228,55 @@ def streaming_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_stream_stream_join",
     oracle="""
-    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
-    FROM events e JOIN orders o
-      ON e.user_id = o.o_custkey
-     AND o.o_orderdate BETWEEN e.ts - INTERVAL 30 DAY AND e.ts
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 10 MINUTE
     """,
     tags=("streaming", "join"),
     doc="Stateful stream-stream inner join with watermarks on both sides and "
     "an event-time range bound — the capability the reference approximates "
     "with per-window full recomputes (SURVEY §2.3: only stream-static and "
-    "per-window self-joins exist there). The time bound lets the state "
-    "store evict rows outside the 30-day correlation window; a bounded "
-    "drain equals the batch join exactly.",
+    "per-window self-joins exist there). Funnel shape: each click joins the "
+    "same user's purchases within the next 10 minutes (non-empty on this "
+    "corpus — an earlier orders-side variant was provably vacuous, the "
+    "tables' date ranges never overlap). The time bound lets the state "
+    "store evict rows outside the correlation window; a bounded drain "
+    "equals the batch self-join exactly. State keys by user_id, so the "
+    "drain caps shuffle partitions at 8 (150 distinct users; state-store "
+    "instance count = partitions).",
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = bounded_stream(spark, sf_dir, "events").withWatermark("ts", "1 hour")
-    od = bounded_stream(spark, sf_dir, "orders").withWatermark("o_orderdate", "1 hour")
-    j = ev.join(
-        od,
+    clicks = (
+        bounded_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        bounded_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = clicks.join(
+        purchases,
         F.expr(
-            "user_id = o_custkey AND "
-            "o_orderdate BETWEEN ts - INTERVAL 30 DAY AND ts"
+            "user_id = p_user AND "
+            "p_ts BETWEEN click_ts AND click_ts + INTERVAL 10 MINUTE"
         ),
     )
-    out = j.select("event_id", "user_id", "o_orderkey", "o_orderdate")
-    return run_to_memory(out, output_mode="append")
+    out = j.select("click_id", "purchase_id", "user_id")
+    return run_to_memory(out, output_mode="append", cap=8)
 
 
 @register(

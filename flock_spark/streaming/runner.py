@@ -14,13 +14,14 @@ run_foreach_batch — the reference's execution model verbatim: re-run a full
 
 from __future__ import annotations
 
-import contextlib
 import os
 import tempfile
 import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from flock_spark.session import clamped_shuffle_partitions
 
 # State-store instance count per streaming query = shuffle partitions at
 # query start. A verification sweep inherits whatever the surrounding
@@ -31,20 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 DRAIN_PARTITION_CAP = 32
 
 
-@contextlib.contextmanager
 def _drain_parallelism(spark: SparkSession, cap: int = DRAIN_PARTITION_CAP):
-    """Clamp spark.sql.shuffle.partitions for the duration of a bounded
-    drain (micro-batches plan while the drain runs), then restore. The
-    partition count is fixed per streaming query at start, so this never
-    leaks into queries planned after the drain."""
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    try:
-        if int(old) > cap:
-            spark.conf.set(key, str(cap))
-        yield
-    finally:
-        spark.conf.set(key, old)
+    """Clamp shuffle partitions for the duration of a bounded drain
+    (micro-batches plan while the drain runs). The partition count is fixed
+    per streaming query at start, so this never leaks into queries planned
+    after the drain."""
+    return clamped_shuffle_partitions(spark, cap)
 
 
 def run_to_memory(
@@ -53,6 +46,7 @@ def run_to_memory(
     query_name: str | None = None,
     timeout_sec: int = 300,
     run_for_sec: float | None = None,
+    cap: int = DRAIN_PARTITION_CAP,
 ) -> DataFrame:
     """Start stream → memory sink, drain, stop, return the result DataFrame.
 
@@ -66,7 +60,7 @@ def run_to_memory(
     spark = stream_df.sparkSession
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     writer = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name)
-    with _drain_parallelism(spark):
+    with _drain_parallelism(spark, cap):
         if run_for_sec is None:
             q = writer.trigger(availableNow=True).start()
             try:
@@ -146,19 +140,3 @@ def stage_batches(stream_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
     if not staged:
         return spark.createDataFrame([], stream_df.schema)
     return spark.read.option("basePath", stage_dir).parquet(stage_dir).select(*cols)
-
-
-def accumulate_batches(spark: SparkSession, stream_df: DataFrame, timeout_sec: int = 300) -> DataFrame:
-    """Collect every micro-batch of a bounded stream into one DataFrame
-    (driver-side union of Arrow batches; test-scale helper)."""
-    batches: list = []
-
-    def collect_batch(df: DataFrame, _epoch: int) -> None:
-        batches.append(df.toPandas())
-
-    run_foreach_batch(stream_df, collect_batch, timeout_sec)
-    import pandas as pd
-
-    if not batches:
-        return spark.createDataFrame([], stream_df.schema)
-    return spark.createDataFrame(pd.concat(batches, ignore_index=True), schema=stream_df.schema)

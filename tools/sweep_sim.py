@@ -81,7 +81,12 @@ def main() -> None:
 
                 sc = Counter(tuple(orc._canon(v) for v in r) for r in s_rows)
                 oc = Counter(tuple(orc._canon(v) for v in r) for r in o_rows)
-                if len(s_rows) != len(o_rows):
+                o_cols = sorted(o_cols_raw)
+                if s_cols != o_cols:
+                    # same column-name contract as flock_spark.oracle.compare:
+                    # a renamed output column must fail, not silently pass
+                    status = f"COLS {s_cols} vs {o_cols}"
+                elif len(s_rows) != len(o_rows):
                     status = f"ROWS {len(s_rows)} vs {len(o_rows)}"
                 elif sc != oc:
                     status = "HASH"
