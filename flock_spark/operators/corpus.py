@@ -225,6 +225,43 @@ def corpus_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_SAMPLE_K = 20  # docs kept per language stratum
+
+
+@register(
+    "corpus_sample_per_group",
+    oracle=f"""
+    SELECT doc_id, lang, rn
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {duck_md5_long("'gsamp' || CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS rn
+          FROM documents) t
+    WHERE rn <= {GROUP_SAMPLE_K}
+    """,
+    tags=("corpus", "pipeline", "window"),
+    doc=f"Fixed-size per-group sample: exactly {GROUP_SAMPLE_K} docs per "
+    "language, chosen by row_number over the portable hash of doc_id (plus "
+    "doc_id tiebreak) — the balanced-subsampling op a training mix needs "
+    "when sources are skewed, reproducible across reruns/layouts/engines "
+    "where a per-group reservoir with rand() is not. One window shuffle "
+    "keyed by the stratum; at 100 TB with heavy strata this becomes "
+    "per-partition top-k then a k*strata-row final merge (the "
+    "TakeOrderedAndProject shape per group), never a full sort.",
+)
+def corpus_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    key = spark_md5_long("'gsamp' || CAST(doc_id AS STRING)")
+    w = Window.partitionBy("lang").orderBy(F.expr(key), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+    )
+
+
 MIX_DENOM = 1_000_000  # hash-fraction resolution for keep decisions
 
 

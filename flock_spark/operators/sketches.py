@@ -66,6 +66,9 @@ class _SparkD(_Dialect):
     def shrv(self, expr: str, amount_expr: str) -> str:
         return f"shiftright({expr}, CAST({amount_expr} AS INT))"
 
+    def idiv(self, a: str, b: str) -> str:
+        return f"(({a}) div ({b}))"
+
 
 class _DuckD(_Dialect):
     def shl(self, amount_expr: str) -> str:
@@ -76,6 +79,9 @@ class _DuckD(_Dialect):
 
     def shrv(self, expr: str, amount_expr: str) -> str:
         return f"(({expr}) >> ({amount_expr}))"
+
+    def idiv(self, a: str, b: str) -> str:
+        return f"(({a}) // ({b}))"
 
 
 SPARK_D = _SparkD(md5l=spark_md5_long, str_t="STRING", range_src="range(200)")
@@ -342,3 +348,234 @@ def _cms_point_sql(d: _Dialect) -> str:
 def cms_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cms_point_sql(SPARK_D))
+
+
+# -------------------------------------------- Bloom semi-join reduction ----
+
+BSJ_BITS = 4096  # 128 x 32-bit words
+BSJ_WORDS = BSJ_BITS // 32
+BSJ_K = 4
+BSJ_PRICE = 490000.0  # dim-side selectivity ~2% (~300 keys -> ~30% bits set)
+
+
+def _bsj_words_sql(d: _Dialect) -> str:
+    """Bloom words over the filtered dim keys (high-value orderkeys)."""
+    pos_union = "\n      UNION\n".join(
+        f"      SELECT ({universal_hash('h', i)} % {BSJ_BITS}) AS p FROM hashed"
+        for i in range(BSJ_K)
+    )
+    return f"""
+    WITH dimk AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > {BSJ_PRICE}
+    ), hashed AS (
+      SELECT {d.md5l(f'CAST(k AS {d.str_t})')} AS h FROM dimk
+    ), pos AS (
+{pos_union}
+    )
+    SELECT CAST({d.shr('p', 5)} AS BIGINT) AS word_idx,
+           bit_or({d.shl('p % 32')}) AS bits
+    FROM pos
+    GROUP BY 1
+    """
+
+
+@register(
+    "bloom_semijoin_reduction",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                 AS DOUBLE), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > {BSJ_PRICE}
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("approx", "sketch", "join", "membership"),
+    doc=f"Semi-join reduction via a broadcast Bloom filter: build "
+    f"{BSJ_BITS}-bit words over the filtered dim's join keys (one tiny "
+    f"aggregate, O({BSJ_WORDS})-row collect regardless of corpus size), "
+    "inline them as an array literal, and pre-filter the FACT side with "
+    "four JVM-side bit tests before the shuffle join. False positives are "
+    "removed by the real join, so the result provably equals the plain "
+    "join (the oracle) — no-false-negatives is the property under test; "
+    "tests/test_plans.py pins that the bloom actually prunes the scan. "
+    "This is THE 100 TB fact-dim pattern when the dim is too big to "
+    "broadcast whole but its key filter fits in KBs: shuffle volume drops "
+    "to matched+FP rows. (Spark's runtime bloom-join does this implicitly; "
+    "the explicit portable build keeps it engine-checkable.)",
+)
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return _bsj_reduced_join(spark)
+
+
+def _bsj_reduced_join(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    words = [0] * BSJ_WORDS
+    for r in spark.sql(_bsj_words_sql(SPARK_D)).collect():  # <=128 rows, O(1)
+        words[int(r["word_idx"])] = int(r["bits"])
+    arr = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
+    h = spark_md5_long("CAST(l_orderkey AS STRING)")
+    fact = spark.table("lineitem").withColumn("_h", F.expr(h))
+    cond = None
+    for i in range(BSJ_K):
+        p = f"({universal_hash('_h', i)} % {BSJ_BITS})"
+        test = F.expr(
+            f"(shiftright(element_at({arr}, CAST(shiftright({p}, 5) AS INT) + 1),"
+            f" CAST({p} % 32 AS INT)) % 2) = 1"
+        )
+        cond = test if cond is None else (cond & test)
+    pruned = fact.filter(cond).drop("_h")
+    dim = spark.table("orders").filter(F.col("o_totalprice") > BSJ_PRICE)
+    j = pruned.join(dim, pruned.l_orderkey == dim.o_orderkey)
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"), 4
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------- HDR quantile histogram -----
+
+HDR_QS = (50, 90, 99)  # percentiles to report
+
+
+def _hdr_sql(d: _Dialect) -> str:
+    """HDR-style log2 histogram quantiles over o_totalprice; see
+    hdr_quantile_sketch docstring. All integer arithmetic: exponent via
+    length(bin(v)) (exact integer log2), 4-bit mantissa sub-buckets via
+    shifts — no libm, bit-identical across engines."""
+    qs_union = "\n      UNION ALL\n".join(f"      SELECT {q} AS qv" for q in HDR_QS)
+    return f"""
+    WITH t AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+    ), eb AS (
+      SELECT v, greatest(length(bin(v)) - 4, 0) AS sh FROM t
+    ), bk AS (
+      SELECT {d.shrv('v', 'sh')} AS top, sh FROM eb
+    ), hist AS (
+      SELECT (sh * 16 + top) AS bucket,
+             top * {d.shl('sh')} AS lo,
+             (top + 1) * {d.shl('sh')} AS hi,
+             count(*) AS cnt
+      FROM bk GROUP BY 1, 2, 3
+    ), ranks AS (
+      SELECT bucket, lo, hi, cnt,
+             sum(cnt) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM hist
+    ), tot AS (
+      SELECT count(*) AS n FROM t
+    ), qs AS (
+{qs_union}
+    ), sel AS (
+      SELECT qs.qv, min(r.bucket) AS bucket
+      FROM qs CROSS JOIN tot JOIN ranks r
+        ON r.cum >= {d.idiv('qs.qv * tot.n + 99', '100')}
+      GROUP BY qs.qv
+    )
+    SELECT s.qv AS q,
+           CAST(r.lo AS BIGINT) AS bucket_lo,
+           CAST(r.hi AS BIGINT) AS bucket_hi,
+           CAST({d.idiv('r.lo + r.hi', '2')} AS BIGINT) AS est_mid,
+           CAST(r.cum AS BIGINT) AS n_le,
+           CAST(t.n AS BIGINT) AS n_total
+    FROM sel s JOIN ranks r ON s.bucket = r.bucket CROSS JOIN tot t
+    """
+
+
+@register(
+    "hdr_quantile_sketch",
+    oracle=_hdr_sql(DUCK_D),
+    tags=("approx", "sketch", "aggregate", "stats"),
+    doc="Distributed quantile estimation via an HDR-style histogram: "
+    "integer log2 exponent (length(bin(v)) — no float log) with 4-bit "
+    "mantissa sub-buckets gives <=6.7% relative bucket width; counts are "
+    "plain integer sums (mergeable map-side like every sketch here), the "
+    "percentile picks the first bucket whose running count crosses "
+    "ceil(q*n/100), and the estimate is the bucket midpoint — all integer "
+    "math, hash-exact on both engines. This is the scale path where exact "
+    "percentiles (agg_percentiles) would need a full sort: the histogram "
+    "is O(buckets) state per partition, one small shuffle. t-digest/KLL "
+    "sketches trade determinism for tighter error — their compactions are "
+    "merge-order-dependent, so this deterministic form is the "
+    "oracle-verifiable one.",
+)
+def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_hdr_sql(SPARK_D))
+
+
+# ---------------------------------------------------- HLL shard merge ------
+
+HLL_SHARDS = 8
+
+
+def _hll_merge_sql(d: _Dialect) -> str:
+    """Per-shard HLL bucket maxima merged with max == direct global maxima;
+    both harmonic sums emitted so mergeability is value-proven."""
+    h = d.md5l(f"CAST(user_id AS {d.str_t})")
+    w = d.shr("h", 6)
+    return f"""
+    WITH hashed AS (
+      SELECT event_type, {h} AS h FROM events
+    ), rho AS (
+      SELECT event_type,
+             ({d.shr('h', 20)} % {HLL_SHARDS}) AS shard,
+             (h % 64) AS bucket,
+             CASE WHEN {w} = 0 THEN 55
+                  ELSE 55 - length(bin({w})) END AS r
+      FROM hashed
+    ), shard_buckets AS (
+      SELECT event_type, shard, bucket, max(r) AS m
+      FROM rho GROUP BY event_type, shard, bucket
+    ), merged AS (
+      SELECT event_type, bucket, max(m) AS m
+      FROM shard_buckets GROUP BY event_type, bucket
+    ), direct AS (
+      SELECT event_type, bucket, max(r) AS m
+      FROM rho GROUP BY event_type, bucket
+    ), msum AS (
+      SELECT event_type,
+             count(*) AS n_hot,
+             sum({d.shl('55 - m')}) AS hot
+      FROM merged GROUP BY event_type
+    ), dsum AS (
+      SELECT event_type,
+             count(*) AS n_hot,
+             sum({d.shl('55 - m')}) AS hot
+      FROM direct GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST({HLL_SHARDS} AS BIGINT) AS n_shards,
+           CAST(m.hot + (64 - m.n_hot) * 36028797018963968 AS BIGINT)
+             AS merged_harmonic,
+           CAST(x.hot + (64 - x.n_hot) * 36028797018963968 AS BIGINT)
+             AS direct_harmonic
+    FROM msum m JOIN dsum x ON m.event_type = x.event_type
+    """
+
+
+@register(
+    "hll_merge_shards",
+    oracle=_hll_merge_sql(DUCK_D),
+    tags=("approx", "sketch", "aggregate"),
+    doc=f"HLL mergeability proven by value: the events split into "
+    f"{HLL_SHARDS} hash shards (a stand-in for {HLL_SHARDS} executors/"
+    "partitions), each shard builds its own bucket maxima, the shards "
+    "merge with max — and the merged harmonic sum is emitted NEXT TO the "
+    "direct single-pass sum, so the driver's hash gate verifies "
+    "merged == direct exactly. This is the property that makes HLL "
+    "distribute: partial states combine losslessly in any grouping/order, "
+    "which is precisely what Spark's map-side partial aggregation exploits "
+    "at 100 TB (the exchange carries <=64 small ints per shard, never "
+    "rows).",
+)
+def hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hll_merge_sql(SPARK_D))

@@ -181,3 +181,47 @@ def test_global_sort_is_range_partitioned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sort_global_range")
     assert "rangepartitioning" in plan
     assert "Sort" in plan
+
+
+def test_bloom_semijoin_actually_prunes(spark, sf_dir):
+    # the reduction claim: the broadcast bloom filter drops most fact rows
+    # BEFORE the shuffle join (no false negatives — equality with the plain
+    # join is the oracle's hash gate; this pins the pruning itself)
+    from flock_spark.catalog import tbl
+    from flock_spark.operators import sketches as sk
+    from pyspark.sql import functions as F
+
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    fact_rows = spark.table("lineitem").count()
+    # count rows surviving the bloom pre-filter (re-derive the filter the
+    # operator applies, without the join)
+    words = [0] * sk.BSJ_WORDS
+    for r in spark.sql(sk._bsj_words_sql(sk.SPARK_D)).collect():
+        words[int(r["word_idx"])] = int(r["bits"])
+    arr = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
+    from flock_spark.operators.hashing import spark_md5_long, universal_hash
+
+    h = spark_md5_long("CAST(l_orderkey AS STRING)")
+    fact = spark.table("lineitem").withColumn("_h", F.expr(h))
+    cond = None
+    for i in range(sk.BSJ_K):
+        p = f"({universal_hash('_h', i)} % {sk.BSJ_BITS})"
+        t = F.expr(
+            f"(shiftright(element_at({arr}, CAST(shiftright({p}, 5) AS INT) + 1),"
+            f" CAST({p} % 32 AS INT)) % 2) = 1"
+        )
+        cond = t if cond is None else (cond & t)
+    pruned_rows = fact.filter(cond).count()
+    true_rows = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders").filter(F.col("o_totalprice") > sk.BSJ_PRICE),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    # no false negatives, and the filter must remove the bulk of the scan
+    assert pruned_rows >= true_rows
+    assert pruned_rows < fact_rows * 0.25, (pruned_rows, fact_rows)
