@@ -305,3 +305,75 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         schema="doc_id long, sample_idx long, frame_idx long, frame_md5 string",
     )
+
+
+@register(
+    "mm_phash64",
+    oracle="""
+    WITH hx AS (SELECT doc_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM documents),
+    ix AS (SELECT doc_id, h, n, unnest(generate_series(1, n)) AS i FROM hx),
+    b AS (SELECT doc_id, n, i,
+                 ('0x' || substring(h, 2*i - 1, 2))::BIGINT AS v,
+                 ((i - 1) * 64) // n AS c
+          FROM ix),
+    ch AS (SELECT doc_id, c, sum(v) AS s, count(*) AS k, max(n) AS n
+           FROM b GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, sum(v) AS total FROM b GROUP BY doc_id),
+    bits AS (SELECT ch.doc_id, ch.c,
+                    CASE WHEN ch.s * ch.n > tot.total * ch.k THEN 1 ELSE 0 END AS bit
+             FROM ch JOIN tot ON ch.doc_id = tot.doc_id)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN c // 16 = 0 THEN bit * (CAST(1 AS BIGINT) << (15 - c % 16)) ELSE 0 END) AS BIGINT) AS w0,
+           CAST(sum(CASE WHEN c // 16 = 1 THEN bit * (CAST(1 AS BIGINT) << (15 - c % 16)) ELSE 0 END) AS BIGINT) AS w1,
+           CAST(sum(CASE WHEN c // 16 = 2 THEN bit * (CAST(1 AS BIGINT) << (15 - c % 16)) ELSE 0 END) AS BIGINT) AS w2,
+           CAST(sum(CASE WHEN c // 16 = 3 THEN bit * (CAST(1 AS BIGINT) << (15 - c % 16)) ELSE 0 END) AS BIGINT) AS w3
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas_udf", "fingerprint"),
+    doc="64-bit perceptual hash (aHash family) over an opaque binary payload: "
+    "the payload is split into 64 equal chunks, each bit = (chunk mean > "
+    "global mean), emitted as four 16-bit words ready for the banded-Hamming "
+    "near-dup join that dedup.simhash already provides (band equality → "
+    "candidate pair → exact bit_count(xor) distance). This is the image "
+    "near-dup primitive of a multimodal training pipeline — on real data the "
+    "payload would be decoded pixels (decode_image above); here it is the "
+    "raw bytes so the whole path stays oracle-exact. Extraction is "
+    "numpy-vectorized inside Arrow batches (np.bincount over a chunk-index "
+    "map — no per-byte Python); the comparison rule is pure integer math "
+    "(sum_c * n_total > total * k_c), bit-identical in the byte-explode SQL "
+    "oracle. Scale: narrow mapInPandas, constant memory per batch, output "
+    "8 bytes/row regardless of payload size.",
+)
+def mm_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words: list[list[int]] = [[], [], [], []]
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                chunks = (np.arange(n) * 64) // n
+                sums = np.bincount(chunks, weights=b, minlength=64).astype(np.int64)
+                cnts = np.bincount(chunks, minlength=64).astype(np.int64)
+                bits = (sums * n > int(b.sum()) * cnts).astype(np.int64)
+                weights = 1 << (15 - np.arange(16))
+                for k in range(4):
+                    words[k].append(int((bits[16 * k : 16 * k + 16] * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "w0": words[0],
+                    "w1": words[1],
+                    "w2": words[2],
+                    "w3": words[3],
+                }
+            )
+
+    return d.mapInPandas(extract, schema="doc_id long, w0 long, w1 long, w2 long, w3 long")

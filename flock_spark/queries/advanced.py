@@ -568,3 +568,41 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").cast("double").alias("max_v"),
         )
     )
+
+
+@register(
+    "array_hof_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+           COALESCE(CAST(list_sum(list_transform(list_filter(toks, x -> length(x) > 4),
+                                                 x -> length(x))) AS BIGINT),
+                    0) AS len_long,
+           array_to_string(list_sort(list_filter(toks, x -> length(x) > 4))[1:3],
+                           '|') AS top3_sorted
+    FROM t
+    """,
+    tags=("functions", "array", "hof"),
+    doc="Higher-order array functions — filter / transform / aggregate / "
+    "array_sort / slice — over a tokenized text column, entirely inside "
+    "whole-stage codegen (no UDF, no explode): the per-row lambda pipeline "
+    "the reference would express as nested DataFusion scalar functions. "
+    "Staying lambda-side instead of explode+groupBy avoids materializing "
+    "one row per token (a ~100× pre-shuffle blowup on real corpora); the "
+    "plan is a pure narrow projection — no shuffle at all.",
+)
+def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    long_toks = F.filter(toks, lambda x: F.length(x) > 4)
+    return d.select(
+        "doc_id",
+        F.size(long_toks).cast("bigint").alias("n_long"),
+        F.aggregate(
+            F.transform(long_toks, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("len_long"),
+        F.array_join(F.slice(F.array_sort(long_toks), 1, 3), "|").alias("top3_sorted"),
+    )

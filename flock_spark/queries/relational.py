@@ -563,6 +563,75 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
 
 
+# 7 days in seconds: the bin width for the point-in-interval join below.
+_RANGE_BIN_S = 7 * 86400
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    WITH iv AS (SELECT o_orderkey, o_orderdate AS start_ts,
+                       o_orderdate + INTERVAL 7 DAY AS end_ts
+                FROM orders
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+    SELECT iv.o_orderkey,
+           count(*) AS n_pts,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+    FROM iv JOIN lineitem ON l_shipdate BETWEEN start_ts AND end_ts
+    GROUP BY iv.o_orderkey
+    """,
+    tags=("join", "range", "scale-pattern"),
+    doc="Pure interval join (NO equi key) lowered to an equi-join on time "
+    "bins: intervals explode to every 7-day bin they overlap, points map to "
+    "exactly one bin, the join runs on bin_id with the BETWEEN residual "
+    "applied after. Because each point has a unique bin and every interval "
+    "covers that bin at most once, no pair can match twice — no dedup pass. "
+    "This is the range-join optimization DBR applies automatically and the "
+    "reference's theta-join path lacks (planner.rs:236-239 only handles "
+    "equi+residual): a naive point-in-interval join is a broadcast "
+    "nested-loop at best, O(|points|·|intervals|); the binned lowering is a "
+    "shuffle hash join on bin_id — linear, partitionable, and skew-handled "
+    "by AQE at 100 TB. Oracle is the naive inequality join (DuckDB IEJoin).",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    # interval build: top-100 high-value orders define 7-day promo windows
+    iv = (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("start_ts"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("end_ts"),
+        )
+    )
+    # explode each interval onto the 7-day bins it overlaps (≤2 here; an
+    # interval spanning k bins emits k rows — growth is len/bin_width, O(1))
+    iv_binned = iv.select(
+        "o_orderkey",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp("start_ts") / _RANGE_BIN_S).cast("bigint"),
+                (F.unix_timestamp("end_ts") / _RANGE_BIN_S).cast("bigint"),
+            )
+        ).alias("bin_id"),
+    )
+    pts = tbl(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_extendedprice",
+        (F.unix_timestamp("l_shipdate") / _RANGE_BIN_S).cast("bigint").alias("bin_id"),
+    )
+    j = pts.join(iv_binned, "bin_id").filter(
+        F.col("l_shipdate").between(F.col("start_ts"), F.col("end_ts"))
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_pts"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("revenue_cents"),
+    )
+
+
 @register(
     "join_self_agg_max",
     oracle="""

@@ -265,3 +265,64 @@ def session_custom_gap_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize,
         schema="user_id long, session_id long, session_start timestamp, n_events long",
     )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE user_id < 25 GROUP BY 1, 2),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+        FROM daily GROUP BY user_id),
+    filled AS (
+        SELECT s.user_id, s.day, d.cents
+        FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day,
+           last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+           cents IS NULL AS is_gap
+    FROM filled
+    """,
+    tags=("window_time", "timeseries", "scale-pattern"),
+    doc="Time-series regularization: per-key daily grid (sequence + explode "
+    "between each key's min and max day) left-joined to the observed daily "
+    "aggregate, missing days filled by last-observation-carried-forward "
+    "(last(ignorenulls) over an unbounded-preceding frame). The spine "
+    "explode grows O(span/step) per key and the fill is one window over the "
+    "(key, day) shuffle — no driver-side calendar, no cross join with a "
+    "global date dimension, so the plan is linear in output rows at any "
+    "corpus size. Daily sums are fixed-point cents (BIGINT) so the carried "
+    "value is bit-identical cross-engine.",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.col("cents").isNull().alias("is_gap"),
+    )

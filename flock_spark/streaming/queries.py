@@ -587,3 +587,87 @@ def json_wire_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("_CORRUPT_").alias("event_type"), "cnt"
     )
     return good.unionAll(bad)
+
+
+@register(
+    "streaming_cdc_upsert_foreachbatch",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value, n_versions
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      FROM events WHERE user_id < 50)
+    WHERE rn = 1
+    """,
+    tags=("streaming", "cdc", "incremental"),
+    doc="Streaming MERGE/upsert: the CDC change log (events keyed by "
+    "(user_id, event_type), user_id < 50) arrives as four micro-batches "
+    "(staged chunk files split by event_id % 4, so versions of one key "
+    "cross batch boundaries), and foreachBatch maintains a latest-row-wins "
+    "snapshot — per batch: compact the batch to its newest version per key, "
+    "then merge with the previous snapshot keeping max(ts, event_id) and "
+    "summing version counts. The merge is associative and commutative, so "
+    "the result is independent of how the log is batched — the final "
+    "snapshot equals the batch cdc_upsert_latest oracle exactly. Snapshots "
+    "are epoch-versioned parquet (write-new, swap-pointer: each epoch "
+    "remains readable while its successor builds — the poor man's ACID "
+    "swap); on a cluster this handler body is a Delta/Iceberg MERGE INTO "
+    "and only the delta shuffles, as incremental.py's module doc lays out.",
+)
+def streaming_cdc_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T  # noqa: F401
+
+    from flock_spark.catalog import tbl
+    from flock_spark.staging import ephemeral_dir, stage_once
+    from flock_spark.streaming.runner import run_foreach_batch
+    from flock_spark.streaming.source import SCHEMAS
+
+    def write_chunks(tmp: str) -> None:
+        e = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+        e.repartition(4, F.col("event_id") % 4).write.mode("overwrite").parquet(tmp)
+
+    path = stage_once(f"cdc_chunks_{sf_dir}", "v1-u50-4chunks", write_chunks)
+
+    stream = (
+        spark.readStream.schema(tbl(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+    )
+
+    snapdir = ephemeral_dir("flock_spark_cdc_snap_")
+    state: dict[str, str] = {}
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("m"),
+            F.count("*").alias("n_versions"),
+        )
+
+    def upsert(df: DataFrame, epoch: int) -> None:
+        merged = latest_per_key(df)
+        prev = state.get("path")
+        if prev is not None:
+            prev_df = df.sparkSession.read.parquet(prev)
+            merged = (
+                merged.unionByName(prev_df)
+                .groupBy("user_id", "event_type")
+                .agg(F.max("m").alias("m"), F.sum("n_versions").alias("n_versions"))
+            )
+        target = os.path.join(snapdir, f"v{epoch}")
+        merged.write.mode("overwrite").parquet(target)
+        state["path"] = target
+
+    run_foreach_batch(stream, upsert)
+    snap = spark.read.parquet(state["path"])
+    return snap.select(
+        "user_id",
+        "event_type",
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.value").alias("last_value"),
+        "n_versions",
+    )
