@@ -240,3 +240,87 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "dpp_star_join",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM events
+    WHERE substring(md5(event_type), 1, 1) < '8'
+    GROUP BY event_type
+    """,
+    tags=("layout", "join", "pruning", "scale-pattern"),
+    doc="Dynamic partition pruning on a star join: the fact table is the "
+    "hive-partitioned events layout (event_type=X directories), the dim is "
+    "a tiny event-type relation filtered on an attribute the fact scan "
+    "cannot see statically (first md5 hex digit < '8' — keeps 2 of 5 "
+    "types). Catalyst turns the broadcast dim into a runtime partition "
+    "filter on the fact scan (dynamicpruning expression in "
+    "PartitionFilters, pinned in test_plans), so only the surviving "
+    "directories are read — at 100 TB the fact side of a star join is "
+    "read-pruned by the dim filter without any static predicate on the "
+    "fact. Result must equal the unpartitioned oracle that filters "
+    "directly.",
+)
+def dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_events_path(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        tbl(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("h", F.substring(F.md5(F.col("event_type").cast("binary")), 1, 1))
+        .filter(F.col("h") < "8")
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+
+
+SALT_BUCKETS = 16
+
+
+@register(
+    "agg_salted_two_stage",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+           max(value) AS max_v
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "skew", "scale-pattern"),
+    doc="Skew-proof two-stage aggregation: events has ~5 distinct "
+    "event_type keys, so a direct groupBy at cluster scale funnels the "
+    "whole table through 5 reducers. Stage 1 groups by (key, salt) with a "
+    "deterministic 16-way salt (event_id % 16 — NOT rand(): replays must "
+    "be identical) computing partial count/sum/max; stage 2 re-groups by "
+    "key merging the partials (sum of counts, sum of sums, max of maxes — "
+    "all associative). Parallelism becomes keys × salt in stage 1 and the "
+    "skewed key's data never meets in one task until it is 16 partial "
+    "rows. Equal to the direct groupBy oracle by associativity.",
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", (F.col("event_id") % SALT_BUCKETS).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("p_cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("p_cents"),
+            F.max("value").alias("p_max"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.sum("p_cents").alias("cents"),
+        F.max("p_max").alias("max_v"),
+    )

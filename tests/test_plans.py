@@ -225,3 +225,35 @@ def test_bloom_semijoin_actually_prunes(spark, sf_dir):
     # no false negatives, and the filter must remove the bulk of the scan
     assert pruned_rows >= true_rows
     assert pruned_rows < fact_rows * 0.25, (pruned_rows, fact_rows)
+
+
+def test_dpp_star_join_prunes_dynamically(spark, sf_dir):
+    # the dim filter must reach the partitioned fact scan as a RUNTIME
+    # partition filter (dynamic partition pruning) — the star-join read-path
+    # win: the fact directories read are chosen by the dim subquery result
+    plan = plan_of(spark, sf_dir, "dpp_star_join")
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters" in plan
+
+
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    # stage 1 keyed by (event_type, salt), stage 2 by event_type alone —
+    # two distinct hash exchanges, and the salt column never reaches output
+    plan = plan_of(spark, sf_dir, "agg_salted_two_stage")
+    assert "salt" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
+    # the pure interval join must lower to an equi-join on bin_id — never a
+    # BroadcastNestedLoopJoin / CartesianProduct over points × intervals
+    plan = plan_of(spark, sf_dir, "join_range_binned")
+    assert "CartesianProduct" not in plan
+    assert "bin_id" in plan
+
+
+def test_array_hof_is_narrow(spark, sf_dir):
+    # the lambda pipeline is a pure projection: no shuffle, no explode rows
+    plan = plan_of(spark, sf_dir, "array_hof_funcs")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
