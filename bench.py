@@ -62,6 +62,12 @@ HEADLINE = [
     # streaming path: full micro-batch drain is the measured cost
     "streaming_tumbling_agg",
     "streaming_kafka_wire_decode",
+    # round-3 scale-pattern additions
+    "join_range_binned",
+    "ann_pq_adc_topk",
+    "dpp_star_join",
+    "agg_salted_two_stage",
+    "mm_phash64",
 ]
 
 

@@ -763,3 +763,44 @@ def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("jaccard_exact"),
         )
     )
+
+
+HELDOUT_PCT = 10
+
+
+@register(
+    "corpus_split_leakage_safe",
+    oracle=f"""
+    WITH comp AS ({_duck_components_sql()})
+    SELECT d.doc_id,
+           COALESCE(comp.cluster_id, d.doc_id) AS group_key,
+           CASE WHEN {duck_md5_long("'lsplit' || CAST(COALESCE(comp.cluster_id, d.doc_id) AS VARCHAR)")}
+                     % 100 < {HELDOUT_PCT}
+                THEN 'heldout' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+    """,
+    tags=("corpus", "dedup", "pipeline"),
+    doc=f"Leakage-safe train/heldout split: the split key is the document's "
+    "near-dup CLUSTER (connected component over the MinHash-LSH candidate "
+    "graph; singletons key on their own id), hashed deterministically — so "
+    "two near-duplicate documents can never land on opposite sides of the "
+    "split, the contamination corpus_split_stratified's per-doc hashing "
+    "cannot rule out. This is the split discipline an eval-safe training "
+    "pipeline needs (eval contamination via near-dups survives per-doc "
+    "dedup thresholds). Reuses the memoized component labels; the split "
+    "itself is a pure projection over (doc_id, cluster_id) — one "
+    "broadcast-size join at this scale, a bucketed equi-join at 100 TB.",
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _spark_components(spark, sf_dir)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    joined = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("group_key")
+    )
+    key = spark_md5_long("'lsplit' || CAST(group_key AS STRING)")
+    return joined.withColumn(
+        "split",
+        F.expr(
+            f"CASE WHEN {key} % 100 < {HELDOUT_PCT} THEN 'heldout' ELSE 'train' END"
+        ),
+    )
