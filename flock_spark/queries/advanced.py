@@ -606,3 +606,43 @@ def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("len_long"),
         F.array_join(F.slice(F.array_sort(long_toks), 1, 3), "|").alias("top3_sorted"),
     )
+
+
+@register(
+    "udtf_long_tokens",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos] AS token
+    FROM ix WHERE length(toks[pos]) > 4
+    """,
+    tags=("functions", "udtf", "pandas_udf"),
+    doc="Python UDTF (table function) surface: a lateral-joined generator "
+    "that expands each document into (position, token) rows for tokens "
+    "longer than 4 chars — completing the UDF/UDAF/UDTF machinery triad "
+    "(SURVEY §2.11; the reference registers no UDFs at all, so this whole "
+    "surface is beyond-reference). The UDTF is the API-parity "
+    "demonstration; the SAME expansion at 100 TB belongs in explode() or "
+    "mapInPandas (array_hof_funcs / text entries show both) because "
+    "row-at-a-time Python UDTF evaluation is the slow path — the docstring "
+    "IS the warning label. Tokenization (trim spaces, split on single "
+    "space, 1-based positions) matches the SQL oracle exactly.",
+)
+def udtf_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string")
+    class LongTokens:
+        def eval(self, text: str):
+            # strip/split must mirror SQL trim()/string_split(' ') exactly:
+            # strip SPACES only, and keep empty tokens from double spaces
+            for i, tok in enumerate(text.strip(" ").split(" "), start=1):
+                if len(tok) > 4:
+                    yield i, tok
+
+    spark.udtf.register("flock_long_tokens", LongTokens)
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM udtf_docs_src d, LATERAL flock_long_tokens(d.text) t"
+    )
