@@ -646,3 +646,92 @@ def udtf_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token "
         "FROM udtf_docs_src d, LATERAL flock_long_tokens(d.text) t"
     )
+
+
+_SPEARMAN_SQL = """
+    WITH ranked AS (
+      SELECT l_returnflag,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rx,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS ry
+      FROM lineitem),
+    agg AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0))) AS DOUBLE) AS sd2
+      FROM ranked GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round(1 - 6 * sd2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)),
+                 6) AS spearman_rho
+    FROM agg
+"""
+
+
+@register(
+    "agg_spearman_rank_corr",
+    oracle=_SPEARMAN_SQL,
+    tags=("aggregate", "stats", "window"),
+    doc="Spearman rank correlation per group from INTEGER rank differences: "
+    "both variables rank via row_number with a full unique tie-break "
+    "(quantity/price, then orderkey, linenumber — deterministic tie "
+    "resolution rather than average ranks; documented, not hidden), so "
+    "Σd² is an exact integer (DECIMAL(38,0) accumulation — "
+    "order-insensitive at any partitioning) and ρ = 1 − 6Σd²/(n(n²−1)) is "
+    "one double expression over exact inputs — bit-identical cross-engine "
+    "where Pearson-on-ranks built-ins drift with float accumulation order. "
+    "Cost: two window sorts over one group shuffle, then a partial-final "
+    "integer aggregate.",
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SPEARMAN_SQL)
+
+
+@register(
+    "anomaly_zscore_flags",
+    oracle="""
+    WITH sums AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type),
+    stats AS (
+      SELECT event_type, sx / n AS mu,
+             sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd
+      FROM sums)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sd, 6) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.value > s.mu + 2 * s.sd
+    """,
+    tags=("stats", "join", "scale-pattern"),
+    doc="Two-pass anomaly detection: per-key mean/stddev from exact decimal "
+    "moment sums (pass 1 — a partial-final aggregate to a KEYS-sized "
+    "relation), broadcast back against the fact table to flag rows beyond "
+    "mean + 2σ (pass 2 — a map-side filter, no shuffle of the fact). "
+    "Because the stats derive from exact order-insensitive sums, the "
+    "flagged SET is deterministic under any partitioning — naive "
+    "stddev accumulation would make the boundary rows partitioning-"
+    "dependent. The standard outlier sweep a data-quality pipeline runs "
+    "per ingest batch.",
+)
+def anomaly_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    sums = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    stats = sums.select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+               / (F.col("n") * (F.col("n") - 1))).alias("sd"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    return j.filter(F.col("value") > F.col("mu") + 2 * F.col("sd")).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )
