@@ -257,3 +257,21 @@ def test_array_hof_is_narrow(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "array_hof_funcs")
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_pq_adc_corpus_never_shuffles_wide(spark, sf_dir):
+    # the PQ query path: codes join per-query LUTs via BROADCAST joins only,
+    # with partial top-k (WindowGroupLimit) before the single exchange on
+    # query_id — the corpus relation itself never hash-shuffles
+    plan = plan_of(spark, sf_dir, "ann_pq_adc_topk")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_anomaly_stats_broadcast_no_fact_shuffle(spark, sf_dir):
+    # pass-2 must join the KEYS-sized stats relation by broadcast — the
+    # events fact table is filtered map-side, never shuffled for the join
+    plan = plan_of(spark, sf_dir, "anomaly_zscore_flags")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
