@@ -412,3 +412,51 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cnt") >= MIN_BIGRAM_CNT)
     )
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                 FROM documents),
+    vocab AS (SELECT token FROM (
+        SELECT token, count(*) AS cnt FROM tok
+        GROUP BY token ORDER BY cnt DESC, token LIMIT {VOCAB_TOP}) t)
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.token = v.token
+    GROUP BY tok.doc_id
+    """,
+    tags=("corpus", "text", "pipeline"),
+    doc=f"Out-of-vocabulary rate per document against the corpus's own "
+    f"top-{VOCAB_TOP} vocabulary (deterministic tie-break cnt DESC, token "
+    "ASC — the same vocabulary corpus_vocab_topk emits). The vocab relation "
+    "is VOCAB_TOP rows at any corpus size, so membership is a BROADCAST "
+    "left join against the exploded tokens and the per-doc roll-up is one "
+    "doc-keyed aggregate; tokenizer-coverage auditing (how much of each "
+    "document a fixed vocab explains) is a standard gate before committing "
+    "to a tokenizer at scale.",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(VOCAB_TOP)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
