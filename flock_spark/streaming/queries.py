@@ -604,7 +604,7 @@ def json_wire_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "cdc", "incremental"),
     doc="Streaming MERGE/upsert: the CDC change log (events keyed by "
     "(user_id, event_type), user_id < 50) arrives as four micro-batches "
-    "(staged chunk files split by event_id % 4, so versions of one key "
+    "(staged chunk files range-split by event_id, so versions of one key "
     "cross batch boundaries), and foreachBatch maintains a latest-row-wins "
     "snapshot — per batch: compact the batch to its newest version per key, "
     "then merge with the previous snapshot keeping max(ts, event_id) and "
@@ -628,9 +628,14 @@ def streaming_cdc_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataF
 
     def write_chunks(tmp: str) -> None:
         e = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-        e.repartition(4, F.col("event_id") % 4).write.mode("overwrite").parquet(tmp)
+        # range partitioning on event_id gives 4 contiguous, NON-EMPTY chunk
+        # files (hash repartition can leave a partition empty → fewer files →
+        # fewer micro-batches; the multi-batch shape is pinned in
+        # tests/test_streaming.py). A key's versions have event_ids spread
+        # across the whole range, so they still cross batch boundaries.
+        e.repartitionByRange(4, F.col("event_id")).write.mode("overwrite").parquet(tmp)
 
-    path = stage_once(f"cdc_chunks_{sf_dir}", "v1-u50-4chunks", write_chunks)
+    path = stage_once(f"cdc_chunks_{sf_dir}", "v2-u50-4range", write_chunks)
 
     stream = (
         spark.readStream.schema(tbl(spark, sf_dir, "events").schema)

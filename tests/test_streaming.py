@@ -201,3 +201,26 @@ def test_stage_batches_multi_epoch(spark, tmp_path):
     staged = stage_batches(s)
     got = sorted(r["k"] for r in staged.collect())
     assert got == list(range(30))
+
+
+def test_cdc_upsert_stream_runs_multiple_batches(spark, sf_dir):
+    # the cross-batch merge path is only exercised if the staged change log
+    # actually splits into multiple part files (one micro-batch each with
+    # maxFilesPerTrigger=1) — pin the fixture shape so a staging change
+    # can't silently collapse the stream into one batch
+    import glob
+
+    from flock_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+    out = REGISTRY["streaming_cdc_upsert_foreachbatch"].fn(spark, sf_dir)
+    from flock_spark.staging import stage_once
+
+    path = stage_once(f"cdc_chunks_{sf_dir}", "v2-u50-4range", lambda tmp: None)
+    parts = glob.glob(f"{path}/part-*.parquet")
+    assert len(parts) == 4, parts
+    # and the final snapshot has one row per (user_id, event_type) key
+    rows = out.collect()
+    keys = {(r["user_id"], r["event_type"]) for r in rows}
+    assert len(keys) == len(rows)
+    assert all(r["n_versions"] >= 1 for r in rows)
