@@ -414,6 +414,13 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# text_oov_rate's vocabulary is deliberately SMALLER than the corpus's
+# distinct-token universe (31 tokens in the synthetic corpus): a vocab that
+# swallows every token makes every OOV count zero and the entry would verify
+# nothing. 16 keeps roughly half the universe out-of-vocabulary.
+OOV_VOCAB_TOP = 16
+
+
 @register(
     "text_oov_rate",
     oracle=f"""
@@ -421,7 +428,7 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM documents),
     vocab AS (SELECT token FROM (
         SELECT token, count(*) AS cnt FROM tok
-        GROUP BY token ORDER BY cnt DESC, token LIMIT {VOCAB_TOP}) t)
+        GROUP BY token ORDER BY cnt DESC, token LIMIT {OOV_VOCAB_TOP}) t)
     SELECT tok.doc_id,
            count(*) AS n_tokens,
            sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
@@ -432,9 +439,9 @@ def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("corpus", "text", "pipeline"),
     doc=f"Out-of-vocabulary rate per document against the corpus's own "
-    f"top-{VOCAB_TOP} vocabulary (deterministic tie-break cnt DESC, token "
-    "ASC — the same vocabulary corpus_vocab_topk emits). The vocab relation "
-    "is VOCAB_TOP rows at any corpus size, so membership is a BROADCAST "
+    f"top-{OOV_VOCAB_TOP} vocabulary (deterministic tie-break cnt DESC, "
+    "token ASC — same construction as corpus_vocab_topk). The vocab "
+    "relation is a fixed row count at any corpus size, so membership is a BROADCAST "
     "left join against the exploded tokens and the per-doc roll-up is one "
     "doc-keyed aggregate; tokenizer-coverage auditing (how much of each "
     "document a fixed vocab explains) is a standard gate before committing "
@@ -447,7 +454,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("token")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "token")
-        .limit(VOCAB_TOP)
+        .limit(OOV_VOCAB_TOP)
         .select("token", F.lit(1).alias("in_vocab"))
     )
     j = tok.join(F.broadcast(vocab), "token", "left")
