@@ -657,8 +657,13 @@ _SPEARMAN_SQL = """
                                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS ry
       FROM lineitem),
     agg AS (
+      -- rank difference widened to BIGINT BEFORE squaring: Spark row_number
+      -- is INT and d^2 overflows int32 past ~46k rows/group (raises under
+      -- ANSI, silently wraps without it); the BIGINT square is exact to
+      -- ~3e9 rows/group and the DECIMAL(38,0) sum is exact beyond that
       SELECT l_returnflag, count(*) AS n,
-             CAST(sum(CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0))) AS DOUBLE) AS sd2
+             CAST(sum(CAST((CAST(rx AS BIGINT) - ry) * (CAST(rx AS BIGINT) - ry)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS sd2
       FROM ranked GROUP BY l_returnflag)
     SELECT l_returnflag, n,
            round(1 - 6 * sd2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)),
