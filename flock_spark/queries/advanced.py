@@ -579,8 +579,8 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(CAST(list_sum(list_transform(list_filter(toks, x -> length(x) > 4),
                                                  x -> length(x))) AS BIGINT),
                     0) AS len_long,
-           array_to_string(list_sort(list_filter(toks, x -> length(x) > 4))[1:3],
-                           '|') AS top3_sorted
+           COALESCE(array_to_string(list_sort(list_filter(toks, x -> length(x) > 4))[1:3],
+                                    '|'), '') AS top3_sorted
     FROM t
     """,
     tags=("functions", "array", "hof"),

@@ -235,3 +235,47 @@ def test_random_tumbling_width_matches_duckdb(spark, width_sec):
     )
     con.close()
     assert got == want, f"tumble mismatch at width={width_sec}s"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    minlen=st.integers(min_value=2, max_value=8),
+    topn=st.integers(min_value=1, max_value=5),
+)
+def test_random_hof_pipeline_matches_duckdb(spark, minlen, topn):
+    # randomized lambda pipelines (filter → sort → slice → join) — the HOF
+    # surface is dialect-divergent (Spark filter/slice vs DuckDB
+    # list_filter/[a:b]), so the two dialect strings are built from the same
+    # parameters and must agree exactly on every (threshold, k). First run
+    # of this test caught a real divergence: DuckDB array_to_string over an
+    # empty list is NULL where Spark array_join is '' — hence the COALESCE
+    # (mirrored into array_hof_funcs' oracle).
+    spark_sql = f"""
+    SELECT doc_id,
+           CAST(size(filter(split(trim(text), ' '), x -> length(x) > {minlen})) AS BIGINT) AS n,
+           array_join(slice(array_sort(filter(split(trim(text), ' '),
+                                              x -> length(x) > {minlen})), 1, {topn}),
+                      '|') AS top
+    FROM documents ORDER BY doc_id
+    """
+    duck_sql = f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(trim(text), ' '), x -> length(x) > {minlen})) AS BIGINT) AS n,
+           COALESCE(array_to_string(list_sort(list_filter(string_split(trim(text), ' '),
+                                                          x -> length(x) > {minlen}))[1:{topn}],
+                                    '|'), '') AS top
+    FROM documents ORDER BY doc_id
+    """
+    register_views(spark, SF_DIR, ["documents"])
+    got = [tuple(r) for r in spark.sql(spark_sql).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(duck_sql).fetchall()]
+    con.close()
+    assert got == want, f"engines disagree for minlen={minlen} topn={topn}"
