@@ -676,3 +676,68 @@ def streaming_cdc_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataF
         F.col("m.value").alias("last_value"),
         "n_versions",
     )
+
+
+@register(
+    "streaming_scd2_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), facts AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT d.state, count(*) AS n_clicks, sum(f.user_id) AS sum_uid
+    FROM facts f
+    JOIN dim d ON f.user_id = d.user_id
+             AND f.ts >= d.valid_from
+             AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY d.state
+    """,
+    tags=("streaming", "join", "scd", "incremental"),
+    doc="Event-time-correct stream enrichment against an SCD2 dimension: "
+    "the click stream joins the STATIC validity-interval dimension (equi on "
+    "the key + range residual on [valid_from, valid_to) — the stream-static "
+    "join Spark runs per micro-batch with no state), so each event is "
+    "enriched with the dimension version in force AT ITS EVENT TIME, not "
+    "at processing time — the correctness property naive stream-dim lookup "
+    "joins (always-latest) get wrong. Batch twin: scd2_validity_join "
+    "(n_users dropped here — distinct aggregation isn't incrementally "
+    "computable in a streaming query; the batch twin carries it). At scale "
+    "the dimension broadcasts (or bucket-joins when giant) and the stream "
+    "side never accumulates state for this join.",
+)
+def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flock_spark.catalog import tbl
+
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    s = (
+        bounded_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+    )
+    j = s.alias("f").join(
+        dim.alias("d"),
+        (F.col("f.user_id") == F.col("d.user_id"))
+        & (F.col("f.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("f.ts") < F.col("d.valid_to"))),
+    )
+    agg = j.groupBy("state").agg(
+        F.count("*").alias("n_clicks"), F.sum(F.col("f.user_id")).alias("sum_uid")
+    )
+    return run_to_memory(agg, output_mode="complete")
