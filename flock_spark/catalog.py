@@ -140,6 +140,19 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def evict_stale(memo: dict, spark: SparkSession) -> None:
+    """Drop memo entries belonging to a SparkContext other than the live one.
+
+    One process holds at most one live SparkContext; after a stop/restart the
+    old context's cached DataFrames (and any localCheckpoint RDD blocks they
+    pin) are unusable and would otherwise stay referenced forever. Call on
+    insert — keys are (session_key, ...) tuples or plain session_key strings.
+    """
+    live = session_key(spark)
+    for k in [k for k in memo if (k[0] if isinstance(k, tuple) else k) != live]:
+        del memo[k]
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Parquet scan → columnar, predicate pushdown + column
     pruning apply automatically; at cluster scale the same call reads a
@@ -166,6 +179,7 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     field.name,
                     F.timestamp_micros(F.expr(f"{field.name} div 1000")),
                 )
+    evict_stale(_TBL_MEMO, spark)
     _TBL_MEMO[key] = df
     return df
 

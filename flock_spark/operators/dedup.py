@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flock_spark.catalog import spread, tbl
+from flock_spark.catalog import evict_stale, spread, tbl
 from flock_spark.operators.hashing import (
     duck_md5_long,
     spark_md5_long,
@@ -237,6 +237,7 @@ def _spark_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sig.select(
         "doc_id", *[F.col("mins")[i].alias(f"mh{i}") for i in range(N_MINHASH)]
     ).cache()
+    evict_stale(_SIG_MEMO, spark)
     _SIG_MEMO[key] = out
     return out
 
@@ -357,6 +358,7 @@ def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenful = d.filter(F.expr("size(filter(split(text, ' '), t -> t <> '')) > 0"))
     sums = tokenful.select("doc_id", F.expr(votes).alias("votes"))
     out = sums.select("doc_id", F.expr(fp).alias("simhash")).cache()
+    evict_stale(_SIG_MEMO, spark)
     _SIG_MEMO[key] = out
     return out
 
@@ -579,6 +581,7 @@ def _spark_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster defaultParallelism is the full core count, so no harmful clamp
     with clamped_shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
         out = _spark_components_uncached(spark, sf_dir)
+    evict_stale(_COMPONENTS_MEMO, spark)
     _COMPONENTS_MEMO[key] = out
     return out
 

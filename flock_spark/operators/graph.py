@@ -111,7 +111,11 @@ def graph_pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # i.e. n_nodes < ~5.4e7 at R0 = 1e9. Past that, shrink R0 (rank precision)
     # rather than returning wrapped ranks. The count doubles as the action
     # that materializes the adjacency cache before the iteration loop.
-    n_nodes = adj.select("u").distinct().count()
+    # deg already has exactly one row per node (grouped by u), so counting
+    # it through the cached adj join needs no extra distinct exchange over
+    # the per-edge relation.
+    n_nodes = deg.count()
+    adj.count()  # materialize the adjacency cache before the iteration loop
     if 85 * n_nodes * R0 >= 1 << 62:
         raise OverflowError(
             f"pagerank int64 bound exceeded: n_nodes={n_nodes} at R0={R0}; "

@@ -355,10 +355,16 @@ def mm_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            doc_ids: list[int] = []
             words: list[list[int]] = [[], [], [], []]
-            for payload in pdf["payload"]:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 n = len(b)
+                if n == 0:
+                    # no bytes → no hash row, matching the oracle's
+                    # generate_series(1, 0) emitting nothing for the doc
+                    continue
+                doc_ids.append(int(doc_id))
                 chunks = (np.arange(n) * 64) // n
                 sums = np.bincount(chunks, weights=b, minlength=64).astype(np.int64)
                 cnts = np.bincount(chunks, minlength=64).astype(np.int64)
@@ -368,11 +374,11 @@ def mm_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
                     words[k].append(int((bits[16 * k : 16 * k + 16] * weights).sum()))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "w0": words[0],
-                    "w1": words[1],
-                    "w2": words[2],
-                    "w3": words[3],
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "w0": pd.Series(words[0], dtype="int64"),
+                    "w1": pd.Series(words[1], dtype="int64"),
+                    "w2": pd.Series(words[2], dtype="int64"),
+                    "w3": pd.Series(words[3], dtype="int64"),
                 }
             )
 

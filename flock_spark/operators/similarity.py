@@ -350,7 +350,7 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect job, and semdedup references it on both sides of a self-join."""
     import numpy as np
 
-    from flock_spark.catalog import session_key
+    from flock_spark.catalog import evict_stale, session_key
 
     memo_key = (session_key(spark), sf_dir)
     if memo_key in _IVF_MEMO:
@@ -388,6 +388,7 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = e.mapInPandas(
         assign, schema="vec_id long, label long, cell long, v array<double>"
     ).withColumn("norm", F.expr(f"sqrt({_dot('v', 'v')})"))
+    evict_stale(_IVF_MEMO, spark)
     _IVF_MEMO[memo_key] = out
     return out
 
@@ -846,6 +847,10 @@ def embedding_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds keep the plan flat and let the clamp bound shuffle tasks.
     from flock_spark.session import clamped_shuffle_partitions
 
+    if n_vecs == 0:
+        # empty corpus → empty component, matching both the oracle (its CTEs
+        # all produce zero rows) and the pre-eager lazy formulation
+        return spark.createDataFrame([], "dim long, pc_fixed long")
     v_rows = [(d, PI_QSCALE) for d in range(1, PI_DIM + 1)]
     with clamped_shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
         for _ in range(PI_ITERS):

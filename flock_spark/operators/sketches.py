@@ -411,7 +411,12 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bsj_reduced_join(spark)
 
 
-def _bsj_reduced_join(spark: SparkSession) -> DataFrame:
+def _bsj_pruned_fact(spark: SparkSession) -> DataFrame:
+    """The bloom pre-filtered fact side, shared by the operator and the
+    pruning plan test so the test can never drift from what the operator
+    actually applies: build the words (<=BSJ_WORDS-row collect, O(1)),
+    inline them as an array literal, and keep fact rows passing all BSJ_K
+    bit tests."""
     from pyspark.sql import functions as F
 
     words = [0] * BSJ_WORDS
@@ -428,7 +433,13 @@ def _bsj_reduced_join(spark: SparkSession) -> DataFrame:
             f" CAST({p} % 32 AS INT)) % 2) = 1"
         )
         cond = test if cond is None else (cond & test)
-    pruned = fact.filter(cond).drop("_h")
+    return fact.filter(cond).drop("_h")
+
+
+def _bsj_reduced_join(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pruned = _bsj_pruned_fact(spark)
     dim = spark.table("orders").filter(F.col("o_totalprice") > BSJ_PRICE)
     j = pruned.join(dim, pruned.l_orderkey == dim.o_orderkey)
     return j.groupBy("o_orderstatus").agg(

@@ -619,12 +619,9 @@ def json_wire_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_cdc_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from pyspark.sql import types as T  # noqa: F401
-
     from flock_spark.catalog import tbl
     from flock_spark.staging import ephemeral_dir, stage_once
     from flock_spark.streaming.runner import run_foreach_batch
-    from flock_spark.streaming.source import SCHEMAS
 
     def write_chunks(tmp: str) -> None:
         e = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 50)

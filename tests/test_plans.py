@@ -194,25 +194,9 @@ def test_bloom_semijoin_actually_prunes(spark, sf_dir):
     tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     fact_rows = spark.table("lineitem").count()
-    # count rows surviving the bloom pre-filter (re-derive the filter the
-    # operator applies, without the join)
-    words = [0] * sk.BSJ_WORDS
-    for r in spark.sql(sk._bsj_words_sql(sk.SPARK_D)).collect():
-        words[int(r["word_idx"])] = int(r["bits"])
-    arr = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
-    from flock_spark.operators.hashing import spark_md5_long, universal_hash
-
-    h = spark_md5_long("CAST(l_orderkey AS STRING)")
-    fact = spark.table("lineitem").withColumn("_h", F.expr(h))
-    cond = None
-    for i in range(sk.BSJ_K):
-        p = f"({universal_hash('_h', i)} % {sk.BSJ_BITS})"
-        t = F.expr(
-            f"(shiftright(element_at({arr}, CAST(shiftright({p}, 5) AS INT) + 1),"
-            f" CAST({p} % 32 AS INT)) % 2) = 1"
-        )
-        cond = t if cond is None else (cond & t)
-    pruned_rows = fact.filter(cond).count()
+    # count rows surviving the bloom pre-filter — the SAME filter the
+    # operator applies (shared helper, so the test can't drift from it)
+    pruned_rows = sk._bsj_pruned_fact(spark).count()
     true_rows = (
         spark.table("lineitem")
         .join(
