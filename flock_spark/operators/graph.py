@@ -131,3 +131,50 @@ def graph_pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u", (F.lit(DAMP_BASE) + F.expr("(85 * s) div 100")).alias("r")
         )
     return ranks.select(F.col("u").alias("node"), F.col("r").cast("long").alias("rank_micro"))
+
+
+TRI_MIN_COOCCUR = 2  # co-purchase edge threshold (sparsifies the projection)
+
+_TRI_SQL = f"""
+    WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT a.p AS u, b.p AS v
+      FROM pe a JOIN pe b ON a.ok = b.ok AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_COOCCUR}),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+    roles AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT node, count(*) AS n_tri
+    FROM roles GROUP BY node
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRI_SQL,
+    tags=("graph", "join", "scale-pattern"),
+    doc=f"Distributed triangle counting over the part co-purchase projection "
+    f"(parts sharing an order ≥{TRI_MIN_COOCCUR} times; the bipartite "
+    "customer—supplier graph has no triangles by construction, so the "
+    "projection supplies the odd cycles). The classic oriented-edge "
+    "lowering: edges stored once with u < v, and a triangle is found by "
+    "exactly one (e1 ⋈ e2 on the middle node) wedge probe closed by e3 — "
+    "no triangle is ever counted twice and the join fan-out is bounded by "
+    "out-degree under the orientation. Output is per-node triangle "
+    "participation (each triangle credits all three corners). At 100 TB "
+    "the standard refinement is degree-based orientation (point edges from "
+    "low- to high-degree) so hub fan-out collapses, plus bucketing edges "
+    "by u — the probe join becomes co-located; the same plan shape, "
+    "different edge order. The projection build itself is the guarded "
+    "self-join: per-order part lists are small (≤7), so pairs-per-order "
+    "is bounded and the HAVING threshold keeps the projection sparse.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TRI_SQL)

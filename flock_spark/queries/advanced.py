@@ -740,3 +740,39 @@ def anomaly_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z"),
     )
+
+
+_TRANSITION_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type),
+                 6) AS p
+    FROM cnt
+"""
+
+
+@register(
+    "events_transition_matrix",
+    oracle=_TRANSITION_SQL,
+    tags=("events", "window", "aggregate"),
+    doc="First-order Markov transition matrix of user behavior: each user's "
+    "event stream is ordered (ts, event_id — unique tie-break) and lag() "
+    "pairs every event with its predecessor, grouped into (prev, next) "
+    "counts with row-normalized transition probabilities (one window over "
+    "the tiny counts relation). The sequential-pattern primitive of "
+    "product analytics. One user-keyed shuffle for the sequencing — the "
+    "same shuffle the funnel and sessionization entries ride — then the "
+    "transition aggregate is states² rows at any corpus size; the "
+    "probability is a single division of identical exact integers, so the "
+    "matrix is bit-deterministic cross-engine.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_TRANSITION_SQL)
