@@ -383,3 +383,68 @@ def mm_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(extract, schema="doc_id long, w0 long, w1 long, w2 long, w3 long")
+
+
+@register(
+    "mm_byte_histogram",
+    oracle="""
+    WITH hx AS (SELECT doc_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM documents WHERE octet_length(encode(text)) > 0),
+    ix AS (SELECT doc_id, h, unnest(generate_series(1, n)) AS i FROM hx),
+    b AS (SELECT doc_id, ('0x' || substring(h, 2*i - 1, 2))::BIGINT AS v FROM ix),
+    cnt AS (SELECT doc_id, v, count(*) AS c FROM b GROUP BY doc_id, v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS distinct_bytes,
+           min(v) AS min_byte,
+           max(v) AS max_byte,
+           CAST(max(c) AS BIGINT) AS top_byte_cnt,
+           min(CASE WHEN c = mx THEN v END) AS top_byte
+    FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mx FROM cnt) t
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas_udf"),
+    doc="Byte-distribution profile of an opaque binary payload: distinct "
+    "byte values, min/max byte, and the modal byte with its count (ties "
+    "resolve to the lowest byte value) — the cheap signal that separates "
+    "text-like from compressed/encrypted payloads before any decoder runs "
+    "(a text payload uses a narrow, skewed byte range; a compressed one is "
+    "near-uniform over 256 values). np.bincount per payload inside Arrow "
+    "batches — constant memory, integer-exact against the byte-explode "
+    "SQL oracle; at scale this runs in the same mapInPandas pass as the "
+    "other extractors, one corpus scan for the whole feature block.",
+)
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "distinct_bytes", "min_byte", "max_byte",
+                    "top_byte_cnt", "top_byte")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                if len(b) == 0:
+                    continue
+                cnts = np.bincount(b, minlength=256)
+                nz = np.nonzero(cnts)[0]
+                out["doc_id"].append(int(doc_id))
+                out["distinct_bytes"].append(int(len(nz)))
+                out["min_byte"].append(int(nz[0]))
+                out["max_byte"].append(int(nz[-1]))
+                top_cnt = int(cnts.max())
+                out["top_byte_cnt"].append(top_cnt)
+                # argmax returns the FIRST max — lowest byte value on ties,
+                # matching the oracle's min(CASE WHEN c = mx ...)
+                out["top_byte"].append(int(np.argmax(cnts)))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    return d.mapInPandas(
+        profile,
+        schema="doc_id long, distinct_bytes long, min_byte long, max_byte long, "
+        "top_byte_cnt long, top_byte long",
+    )

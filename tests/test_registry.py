@@ -58,3 +58,15 @@ def test_slate_covers_every_family():
     }
     uncovered = [fam for fam, pred in families.items() if not any(pred(n) for n in DRIVER_SLATE)]
     assert not uncovered, f"slate misses families: {uncovered}"
+
+
+def test_entry_contract_stable(spark):
+    # the driver smoke-checks entry(spark): pin its schema and non-emptiness
+    # so a flagship-query change can't silently break the contract
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert [f.name for f in df.schema.fields][:2] == ["l_returnflag", "l_linestatus"]
+    assert not any("DecimalType" in str(f.dataType) for f in df.schema.fields)
