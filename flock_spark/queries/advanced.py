@@ -776,3 +776,50 @@ _TRANSITION_SQL = """
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_TRANSITION_SQL)
+
+
+@register(
+    "arrow_grouped_minmax",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(round(min(value) * 100) AS BIGINT) AS min_cents,
+           CAST(round(max(value) * 100) AS BIGINT) AS max_cents,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "arrow_udf", "aggregate"),
+    doc="Grouped-map via applyInArrow — the zero-copy sibling of "
+    "applyInPandas added in Spark 4: the handler receives each group as a "
+    "raw pyarrow.Table (no pandas conversion, no index materialization — "
+    "measurably cheaper for wide/numeric groups) and returns a pyarrow "
+    "Table. Completes the Python-interop surface next to pandas_udf / "
+    "applyInPandas[WithState] / mapInPandas / cogroup / UDTF. Arithmetic "
+    "is fixed-point cents computed with pyarrow.compute kernels "
+    "(vectorized C++, matching the SQL oracle's integer math exactly). "
+    "Same scale shape as any grouped-map: one shuffle on the key, then "
+    "per-group Arrow batches.",
+)
+def arrow_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = tbl(spark, sf_dir, "events").select("event_type", "value")
+
+    def minmax(table: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(table["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "event_type": [table["event_type"][0].as_py()],
+                "cnt": pa.array([table.num_rows], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+            }
+        )
+
+    return e.groupBy("event_type").applyInArrow(
+        minmax,
+        schema="event_type string, cnt long, min_cents long, max_cents long, sum_cents long",
+    )

@@ -259,3 +259,24 @@ def test_anomaly_stats_broadcast_no_fact_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "anomaly_zscore_flags")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_observation_metrics_piggyback(spark, sf_dir):
+    # Spark's Observation API: pipeline health metrics (row counts, sums)
+    # collected as a side effect of the SAME job — no second scan, the
+    # pattern a production pipeline uses to audit ingest volume without
+    # paying an extra pass over 100 TB
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from flock_spark.catalog import tbl
+
+    obs = Observation("ingest_audit")
+    e = tbl(spark, sf_dir, "events").observe(
+        obs, F.count(F.lit(1)).alias("n_rows"), F.sum("user_id").alias("uid_sum")
+    )
+    out = e.filter(F.col("event_id") % 2 == 0).count()
+    got = obs.get
+    # the observation sees the PRE-filter stream: full table row count
+    assert got["n_rows"] == tbl(spark, sf_dir, "events").count()
+    assert got["n_rows"] >= out
