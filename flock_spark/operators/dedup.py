@@ -893,8 +893,9 @@ _SPANS_GRAMS_SPARK = f"""
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     # the grams relation is referenced twice (dup-gram aggregate + the
-    # position join back); the md5-per-gram build dominates cost, so
-    # evaluate it once and let both branches read the in-memory relation
+    # position join back); the gram enumeration (array transform + explode)
+    # dominates cost, so evaluate it once and let both branches read the
+    # in-memory relation
     grams = spark.sql(_SPANS_GRAMS_SPARK).cache()
     grams.createOrReplaceTempView("spans_grams_tmp")
     return spark.sql(_substring_spans_sql("SELECT * FROM spans_grams_tmp"))

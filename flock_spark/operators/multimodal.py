@@ -358,6 +358,10 @@ def mm_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc_ids: list[int] = []
             words: list[list[int]] = [[], [], [], []]
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL text: the oracle's unnest(generate_series(1, NULL))
+                    # emits nothing for the doc — skip, don't crash
+                    continue
                 b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 n = len(b)
                 if n == 0:
@@ -427,6 +431,10 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ("doc_id", "distinct_bytes", "min_byte", "max_byte",
                     "top_byte_cnt", "top_byte")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # NULL text → None payload: the oracle drops those docs via
+                # octet_length(encode(text)) > 0, so skip, don't crash
+                if payload is None:
+                    continue
                 b = np.frombuffer(payload, dtype=np.uint8)
                 if len(b) == 0:
                     continue

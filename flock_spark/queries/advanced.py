@@ -808,7 +808,15 @@ def arrow_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events").select("event_type", "value")
 
     def minmax(table: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(table["value"], pa.scalar(100.0))), pa.int64())
+        # pc.round defaults to half-to-even; SQL round() is half away from
+        # zero — a value landing exactly on a half-cent would diverge
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(table["value"], pa.scalar(100.0)),
+                options=pc.RoundOptions(round_mode="half_towards_infinity"),
+            ),
+            pa.int64(),
+        )
         return pa.table(
             {
                 "event_type": [table["event_type"][0].as_py()],
