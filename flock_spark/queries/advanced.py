@@ -831,3 +831,37 @@ def arrow_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         minmax,
         schema="event_type string, cnt long, min_cents long, max_cents long, sum_cents long",
     )
+
+
+_CUM_UNIQUE_SQL = """
+    WITH first_day AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0
+      FROM events GROUP BY user_id),
+    new_users AS (
+      SELECT d0 AS day, count(*) AS n_new FROM first_day GROUP BY d0)
+    SELECT day, n_new,
+           sum(n_new) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_unique_users
+    FROM new_users
+"""
+
+
+@register(
+    "events_cumulative_unique_users",
+    oracle=_CUM_UNIQUE_SQL,
+    tags=("events", "window", "aggregate", "scale-pattern"),
+    doc="Cumulative unique users per day — the growth curve every product "
+    "dashboard draws. A running COUNT(DISTINCT) window is not directly "
+    "computable (distinct state per frame), so it lowers to the standard "
+    "first-occurrence rewrite: min(day) per user (one user-keyed "
+    "aggregate), new-user counts per day (a days-sized relation), and a "
+    "running sum over days. The expensive distinct work happens ONCE in "
+    "the per-user aggregate — map-side combinable, linear — and the "
+    "window runs over |days| rows regardless of corpus size; the naive "
+    "per-day COUNT(DISTINCT user WHERE day <= d) rescans the corpus "
+    "per day, O(days × corpus).",
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_CUM_UNIQUE_SQL)
