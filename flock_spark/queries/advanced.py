@@ -865,3 +865,43 @@ _CUM_UNIQUE_SQL = """
 def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_CUM_UNIQUE_SQL)
+
+
+_RFM_SQL = """
+    WITH m AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             count(*) AS freq,
+             sum(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    seg AS (
+      SELECT user_id, freq, monetary_cents,
+             CASE WHEN last_ts >= TIMESTAMP '2024-01-25 00:00:00'
+                  THEN 'recent' ELSE 'lapsed' END AS r,
+             CASE WHEN freq >= 13 THEN 'hi' ELSE 'lo' END AS f,
+             CASE WHEN monetary_cents >= 60000 THEN 'hi' ELSE 'lo' END AS mseg
+      FROM m)
+    SELECT r, f, mseg,
+           count(*) AS n_users,
+           sum(freq) AS total_purchases,
+           sum(monetary_cents) AS total_cents
+    FROM seg GROUP BY r, f, mseg
+"""
+
+
+@register(
+    "events_rfm_segments",
+    oracle=_RFM_SQL,
+    tags=("events", "aggregate", "pipeline"),
+    doc="RFM (recency / frequency / monetary) customer segmentation over "
+    "purchase events: per-user metrics in one keyed aggregate, then fixed "
+    "threshold buckets (constants, not data-dependent ntiles — thresholds "
+    "derived from quantiles drift between runs and engines; production "
+    "RFM pins them per campaign exactly like this) rolled up to the 8 "
+    "segments. Two aggregates, the second over a users-sized relation; "
+    "monetary is fixed-point cents so the segment totals are exact. The "
+    "standard activation/churn slicing a marketing warehouse runs daily.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RFM_SQL)
