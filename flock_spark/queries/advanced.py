@@ -905,3 +905,82 @@ _RFM_SQL = """
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_RFM_SQL)
+
+
+_NULLSAFE_SQL_SPARK = """
+    WITH a AS (SELECT nullif(CAST(get_json_object(props, '$.k') AS BIGINT) % 7, 0) AS k,
+                      count(*) AS cnt_a
+               FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+    b AS (SELECT nullif(CAST(get_json_object(props, '$.k') AS BIGINT) % 7, 0) AS k,
+                 count(*) AS cnt_b
+          FROM events WHERE event_id % 2 = 1 GROUP BY 1)
+    SELECT a.k, cnt_a, cnt_b
+    FROM a JOIN b ON a.k <=> b.k
+"""
+
+_NULLSAFE_SQL_DUCK = """
+    WITH a AS (SELECT nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS k,
+                      count(*) AS cnt_a
+               FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+    b AS (SELECT nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS k,
+                 count(*) AS cnt_b
+          FROM events WHERE event_id % 2 = 1 GROUP BY 1)
+    SELECT a.k, cnt_a, cnt_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@register(
+    "join_null_safe_eq",
+    oracle=_NULLSAFE_SQL_DUCK,
+    tags=("join", "semantics"),
+    doc="Null-safe equality join (Spark `<=>` ≡ ANSI IS NOT DISTINCT FROM): "
+    "two halves of the event stream aggregate on a DELIBERATELY nullable "
+    "key (nullif(k % 7, 0) — the k≡0 bucket becomes NULL on both sides), "
+    "and the null-safe join matches the NULL groups that a plain equi-join "
+    "silently drops — the row the hash comparison would miss is exactly "
+    "the one under test. Null-safe joins still hash-partition (NULL is a "
+    "partitionable key value under <=>), so the plan is a normal shuffle "
+    "join; the semantic trap is correctness, not scale: a plain = here "
+    "loses a 1/7 slice of the data without erroring.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_NULLSAFE_SQL_SPARK)
+
+
+_CUSUM_SQL = """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1),
+    t AS (SELECT count(*) AS n, sum(cents) AS total FROM d),
+    c AS (
+      SELECT day, cents,
+             sum(d.cents * t.n - t.total) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum_scaled
+      FROM d, t)
+    SELECT day, cents, cusum_scaled,
+           abs(cusum_scaled) > 5000000 AS drift_flag
+    FROM c
+"""
+
+
+@register(
+    "events_cusum_drift",
+    oracle=_CUSUM_SQL,
+    tags=("events", "stats", "window", "timeseries"),
+    doc="CUSUM drift detection over the daily revenue series, entirely in "
+    "integer arithmetic: the classic cumulative sum of deviations from the "
+    "period mean is rescaled by n (cusum_k = Σ(n·x_i − total)) so no "
+    "division ever happens — the statistic is an exact BIGINT at every "
+    "step, bit-identical cross-engine where a float CUSUM depends on "
+    "accumulation order. Days exceeding a fixed threshold flag as drift. "
+    "Two passes (daily aggregate, then a scalar total broadcast back) and "
+    "one window over the days-sized relation — the monitoring shape a "
+    "data-quality pipeline runs per partition per day at 100 TB.",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_CUSUM_SQL)
