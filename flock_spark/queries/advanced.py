@@ -907,27 +907,21 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RFM_SQL)
 
 
-_NULLSAFE_SQL_SPARK = """
-    WITH a AS (SELECT nullif(CAST(get_json_object(props, '$.k') AS BIGINT) % 7, 0) AS k,
-                      count(*) AS cnt_a
+def _nullsafe_sql(json_fn: str, nullsafe_eq: str) -> str:
+    """One template, two dialects — a one-sided edit can't desync them."""
+    key = f"nullif(CAST({json_fn}(props, '$.k') AS BIGINT) % 7, 0)"
+    return f"""
+    WITH a AS (SELECT {key} AS k, count(*) AS cnt_a
                FROM events WHERE event_id % 2 = 0 GROUP BY 1),
-    b AS (SELECT nullif(CAST(get_json_object(props, '$.k') AS BIGINT) % 7, 0) AS k,
-                 count(*) AS cnt_b
+    b AS (SELECT {key} AS k, count(*) AS cnt_b
           FROM events WHERE event_id % 2 = 1 GROUP BY 1)
     SELECT a.k, cnt_a, cnt_b
-    FROM a JOIN b ON a.k <=> b.k
+    FROM a JOIN b ON a.k {nullsafe_eq} b.k
 """
 
-_NULLSAFE_SQL_DUCK = """
-    WITH a AS (SELECT nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS k,
-                      count(*) AS cnt_a
-               FROM events WHERE event_id % 2 = 0 GROUP BY 1),
-    b AS (SELECT nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS k,
-                 count(*) AS cnt_b
-          FROM events WHERE event_id % 2 = 1 GROUP BY 1)
-    SELECT a.k, cnt_a, cnt_b
-    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
-"""
+
+_NULLSAFE_SQL_SPARK = _nullsafe_sql("get_json_object", "<=>")
+_NULLSAFE_SQL_DUCK = _nullsafe_sql("json_extract_string", "IS NOT DISTINCT FROM")
 
 
 @register(
@@ -954,16 +948,24 @@ _CUSUM_SQL = """
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              sum(CAST(round(value * 100) AS BIGINT)) AS cents
       FROM events GROUP BY 1),
-    t AS (SELECT count(*) AS n, sum(cents) AS total FROM d),
     c AS (
+      -- n/total as unbounded windows over the days relation (NOT a scalar
+      -- CTE: inlining a scalar subquery would re-scan events and recompute
+      -- the daily aggregate — the plan showed two full Scan+Aggregate
+      -- subtrees); the window runs over ~|days| rows, one corpus pass total
       SELECT day, cents,
-             sum(d.cents * t.n - t.total) OVER (
+             count(*) OVER () AS n,
+             sum(cents) OVER () AS total
+      FROM d),
+    c2 AS (
+      SELECT day, cents,
+             sum(cents * n - total) OVER (
                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS cusum_scaled
-      FROM d, t)
+      FROM c)
     SELECT day, cents, cusum_scaled,
            abs(cusum_scaled) > 5000000 AS drift_flag
-    FROM c
+    FROM c2
 """
 
 
