@@ -279,3 +279,57 @@ def test_random_hof_pipeline_matches_duckdb(spark, minlen, topn):
     want = [tuple(r) for r in con.execute(duck_sql).fetchall()]
     con.close()
     assert got == want, f"engines disagree for minlen={minlen} topn={topn}"
+
+
+@st.composite
+def date_predicate(draw):
+    # timestamp comparisons + date_trunc/year extraction — valid verbatim
+    # in both dialects (lineitem.l_shipdate spans 1995-01..2001-11)
+    form = draw(st.sampled_from(["cmp", "year", "trunc"]))
+    if form == "cmp":
+        y = draw(st.integers(min_value=1995, max_value=2001))
+        m = draw(st.integers(min_value=1, max_value=12))
+        op = draw(st.sampled_from(["<", ">=", ">"]))
+        return f"l_shipdate {op} TIMESTAMP '{y}-{m:02d}-01 00:00:00'"
+    if form == "year":
+        y = draw(st.integers(min_value=1995, max_value=2001))
+        op = draw(st.sampled_from(["=", "<>", "<="]))
+        return f"year(l_shipdate) {op} {y}"
+    y = draw(st.integers(min_value=1995, max_value=2001))
+    return f"date_trunc('year', l_shipdate) = TIMESTAMP '{y}-01-01 00:00:00'"
+
+
+@st.composite
+def date_where(draw):
+    preds = draw(st.lists(date_predicate(), min_size=1, max_size=2))
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    return joiner.join(preds)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=date_where())
+def test_random_date_predicates_match_duckdb(spark, where):
+    # temporal predicate semantics (timestamp literals, year extraction,
+    # date_trunc equality) are a classic cross-engine divergence surface —
+    # time zones, date vs timestamp coercion, trunc boundary handling
+    sql = f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m,
+           count(*) AS cnt,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem
+    WHERE {where}
+    GROUP BY 1 ORDER BY 1
+    """
+    register_views(spark, SF_DIR, ["lineitem"])
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want, f"engines disagree for date WHERE {where}"
