@@ -986,3 +986,53 @@ _CUSUM_SQL = """
 def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_CUSUM_SQL)
+
+
+def _streak_sql(day_no_expr: str) -> str:
+    """Dialect template: Spark datediff(end, start) vs DuckDB
+    date_diff('day', start, end) — only the day-number expression differs."""
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    serial AS (
+      SELECT user_id, day,
+             CAST({day_no_expr} AS BIGINT) AS day_no
+      FROM days),
+    islands AS (
+      SELECT user_id, day_no,
+             day_no - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY day_no) AS grp
+      FROM serial),
+    runs AS (
+      SELECT user_id, count(*) AS streak_len, min(day_no) AS start_day_no
+      FROM islands GROUP BY user_id, grp)
+    SELECT user_id,
+           max(streak_len) AS max_streak,
+           count(*) AS n_streaks,
+           min(start_day_no) AS first_day_no
+    FROM runs GROUP BY user_id
+"""
+
+
+_EPOCH_TS = "TIMESTAMP '2024-01-01 00:00:00'"
+
+
+@register(
+    "events_max_active_streak",
+    oracle=_streak_sql(f"date_diff('day', {_EPOCH_TS}, day)"),
+    tags=("events", "window", "aggregate"),
+    doc="Longest consecutive-active-days streak per user — the classic "
+    "gaps-and-islands on day serials: distinct active days, a day number "
+    "(integer date diff from a fixed epoch), and the identity that "
+    "day_no − row_number() is CONSTANT within a consecutive run, so one "
+    "user-keyed window plus two aggregates finds every streak without a "
+    "self-join or recursion. Retention/engagement's core metric. The "
+    "distinct-days reduction happens first (map-side combinable), so the "
+    "window runs over user-days, not raw events; everything after is "
+    "integer-exact.",
+)
+def events_max_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_streak_sql(f"datediff(day, {_EPOCH_TS})"))
