@@ -590,7 +590,12 @@ def _spark_components_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-round relations (candidate edges, labels) are tiny compared to
     # the corpus — the caller clamps shuffle partitions so a plain
     # 200-partition session doesn't schedule 200 tasks per round per stage.
-    pairs = _spark_lsh_pairs(spark, sf_dir)
+    return _propagate_components(_spark_lsh_pairs(spark, sf_dir))
+
+
+def _propagate_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over (doc_a, doc_b) candidate
+    pairs — shared by the LSH-only and multi-signal cluster entries."""
     # localCheckpoint truncates lineage each round — without it the plan
     # tree doubles per iteration and planning itself OOMs (the standard
     # iterative-algorithm discipline; on a cluster use checkpoint() to
@@ -899,3 +904,55 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = spark.sql(_SPANS_GRAMS_SPARK).cache()
     grams.createOrReplaceTempView("spans_grams_tmp")
     return spark.sql(_substring_spans_sql("SELECT * FROM spans_grams_tmp"))
+
+
+def _duck_multi_signal_components_sql() -> str:
+    simhash_pairs = f"""
+      WITH sig AS ({_duck_simhash_sql()})
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """
+    return f"""
+    WITH RECURSIVE mpairs AS (
+      SELECT doc_a, doc_b FROM ({_duck_pairs_sql()}) lshp
+      UNION
+      SELECT doc_a, doc_b FROM ({simhash_pairs}) shp
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM mpairs
+              UNION ALL SELECT doc_b, doc_a FROM mpairs),
+    reach(doc, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT reach.doc, edges.d FROM reach JOIN edges ON reach.r = edges.s)
+    SELECT doc AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY doc
+    """
+
+
+@register(
+    "dedup_multi_signal_clusters",
+    oracle=_duck_multi_signal_components_sql(),
+    tags=("dedup", "iterative", "pipeline"),
+    doc="Multi-signal entity resolution: candidate edges from TWO "
+    "independent near-dup generators — MinHash-LSH band collisions "
+    "(token-set similarity) and SimHash byte-band collisions (weighted "
+    "token votes) — union into one graph, resolved by the shared min-label "
+    "propagation. This is the standard ER architecture: each blocking "
+    "signal has blind spots, the union of candidate generators shrinks "
+    "them, and the transitive closure runs ONCE over all evidence (two "
+    "documents joined by a chain of mixed-signal edges land in one "
+    "cluster — which per-signal clustering cannot see). Both signal "
+    "relations are banded equi-joins (never all-pairs), the union is a "
+    "distinct over two small pair sets, and the propagation cost is the "
+    "same as single-signal clusters. Oracle: recursive CTE over the "
+    "identical unioned edges.",
+)
+def dedup_multi_signal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.session import clamped_shuffle_partitions
+
+    lsh = _spark_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sim = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = lsh.unionByName(sim).distinct()
+    with clamped_shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
+        return _propagate_components(pairs)
