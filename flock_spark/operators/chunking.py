@@ -103,7 +103,7 @@ def doc_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counted)
     SELECT source, doc_id, n_tokens,
            CAST(floor(cum_before / {CTX_LEN}) AS BIGINT) AS bin_id,
-           cum_before % {CTX_LEN} AS bin_offset
+           CAST(cum_before % {CTX_LEN} AS BIGINT) AS bin_offset
     FROM cum
     """,
     tags=("corpus", "packing", "window"),

@@ -46,7 +46,7 @@ VOCAB_TOP = 100
                      < {TEST_PCT}
                 THEN 'test' ELSE 'train' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS n_chars
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -158,7 +158,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_tok AS (
       SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
     SELECT doc_id,
-           sum(c) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_distinct,
            round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
            round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_share
@@ -328,7 +328,7 @@ N_SHARDS = 8
       SELECT shard, n_chars,
              row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS pos
       FROM sharded)
-    SELECT shard, count(*) AS n_docs, sum(n_chars) AS n_chars,
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
            max(pos) AS shard_len
     FROM positioned
     GROUP BY shard
@@ -431,7 +431,7 @@ OOV_VOCAB_TOP = 16
         GROUP BY token ORDER BY cnt DESC, token LIMIT {OOV_VOCAB_TOP}) t)
     SELECT tok.doc_id,
            count(*) AS n_tokens,
-           sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 6) AS oov_rate
     FROM tok LEFT JOIN vocab v ON tok.token = v.token

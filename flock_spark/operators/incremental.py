@@ -220,7 +220,7 @@ def scd2_validity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     l AS (SELECT *, l_orderkey % 7 = 0 AS is_new FROM lineitem)
     SELECT o_orderstatus,
            count(*) AS n_rows,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM o JOIN l ON o_orderkey = l_orderkey
     WHERE o.is_new OR l.is_new
     GROUP BY o_orderstatus

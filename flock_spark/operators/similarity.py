@@ -782,7 +782,7 @@ def _pi_oracle() -> str:
     for i in range(1, PI_ITERS + 1):
         sql += it.format(i=i, prev=i - 1, vbits=PI_VBITS)
     sql += f"""
-    SELECT dim, val AS pc_fixed FROM v{PI_ITERS}
+    SELECT dim, CAST(val AS BIGINT) AS pc_fixed FROM v{PI_ITERS}
     """
     return sql
 
@@ -959,7 +959,14 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # effective codebook size: LIMIT PQ_K caps it, but a small corpus can
     # have fewer training picks than PQ_K (the oracle's LIMIT behaves the
-    # same) — everything below is shaped by len(C), not PQ_K
+    # same) — everything below is shaped by len(C), not PQ_K. An EMPTY
+    # training subset (empty table, or no vec_id hitting the modulus) means
+    # an empty codebook: the oracle's downstream CTEs all yield zero rows,
+    # so return the empty result instead of letting np.stack raise
+    if not crows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, est_d2 long, rank long"
+        )
     C = np.stack([np.asarray(r["v"], dtype=np.int64) for r in crows])  # (<=K, 64)
     bc = spark.sparkContext.broadcast(C)
 

@@ -178,8 +178,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM kept GROUP BY text)
     SELECT count(*) AS n_docs,
-           sum(n_copies) - count(*) AS n_dropped_dups,
-           sum(length(k.text)) AS total_chars
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dropped_dups,
+           CAST(sum(length(k.text)) AS BIGINT) AS total_chars
     FROM uniq JOIN kept k ON uniq.doc_id = k.doc_id
     """,
     tags=("text", "dedup", "pipeline"),

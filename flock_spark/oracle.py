@@ -19,12 +19,36 @@ from pyspark.sql import SparkSession
 from flock_spark.catalog import TABLE_NAMES
 
 
+# Hard rule (round-3 driver finding, the dual of the round-1 Spark-side
+# DecimalType rule): no oracle may OUTPUT a HUGEINT/UHUGEINT/DECIMAL column.
+# DuckDB promotes sum(INT/BIGINT) to HUGEINT (int128); the external driver
+# hashes int128 differently from Spark's int64 even when the values are
+# equal, so the row-multisets match locally (both canonicalize to Python
+# int) while the driver's hash gate fails. Fix at the source: CAST(sum(...)
+# AS BIGINT) in the oracle SQL.
+BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def check_oracle_types(con, sql: str) -> None:
+    rel = con.sql(sql)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(b in str(t).upper() for b in BANNED_ORACLE_TYPES)
+    ]
+    assert not bad, (
+        f"oracle outputs non-portable column types (driver hashes int128/"
+        f"decimal differently from Spark — CAST(... AS BIGINT/DOUBLE)): {bad}"
+    )
+
+
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
+    check_oracle_types(con, sql)
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()

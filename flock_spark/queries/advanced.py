@@ -270,8 +270,8 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
 
 _RT_ORACLE = """
     SELECT o_orderstatus, count(*) AS cnt,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
-           sum(o_orderkey) AS key_sum
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
     FROM orders
     GROUP BY o_orderstatus
 """
@@ -599,12 +599,21 @@ def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(long_toks).cast("bigint").alias("n_long"),
-        F.aggregate(
-            F.transform(long_toks, lambda x: F.length(x).cast("bigint")),
+        # COALESCE mirrors the oracle: a NULL text makes split() NULL and
+        # the whole lambda pipeline NULL-propagates, where the oracle pins
+        # 0 / '' — unreachable with the current generator (no NULL texts)
+        # but kept aligned so a future NULL row can't silently diverge
+        F.coalesce(
+            F.aggregate(
+                F.transform(long_toks, lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
             F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
         ).alias("len_long"),
-        F.array_join(F.slice(F.array_sort(long_toks), 1, 3), "|").alias("top3_sorted"),
+        F.coalesce(
+            F.array_join(F.slice(F.array_sort(long_toks), 1, 3), "|"), F.lit("")
+        ).alias("top3_sorted"),
     )
 
 
@@ -634,6 +643,10 @@ def udtf_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos bigint, token string")
     class LongTokens:
         def eval(self, text: str):
+            if text is None:
+                # NULL text expands to zero rows (the oracle's unnest over a
+                # NULL list) — same NULL-skip convention as mm_phash64
+                return
             # strip/split must mirror SQL trim()/string_split(' ') exactly:
             # strip SPACES only, and keep empty tokens from double spaces
             for i, tok in enumerate(text.strip(" ").split(" "), start=1):
@@ -785,7 +798,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS cnt,
            CAST(round(min(value) * 100) AS BIGINT) AS min_cents,
            CAST(round(max(value) * 100) AS BIGINT) AS max_cents,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
     GROUP BY event_type
     """,
@@ -840,9 +853,9 @@ _CUM_UNIQUE_SQL = """
     new_users AS (
       SELECT d0 AS day, count(*) AS n_new FROM first_day GROUP BY d0)
     SELECT day, n_new,
-           sum(n_new) OVER (ORDER BY day
+           CAST(sum(n_new) OVER (ORDER BY day
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_unique_users
+             AS BIGINT) AS cum_unique_users
     FROM new_users
 """
 
@@ -883,8 +896,8 @@ _RFM_SQL = """
       FROM m)
     SELECT r, f, mseg,
            count(*) AS n_users,
-           sum(freq) AS total_purchases,
-           sum(monetary_cents) AS total_cents
+           CAST(sum(freq) AS BIGINT) AS total_purchases,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_cents
     FROM seg GROUP BY r, f, mseg
 """
 
@@ -946,7 +959,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_SQL = """
     WITH d AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY 1),
     c AS (
       -- n/total as unbounded windows over the days relation (NOT a scalar
@@ -955,13 +968,13 @@ _CUSUM_SQL = """
       -- subtrees); the window runs over ~|days| rows, one corpus pass total
       SELECT day, cents,
              count(*) OVER () AS n,
-             sum(cents) OVER () AS total
+             CAST(sum(cents) OVER () AS BIGINT) AS total
       FROM d),
     c2 AS (
       SELECT day, cents,
-             sum(cents * n - total) OVER (
+             CAST(sum(cents * n - total) OVER (
                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cusum_scaled
+               AS BIGINT) AS cusum_scaled
       FROM c)
     SELECT day, cents, cusum_scaled,
            abs(cusum_scaled) > 5000000 AS drift_flag

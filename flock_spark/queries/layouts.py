@@ -40,7 +40,7 @@ def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     "partitioned_write_prune_scan",
     oracle="""
     SELECT user_id % 10 AS user_bucket, count(*) AS cnt,
-           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM events
     WHERE event_type = 'click'
     GROUP BY 1
@@ -100,7 +100,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     "bucketed_colocated_join",
     oracle="""
     SELECT o_orderstatus, count(*) AS cnt,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
     """,
@@ -161,7 +161,7 @@ def _zorder_events_path(spark: SparkSession, sf_dir: str) -> str:
     "zorder_layout_scan",
     oracle="""
     SELECT event_type, count(*) AS cnt,
-           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM events
     WHERE user_id BETWEEN 40 AND 47 AND hour(ts) BETWEEN 8 AND 11
     GROUP BY event_type
@@ -246,7 +246,7 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dpp_star_join",
     oracle="""
     SELECT event_type, count(*) AS cnt,
-           sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM events
     WHERE substring(md5(event_type), 1, 1) < '8'
     GROUP BY event_type
@@ -292,7 +292,7 @@ SALT_BUCKETS = 16
     "agg_salted_two_stage",
     oracle="""
     SELECT event_type, count(*) AS cnt,
-           sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
            max(value) AS max_v
     FROM events
     GROUP BY event_type

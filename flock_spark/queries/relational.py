@@ -576,7 +576,7 @@ _RANGE_BIN_S = 7 * 86400
                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
     SELECT iv.o_orderkey,
            count(*) AS n_pts,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM iv JOIN lineitem ON l_shipdate BETWEEN start_ts AND end_ts
     GROUP BY iv.o_orderkey
     """,

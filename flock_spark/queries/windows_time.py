@@ -272,7 +272,7 @@ def session_custom_gap_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM events WHERE user_id < 25 GROUP BY 1, 2),
     spine AS (
         SELECT user_id,

@@ -282,7 +282,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_wire_decode",
     oracle="""
-    SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_users
+    SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_users
     FROM events
     GROUP BY event_type
     """,
@@ -311,7 +311,7 @@ def json_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_kafka_wire_decode",
     oracle="""
-    SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_users,
+    SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_users,
            max(partition) AS max_partition
     FROM (SELECT event_type, user_id, event_id % 8 AS partition FROM events) t
     GROUP BY event_type
@@ -368,7 +368,7 @@ def streaming_kafka_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "queue_sink_exactly_once",
     oracle="""
-    SELECT event_type, count(*) AS cnt, sum(event_id) AS sum_ids
+    SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_ids
     FROM events
     GROUP BY event_type
     """,
@@ -687,7 +687,7 @@ def streaming_cdc_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataF
     ), facts AS (
       SELECT user_id, ts FROM events WHERE event_type = 'click'
     )
-    SELECT d.state, count(*) AS n_clicks, sum(f.user_id) AS sum_uid
+    SELECT d.state, count(*) AS n_clicks, CAST(sum(f.user_id) AS BIGINT) AS sum_uid
     FROM facts f
     JOIN dim d ON f.user_id = d.user_id
              AND f.ts >= d.valid_from

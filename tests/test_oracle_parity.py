@@ -26,3 +26,29 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_no_banned_oracle_output_types(sf_dir):
+    """Round-3 driver finding: DuckDB promotes sum(INT/BIGINT) to HUGEINT
+    (int128), which the external driver hashes differently from Spark's int64
+    even when values are equal — the local multiset compare canonicalizes both
+    to Python int and can never see the class. Every oracle must resolve to
+    portable output types; the fix is CAST(sum(...) AS BIGINT) at the source."""
+    import duckdb
+
+    from flock_spark.catalog import TABLE_NAMES
+    from flock_spark.oracle import check_oracle_types
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    bad = []
+    for name in WITH_ORACLE:
+        try:
+            check_oracle_types(con, REGISTRY[name].oracle)
+        except AssertionError as e:
+            bad.append((name, str(e).splitlines()[0]))
+    con.close()
+    assert not bad, f"oracles with non-portable output types: {bad}"
