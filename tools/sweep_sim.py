@@ -13,9 +13,12 @@ Usage: python tools/sweep_sim.py [sf_dir] [--only substr] [--limit N]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flock_spark.session import get_spark
 from flock_spark import oracle as orc
