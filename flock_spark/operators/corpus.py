@@ -467,3 +467,126 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted resampling
+# ---------------------------------------------------------------------------
+
+# keep probability (ppm) per quality tier: longer documents are kept at full
+# rate, short fragments are aggressively downsampled — the doc-level analog
+# of corpus_temperature_mix's source-level rebalancing
+QRES_TIERS_SQL = (
+    "CASE WHEN n_chars >= 400 THEN 'high' "
+    "WHEN n_chars >= 150 THEN 'mid' ELSE 'low' END"
+)
+QRES_PPM_SQL = (
+    "CASE WHEN n_chars >= 400 THEN 1000000 "
+    "WHEN n_chars >= 150 THEN 600000 ELSE 200000 END"
+)
+
+
+@register(
+    "corpus_quality_resample",
+    oracle=f"""
+    WITH tiered AS (
+      SELECT source, doc_id,
+             {QRES_TIERS_SQL} AS tier,
+             {QRES_PPM_SQL} AS keep_ppm
+      FROM documents)
+    SELECT source, tier,
+           count(*) AS n_orig,
+           CAST(sum(CASE WHEN ({duck_md5_long("'qres' || CAST(doc_id AS VARCHAR)")})
+                              % {MIX_DENOM} < keep_ppm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM tiered
+    GROUP BY source, tier
+    """,
+    tags=("corpus", "sampling", "pipeline"),
+    doc="Per-document quality-weighted resampling: each doc's keep "
+    "probability is a function of its own quality tier (here a length "
+    "proxy; production swaps in a classifier score column), decided by "
+    "comparing a seeded md5 fraction of doc_id against the ppm-quantized "
+    "tier probability — deterministic, reproducible across engines and "
+    "reruns, no rand(). This is the importance-sampling step of a "
+    "training mix (upweight high-quality, thin out boilerplate). The "
+    "whole decision is a pure per-row projection — zero shuffle before "
+    "the small (source × tier) audit aggregate; at 100 TB the kept "
+    "subset streams straight into the next stage with its scan "
+    "partitioning intact.",
+)
+def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    h = spark_md5_long("'qres' || CAST(doc_id AS STRING)")
+    tiered = d.select(
+        "source",
+        "doc_id",
+        F.expr(QRES_TIERS_SQL).alias("tier"),
+        F.expr(QRES_PPM_SQL).alias("keep_ppm"),
+    )
+    return tiered.groupBy("source", "tier").agg(
+        F.count("*").alias("n_orig"),
+        F.sum(
+            F.when(F.expr(f"({h}) % {MIX_DENOM}") < F.col("keep_ppm"), 1).otherwise(0)
+        ).cast("long").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency scoring (deterministic log2-proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_lm_score_proxy",
+    oracle="""
+    WITH big AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               toks[1:len(toks) - 1],
+               (x, i) -> x || ' ' || toks[i + 1])) AS bigram
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents) t),
+    counts AS (SELECT bigram, count(*) AS cnt FROM big GROUP BY bigram)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(length(bin(c.cnt))) AS BIGINT) AS fluency_bits,
+           round(CAST(sum(length(bin(c.cnt))) AS DOUBLE) / count(*), 6)
+             AS avg_bits
+    FROM big b JOIN counts c ON b.bigram = c.bigram
+    GROUP BY b.doc_id
+    """,
+    tags=("corpus", "ngram", "pipeline", "scale-pattern"),
+    doc="Bigram-LM fluency scoring with a fully deterministic log "
+    "stand-in: each document is scored by the corpus-level frequency of "
+    "its own bigrams, summing floor(log2(count))+1 per occurrence via "
+    "length(bin(count)) — an integer both engines compute bit-identically "
+    "where a real log-likelihood would hang on libm ulp agreement. High "
+    "avg_bits = built from common word transitions (fluent-looking); low "
+    "= rare transitions (gibberish, OCR noise, wrong-language) — the "
+    "KenLM-style perplexity filter of a curation pipeline, reduced to its "
+    "deterministic skeleton. Plan: one bigram explode (indexed array "
+    "transform, no token-stream self-join — see corpus_bigram_counts), "
+    "one count aggregate keyed by bigram, one join back on bigram (at "
+    "100 TB the count table is vocabulary-bounded and heavy-hitter "
+    "bigrams can broadcast), one doc-keyed roll-up.",
+)
+def corpus_lm_score_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = "split(trim(text), ' ')"
+    bigrams = (
+        f"transform(slice({toks}, 1, size({toks}) - 1),"
+        f" (x, i) -> concat(x, ' ', element_at({toks}, i + 2)))"
+    )
+    big = d.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+    counts = big.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    bits = F.length(F.bin(F.col("cnt")))
+    return (
+        big.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(bits).cast("long").alias("fluency_bits"),
+            F.round(F.sum(bits).cast("double") / F.count("*"), 6).alias("avg_bits"),
+        )
+    )

@@ -963,3 +963,62 @@ def dedup_multi_signal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh.unionByName(sim).distinct()
     with clamped_shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
         return _propagate_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_cross_source_dup_matrix",
+    oracle=f"""
+    WITH pairs AS ({{}}),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id)
+    SELECT source_a, source_b,
+           count(*) AS n_pairs,
+           count(DISTINCT doc_a) AS n_docs_a
+    FROM labeled
+    GROUP BY source_a, source_b
+    """.format(_duck_pairs_sql()),
+    tags=("dedup", "corpus", "pipeline"),
+    doc="Cross-source duplication matrix: which sources copy from which. "
+    "MinHash-LSH candidate pairs (banded equi-self-join — never all "
+    "pairs; signatures memoized across the dedup family) are labeled "
+    "with each side's source and rolled up to (source_a, source_b) pair "
+    "counts, sources ordered least/greatest so the matrix is "
+    "upper-triangular regardless of pair orientation. This is the "
+    "provenance audit run before choosing per-source mixture weights — "
+    "mirror-heavy source pairs (n_pairs ~ n_docs) get merged or "
+    "deduplicated jointly rather than sampled independently. The source "
+    "labels join is two hash joins against the (tiny) pair set, and the "
+    "final aggregate is |sources|^2-bounded — negligible at any corpus "
+    "size next to the LSH step itself.",
+)
+def corpus_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _spark_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("source", "src_a"), pairs.doc_a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "src_b").withColumnRenamed("doc_id", "doc_id_b"),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_a").alias("n_docs_a"),
+    )

@@ -357,3 +357,110 @@ def text_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP)
         .select("doc_id", "tok", "score", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval ranking
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("window", "join", "scan")  # fixed literal query, mid/high-df
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOP = 10
+
+
+def _bm25_term_micros() -> str:
+    """Engine-neutral SQL for one term's BM25 contribution in integer micros.
+
+    idf is the odds form (N - df + 0.5) / (df + 0.5) WITHOUT the log —
+    log-idf would hang cross-engine parity on libm ulp agreement (same
+    trade as text_tfidf_topk_terms' linear idf), while +,*,/ on doubles are
+    IEEE exactly-rounded and deterministic given the identical expression
+    shape both engines get here. Each term's double score is quantized to
+    integer micros BEFORE the per-doc sum so the sum is exact integer
+    arithmetic — a 2-3-term double sum would be association-order-sensitive.
+    """
+    idf = "((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))"
+    tf_part = (
+        f"((tf * ({BM25_K1} + 1.0)) / "
+        f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl / avgdl))))"
+    )
+    return f"CAST(round({idf} * {tf_part} * 1000000) AS BIGINT)"
+
+
+@register(
+    "text_bm25_doc_ranking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tok
+      WHERE tok IN {BM25_TERMS!r} GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tok
+      WHERE tok IN {BM25_TERMS!r} GROUP BY tok),
+    term_scores AS (
+      SELECT tf.doc_id,
+             {_bm25_term_micros()} AS micros
+      FROM tf JOIN df ON tf.tok = df.tok
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats),
+    scored AS (
+      SELECT doc_id, CAST(sum(micros) AS BIGINT) AS score_micros
+      FROM term_scores GROUP BY doc_id)
+    SELECT doc_id, score_micros,
+           CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY score_micros DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+    tags=("text", "index", "retrieval", "scale-pattern"),
+    doc=f"BM25 document ranking for a fixed {len(BM25_TERMS)}-term query "
+    f"(k1={BM25_K1}, b={BM25_B}): the retrieval scorer behind "
+    "contamination search, RAG corpus audits, and hard-negative mining. "
+    "The token stream is filtered to the (broadcast-small) query terms "
+    "BEFORE any aggregation, so only query-term postings ever shuffle — "
+    "corpus-size-independent past the one dl/avgdl length pass, which a "
+    "production index precomputes once per ingest. Per-term scores are "
+    "quantized to integer micros before the per-doc sum (exact, "
+    "association-order-free) and the final top-k plans as "
+    "TakeOrderedAndProject. Oracle shares the identical IEEE expression "
+    "shape; idf is the log-free odds form (see _bm25_term_micros).",
+)
+def text_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qtok = tok.filter(F.col("tok").isin(*BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_t = qtok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    term_scores = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_bm25_term_micros()).alias("micros"))
+    )
+    scored = term_scores.groupBy("doc_id").agg(
+        F.sum("micros").cast("long").alias("score_micros")
+    )
+    from pyspark.sql import Window as W
+
+    # top-k FIRST (plans as TakeOrderedAndProject — partial top-k per
+    # partition, K-row final merge), THEN the unpartitioned rank window,
+    # which therefore only ever sees K rows — not the scored corpus
+    top = scored.orderBy(F.desc("score_micros"), "doc_id").limit(BM25_TOP)
+    w = W.orderBy(F.desc("score_micros"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
