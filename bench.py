@@ -68,6 +68,11 @@ HEADLINE = [
     "dpp_star_join",
     "agg_salted_two_stage",
     "mm_phash64",
+    # round-4 LLM-pipeline additions
+    "text_bm25_doc_ranking",
+    "corpus_quality_resample",
+    "corpus_lm_score_proxy",
+    "corpus_cross_source_dup_matrix",
 ]
 
 

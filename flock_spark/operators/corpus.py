@@ -572,21 +572,34 @@ def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigrams can broadcast), one doc-keyed roll-up.",
 )
 def corpus_lm_score_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
+    from flock_spark.catalog import spread
+
+    # spread: the test-scale corpus is a single-row-group file, so the
+    # bigram explode would otherwise run on one core (no-op on a real
+    # deployment where the scan already has >= cores splits)
+    d = spread(tbl(spark, sf_dir, "documents"))
     toks = "split(trim(text), ' ')"
     bigrams = (
         f"transform(slice({toks}, 1, size({toks}) - 1),"
         f" (x, i) -> concat(x, ' ', element_at({toks}, i + 2)))"
     )
     big = d.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
-    counts = big.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    # pre-aggregate per-doc term frequencies FIRST: raw occurrence rows
+    # never shuffle — only distinct (doc, bigram) pairs do (map-side
+    # partials), the corpus count table derives from tf with one more tiny
+    # exchange, and the join back weights each pair by its in-doc count
+    # (sum(c * bits) == summing bits per occurrence, exactly)
+    tf = big.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    counts = tf.groupBy("bigram").agg(F.sum("c").alias("cnt"))
     bits = F.length(F.bin(F.col("cnt")))
     return (
-        big.join(counts, "bigram")
+        tf.join(counts, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum(bits).cast("long").alias("fluency_bits"),
-            F.round(F.sum(bits).cast("double") / F.count("*"), 6).alias("avg_bits"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * bits).cast("long").alias("fluency_bits"),
+            F.round(
+                F.sum(F.col("c") * bits).cast("double") / F.sum("c"), 6
+            ).alias("avg_bits"),
         )
     )

@@ -280,3 +280,29 @@ def test_observation_metrics_piggyback(spark, sf_dir):
     # the observation sees the PRE-filter stream: full table row count
     assert got["n_rows"] == tbl(spark, sf_dir, "events").count()
     assert got["n_rows"] >= out
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    # the per-doc score relation must reach the driver through a partial
+    # top-k (TakeOrderedAndProject), never a global sort of all scored docs;
+    # the rank window then runs over only K rows
+    plan = plan_of(spark, sf_dir, "text_bm25_doc_ranking")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_resample_single_exchange(spark, sf_dir):
+    # the keep decision is a pure per-row projection: exactly ONE exchange
+    # (the final source×tier audit aggregate), nothing before it
+    plan = plan_of(spark, sf_dir, "corpus_quality_resample", execute=True)
+    # an executed AQE plan prints Final + Initial sections; count only the
+    # final one (AQEShuffleRead mentions no Exchange, so the count is clean)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_lm_score_proxy_joins_on_bigram_only(spark, sf_dir):
+    # the count table joins back on the bigram key — no cartesian/nested
+    # loop, no broadcast of the exploded corpus side
+    plan = plan_of(spark, sf_dir, "corpus_lm_score_proxy")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
