@@ -603,3 +603,97 @@ def corpus_lm_score_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style language × fluency-tercile bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_lang_quality_buckets",
+    oracle="""
+    WITH big AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               toks[1:len(toks) - 1],
+               (x, i) -> x || ' ' || toks[i + 1])) AS bigram
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents) t),
+    tf AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY doc_id, bigram),
+    counts AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS cnt FROM tf GROUP BY bigram),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.c * length(bin(counts.cnt))) AS BIGINT) AS fluency_bits,
+             CAST(sum(tf.c) AS BIGINT) AS n_bigrams
+      FROM tf JOIN counts ON tf.bigram = counts.bigram
+      GROUP BY tf.doc_id),
+    bucketed AS (
+      SELECT d.lang, d.n_chars,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.fluency_bits * 1000000 / s.n_bigrams DESC,
+                                     d.doc_id) AS tercile
+      FROM documents d JOIN scored s ON d.doc_id = s.doc_id)
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM bucketed
+    GROUP BY lang, bucket
+    """,
+    tags=("corpus", "pipeline", "window", "scale-pattern"),
+    doc="CCNet-style corpus bucketing: within each language, documents "
+    "split into head/middle/tail terciles of LM fluency (the "
+    "corpus_lm_score_proxy score — integer micro-bits per bigram, so the "
+    "ordering is exact; doc_id tiebreak makes ntile deterministic), "
+    "reported as per-(lang, bucket) doc and char counts — the standard "
+    "shape for choosing which quality slice of each language enters the "
+    "training mix. Plan: the fluency scorer's tf-first pipeline (raw "
+    "occurrences never shuffle), one lang-keyed ntile window (per-lang "
+    "sort; at 100 TB swap ntile for the two-pass percentile-threshold "
+    "join — compute per-lang tercile cut points first, then a broadcast "
+    "threshold filter — which this operator's audit aggregate makes "
+    "directly comparable), and a |langs×3| roll-up.",
+)
+def corpus_lang_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flock_spark.catalog import spread
+
+    d = tbl(spark, sf_dir, "documents")
+    ds = spread(d)
+    toks = "split(trim(text), ' ')"
+    bigrams = (
+        f"transform(slice({toks}, 1, size({toks}) - 1),"
+        f" (x, i) -> concat(x, ' ', element_at({toks}, i + 2)))"
+    )
+    big = ds.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+    tf = big.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    counts = tf.groupBy("bigram").agg(F.sum("c").cast("long").alias("cnt"))
+    bits = F.length(F.bin(F.col("cnt")))
+    scored = (
+        tf.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * bits).cast("long").alias("fluency_bits"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    # integer micro-bits-per-bigram: exact ordering key (no float division)
+    key = (F.col("fluency_bits") * 1_000_000) / F.col("n_bigrams")
+    w = W.partitionBy("lang").orderBy(F.desc(key), "doc_id")
+    bucketed = (
+        d.select("doc_id", "lang", "n_chars")
+        .join(scored, "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )

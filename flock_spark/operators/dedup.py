@@ -1022,3 +1022,85 @@ def corpus_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_pairs"),
         F.countDistinct("doc_a").alias("n_docs_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs (asymmetric near-dup: quotes / subsets)
+# ---------------------------------------------------------------------------
+
+# containment threshold over the SMALLER side's shingle set: 3/5 = 0.6
+CONTAIN_NUM, CONTAIN_DEN = 3, 5
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_distinct([{duck_md5_long(f'substring(text, i, {SHINGLE_K})')}
+                            for i in generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))]) AS hs
+      FROM documents),
+    sh AS (SELECT doc_id, unnest(hs) AS h FROM base),
+    sizes AS (SELECT doc_id, len(hs) AS n FROM base),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_common,
+           least(sa.n, sb.n) AS n_small,
+           round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6)
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {CONTAIN_DEN} * n_common >= {CONTAIN_NUM} * least(sa.n, sb.n)
+      AND {JACCARD_DEN} * n_common < {JACCARD_NUM} * (sa.n + sb.n - n_common)
+    """,
+    tags=("dedup", "join"),
+    doc=f"Asymmetric containment pairs: |A∩B| / |smaller set| ≥ "
+    f"{CONTAIN_NUM}/{CONTAIN_DEN} over character-{SHINGLE_K}-gram shingle "
+    "sets, RESTRICTED to pairs below the Jaccard threshold — i.e. exactly "
+    "the quote/subset relationships symmetric Jaccard dedup misses (a "
+    "short doc embedded in a long one has high containment but low "
+    "Jaccard, because the union is dominated by the long side). Both "
+    "threshold tests are integer arithmetic, no float boundary. Same "
+    "shuffle shape as dedup_ngram_jaccard (shingle equi-self-join, "
+    "map-side-combined pair counts, per-doc set sizes computed array-"
+    "locally); at scale the candidate set comes from the banded MinHash "
+    "machinery with bands tuned for containment (min-hash of the smaller "
+    "side), not from the exact self-join.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    hs = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),"
+        f" i -> {spark_md5_long(f'substring(text, i, {SHINGLE_K})')}))"
+    )
+    base = spread(d).select("doc_id", hs.alias("hs"))
+    sizes = base.select("doc_id", F.size("hs").cast("long").alias("n"))
+    sh = base.select("doc_id", F.explode("hs").alias("h"))
+    a = sh.alias("a")
+    b = F.broadcast(sh.alias("b"))
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    small = F.least("na", "nb")
+    union = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        j.filter(
+            (F.lit(CONTAIN_DEN) * F.col("n_common") >= F.lit(CONTAIN_NUM) * small)
+            & (F.lit(JACCARD_DEN) * F.col("n_common") < F.lit(JACCARD_NUM) * union)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            small.alias("n_small"),
+            F.round(F.col("n_common").cast("double") / small, 6).alias("containment"),
+        )
+    )

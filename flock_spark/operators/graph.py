@@ -178,3 +178,89 @@ _TRI_SQL = f"""
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_TRI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 10
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    base = """
+    WITH pairs AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e0 AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    )"""
+    it = """, a{i} AS (
+      SELECT u FROM e{prev} GROUP BY u HAVING count(*) >= {k}
+    ), e{i} AS (
+      SELECT e.u, e.v FROM e{prev} e
+      JOIN a{i} au ON e.u = au.u JOIN a{i} av ON e.v = av.u
+    )"""
+    sql = base
+    for i in range(1, KCORE_ROUNDS + 1):
+        sql += it.format(i=i, prev=i - 1, k=KCORE_K)
+    sql += f"""
+    SELECT u AS node, count(*) AS deg
+    FROM e{KCORE_ROUNDS} GROUP BY u
+    """
+    return sql
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "join"),
+    doc=f"k-core decomposition by synchronous peeling ({KCORE_ROUNDS} fixed "
+    f"rounds, k={KCORE_K}) over the customer—supplier bipartite graph: each "
+    f"round drops every node whose CURRENT degree is below {KCORE_K}, then "
+    "removes the dropped nodes' edges, so deletions cascade — the dense-"
+    "subgraph extraction used for spam/fraud cores and for trimming "
+    "low-connectivity hubs before community detection. Each round is one "
+    "grouped degree count + two semi-shaped joins of the edge list against "
+    "the survivor set (the Pregel step shape again; edges bucketed by "
+    "endpoint make every round co-located at 100 TB). Fixed round count "
+    "keeps the oracle an unrolled CTE chain that replays the identical "
+    "peels; survivors' degrees hash-match per node.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    pairs = (
+        o.join(li, "ok")
+        .select(
+            (F.col("c") * 2).cast("long").alias("u"),
+            (F.col("s") * 2 + 1).cast("long").alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # cache: each round re-reads the current edge set twice (degree count +
+    # survivor filter); without this every round re-derives the whole chain
+    edges = edges.cache()
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("u")
+        )
+        nxt = (
+            edges.join(alive, "u")
+            .join(alive.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .cache()
+        )
+        edges.unpersist()
+        edges = nxt
+    return edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
