@@ -1049,3 +1049,131 @@ _EPOCH_TS = "TIMESTAMP '2024-01-01 00:00:00'"
 def events_max_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_streak_sql(f"datediff(day, {_EPOCH_TS})"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy join (edit distance) + sequence-pattern window
+# ---------------------------------------------------------------------------
+
+FUZZY_MAXDIST = 2
+FUZZY_TITLE_LEN = 12
+FUZZY_BLOCK_LEN = 2
+FUZZY_SAMPLE_MOD = 2  # deterministic 1/2 subset keeps the oracle's
+# within-block pair count bounded at every SF while the match set stays
+# dense enough to verify (26/34/2207 pairs at sf0.001/0.01/0.1; 1/10
+# sampling left only 2 pairs at sf<=0.01 — near-vacuous driver evidence)
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle=f"""
+    WITH titles AS (
+      SELECT doc_id, substring(trim(text), 1, {FUZZY_TITLE_LEN}) AS title
+      FROM documents WHERE doc_id % {FUZZY_SAMPLE_MOD} = 0),
+    blocked AS (
+      SELECT doc_id, title,
+             substring(title, 1, {FUZZY_BLOCK_LEN}) AS blk
+      FROM titles)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) BETWEEN 1 AND {FUZZY_MAXDIST}
+    """,
+    tags=("join", "dedup", "fuzzy", "scale-pattern"),
+    doc=f"Blocked fuzzy join: {FUZZY_TITLE_LEN}-char title keys match when "
+    f"their edit distance is 1..{FUZZY_MAXDIST} (0 = exact dup, covered by "
+    "dedup_exact), candidates generated by equi-joining on a "
+    f"{FUZZY_BLOCK_LEN}-char prefix block — the standard entity-resolution "
+    "lowering: the quadratic edit-distance predicate only ever runs INSIDE "
+    "blocks, so the join is a keyed shuffle whose cost tracks true "
+    "near-matches, never |rows|². Blocking is lossy by design (an edit "
+    "inside the block prefix escapes; production stacks 2-3 "
+    "complementary blockings — prefix, suffix, length-band — and unions, "
+    "exactly like the multi-signal MinHash ∪ SimHash ER entry). Both "
+    "engines' levenshtein() agree exactly (integer DP), so the oracle "
+    "replays the identical blocked join.",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    titles = d.filter(F.col("doc_id") % FUZZY_SAMPLE_MOD == 0).select(
+        "doc_id", F.substring(F.trim("text"), 1, FUZZY_TITLE_LEN).alias("title")
+    )
+    blocked = titles.withColumn("blk", F.substring("title", 1, FUZZY_BLOCK_LEN))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(dist.between(1, FUZZY_MAXDIST))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+PATTERN_GAP_S = 86400  # max seconds between consecutive steps (1 day:
+# the synthetic event stream is sparse per user — a 30-min gap matched
+# ~0 triples at sf<=0.01, making the entry vacuous as driver evidence)
+
+
+@register(
+    "events_pattern_3step",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts,
+             lead(event_type) OVER w AS next_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, prev_ts AS t_view, ts AS t_click, next_ts AS t_purchase
+    FROM seq
+    WHERE event_type = 'click' AND prev_type = 'view' AND next_type = 'purchase'
+      AND epoch(ts) - epoch(prev_ts) <= {PATTERN_GAP_S}
+      AND epoch(next_ts) - epoch(ts) <= {PATTERN_GAP_S}
+    """,
+    tags=("events", "window", "pattern"),
+    doc="Sequence-pattern detection (MATCH_RECOGNIZE-lite): strictly "
+    "consecutive view → click → purchase triples per user, each step "
+    f"within {PATTERN_GAP_S} s of the previous — one lag/lead window over "
+    "the (user, time)-ordered event stream, so the whole pattern matcher "
+    "is ONE user-keyed shuffle + sort regardless of corpus size (the "
+    "event-log self-join formulation shuffles the log once per pattern "
+    "step and dies at scale; events_funnel_steps is the non-consecutive "
+    "variant of the same discipline). Deterministic ordering via the "
+    "(ts, event_id) tie-break; gap tests are integer epoch arithmetic.",
+)
+def events_pattern_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    gap = F.unix_timestamp
+    return (
+        seq.filter(
+            (F.col("event_type") == "click")
+            & (F.col("prev_type") == "view")
+            & (F.col("next_type") == "purchase")
+            & (gap(F.col("ts")) - gap(F.col("prev_ts")) <= PATTERN_GAP_S)
+            & (gap(F.col("next_ts")) - gap(F.col("ts")) <= PATTERN_GAP_S)
+        )
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("t_view"),
+            F.col("ts").alias("t_click"),
+            F.col("next_ts").alias("t_purchase"),
+        )
+    )
