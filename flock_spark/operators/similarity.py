@@ -1028,3 +1028,69 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= PQ_TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall audit (estimator-quality family)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle() -> str:
+    from flock_spark.registry import REGISTRY
+
+    brute = REGISTRY["ann_topk_bruteforce"].oracle
+    return f"""
+    WITH brute AS (
+      SELECT query_id, neighbor_id
+      FROM ({brute}) b WHERE rank <= {IVF_TOP_K}),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM ({_IVF_ORACLE}) i)
+    SELECT b.query_id,
+           count(*) AS k,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS recall_at_k
+    FROM brute b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@register(
+    "ann_ivf_recall_audit",
+    oracle=_ivf_recall_oracle(),
+    tags=("similarity", "embedding", "audit"),
+    doc=f"IVF recall audit: per-query recall@{IVF_TOP_K} of the IVF cell "
+    "search against the exact brute-force ranking — the accept/reject "
+    "measurement run before trusting an ANN index configuration (cells "
+    "too coarse → recall collapses for queries near cell boundaries). "
+    "Same estimator-audit discipline as dedup_minhash_estimate_vs_exact "
+    "and cms_point_query: the approximate structure and its exact ground "
+    "truth computed side by side, compared row-for-row. Reuses the "
+    "memoized IVF assignment and the brute-force candidate machinery; "
+    "the audit join itself is queries×k rows — trivially small at any "
+    "corpus size (the expensive part IS the ground truth, which is why "
+    "production audits run it on a deterministic query sample exactly "
+    "like this one).",
+)
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.registry import REGISTRY
+
+    brute = (
+        REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir)
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = (
+        REGISTRY["ann_ivf_topk"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    j = brute.join(ivf, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count("*"), 6
+        ).alias("recall_at_k"),
+    )
