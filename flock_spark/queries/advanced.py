@@ -1177,3 +1177,73 @@ def events_pattern_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_ts").alias("t_purchase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint audit (Deequ-style)
+# ---------------------------------------------------------------------------
+
+_DQ_COUNTERS = """
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_null_custkey,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS v_dup_orderkey,
+             CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_price_range,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_status_set,
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_stale_date
+      FROM orders
+"""
+
+
+@register(
+    "table_quality_checks",
+    oracle=f"""
+    WITH c AS ({_DQ_COUNTERS})
+    SELECT rule, n_rows, n_violations,
+           round(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_rate
+    FROM (
+      SELECT 'not_null_custkey' AS rule, n_rows, v_null_custkey AS n_violations FROM c
+      UNION ALL SELECT 'unique_orderkey', n_rows, v_dup_orderkey FROM c
+      UNION ALL SELECT 'price_le_400k', n_rows, v_price_range FROM c
+      UNION ALL SELECT 'status_in_O_F', n_rows, v_status_set FROM c
+      UNION ALL SELECT 'date_before_2001', n_rows, v_stale_date FROM c) t
+    """,
+    tags=("aggregate", "audit", "pipeline"),
+    doc="Declarative data-quality constraint audit (the Deequ/dbt-test "
+    "shape): five rules — completeness (no NULL keys), uniqueness (no "
+    "duplicate order keys, via the count-minus-distinct identity), a "
+    "numeric range, set membership, and date freshness — evaluated in ONE "
+    "pass over the table as conditional partial sums, then unpivoted to "
+    "one audit row per rule. Three rules genuinely fire on this corpus "
+    "(range, set, freshness), so the hash gate checks real violation "
+    "counts. A rule-per-query formulation scans the table once per rule; "
+    "the single-aggregate form is the only shape that holds at 100 TB, "
+    "and new rules are new counter columns, not new scans (the "
+    "COUNT(DISTINCT) uniqueness counter adds the one Expand the plan "
+    "needs; everything else is map-side partial sums).",
+)
+def table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    counters = spark.sql(_DQ_COUNTERS)
+    stacked = counters.selectExpr(
+        "n_rows",
+        "stack(5, "
+        "'not_null_custkey', v_null_custkey, "
+        "'unique_orderkey', v_dup_orderkey, "
+        "'price_le_400k', v_price_range, "
+        "'status_in_O_F', v_status_set, "
+        "'date_before_2001', v_stale_date) AS (rule, n_violations)",
+    )
+    return stacked.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.round(F.col("n_violations").cast("double") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )

@@ -738,3 +738,69 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clicks"), F.sum(F.col("f.user_id")).alias("sum_uid")
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_pattern_3step",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts,
+             lead(event_type) OVER w AS next_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, prev_ts AS t_view, ts AS t_click, next_ts AS t_purchase
+    FROM seq
+    WHERE event_type = 'click' AND prev_type = 'view' AND next_type = 'purchase'
+      AND epoch(ts) - epoch(prev_ts) <= 86400
+      AND epoch(next_ts) - epoch(ts) <= 86400
+    """,
+    tags=("streaming", "window", "pattern"),
+    doc="Streaming sequence-pattern detection over the event stream: "
+    "lag/lead pattern windows are not expressible as one incremental "
+    "streaming query (a window over a stream needs the NEXT event, which "
+    "a watermark can't bound per key without custom state), so micro-"
+    "batches stage executor-side and the pattern window re-runs over "
+    "accumulated state — the reference's own per-delivery replay model "
+    "(q5.rs:76-130), same discipline as streaming_q5_foreachbatch. "
+    "Batching-independent: the final answer equals the batch twin "
+    "events_pattern_3step (shared oracle). The production-scale "
+    "alternative is applyInPandasWithState keeping the last two events "
+    "per key, which trades the replay for per-key state and requires "
+    "per-key event-time ordering at ingest.",
+)
+def streaming_pattern_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    s = bounded_stream(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    all_rows = stage_batches(s)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = all_rows.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    gap = F.unix_timestamp
+    return (
+        seq.filter(
+            (F.col("event_type") == "click")
+            & (F.col("prev_type") == "view")
+            & (F.col("next_type") == "purchase")
+            & (gap(F.col("ts")) - gap(F.col("prev_ts")) <= 86400)
+            & (gap(F.col("next_ts")) - gap(F.col("ts")) <= 86400)
+        )
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("t_view"),
+            F.col("ts").alias("t_click"),
+            F.col("next_ts").alias("t_purchase"),
+        )
+    )
