@@ -697,3 +697,54 @@ def corpus_lang_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source,
+             CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+             count(*) AS n_docs
+      FROM documents
+      GROUP BY lang, source, 3)
+    SELECT lang, source, len_bucket, n_docs,
+           n_docs < {KANON_K} AS at_risk
+    FROM cells
+    WHERE n_docs < {KANON_K * 4}
+    """,
+    tags=("corpus", "privacy", "audit", "pipeline"),
+    doc=f"k-anonymity audit (k={KANON_K}): documents grouped by their "
+    "quasi-identifier cell (lang × source × coarse length bucket); cells "
+    "with fewer than k members make their rows re-identifiable by "
+    "combining the quasi-identifiers — the privacy check run beside PII "
+    "redaction (text_pii_redact) before releasing a corpus, and the "
+    "input to suppression/generalization (merge or drop risky cells). "
+    "One grouped count with map-side partials; the report is bounded to "
+    f"small cells (< {KANON_K * 4} members) so the output stays "
+    "audit-sized while the full cell histogram never leaves executors. "
+    "At 100 TB the same aggregate is the first step of "
+    "generalization-lattice search, which just re-runs it per candidate "
+    "bucketing.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    ).agg(F.count("*").alias("n_docs"))
+    return cells.filter(F.col("n_docs") < KANON_K * 4).select(
+        "lang",
+        "source",
+        "len_bucket",
+        "n_docs",
+        (F.col("n_docs") < KANON_K).alias("at_risk"),
+    )
