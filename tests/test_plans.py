@@ -306,3 +306,25 @@ def test_lm_score_proxy_joins_on_bigram_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "corpus_lm_score_proxy")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
+    # candidates come from the prefix-block equi-join; the levenshtein
+    # predicate must run as a post-join filter, never a nested loop
+    plan = plan_of(spark, sf_dir, "join_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pattern_single_user_shuffle(spark, sf_dir):
+    # the whole pattern matcher is ONE user-keyed window: exactly one
+    # hash exchange (on user_id) in the final plan
+    plan = plan_of(spark, sf_dir, "events_pattern_3step", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_quality_checks_single_table_pass(spark, sf_dir):
+    # five rules, ONE scan: the audit must not re-scan orders per rule
+    plan = plan_of(spark, sf_dir, "table_quality_checks")
+    assert plan.count("FileScan parquet") == 1, plan
