@@ -464,3 +464,70 @@ def text_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("score_micros"), "doc_id").limit(BM25_TOP)
     w = W.orderBy(F.desc("score_micros"), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: one merge step
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "tokenizer_bpe_merge_step",
+    oracle=f"""
+    WITH words AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents) t
+      WHERE length(word) >= 2
+      GROUP BY word),
+    pairs AS (
+      SELECT unnest([substring(word, i, 2)
+                     for i in generate_series(1, length(word) - 1)]) AS pair,
+             freq
+      FROM words),
+    counted AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM pairs GROUP BY pair)
+    SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+                           AS BIGINT) AS rank
+    FROM counted
+    ORDER BY cnt DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("text", "tokenizer", "aggregate", "scale-pattern"),
+    doc=f"One BPE training step: the top-{BPE_TOP_PAIRS} adjacent "
+    "character pairs by corpus frequency — the merge-candidate ranking "
+    "at the heart of byte-pair-encoding tokenizer training. The scale "
+    "trick IS the plan shape: the corpus-sized pass is ONE word-count "
+    "aggregate (map-side combinable, vocabulary-sized output), and pair "
+    "enumeration then runs over the VOCABULARY weighted by word "
+    "frequency — never over the raw token stream — so each further "
+    "merge iteration costs |vocab|, not |corpus| (exactly how production "
+    "BPE trainers amortize: count words once, iterate merges over the "
+    "weighted vocab). Top-k plans as TakeOrderedAndProject; the rank "
+    "window runs over k rows.",
+)
+def tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("cnt"))
+    top = counted.orderBy(F.desc("cnt"), "pair").limit(BPE_TOP_PAIRS)
+    w = W.orderBy(F.desc("cnt"), "pair")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -333,3 +333,68 @@ def test_random_date_predicates_match_duckdb(spark, where):
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     con.close()
     assert got == want, f"engines disagree for date WHERE {where}"
+
+
+# ---------------------------------------------------------------------------
+# Randomized string predicates (LIKE / substring / upper-lower)
+# ---------------------------------------------------------------------------
+
+_LIKE_PATTERNS = [
+    "1%", "2%", "%URGENT%", "%HIGH", "_-%", "%-%", "%E%", "5%W%",
+    "%LOW", "3-%", "%MEDIUM%", "4%",
+]
+_STR_FUNCS = [
+    "o_orderpriority LIKE '{p}'",
+    "o_orderpriority NOT LIKE '{p}'",
+    "upper(o_orderstatus) = substring(upper(o_orderpriority), 1, 1)",
+    "substring(o_orderpriority, 1, 1) >= '{d}'",
+    "length(o_orderpriority) - length(replace(o_orderpriority, 'E', '')) >= {n}",
+]
+
+
+@st.composite
+def string_predicate(draw):
+    tmpl = draw(st.sampled_from(_STR_FUNCS))
+    return tmpl.format(
+        p=draw(st.sampled_from(_LIKE_PATTERNS)),
+        d=draw(st.sampled_from("12345")),
+        n=draw(st.integers(min_value=0, max_value=3)),
+    )
+
+
+@st.composite
+def string_where(draw):
+    preds = draw(st.lists(string_predicate(), min_size=1, max_size=3))
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    return joiner.join(preds)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=string_where())
+def test_random_string_predicates_match_duckdb(spark, where):
+    """LIKE wildcards, substring bounds, case folding, and the
+    replace-length occurrence-count idiom must agree verbatim across
+    engines — the string-dialect surface the numeric/date grammars don't
+    touch. Counts and fixed-point cents sums are exact, so any mismatch
+    is a real semantics drift, not float noise."""
+    sql = f"""
+    SELECT o_orderstatus, count(*) AS cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    WHERE {where}
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """
+    register_views(spark, SF_DIR, ["orders"])
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want, f"engines disagree for WHERE {where}"
