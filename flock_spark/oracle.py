@@ -94,6 +94,12 @@ def compare(spark: SparkSession, fn, oracle_sql: str, sf_dir: str) -> None:
     # output boundary (relational.dsumd / fsum).
     decimal_cols = [f.name for f in sdf.schema.fields if isinstance(f.dataType, T.DecimalType)]
     assert not decimal_cols, f"DECIMAL-typed output columns (cast to DOUBLE): {decimal_cols}"
+    # float32 is the remaining width class whose serialization could diverge
+    # from DuckDB's DOUBLE the way DECIMAL (r1) and HUGEINT (r3) did; int32
+    # vs int64 pairings are empirically driver-safe (tpch_q9 and
+    # ann_topk_bruteforce were green in r3 with opposite-width int pairings)
+    float_cols = [f.name for f in sdf.schema.fields if isinstance(f.dataType, T.FloatType)]
+    assert not float_cols, f"FLOAT-typed output columns (cast to DOUBLE): {float_cols}"
     s_cols = sorted(sdf.columns)
     s_rows = [tuple(row[c] for c in s_cols) for row in sdf.collect()]
 
