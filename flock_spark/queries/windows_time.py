@@ -326,3 +326,61 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
         F.col("cents").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "timeseries_ohlc_daily",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events WHERE user_id < 25)
+    SELECT user_id, day,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+           count(*) AS n_ticks
+    FROM ordered
+    GROUP BY user_id, day
+    """,
+    tags=("window_time", "timeseries"),
+    doc="OHLC bar resampling: per (key, day) open/high/low/close from the "
+    "tick stream — the financial/metrics downsampling primitive (the "
+    "continuous-aggregate shape TimescaleDB calls a candlestick rollup). "
+    "Open/close are first/last by the deterministic (ts, event_id) order, "
+    "lowered to two row_number windows + conditional max so the whole bar "
+    "builds in ONE (key, day) shuffle — no self-join back for the "
+    "endpoints, no min_by/max_by dialect drift (their tie-breaking "
+    "differs across engines; row_number's explicit tie-break is pinned). "
+    "Values are fixed-point cents, bit-identical cross-engine. At 100 TB "
+    "bars land partitioned by day and serve coarser windows by rollup "
+    "reuse (rollup_reuse_daily) instead of rescanning ticks.",
+)
+def timeseries_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = e.select("user_id", day, cents.alias("cents"), "ts", "event_id")
+    wa = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id", "day").orderBy(F.desc("ts"), F.desc("event_id"))
+    ordered = base.select(
+        "user_id",
+        "day",
+        "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ordered.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).cast("long").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("long").alias("close_cents"),
+        F.count("*").alias("n_ticks"),
+    )
