@@ -1104,3 +1104,98 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common").cast("double") / small, 6).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components by star contraction (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _star_components(pairs: DataFrame) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond'): alternating rounds converge in
+    O(log n) iterations to a depth-1 forest rooted at each component's
+    MINIMUM node — the same labels min-label propagation reaches in
+    O(diameter) rounds, so the two algorithms share one exact oracle.
+
+    large-star(u): m = min(neighbors(u) + u); re-point every neighbor
+    v > u at m. small-star(u): m = min of the low neighborhood
+    {v in neighbors(u): v < u} + u; re-point that whole low neighborhood
+    (and u) at m. Each round is one grouped min + one join — the Pregel
+    step shape; localCheckpoint truncates lineage per round."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        # large-star
+        mins = edges.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv")).alias("m")
+        big = (
+            edges.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+        )
+        keep_low = edges.filter(F.col("v") < F.col("u"))
+        ls = (
+            big.union(big.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .union(keep_low)
+            .union(keep_low.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star over the low neighborhoods
+        low = ls.filter(F.col("v") < F.col("u"))
+        lmins = low.groupBy("u").agg(F.min("v").alias("m"))
+        repointed = (
+            low.join(lmins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(lmins.select("u", F.col("m").alias("v")))
+        )
+        ss = (
+            repointed.union(
+                repointed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+        edges = ss.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    # converged: every node's min neighbor IS its component minimum; roots
+    # label themselves
+    parents = edges.groupBy("u").agg(F.min("v").alias("p"))
+    return parents.select(
+        F.col("u").alias("doc_id"),
+        F.least(F.col("u"), F.col("p")).alias("cluster_id"),
+    )
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=_duck_components_sql(),
+    tags=("dedup", "iterative"),
+    doc="Connected components over the SAME LSH candidate-pair graph as "
+    "dedup_clusters, by alternating large-star/small-star contraction "
+    "instead of min-label propagation — O(log n) rounds where propagation "
+    "takes O(diameter), the algorithm that survives a petascale graph "
+    "with long chains (web graphs, citation chains, transitive near-dup "
+    "bridges). Shares the recursive-CTE oracle with dedup_clusters: both "
+    "must land every node on its component's minimum id, so the "
+    "contraction arithmetic itself is hash-verified against the "
+    "propagation semantics.",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.session import clamped_shuffle_partitions
+
+    with clamped_shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
+        return _star_components(_spark_lsh_pairs(spark, sf_dir))
