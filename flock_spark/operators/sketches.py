@@ -590,3 +590,87 @@ def _hll_merge_sql(d: _Dialect) -> str:
 def hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_hll_merge_sql(SPARK_D))
+
+
+# ------------------------------------------------ sliding-window HLL ------
+
+HLL_WINDOW_DAYS = 3  # trailing window width (current day + 2 preceding)
+
+
+def _hll_sliding_sql(d: _Dialect) -> str:
+    """Trailing-N-day distinct-user estimate per day: per-day HLL bucket
+    maxima merged across the window with a plain max() window function —
+    the mergeability property again, this time across TIME instead of
+    shards. The spine cross join densifies (day × 64 buckets) so every
+    day's window sees all buckets (absent ⇒ NULL ⇒ empty)."""
+    h = d.md5l(f"CAST(user_id AS {d.str_t})")
+    w = d.shr("h", 6)
+    return f"""
+    WITH hashed AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, {h} AS h
+      FROM events
+    ), rho AS (
+      SELECT day, (h % 64) AS bucket,
+             CASE WHEN {w} = 0 THEN 55
+                  ELSE 55 - length(bin({w})) END AS r
+      FROM hashed
+    ), day_buckets AS (
+      SELECT day, bucket, max(r) AS m
+      FROM rho GROUP BY day, bucket
+    ), spine AS (
+      SELECT dd.day, b.id AS bucket
+      FROM (SELECT DISTINCT day FROM rho) dd
+      CROSS JOIN (SELECT id FROM {d.range_src} WHERE id < 64) b
+    ), dense AS (
+      SELECT s.day, s.bucket, db.m
+      FROM spine s LEFT JOIN day_buckets db
+        ON s.day = db.day AND s.bucket = db.bucket
+    ), win AS (
+      SELECT day, bucket,
+             max(m) OVER (PARTITION BY bucket ORDER BY day
+                          ROWS BETWEEN {HLL_WINDOW_DAYS - 1} PRECEDING
+                          AND CURRENT ROW) AS m
+      FROM dense
+    ), sketch AS (
+      SELECT day,
+             count(m) AS n_hot,
+             CAST(sum(CASE WHEN m IS NULL THEN 0
+                           ELSE {d.shl('55 - m')} END) AS BIGINT) AS hot_sum
+      FROM win GROUP BY day
+    ), raw AS (
+      SELECT day, n_hot,
+             CAST(64 - n_hot AS BIGINT) AS v_empty,
+             CAST(hot_sum + (64 - n_hot) * 36028797018963968 AS BIGINT)
+               AS harmonic_sum_scaled,
+             ({HLL_ALPHA_NUM}
+               / CAST(hot_sum + (64 - n_hot) * 36028797018963968 AS DOUBLE))
+               AS raw_estimate
+      FROM sketch
+    )
+    SELECT day, v_empty, harmonic_sum_scaled, raw_estimate,
+           CASE WHEN raw_estimate <= 160.0 AND v_empty > 0
+                THEN {_hll_linear_case()}
+                ELSE raw_estimate END AS hll_estimate
+    FROM raw
+    """
+
+
+@register(
+    "hll_sliding_window_distinct",
+    oracle=_hll_sliding_sql(DUCK_D),
+    tags=("approx", "sketch", "window_time", "scale-pattern"),
+    doc=f"Trailing-{HLL_WINDOW_DAYS}-day distinct users per day from "
+    "per-day HLL states merged with a max() window over the bucket time "
+    "series — HLL mergeability across TIME: a sliding COUNT(DISTINCT) "
+    "window is not incrementally computable (distinct state per frame), "
+    "but per-day sketch states are days×64 small ints and the window max "
+    "re-derives every trailing estimate without ever re-touching rows. "
+    "This is the dashboard pattern (rolling 7/30-day uniques) at 100 TB: "
+    "the corpus is scanned once into daily states; every window width is "
+    "then a states-sized computation. Same portable md5 hash family, "
+    "integer harmonic sums, and literal-table linear counting as "
+    "hll_sketch_portable — bit-deterministic cross-engine.",
+)
+def hll_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hll_sliding_sql(SPARK_D))
