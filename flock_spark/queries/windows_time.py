@@ -384,3 +384,65 @@ def timeseries_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("long").alias("close_cents"),
         F.count("*").alias("n_ticks"),
     )
+
+
+EWMA_TAPS = 8  # alpha = 1/2, truncated to 8 taps (tail weight 2^-9 < 0.2%)
+
+
+def _ewma_tap_sum() -> str:
+    """Engine-neutral SQL: truncated alpha=1/2 EWMA as a lag pipeline.
+
+    ewma_t = sum_{k=0..7} x_{t-k} / 2^(k+1) — computed on fixed-point
+    cents with integer right shifts, so the smoothed series is
+    bit-identical across engines and partitionings where a recursive
+    float EWMA depends on accumulation history. COALESCE pins the
+    series head (missing lags contribute 0, matching an all-zero
+    pre-history)."""
+    taps = " + ".join(
+        f"(COALESCE(lag(cents, {k}) OVER w, 0) >> {k + 1})"
+        for k in range(EWMA_TAPS)
+    )
+    return f"({taps})"
+
+
+@register(
+    "timeseries_ewma_shifts",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id < 25 GROUP BY 1, 2)
+    SELECT user_id, day, cents,
+           CAST({_ewma_tap_sum()} AS BIGINT) AS ewma_cents
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+    tags=("window_time", "timeseries"),
+    doc=f"Exponentially weighted moving average (alpha=1/2) over the daily "
+    f"per-key series, truncated to {EWMA_TAPS} taps and lowered to a lag "
+    "pipeline with integer right shifts on fixed-point cents — the "
+    "smoothing/trend primitive of monitoring dashboards, made "
+    "bit-deterministic where the textbook recursive float EWMA depends "
+    "on accumulation history (and can't parallelize: each value needs "
+    "its predecessor's result, while the truncated-tap form is one "
+    "window over the (key, day) shuffle, each row independent). The "
+    f"dropped tail carries < 2^-{EWMA_TAPS + 1} of the weight — "
+    "quantified, not hand-waved.",
+)
+def timeseries_ewma_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    daily = (
+        e.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    daily.createOrReplaceTempView("ewma_daily_tmp")
+    return daily.sparkSession.sql(
+        f"""
+        SELECT user_id, day, cents,
+               CAST({_ewma_tap_sum()} AS BIGINT) AS ewma_cents
+        FROM ewma_daily_tmp
+        WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        """
+    )
