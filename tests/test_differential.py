@@ -398,3 +398,49 @@ def test_random_string_predicates_match_duckdb(spark, where):
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     con.close()
     assert got == want, f"engines disagree for WHERE {where}"
+
+
+# ---------------------------------------------------------------------------
+# Randomized window frames
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def frame_spec(draw):
+    a = draw(st.integers(min_value=0, max_value=5))
+    b = draw(st.integers(min_value=0, max_value=5))
+    fn = draw(st.sampled_from(["sum", "min", "max", "count"]))
+    return fn, a, b
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=frame_spec())
+def test_random_window_frames_match_duckdb(spark, spec):
+    """ROWS-frame window aggregates with random bounds must agree verbatim:
+    frame-boundary semantics (empty frames, head/tail truncation) are a
+    classic dialect-drift area the fixed window entries only sample. The
+    (ts, event_id) ORDER BY makes frames deterministic; fixed-point cents
+    keep sums exact."""
+    fn, a, b = spec
+    sql = f"""
+    SELECT user_id, event_id,
+           CAST({fn}(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING) AS BIGINT) AS agg
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, event_id
+    """
+    register_views(spark, SF_DIR, ["events"])
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want, f"engines disagree for frame {spec}"
