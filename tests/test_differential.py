@@ -444,3 +444,57 @@ def test_random_window_frames_match_duckdb(spark, spec):
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     con.close()
     assert got == want, f"engines disagree for frame {spec}"
+
+
+# ---------------------------------------------------------------------------
+# Randomized as-of join vs DuckDB's NATIVE ASOF JOIN operator
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    umax=st.integers(min_value=5, max_value=149),
+    day=st.integers(min_value=0, max_value=29),
+)
+def test_random_asof_matches_native_duckdb_asof(spark, umax, day):
+    """The union+carry-forward as-of lowering vs DuckDB's native ASOF JOIN —
+    a third formulation fully independent of both the Spark lowering and
+    the registered join+row_number oracle. Compared on the matched DATE
+    (unique per event whatever the tie policy, so native ASOF's undefined
+    tie choice among equal-date orders can't flake the test), over a
+    randomized probe subset (user cut + time cutoff: filtering the probe
+    side commutes with the keyed as-of match)."""
+    from flock_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+    fn = REGISTRY["asof_join_window"].fn
+    out = fn(spark, SF_DIR).filter(
+        f"user_id < {umax} AND ts <= timestamp'2025-01-01' + INTERVAL {day} DAYS"
+    )
+    got = sorted(
+        (r["event_id"], r["user_id"], r["ts"], r["o_orderdate"])
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderdate
+        FROM events e ASOF JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        WHERE e.user_id < {umax}
+          AND e.ts <= TIMESTAMP '2025-01-01' + INTERVAL {day} DAY
+        """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, f"as-of lowering disagrees with native ASOF (umax={umax}, day={day})"
