@@ -674,3 +674,53 @@ def _hll_sliding_sql(d: _Dialect) -> str:
 def hll_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_hll_sliding_sql(SPARK_D))
+
+
+# ------------------------------------------ sketch mergeability proofs ----
+
+MERGE_SHARDS = 8
+
+
+def _hdr_merge_sql(d: _Dialect) -> str:
+    """Per-shard HDR histograms merged by summing bucket counts == the
+    direct single-pass histogram — emitted side by side per bucket."""
+    return f"""
+    WITH t AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+             (o_orderkey % {MERGE_SHARDS}) AS shard
+      FROM orders
+    ), eb AS (
+      SELECT v, shard, greatest(length(bin(v)) - 4, 0) AS sh FROM t
+    ), bk AS (
+      SELECT shard, (sh * 16 + {d.shrv('v', 'sh')}) AS bucket FROM eb
+    ), shard_hist AS (
+      SELECT shard, bucket, count(*) AS cnt FROM bk GROUP BY shard, bucket
+    ), merged AS (
+      SELECT bucket, CAST(sum(cnt) AS BIGINT) AS merged_cnt
+      FROM shard_hist GROUP BY bucket
+    ), direct AS (
+      SELECT bucket, count(*) AS direct_cnt FROM bk GROUP BY bucket
+    )
+    SELECT m.bucket, m.merged_cnt, CAST(x.direct_cnt AS BIGINT) AS direct_cnt,
+           CAST({MERGE_SHARDS} AS BIGINT) AS n_shards
+    FROM merged m JOIN direct x ON m.bucket = x.bucket
+    """
+
+
+@register(
+    "hdr_quantile_merge_shards",
+    oracle=_hdr_merge_sql(DUCK_D),
+    tags=("approx", "sketch", "aggregate"),
+    doc=f"HDR-histogram mergeability proven by value (the hll_merge_shards "
+    f"discipline applied to the quantile sketch): orders split into "
+    f"{MERGE_SHARDS} hash shards, each builds its own log2-bucket "
+    "histogram, shards merge by summing counts — and the merged counts "
+    "are emitted NEXT TO the direct single-pass histogram so the hash "
+    "gate verifies merged == direct per bucket. Lossless merge under any "
+    "sharding/order is exactly why the histogram distributes at 100 TB "
+    "where t-digest/KLL compactions are merge-order-dependent: Spark's "
+    "map-side partial aggregation IS this merge.",
+)
+def hdr_quantile_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_hdr_merge_sql(SPARK_D))
