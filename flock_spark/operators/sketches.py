@@ -724,3 +724,50 @@ def _hdr_merge_sql(d: _Dialect) -> str:
 def hdr_quantile_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_hdr_merge_sql(SPARK_D))
+
+
+def _cms_merge_sql(d: _Dialect) -> str:
+    """Per-shard Count-Min cells merged by summing == direct cells."""
+    h = d.md5l(f"CAST(user_id AS {d.str_t})")
+    branches = "\n      UNION ALL\n".join(
+        f"      SELECT shard, {i} AS depth,"
+        f" ({universal_hash('h', CMS_DEPTH + i)} % {CMS_WIDTH}) AS col,"
+        " count(*) AS cnt FROM hashed GROUP BY 1, 2, 3"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT ({d.shr('h0', 16)} % {MERGE_SHARDS}) AS shard, h0 AS h
+      FROM (SELECT {h} AS h0 FROM events) t
+    ), shard_cells AS (
+{branches}
+    ), merged AS (
+      SELECT depth, col, CAST(sum(cnt) AS BIGINT) AS merged_cnt
+      FROM shard_cells GROUP BY depth, col
+    ), direct AS (
+      SELECT depth, col, cnt FROM (
+        {_cms_cells_sql(d)}
+      ) dc
+    )
+    SELECT CAST(m.depth AS BIGINT) AS depth, CAST(m.col AS BIGINT) AS col,
+           m.merged_cnt, CAST(x.cnt AS BIGINT) AS direct_cnt
+    FROM merged m JOIN direct x ON m.depth = x.depth AND m.col = x.col
+    """
+
+
+@register(
+    "cms_merge_shards",
+    oracle=_cms_merge_sql(DUCK_D),
+    tags=("approx", "sketch", "aggregate"),
+    doc=f"Count-Min mergeability proven by value: {MERGE_SHARDS} hash "
+    "shards each build their own cell counts, shards merge by summing, "
+    "and the merged cells are emitted NEXT TO the direct single-pass "
+    "cells so merged == direct is hash-verified per cell — closing the "
+    "by-value merge-proof set across every sketch family in the repo "
+    "(HLL max-merge, HDR count-sum, CMS count-sum; Bloom's bit_or merge "
+    "is implied by bloom_filter_portable's word construction). Lossless "
+    "merge under any sharding IS map-side partial aggregation at 100 TB.",
+)
+def cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cms_merge_sql(SPARK_D))
