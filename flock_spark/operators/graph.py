@@ -263,4 +263,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         edges.unpersist()
         edges = nxt
-    return edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    # materialize the result (lineage-free) so the LAST round's cached edge
+    # set can be released too — otherwise every invocation (bench reps,
+    # mixed-slate sweeps) leaves one cached relation in executor storage
+    out = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
