@@ -498,3 +498,44 @@ def test_random_asof_matches_native_duckdb_asof(spark, umax, day):
     )
     con.close()
     assert got == want, f"as-of lowering disagrees with native ASOF (umax={umax}, day={day})"
+
+
+# ---------------------------------------------------------------------------
+# Randomized set operations
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+    mod_a=st.integers(min_value=2, max_value=9),
+    mod_b=st.integers(min_value=2, max_value=9),
+)
+def test_random_set_operations_match_duckdb(spark, op, mod_a, mod_b):
+    """Set-operation semantics are a known dialect trap (EXCEPT/INTERSECT
+    imply DISTINCT; UNION vs UNION ALL dedup behavior): two random
+    mod-filtered projections of events are combined with a random set op
+    and aggregated, verbatim on both engines."""
+    sql = f"""
+    SELECT user_id % 25 AS bucket, count(*) AS cnt
+    FROM (
+      SELECT user_id FROM events WHERE event_id % {mod_a} = 0
+      {op}
+      SELECT user_id FROM events WHERE event_id % {mod_b} = 1
+    ) t
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+    register_views(spark, SF_DIR, ["events"])
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want, f"engines disagree for {op} (mods {mod_a},{mod_b})"
