@@ -1199,3 +1199,56 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with clamped_shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
         return _star_components(_spark_lsh_pairs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Jaccard threshold sensitivity curve
+# ---------------------------------------------------------------------------
+
+
+def _threshold_curve_oracle() -> str:
+    from flock_spark.registry import REGISTRY
+
+    inner = REGISTRY["dedup_minhash_estimate_vs_exact"].oracle
+    return f"""
+    SELECT CAST(floor(jaccard_exact * 10) AS BIGINT) AS bucket,
+           count(*) AS n_pairs,
+           CAST(sum(n_agree) AS BIGINT) AS sum_agree,
+           min(jaccard_exact) AS min_exact,
+           max(jaccard_exact) AS max_exact
+    FROM ({inner}) t
+    GROUP BY 1
+    """
+
+
+@register(
+    "dedup_jaccard_threshold_curve",
+    oracle=_threshold_curve_oracle(),
+    tags=("dedup", "sketch", "audit"),
+    doc="Threshold sensitivity curve for dedup tuning: LSH candidate pairs "
+    "bucketed by exact-Jaccard decile, each bucket carrying its pair "
+    "count, summed signature agreement (the integer numerator of the "
+    "MinHash estimate — exact under any order), and the exact min/max. "
+    "Low buckets are the LSH false-positive mass a higher threshold "
+    "would re-verify away; high buckets are the pairs every threshold "
+    "keeps — THE table consulted before committing a near-dup threshold "
+    "to a 100 TB dedup run, where re-running with a different threshold "
+    "costs a full pass. Derived entirely from the candidates relation "
+    "(O(candidates), reuses memoized signatures) with one tiny decile "
+    "aggregate on top.",
+)
+def dedup_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.registry import REGISTRY
+
+    base = REGISTRY["dedup_minhash_estimate_vs_exact"].fn(spark, sf_dir)
+    return (
+        base.groupBy(
+            F.floor(F.col("jaccard_exact") * 10).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("n_agree").cast("long").alias("sum_agree"),
+            F.min("jaccard_exact").alias("min_exact"),
+            F.max("jaccard_exact").alias("max_exact"),
+        )
+    )
