@@ -804,3 +804,62 @@ def streaming_pattern_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_ts").alias("t_purchase"),
         )
     )
+
+
+@register(
+    "streaming_ohlc_daily",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events WHERE user_id < 25)
+    SELECT user_id, day,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+           count(*) AS n_ticks
+    FROM ordered
+    GROUP BY user_id, day
+    """,
+    tags=("streaming", "window_time", "timeseries"),
+    doc="Streaming OHLC bars: open/close need the first/last tick of each "
+    "(key, day) — positional state a watermarked incremental aggregate "
+    "can't express without custom state, so micro-batches stage "
+    "executor-side and the bar aggregation replays over accumulated "
+    "ticks (the reference's per-delivery model), equal to the batch twin "
+    "timeseries_ohlc_daily (shared oracle). The incremental-native "
+    "alternative keeps (first, last, min, max, count) per key-day in the "
+    "state store — mergeable because OHLC endpoints are min_by/max_by "
+    "over (ts, event_id), exactly the tie policy the batch lowering pins.",
+)
+def streaming_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    s = bounded_stream(spark, sf_dir, "events").filter(F.col("user_id") < 25).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    all_rows = stage_batches(s)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    base = all_rows.select(
+        "user_id", day, F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts", "event_id",
+    )
+    wa = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id", "day").orderBy(F.desc("ts"), F.desc("event_id"))
+    ordered = base.select(
+        "user_id", "day", "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ordered.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).cast("long").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("long").alias("close_cents"),
+        F.count("*").alias("n_ticks"),
+    )
