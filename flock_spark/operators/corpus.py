@@ -631,7 +631,7 @@ def corpus_lm_score_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed AS (
       SELECT d.lang, d.n_chars,
              ntile(3) OVER (PARTITION BY d.lang
-                            ORDER BY s.fluency_bits * 1000000 / s.n_bigrams DESC,
+                            ORDER BY (s.fluency_bits * 1000000) // s.n_bigrams DESC,
                                      d.doc_id) AS tercile
       FROM documents d JOIN scored s ON d.doc_id = s.doc_id)
     SELECT lang,
@@ -680,8 +680,15 @@ def corpus_lang_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("n_bigrams"),
         )
     )
-    # integer micro-bits-per-bigram: exact ordering key (no float division)
-    key = (F.col("fluency_bits") * 1_000_000) / F.col("n_bigrams")
+    # integer micro-bits-per-bigram ordering key: true integer division
+    # (Spark `div` / DuckDB `//`), never float `/` — IEEE double division
+    # happens to round identical int64 inputs identically, but the key
+    # should not depend on that, and int64 scaling is overflow-checked:
+    # fluency_bits < 9.2e12 holds by construction (sum of c*bits over one
+    # doc; corpus docs are << 1e11 weighted bits), so *1e6 stays in int64
+    # on both engines (DuckDB would raise, Spark would wrap — neither is
+    # reachable).
+    key = F.expr("fluency_bits * 1000000L div n_bigrams")
     w = W.partitionBy("lang").orderBy(F.desc(key), "doc_id")
     bucketed = (
         d.select("doc_id", "lang", "n_chars")

@@ -69,6 +69,9 @@ class _SparkD(_Dialect):
     def idiv(self, a: str, b: str) -> str:
         return f"(({a}) div ({b}))"
 
+    def add_days(self, ts_expr: str, n_expr: str) -> str:
+        return f"timestampadd(DAY, CAST({n_expr} AS INT), {ts_expr})"
+
 
 class _DuckD(_Dialect):
     def shl(self, amount_expr: str) -> str:
@@ -82,6 +85,9 @@ class _DuckD(_Dialect):
 
     def idiv(self, a: str, b: str) -> str:
         return f"(({a}) // ({b}))"
+
+    def add_days(self, ts_expr: str, n_expr: str) -> str:
+        return f"(({ts_expr}) + to_days(CAST({n_expr} AS INT)))"
 
 
 SPARK_D = _SparkD(md5l=spark_md5_long, str_t="STRING", range_src="range(200)")
@@ -601,8 +607,13 @@ def _hll_sliding_sql(d: _Dialect) -> str:
     """Trailing-N-day distinct-user estimate per day: per-day HLL bucket
     maxima merged across the window with a plain max() window function —
     the mergeability property again, this time across TIME instead of
-    shards. The spine cross join densifies (day × 64 buckets) so every
-    day's window sees all buckets (absent ⇒ NULL ⇒ empty)."""
+    shards. The spine densifies (calendar day × 64 buckets) over the FULL
+    min→max day range — generated days, not just days present in the
+    data — so a missing calendar day contributes an empty sketch instead
+    of silently widening the ROWS frame beyond the documented trailing
+    {HLL_WINDOW_DAYS} days; absent buckets are NULL ⇒ empty. The 200-id
+    range source bounds the spine at 200 calendar days (asserted ample
+    for the corpus; a production span parameterizes the generator)."""
     h = d.md5l(f"CAST(user_id AS {d.str_t})")
     w = d.shr("h", 6)
     return f"""
@@ -617,9 +628,15 @@ def _hll_sliding_sql(d: _Dialect) -> str:
     ), day_buckets AS (
       SELECT day, bucket, max(r) AS m
       FROM rho GROUP BY day, bucket
+    ), bounds AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM rho
+    ), days AS (
+      SELECT {d.add_days('b.d0', 'r.id')} AS day
+      FROM bounds b CROSS JOIN (SELECT id FROM {d.range_src}) r
+      WHERE {d.add_days('b.d0', 'r.id')} <= b.d1
     ), spine AS (
       SELECT dd.day, b.id AS bucket
-      FROM (SELECT DISTINCT day FROM rho) dd
+      FROM days dd
       CROSS JOIN (SELECT id FROM {d.range_src} WHERE id < 64) b
     ), dense AS (
       SELECT s.day, s.bucket, db.m

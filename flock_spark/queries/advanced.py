@@ -1133,8 +1133,8 @@ PATTERN_GAP_S = 86400  # max seconds between consecutive steps (1 day:
     SELECT user_id, prev_ts AS t_view, ts AS t_click, next_ts AS t_purchase
     FROM seq
     WHERE event_type = 'click' AND prev_type = 'view' AND next_type = 'purchase'
-      AND epoch(ts) - epoch(prev_ts) <= {PATTERN_GAP_S}
-      AND epoch(next_ts) - epoch(ts) <= {PATTERN_GAP_S}
+      AND ts <= prev_ts + INTERVAL {PATTERN_GAP_S} SECOND
+      AND next_ts <= ts + INTERVAL {PATTERN_GAP_S} SECOND
     """,
     tags=("events", "window", "pattern"),
     doc="Sequence-pattern detection (MATCH_RECOGNIZE-lite): strictly "
@@ -1145,7 +1145,11 @@ PATTERN_GAP_S = 86400  # max seconds between consecutive steps (1 day:
     "event-log self-join formulation shuffles the log once per pattern "
     "step and dies at scale; events_funnel_steps is the non-consecutive "
     "variant of the same discipline). Deterministic ordering via the "
-    "(ts, event_id) tie-break; gap tests are integer epoch arithmetic.",
+    "(ts, event_id) tie-break; gap tests compare full-microsecond "
+    "timestamps against an INTERVAL bound identically on both engines "
+    "(never second-floored epochs, whose truncation differs between "
+    "Spark unix_timestamp and DuckDB epoch for sub-second gaps near the "
+    "boundary).",
 )
 def events_pattern_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1161,14 +1165,14 @@ def events_pattern_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("next_type"),
         F.lead("ts").over(w).alias("next_ts"),
     )
-    gap = F.unix_timestamp
+    gap = F.expr(f"INTERVAL {PATTERN_GAP_S} SECOND")
     return (
         seq.filter(
             (F.col("event_type") == "click")
             & (F.col("prev_type") == "view")
             & (F.col("next_type") == "purchase")
-            & (gap(F.col("ts")) - gap(F.col("prev_ts")) <= PATTERN_GAP_S)
-            & (gap(F.col("next_ts")) - gap(F.col("ts")) <= PATTERN_GAP_S)
+            & (F.col("ts") <= F.col("prev_ts") + gap)
+            & (F.col("next_ts") <= F.col("ts") + gap)
         )
         .select(
             "user_id",

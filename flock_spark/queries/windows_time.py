@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from flock_spark.catalog import tbl
+from flock_spark.operators.sketches import DUCK_D, SPARK_D
 from flock_spark.queries.relational import fsum
 from flock_spark.registry import register
 
@@ -389,17 +390,19 @@ def timeseries_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_TAPS = 8  # alpha = 1/2, truncated to 8 taps (tail weight 2^-9 < 0.2%)
 
 
-def _ewma_tap_sum() -> str:
-    """Engine-neutral SQL: truncated alpha=1/2 EWMA as a lag pipeline.
+def _ewma_tap_sum(d) -> str:
+    """Dialect-routed SQL: truncated alpha=1/2 EWMA as a lag pipeline.
 
     ewma_t = sum_{k=0..7} x_{t-k} / 2^(k+1) — computed on fixed-point
     cents with integer right shifts, so the smoothed series is
     bit-identical across engines and partitionings where a recursive
     float EWMA depends on accumulation history. COALESCE pins the
     series head (missing lags contribute 0, matching an all-zero
-    pre-history)."""
+    pre-history). Shifts go through the sketches._Dialect shr helper
+    (Spark shiftright / DuckDB >>) like every other shift in the repo —
+    raw `>>` is Spark>=4-only syntax."""
     taps = " + ".join(
-        f"(COALESCE(lag(cents, {k}) OVER w, 0) >> {k + 1})"
+        d.shr(f"COALESCE(lag(cents, {k}) OVER w, 0)", k + 1)
         for k in range(EWMA_TAPS)
     )
     return f"({taps})"
@@ -413,7 +416,7 @@ def _ewma_tap_sum() -> str:
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE user_id < 25 GROUP BY 1, 2)
     SELECT user_id, day, cents,
-           CAST({_ewma_tap_sum()} AS BIGINT) AS ewma_cents
+           CAST({_ewma_tap_sum(DUCK_D)} AS BIGINT) AS ewma_cents
     FROM daily
     WINDOW w AS (PARTITION BY user_id ORDER BY day)
     """,
@@ -441,7 +444,7 @@ def timeseries_ewma_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.sparkSession.sql(
         f"""
         SELECT user_id, day, cents,
-               CAST({_ewma_tap_sum()} AS BIGINT) AS ewma_cents
+               CAST({_ewma_tap_sum(SPARK_D)} AS BIGINT) AS ewma_cents
         FROM ewma_daily_tmp
         WINDOW w AS (PARTITION BY user_id ORDER BY day)
         """

@@ -754,8 +754,8 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, prev_ts AS t_view, ts AS t_click, next_ts AS t_purchase
     FROM seq
     WHERE event_type = 'click' AND prev_type = 'view' AND next_type = 'purchase'
-      AND epoch(ts) - epoch(prev_ts) <= 86400
-      AND epoch(next_ts) - epoch(ts) <= 86400
+      AND ts <= prev_ts + INTERVAL 86400 SECOND
+      AND next_ts <= ts + INTERVAL 86400 SECOND
     """,
     tags=("streaming", "window", "pattern"),
     doc="Streaming sequence-pattern detection over the event stream: "
@@ -788,14 +788,14 @@ def streaming_pattern_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("next_type"),
         F.lead("ts").over(w).alias("next_ts"),
     )
-    gap = F.unix_timestamp
+    gap = F.expr("INTERVAL 86400 SECOND")
     return (
         seq.filter(
             (F.col("event_type") == "click")
             & (F.col("prev_type") == "view")
             & (F.col("next_type") == "purchase")
-            & (gap(F.col("ts")) - gap(F.col("prev_ts")) <= 86400)
-            & (gap(F.col("next_ts")) - gap(F.col("ts")) <= 86400)
+            & (F.col("ts") <= F.col("prev_ts") + gap)
+            & (F.col("next_ts") <= F.col("ts") + gap)
         )
         .select(
             "user_id",
