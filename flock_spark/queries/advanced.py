@@ -144,17 +144,45 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct_hll",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS cnt,
+           TRUE AS within_3rsd
+    FROM events GROUP BY event_type
+    """,
     tags=("aggregate", "approx"),
     doc="HyperLogLog distinct estimate per event_type (Spark "
-    "approx_count_distinct, rsd 5%). No oracle: sketch estimates are "
-    "engine-specific by design; the exact twin is agg_count_distinct.",
+    "approx_count_distinct, rsd 5%), certified the only way an "
+    "engine-specific sketch can be: the RAW estimate never leaves the "
+    "query (each engine's HLL differs at equal inputs), but the exact "
+    "count(DISTINCT) twin is emitted beside a within_3rsd verdict — "
+    "integer arithmetic |approx - exact| * 100 <= 15 * exact, i.e. the "
+    "estimate inside three times its advertised relative standard "
+    "deviation — and the oracle asserts that verdict is literally TRUE. "
+    "Spark's sketch is deterministic for a given input, so if the "
+    "estimate ever left its error envelope the boolean flips and the "
+    "driver's hash gate catches it: the exact column is hash-verified "
+    "and the approx path is bound-verified, closing the one formerly "
+    "oracle-less registry entry. The exact twin costs the "
+    "count-distinct Expand; at 100 TB the point of the sketch is to "
+    "SKIP that — production drops the exact column and keeps the "
+    "estimate, auditing the bound on samples exactly like "
+    "ann_ivf_recall_audit does for ANN.",
 )
 def approx_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("cnt"),
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users")) * 100
+        <= F.col("exact_users") * 15
+    )
+    return agg.select(
+        "event_type", "exact_users", "cnt", within.alias("within_3rsd")
     )
 
 

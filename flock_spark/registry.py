@@ -55,74 +55,128 @@ REGISTRY: dict[str, QuerySpec] = {}
 # `tools/sweep_sim.py --plain` at sf0.01 (pinned by tests/test_registry.py).
 # ---------------------------------------------------------------------------
 DRIVER_SLATE: tuple[str, ...] = (
-    # --- round-4 slate ---
-    # cheap canaries for the r1-r3-certified core (regression tripwires);
-    # streaming_tumbling_agg doubles as the streaming-family canary
+    # --- round-5 slate ---
+    # cheap canaries for the certified core (regression tripwires); every
+    # other slot goes to never-driver-tested entries — round 4 closed
+    # 50/50 green, so there are no re-certs this round
     "proj_arith",
     "agg_basic",
     "join_inner",
-    "streaming_tumbling_agg",
-    # re-certify: the 6 round-3 hash-fails. Root cause was the oracle-side
-    # HUGEINT promotion (values were proven equal); the oracles now CAST to
-    # BIGINT and a type guard pins the class dead — but a fixed entry only
-    # counts once the driver stamps it green, so all six stay slated.
-    "bucketed_colocated_join",
-    "partitioned_write_prune_scan",
-    "zorder_layout_scan",
-    "embedding_power_iteration_pc",
-    "streaming_kafka_wire_decode",
-    "queue_sink_exactly_once",
-    # re-certify: post-r2 semantic changes (r2 green rows were vacuous —
-    # structurally empty result sets; both de-vacuized in r3) + tpch_q22
-    # (same fix, never driver-tested)
-    "join_anti",
-    "set_except",
-    "tpch_q22",
-    # TPC-H never driver-tested (q2-q5 already green from r1)
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    # NEXMark: remaining explicit queries + native variants
-    "nexmark_q0_passthrough",
-    "nexmark_q10_date_format",
-    "nexmark_q11_session_bids",
-    "nexmark_q12_proctime_tumble",
-    "nexmark_q13_side_input",
-    "nexmark_native_q3",
-    "nexmark_native_q7",
-    "nexmark_native_q8",
-    # round-3 scale patterns (all carried latent HUGEINT oracles, now fixed)
-    "join_range_binned",
-    "dpp_star_join",
-    "agg_salted_two_stage",
-    "ann_pq_adc_topk",
-    "ivm_join_delta",
-    "dedup_substring_spans",
-    "graph_triangle_count",
-    "timeseries_gapfill_locf",
-    # sketches
-    "bloom_filter_portable",
-    "countmin_sketch_portable",
-    "cms_point_query",
-    "bloom_semijoin_reduction",
-    "hdr_quantile_sketch",
-    # LLM/text/multimodal + UDF machinery
-    "corpus_split_leakage_safe",
-    "text_oov_rate",
-    "mm_phash64",
-    "arrow_grouped_minmax",
-    # incremental + as-of family coverage (never driver-tested variants)
-    "rollup_reuse_daily",
-    "asof_join_pandas",
-    # §2.9 streaming twins + element-wise (VERDICT item 7) + SCD2/CDC streams
-    "streaming_elementwise_filter",
-    "streaming_nexmark_q1",
-    "streaming_nexmark_native_q3",
-    "streaming_session_foreachbatch",
-    "streaming_scd2_enrich",
-    "streaming_cdc_upsert_foreachbatch",
+    # the six entries round 4 deferred for slate-budget reasons (closes the
+    # §2.11 UDTF row and the multimodal histogram row)
+    "udtf_long_tokens",
+    "mm_byte_histogram",
+    "events_transition_matrix",
+    "streaming_nexmark_native_q7",
+    "hll_merge_shards",
+    "streaming_stateful_running_count",
+    # round-4 registry additions, never driver-tested (dedup_containment_
+    # pairs stays queued: its exact-pair oracle is the expensive side and
+    # blows the shared sweep budget; graph_kcore_peel enters only after its
+    # keyed-repartition clamp cut it 11.7 -> 1.9 s warm at sf0.01)
+    "text_bm25_doc_ranking",
+    "corpus_quality_resample",
+    "corpus_lm_score_proxy",
+    "corpus_cross_source_dup_matrix",
+    "corpus_lang_quality_buckets",
+    "join_fuzzy_levenshtein",
+    "events_pattern_3step",
+    "ann_ivf_recall_audit",
+    "table_quality_checks",
+    "streaming_pattern_3step",
+    "privacy_k_anonymity",
+    "tokenizer_bpe_merge_step",
+    "timeseries_ohlc_daily",
+    "hll_sliding_window_distinct",
+    "timeseries_ewma_shifts",
+    "hdr_quantile_merge_shards",
+    "cms_merge_shards",
+    "dedup_jaccard_threshold_curve",
+    "streaming_ohlc_daily",
+    "graph_kcore_peel",
+    # TPC-H: the last nine uncertified queries (closes §2.8 at 22/22 once
+    # green — q1-q10, q18, q21, q22 certified r1-r4)
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    # window/time batch twins (mirror reference window semantics,
+    # flock-function/src/aws/window/*.rs)
+    "tumbling_window_agg",
+    "hopping_window_agg",
+    "session_window_agg",
+    "session_window_by_key",
+    "tumbling_daily_distinct",
+    "window_ntile_pct",
+    "session_custom_gap_pandas",
+    # newly oracle-paired: exact count beside a bound-verdict on the sketch
+    # estimate (formerly the registry's one rows-only entry)
+    "approx_count_distinct_hll",
+    # family coverage + LLM dedup core start (rest queued for r6)
+    "cdc_snapshot_asof",
+    "json_wire_decode",
+    "dedup_exact",
+    "dedup_minhash_signatures",
 )
+
+# Cumulative driver-certified entries (green CORRECTNESS row in some round,
+# never red afterwards; regenerated each round from CORRECTNESS_r*.json).
+# Drives the rotation policy: slate slots go to names NOT in this set, and
+# family coverage is asserted over slate ∪ certified.
+CERTIFIED_GREEN: frozenset[str] = frozenset((
+    "agg_basic", "agg_count_distinct", "agg_having", "agg_salted_two_stage",
+    "ann_ivf_topk", "ann_pq_adc_topk", "ann_topk_bruteforce",
+    "arrow_grouped_minmax", "asof_join_pandas", "asof_join_window",
+    "bloom_filter_portable", "bloom_membership_probe",
+    "bloom_semijoin_reduction", "bucketed_colocated_join", "case_when",
+    "cdc_upsert_latest", "cms_point_query", "corpus_decontaminate",
+    "corpus_split_leakage_safe", "correlated_exists",
+    "countmin_sketch_portable", "cube_agg", "date_funcs", "dedup_clusters",
+    "dedup_minhash_lsh_pairs", "dedup_simhash_pairs",
+    "dedup_substring_spans", "distinct_select", "doc_chunk_fixed_tokens",
+    "dpp_star_join", "embedding_power_iteration_pc", "filter_complex",
+    "filter_mod", "graph_pagerank_two_iter", "graph_triangle_count",
+    "hdr_quantile_sketch", "hll_sketch_portable", "ivm_join_delta",
+    "join_anti", "join_broadcast_dim", "join_cross", "join_full_outer",
+    "join_global_max", "join_inner", "join_left_outer", "join_range_binned",
+    "join_range_theta", "join_self_agg_max", "join_semi",
+    "json_wire_corrupt_tolerant", "kmeans_two_iterations", "math_funcs",
+    "mm_audio_window_energy", "mm_meta_extract", "mm_phash64",
+    "nexmark_gen_bid", "nexmark_gen_person_auction", "nexmark_native_q3",
+    "nexmark_native_q4", "nexmark_native_q6", "nexmark_native_q7",
+    "nexmark_native_q8", "nexmark_native_q9", "nexmark_q0_passthrough",
+    "nexmark_q10_date_format", "nexmark_q11_session_bids",
+    "nexmark_q12_proctime_tumble", "nexmark_q13_side_input",
+    "nexmark_q1_currency", "nexmark_q2_mod_filter", "nexmark_q3_join_filter",
+    "nexmark_q4_avg_of_max", "nexmark_q5_hot_items",
+    "nexmark_q6_double_rownum", "nexmark_q7_max_per_window",
+    "nexmark_q8_sellers", "nexmark_q9_winning_bids",
+    "pandas_udaf_weighted_mean", "partitioned_write_prune_scan", "pivot_agg",
+    "proj_arith", "queue_sink_exactly_once", "rollup_agg",
+    "rollup_reuse_daily", "scd2_validity_join", "set_except",
+    "set_intersect", "set_union_all", "side_input_csv_join",
+    "sort_global_range", "sort_limit_topk", "sort_multi_col",
+    "streaming_cdc_upsert_foreachbatch", "streaming_dedup_ingest",
+    "streaming_elementwise_filter", "streaming_hopping_agg",
+    "streaming_kafka_wire_decode", "streaming_nexmark_native_q3",
+    "streaming_nexmark_q1", "streaming_proctime_agg",
+    "streaming_q5_foreachbatch", "streaming_scd2_enrich",
+    "streaming_session_foreachbatch", "streaming_session_native",
+    "streaming_stream_stream_join", "streaming_tumbling_agg", "string_funcs",
+    "subquery_in", "subquery_scalar", "text_oov_rate",
+    "text_token_stats_bpe", "timeseries_gapfill_locf", "tpch_q1", "tpch_q10",
+    "tpch_q18", "tpch_q2", "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "window_first_last", "window_frame_moving_avg", "window_lag_lead",
+    "window_percentiles", "window_range_frame_sum", "window_rank_dense",
+    "window_rownum_topk", "window_running_sum", "ysb_campaign_counts",
+    "zorder_layout_scan",
+))
 
 
 def ordered_names() -> list[str]:

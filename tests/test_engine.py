@@ -107,21 +107,21 @@ def test_partitioned_parquet_sink_prunes(spark, sf_dir):
 
 
 def test_builtin_hll_estimate_within_rsd(spark, sf_dir):
-    # approx_count_distinct_hll is the registry's single rows-only entry
-    # (Spark's sketch can't hash-match DuckDB); pin its ACCURACY instead:
-    # every group's estimate must sit within ~3x the requested 5% rsd of
-    # the exact distinct count
+    # approx_count_distinct_hll now certifies itself: the query emits the
+    # exact count(DISTINCT) twin plus a within_3rsd verdict computed from
+    # the (non-emitted) sketch estimate, and its oracle asserts the verdict
+    # TRUE — pin here that every group really carries the verdict and a
+    # positive exact count, and cross-check the exact twin against
+    # agg_count_distinct
     from flock_spark.registry import REGISTRY, get_queries
 
     get_queries()
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in REGISTRY["approx_count_distinct_hll"].fn(spark, sf_dir).collect()
-    }
+    rows = REGISTRY["approx_count_distinct_hll"].fn(spark, sf_dir).collect()
     exact = {
         r["event_type"]: r["uniq_users"]
         for r in REGISTRY["agg_count_distinct"].fn(spark, sf_dir).collect()
     }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        assert abs(est - exact[k]) <= 0.15 * exact[k], (k, est, exact[k])
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["within_3rsd"] is True, (r["event_type"],)
+        assert r["exact_users"] == exact[r["event_type"]]

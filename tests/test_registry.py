@@ -8,7 +8,13 @@ no duplicates, emitted first, and every slated entry carries an exact oracle
 (a rows-only entry would waste a graded slot on the weaker check).
 """
 
-from flock_spark.registry import DRIVER_SLATE, REGISTRY, get_oracles, get_queries
+from flock_spark.registry import (
+    CERTIFIED_GREEN,
+    DRIVER_SLATE,
+    REGISTRY,
+    get_oracles,
+    get_queries,
+)
 
 
 def test_slate_is_50_unique_registered_names():
@@ -35,10 +41,24 @@ def test_every_slated_entry_has_exact_oracle():
     assert not weak, f"slated entries without an exact oracle: {weak}"
 
 
+def test_slate_is_fresh_and_certified_ledger_valid():
+    """Rotation policy: graded slots are for never-certified entries.
+    Beyond a handful of canaries, slated names must not already be green,
+    and the certified ledger must only contain registered names."""
+    queries = get_queries()
+    unknown = [n for n in CERTIFIED_GREEN if n not in queries]
+    assert not unknown, f"certified ledger has unregistered names: {unknown}"
+    stale = [n for n in DRIVER_SLATE if n in CERTIFIED_GREEN]
+    assert len(stale) <= 4, f"slate wastes graded slots on certified entries: {stale}"
+
+
 def test_slate_covers_every_family():
-    """Each SURVEY §2 family and each LLM-operator family the verdict called
-    out as never-driver-tested must hold at least one slated entry."""
+    """Each SURVEY §2 family and each LLM-operator family must hold at least
+    one entry that is slated this round OR already driver-certified — the
+    driver's cumulative evidence spans rounds, so a certified family keeps
+    its coverage without burning a graded slot on a canary."""
     get_queries()
+    covered = set(DRIVER_SLATE) | CERTIFIED_GREEN
     families = {
         "streaming": lambda n: n.startswith("streaming_") or n == "queue_sink_exactly_once",
         "tpch": lambda n: n.startswith("tpch_"),
@@ -56,8 +76,8 @@ def test_slate_covers_every_family():
         "asof": lambda n: n.startswith("asof_"),
         "wire": lambda n: "wire" in n,
     }
-    uncovered = [fam for fam, pred in families.items() if not any(pred(n) for n in DRIVER_SLATE)]
-    assert not uncovered, f"slate misses families: {uncovered}"
+    uncovered = [fam for fam, pred in families.items() if not any(pred(n) for n in covered)]
+    assert not uncovered, f"slate ∪ certified misses families: {uncovered}"
 
 
 def test_entry_contract_stable(spark):
