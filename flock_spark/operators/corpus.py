@@ -755,3 +755,162 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs") < KANON_K).alias("at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter attrition funnel (Gopher/C4-style rule battery, reported as a funnel)
+# ---------------------------------------------------------------------------
+
+# rule order matters: the funnel reports CUMULATIVE survivors, the way a
+# production filtering pipeline applies rules
+FUNNEL_MIN_TOK, FUNNEL_MAX_TOK = 10, 1000  # rule 1: token-count band
+FUNNEL_MIN_WLEN, FUNNEL_MAX_WLEN = 2, 12  # rule 2: mean word length band
+FUNNEL_TOPSHARE_PCT = 30  # rule 3: top token <= 30% of tokens
+FUNNEL_DISTINCT_PCT = 20  # rule 4: >= 20% distinct tokens
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents),
+    per_tok AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+    stats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM per_tok GROUP BY doc_id),
+    flags AS (
+      SELECT d.lang, d.n_chars,
+             (s.n_tok BETWEEN {FUNNEL_MIN_TOK} AND {FUNNEL_MAX_TOK}) AS p1,
+             (CAST(length(replace(trim(d.text), ' ', '')) AS BIGINT)
+                BETWEEN {FUNNEL_MIN_WLEN} * s.n_tok
+                    AND {FUNNEL_MAX_WLEN} * s.n_tok) AS p2,
+             (s.max_c * 100 <= s.n_tok * {FUNNEL_TOPSHARE_PCT}) AS p3,
+             (s.n_distinct * 100 >= s.n_tok * {FUNNEL_DISTINCT_PCT}) AS p4
+      FROM documents d JOIN stats s ON d.doc_id = s.doc_id)
+    SELECT lang,
+           count(*) AS n_input,
+           CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS after_tokband,
+           CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS after_wordlen,
+           CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS after_topshare,
+           CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS after_distinct,
+           CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM flags
+    GROUP BY lang
+    """
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=_funnel_oracle(),
+    tags=("corpus", "pipeline", "audit"),
+    doc="Filter attrition funnel: the Gopher/C4-style hard-rule battery "
+    "(token-count band, mean-word-length band, top-token dominance, "
+    "distinct-token floor) applied in pipeline order, reported as "
+    "CUMULATIVE survivors per language plus surviving chars — the table "
+    "consulted before a 100 TB filtering run to see how much data each "
+    "rule removes and whether a rule is mis-calibrated for a language "
+    "(complements text_quality_score's per-doc soft score and "
+    "corpus_repetition_stats' per-doc ratios). All rule tests are "
+    "integer cross-multiplications, never ratio division. Spark plan: "
+    "per-doc stats come from higher-order functions over the split "
+    "token array (size / array_distinct / one sorted-run fold for the "
+    "max count) — a narrow no-shuffle projection — then ONE |langs|-row "
+    "aggregate; the oracle replays it with the classic two-level "
+    "group-by. At scale the funnel is a free side-output of the actual "
+    "filter pass.",
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = "split(trim(text), ' ')"
+    sorted_toks = f"array_sort({toks})"
+    max_run = (
+        f"aggregate({sorted_toks},"
+        f" named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mx', 0L),"
+        f" (acc, t) -> named_struct("
+        f"   'prev', t,"
+        f"   'run', IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1, 1L),"
+        f"   'mx', greatest(acc.mx,"
+        f"         IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1, 1L))),"
+        f" acc -> acc.mx)"
+    )
+    base = d.select(
+        "lang",
+        "n_chars",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tok"),
+        F.expr(f"CAST(size(array_distinct({toks})) AS BIGINT)").alias("n_distinct"),
+        F.expr(max_run).alias("max_c"),
+        F.expr("CAST(length(replace(trim(text), ' ', '')) AS BIGINT)").alias(
+            "len_nospace"
+        ),
+    )
+    p1 = F.col("n_tok").between(FUNNEL_MIN_TOK, FUNNEL_MAX_TOK)
+    p2 = (F.col("len_nospace") >= FUNNEL_MIN_WLEN * F.col("n_tok")) & (
+        F.col("len_nospace") <= FUNNEL_MAX_WLEN * F.col("n_tok")
+    )
+    p3 = F.col("max_c") * 100 <= F.col("n_tok") * FUNNEL_TOPSHARE_PCT
+    p4 = F.col("n_distinct") * 100 >= F.col("n_tok") * FUNNEL_DISTINCT_PCT
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_input"),
+        cnt(p1).alias("after_tokband"),
+        cnt(p1 & p2).alias("after_wordlen"),
+        cnt(p1 & p2 & p3).alias("after_topshare"),
+        cnt(p1 & p2 & p3 & p4).alias("after_distinct"),
+        F.sum(F.when(p1 & p2 & p3 & p4, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion to k-anonymity)
+# ---------------------------------------------------------------------------
+
+LDIV_L = 3  # minimum distinct sensitive values per quasi-identifier cell
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source,
+             CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+             count(*) AS n_docs,
+             count(DISTINCT lang) AS n_sensitive
+      FROM documents
+      GROUP BY source, 2)
+    SELECT source, len_bucket, n_docs, n_sensitive,
+           n_sensitive < {LDIV_L} AS at_risk
+    FROM cells
+    WHERE n_sensitive < {LDIV_L * 2}
+    """,
+    tags=("corpus", "privacy", "audit", "pipeline"),
+    doc=f"l-diversity audit (l={LDIV_L}): k-anonymity's blind spot is a "
+    "cell whose members all share one sensitive value — group size alone "
+    "doesn't stop attribute disclosure. Cells are the (source × length "
+    "bucket) quasi-identifiers with lang as the sensitive attribute; a "
+    f"cell with fewer than {LDIV_L} distinct sensitive values is at "
+    "risk even if it passes privacy_k_anonymity's size check. One "
+    "grouped count-distinct (the Expand rewrite, map-side partials), "
+    f"report bounded to cells below {LDIV_L * 2} distinct values so the "
+    "output stays audit-sized. Together the two entries form the "
+    "standard release checklist pair.",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "source", F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_sensitive"),
+    )
+    return cells.filter(F.col("n_sensitive") < LDIV_L * 2).select(
+        "source",
+        "len_bucket",
+        "n_docs",
+        "n_sensitive",
+        (F.col("n_sensitive") < LDIV_L).alias("at_risk"),
+    )

@@ -1252,3 +1252,70 @@ def dedup_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("jaccard_exact").alias("max_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup against an existing LSH index
+# ---------------------------------------------------------------------------
+
+INGEST_MOD = 10  # doc_id % INGEST_MOD == 0 plays the "newly arrived" batch
+
+
+def _ingest_dedup_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, {_band_expr(j)} AS band_val FROM sig"
+        for j in range(N_BANDS)
+    )
+    return f"""
+    WITH sig AS ({_duck_minhash_sig_sql()}),
+    bands AS ({bands}),
+    idx AS (SELECT * FROM bands WHERE doc_id % {INGEST_MOD} <> 0),
+    batch AS (SELECT * FROM bands WHERE doc_id % {INGEST_MOD} = 0)
+    SELECT b.doc_id AS new_doc,
+           count(DISTINCT i.doc_id) AS n_index_matches,
+           min(i.doc_id) AS first_match
+    FROM batch b
+    JOIN idx i ON b.band_idx = i.band_idx AND b.band_val = i.band_val
+    GROUP BY b.doc_id
+    """
+
+
+@register(
+    "dedup_incremental_new_batch",
+    oracle=_ingest_dedup_oracle(),
+    tags=("dedup", "sketch", "join", "pipeline", "scale-pattern"),
+    doc=f"Incremental ingest dedup: the corpus is split into an existing, "
+    f"already-indexed majority (doc_id % {INGEST_MOD} != 0 — standing in "
+    "for the persisted LSH band index of a 100 TB corpus) and a newly "
+    f"arrived batch (doc_id % {INGEST_MOD} == 0); each new document is "
+    "sketched and probed against the index by banded equi-join, and every "
+    "flagged arrival reports how many distinct indexed near-duplicates it "
+    "hit plus the lowest-id match for provenance. This is the shape that "
+    "makes dedup INCREMENTAL at scale: the batch-vs-batch work of "
+    "dedup_minhash_lsh_pairs runs once, and thereafter each ingest pays "
+    "O(batch) sketching + one keyed join against the stored band table "
+    "(bucketed by band_val, the probe is co-located) — never re-sketching "
+    "or re-pairing the corpus. Signatures reuse the memoized relation; "
+    "the index side here derives from the same corpus scan only because "
+    "both live in one test dataset.",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _spark_minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.expr(_band_expr(j)) for j in range(N_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+    idx = bands.filter(F.col("doc_id") % INGEST_MOD != 0).select(
+        F.col("doc_id").alias("idx_doc"), "band_idx", "band_val"
+    )
+    batch = bands.filter(F.col("doc_id") % INGEST_MOD == 0)
+    return (
+        batch.join(idx, ["band_idx", "band_val"])
+        .groupBy(F.col("doc_id").alias("new_doc"))
+        .agg(
+            F.count_distinct("idx_doc").alias("n_index_matches"),
+            F.min("idx_doc").alias("first_match"),
+        )
+    )

@@ -449,3 +449,67 @@ def timeseries_ewma_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY day)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Stagger window (declared in the reference, never implemented there)
+# ---------------------------------------------------------------------------
+
+STAGGER_SIZE_S = 3600  # window width; per-key offset in [0, STAGGER_SIZE_S)
+
+
+def _stagger_body(md5l, str_t: str, floor_epoch: str) -> str:
+    """Shared SQL body: per-key staggered tumbling windows.
+
+    Each key's tumbling grid is shifted by a deterministic offset =
+    md5(key) % size, so window boundaries — and therefore emission/flush
+    load — spread uniformly over the hour instead of every key firing at
+    :00 (the thundering-herd problem stagger windows exist to solve).
+    Integer epoch arithmetic on identically-floored seconds; offset
+    subtraction stays non-negative because epochs >> size."""
+    off = f"({md5l(f'CAST(user_id AS {str_t})')} % {STAGGER_SIZE_S})"
+    ws = (
+        f"((({floor_epoch} - {off}) / {STAGGER_SIZE_S}) * {STAGGER_SIZE_S} + {off})"
+    )
+    return f"""
+    WITH base AS (
+      SELECT user_id, {off} AS off_s,
+             CAST({ws} AS BIGINT) AS w_start_s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 25)
+    SELECT user_id, off_s, w_start_s,
+           count(*) AS cnt,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM base
+    GROUP BY user_id, off_s, w_start_s
+    """
+
+
+@register(
+    "stagger_window_agg",
+    oracle=_stagger_body(
+        __import__("flock_spark.operators.hashing", fromlist=["duck_md5_long"]).duck_md5_long,
+        "VARCHAR",
+        "(CAST(floor(epoch(ts)) AS BIGINT) // 1)",
+    ),
+    tags=("window_time", "streaming-twin"),
+    doc="Stagger window: per-key tumbling windows whose grid is shifted by "
+    "a deterministic hash offset in [0, size) — every key still gets "
+    "exact, gap-free hourly windows, but boundaries are uniformly spread "
+    "over the hour so window flush/emission load never synchronizes "
+    "(the thundering-herd the reference's window.rs:104-110 declares a "
+    "Stagger variant for but leaves unimplemented — this completes the "
+    "declared surface). Lowering: the window start is a pure projection "
+    "(integer epoch arithmetic on identically-floored seconds + the "
+    "portable md5 offset), then ONE grouped aggregate — same single "
+    "shuffle as a plain tumbling window; in streaming the same column "
+    "works as a group key with a watermark because it is monotone in ts "
+    "per key. Offsets are emitted so the grid shift is auditable.",
+)
+def stagger_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.operators.hashing import spark_md5_long
+
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _stagger_body(spark_md5_long, "STRING", "(unix_timestamp(ts) div 1)")
+    )
