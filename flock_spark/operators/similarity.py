@@ -923,6 +923,89 @@ _PQ_ORACLE = f"""
 """
 
 
+def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
+    """(codebook ndarray C, codes DataFrame) — shared by the flat PQ scan
+    and the IVF+PQ composition; memoized per (session, dir) because both
+    entries (and a mixed sweep) would otherwise redo the codebook collect
+    and the encode pass. C is None when the training subset is empty (the
+    oracle's CTEs yield zero rows in that case too)."""
+    import numpy as np
+
+    from flock_spark.catalog import evict_stale, session_key
+
+    memo_key = (session_key(spark), sf_dir)
+    if memo_key in _PQ_MEMO:
+        return _PQ_MEMO[memo_key]
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(f"transform(embedding, x -> {_PQ_QUANT})").alias("v")
+    )
+    # codebook: O(PQ_K) collect (TakeOrderedAndProject), corpus-size-independent
+    crows = (
+        e.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_REM)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    # effective codebook size: LIMIT PQ_K caps it, but a small corpus can
+    # have fewer training picks than PQ_K (the oracle's LIMIT behaves the
+    # same) — everything below is shaped by len(C), not PQ_K. An EMPTY
+    # training subset (empty table, or no vec_id hitting the modulus) means
+    # an empty codebook: the oracle's downstream CTEs all yield zero rows,
+    # so the callers return the empty result instead of letting np.stack
+    # raise
+    if not crows:
+        result = (None, None)
+        evict_stale(_PQ_MEMO, spark)
+        _PQ_MEMO[memo_key] = result
+        return result
+    C = np.stack([np.asarray(r["v"], dtype=np.int64) for r in crows])  # (<=K, 64)
+    bc = spark.sparkContext.broadcast(C)
+
+    def encode(batches):
+        import pandas as pd
+
+        cb = bc.value  # (K, dim)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)  # (n, dim)
+            out = {"vec_id": pdf["vec_id"]}
+            for m in range(PQ_M):
+                blk = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+                # (n, K) integer squared L2; np.argmin takes the FIRST min,
+                # matching the oracle's (distance, cidx) tie-break
+                d = ((X[:, None, blk] - cb[None, :, blk]) ** 2).sum(axis=2)
+                out[f"c{m}"] = np.argmin(d, axis=1)
+            yield pd.DataFrame(out)
+
+    codes = e.mapInPandas(
+        encode, schema="vec_id long, c0 long, c1 long, c2 long, c3 long"
+    ).cache()
+    result = (C, codes)
+    evict_stale(_PQ_MEMO, spark)
+    _PQ_MEMO[memo_key] = result
+    return result
+
+
+_PQ_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_query_lut(spark: SparkSession, qrows, C) -> DataFrame:
+    """Per-query PQ lookup table: (Q × PQ_M × |C|) integer rows."""
+    import numpy as np
+
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=np.int64)
+        for m in range(PQ_M):
+            blk = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            dm = ((qv[None, blk] - C[:, blk]) ** 2).sum(axis=1)
+            for cidx in range(C.shape[0]):
+                lut_rows.append((int(r["vec_id"]), m, cidx, int(dm[cidx])))
+    return spark.createDataFrame(lut_rows, "query_id long, m int, code long, dm long")
+
+
 @register(
     "ann_pq_adc_topk",
     oracle=_PQ_ORACLE,
@@ -945,65 +1028,20 @@ _PQ_ORACLE = f"""
     "ann_topk_bruteforce does exactly) is the standard second stage.",
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(f"transform(embedding, x -> {_PQ_QUANT})").alias("v")
-    )
-    # codebook: O(PQ_K) collect (TakeOrderedAndProject), corpus-size-independent
-    crows = (
-        e.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_REM)
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .collect()
-    )
-    # effective codebook size: LIMIT PQ_K caps it, but a small corpus can
-    # have fewer training picks than PQ_K (the oracle's LIMIT behaves the
-    # same) — everything below is shaped by len(C), not PQ_K. An EMPTY
-    # training subset (empty table, or no vec_id hitting the modulus) means
-    # an empty codebook: the oracle's downstream CTEs all yield zero rows,
-    # so return the empty result instead of letting np.stack raise
-    if not crows:
+    C, codes = _pq_codebook_and_codes(spark, sf_dir)
+    if C is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, est_d2 long, rank long"
         )
-    C = np.stack([np.asarray(r["v"], dtype=np.int64) for r in crows])  # (<=K, 64)
-    bc = spark.sparkContext.broadcast(C)
-
-    def encode(batches):
-        cb = bc.value  # (K, dim)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.stack(pdf["v"].to_numpy()).astype(np.int64)  # (n, dim)
-            out = {"vec_id": pdf["vec_id"]}
-            for m in range(PQ_M):
-                blk = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
-                # (n, K) integer squared L2; np.argmin takes the FIRST min,
-                # matching the oracle's (distance, cidx) tie-break
-                d = ((X[:, None, blk] - cb[None, :, blk]) ** 2).sum(axis=2)
-                out[f"c{m}"] = np.argmin(d, axis=1)
-            yield pd.DataFrame(out)
-
-    import pandas as pd  # noqa: F401 — used inside encode closures
-
-    codes = e.mapInPandas(
-        encode, schema="vec_id long, c0 long, c1 long, c2 long, c3 long"
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(f"transform(embedding, x -> {_PQ_QUANT})").alias("v")
     )
 
     # queries: O(N_QUERIES) collect; LUT is (Q × PQ_M × PQ_K) integer rows
     qrows = (
         e.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(N_QUERIES).collect()
     )
-    lut_rows = []
-    for r in qrows:
-        qv = np.asarray(r["v"], dtype=np.int64)
-        for m in range(PQ_M):
-            blk = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
-            dm = ((qv[None, blk] - C[:, blk]) ** 2).sum(axis=1)
-            for cidx in range(C.shape[0]):
-                lut_rows.append((int(r["vec_id"]), m, cidx, int(dm[cidx])))
-    lut = spark.createDataFrame(lut_rows, "query_id long, m int, code long, dm long")
+    lut = _pq_query_lut(spark, qrows, C)
 
     # ADC: one broadcast join per block on the code column, then integer sum
     est = codes
@@ -1093,4 +1131,131 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count("*"), 6
         ).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ: cell-restricted ADC scan (the production ANN index shape)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             WHERE vec_id % {CENTROID_MOD} = {CENTROID_REM}
+             ORDER BY vec_id LIMIT {N_IVF_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    vq AS (SELECT vec_id,
+                  list_transform(embedding, x -> {_PQ_QUANT}) AS v
+           FROM embeddings),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+           FROM vq WHERE vec_id % {CENTROID_MOD} = {CENTROID_REM}
+           ORDER BY vec_id LIMIT {PQ_K}),
+    blocks AS (SELECT m FROM (VALUES (0),(1),(2),(3)) b(m)),
+    codes AS (
+      SELECT vec_id, m, cidx AS code FROM (
+        SELECT vq.vec_id, b.m, cb.cidx,
+               row_number() OVER (PARTITION BY vq.vec_id, b.m ORDER BY
+                 list_sum(list_transform(generate_series(b.m*{PQ_SUB} + 1, b.m*{PQ_SUB} + {PQ_SUB}),
+                          i -> (vq.v[i] - cb.cv[i]) * (vq.v[i] - cb.cv[i]))), cb.cidx) AS rn
+        FROM vq CROSS JOIN blocks b CROSS JOIN cb) t
+      WHERE rn = 1),
+    q AS (SELECT vq.vec_id AS query_id, vq.v AS qv, a.cell AS qcell
+          FROM vq JOIN assign a ON vq.vec_id = a.vec_id
+          WHERE vq.vec_id % 50 = 0 ORDER BY vq.vec_id LIMIT {N_QUERIES}),
+    lut AS (SELECT q.query_id, b.m, cb.cidx AS code,
+                   list_sum(list_transform(generate_series(b.m*{PQ_SUB} + 1, b.m*{PQ_SUB} + {PQ_SUB}),
+                            i -> (q.qv[i] - cb.cv[i]) * (q.qv[i] - cb.cv[i]))) AS dm
+            FROM q CROSS JOIN blocks b CROSS JOIN cb),
+    est AS (SELECT l.query_id, c.vec_id AS neighbor_id, a.cell,
+                   CAST(sum(l.dm) AS BIGINT) AS est_d2
+            FROM codes c
+            JOIN assign a ON c.vec_id = a.vec_id
+            JOIN q ON a.cell = q.qcell
+            JOIN lut l ON l.query_id = q.query_id AND c.m = l.m AND c.code = l.code
+            WHERE l.query_id <> c.vec_id
+            GROUP BY 1, 2, 3)
+    SELECT query_id, neighbor_id, cell, est_d2, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY est_d2, neighbor_id) AS rn
+          FROM est) t
+    WHERE rn <= {PQ_TOP_K}
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    tags=("similarity", "embedding", "sketch", "scale-pattern"),
+    doc=f"IVF+PQ composed index — the FAISS-style production ANN shape: "
+    "the IVF coarse quantizer restricts each query to its data-driven "
+    f"cell (1/{N_IVF_CENTROIDS} of the corpus here), and within the cell "
+    "distances are estimated from PQ codes via the integer ADC lookup "
+    "table — so a query touches neither raw vectors nor the whole codes "
+    "table. Both stages reuse the memoized relations of their standalone "
+    f"entries (ann_ivf_topk's cell assignment, ann_pq_adc_topk's "
+    "codebook+codes), and the two-stage pruning multiplies: cell "
+    "restriction cuts candidates ~{N_IVF_CENTROIDS}x, codes cut bytes "
+    "~100x, which is exactly why 100 TB vector stores ship this "
+    "composition rather than either stage alone. Join order at scale: "
+    "codes ⋈ cell-assignment is a narrow keyed shuffle done ONCE at "
+    "index build (here inline), the per-query work is a broadcast of "
+    "(query, cell) + the integer LUT. Exact BIGINT arithmetic end to "
+    "end; cell choice rounds to 6 decimals with cid tie-break, matching "
+    "the replayed SQL oracle bit for bit.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    C, codes = _pq_codebook_and_codes(spark, sf_dir)
+    if C is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cell long, est_d2 long, rank long"
+        )
+    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "cell")
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(f"transform(embedding, x -> {_PQ_QUANT})").alias("v")
+    )
+    qrows = (
+        e.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(N_QUERIES).collect()
+    )
+    lut = _pq_query_lut(spark, qrows, C)
+    # query cells: O(N_QUERIES) — same deterministic subset as qrows
+    q_cells = (
+        assigned.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"))
+    )
+    # candidate set: codes annotated with their cell (narrow keyed join),
+    # then cell-equijoined to the broadcast query set — per-query fan-out
+    # is ONE cell's population, never the corpus
+    cand = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(q_cells), F.col("cell") == F.col("qcell"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    est = cand
+    for m in range(PQ_M):
+        lm = lut.filter(F.col("m") == m).select(
+            "query_id", F.col("code").alias(f"c{m}"), F.col("dm").alias(f"d{m}")
+        )
+        est = est.join(F.broadcast(lm), ["query_id", f"c{m}"])
+    est = est.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        sum([F.col(f"d{m}") for m in range(1, PQ_M)], F.col("d0")).alias("est_d2"),
+    )
+    w = W.partitionBy("query_id").orderBy("est_d2", "neighbor_id")
+    return est.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= PQ_TOP_K
     )
