@@ -73,6 +73,11 @@ HEADLINE = [
     "corpus_quality_resample",
     "corpus_lm_score_proxy",
     "corpus_cross_source_dup_matrix",
+    # round-5 additions: incremental ingest dedup, composed ANN index,
+    # filter attrition funnel
+    "dedup_incremental_new_batch",
+    "ann_ivfpq_topk",
+    "corpus_filter_funnel",
 ]
 
 
