@@ -230,6 +230,19 @@ def _kcore_oracle() -> str:
     "peels; survivors' degrees hash-match per node.",
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the result (lineage-free) so the LAST round's cached edge
+    # set can be released too — otherwise every invocation (bench reps,
+    # mixed-slate sweeps) leaves one cached relation in executor storage
+    out, edges = _kcore_peeled(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+def _kcore_peeled(spark: SparkSession, sf_dir: str):
+    """(survivor degrees, last cached edge set) BEFORE checkpointing — the
+    pre-materialization plan, pinned by tests/test_plans.py (the registered
+    entry checkpoints, which collapses the plan to an RDD scan)."""
     o = tbl(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
     )
@@ -275,13 +288,5 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         edges.unpersist()
         edges = nxt
-    # materialize the result (lineage-free) so the LAST round's cached edge
-    # set can be released too — otherwise every invocation (bench reps,
-    # mixed-slate sweeps) leaves one cached relation in executor storage
-    out = (
-        edges.groupBy(F.col("u").alias("node"))
-        .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)
-    )
-    edges.unpersist()
-    return out
+    out = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    return out, edges

@@ -328,3 +328,56 @@ def test_quality_checks_single_table_pass(spark, sf_dir):
     # five rules, ONE scan: the audit must not re-scan orders per rule
     plan = plan_of(spark, sf_dir, "table_quality_checks")
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_incremental_dedup_probe_is_equi_join(spark, sf_dir):
+    # the new-batch probe against the band index must be a keyed equi-join
+    # on (band_idx, band_val) — never a nested loop or cartesian (the
+    # all-pairs shape that dies at 100 TB)
+    plan = plan_of(spark, sf_dir, "dedup_incremental_new_batch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan
+
+
+def test_filter_funnel_single_scan_single_exchange(spark, sf_dir):
+    # all per-doc rule stats come from higher-order functions in one narrow
+    # projection: ONE documents scan, ONE exchange (the per-lang aggregate).
+    # Count in the FINAL AQE section only — the plan string repeats the
+    # tree under "== Initial Plan ==".
+    plan = plan_of(spark, sf_dir, "corpus_filter_funnel", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_stagger_window_single_exchange(spark, sf_dir):
+    # the staggered window start is a pure projection; the whole operator
+    # is one grouped aggregate — exactly one exchange, like plain tumbling
+    plan = plan_of(spark, sf_dir, "stagger_window_agg", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_ivfpq_queries_broadcast_corpus_never(spark, sf_dir):
+    # per-query state (cells + integer LUT) broadcasts; the codes corpus
+    # must NOT be broadcast and must never fan out as a nested loop
+    plan = plan_of(spark, sf_dir, "ann_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan  # query cells + LUT joins
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_rounds_are_clamped_and_colocated(spark, sf_dir):
+    # each peel round iterates on the keyed, bounded-width cached relation
+    # (the registered entry checkpoints the result, which collapses its
+    # plan to an RDD scan — pin the PRE-checkpoint plan instead): the
+    # cached edges feed the rounds via InMemoryTableScan, and no round
+    # degenerates to a cartesian
+    from flock_spark.operators.graph import _kcore_peeled
+
+    out, edges = _kcore_peeled(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    edges.unpersist()
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
