@@ -456,3 +456,71 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, distinct_bytes long, min_byte long, max_byte long, "
         "top_byte_cnt long, top_byte long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Container-header parsing (real byte-layout decode — no codec needed)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = bytes([137, 80, 78, 71, 13, 10, 26, 10])
+HDR_W_MOD, HDR_H_MOD = 4080, 2144  # synthetic dims: 16..4095 × 16..2159
+
+
+@register(
+    "mm_header_dims",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(29 + octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(16 + doc_id % {HDR_W_MOD} AS BIGINT) AS width,
+           CAST(16 + (doc_id * 7) % {HDR_H_MOD} AS BIGINT) AS height,
+           TRUE AS sig_ok
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+    doc="Image-dimension extraction from the container HEADER — the "
+    "production fast path for size/aspect filtering that reads 24 bytes "
+    "per object instead of decoding pixels (decode needs a codec library; "
+    "header parsing needs none, so unlike mm_resize_stub this step is "
+    "REAL end to end). The fixture wraps each document in a valid PNG "
+    "prefix (8-byte signature + IHDR chunk with big-endian uint32 "
+    "width/height derived from doc_id), and the operator parses the "
+    "actual byte layout back: signature compare + offset-16/20 "
+    "big-endian reads, vectorized per Arrow batch in mapInPandas. The "
+    "oracle recomputes the dims arithmetically from doc_id, so a parse "
+    "that read the wrong offsets or endianness would hash-mismatch. At "
+    "100 TB this runs as a range-request over object-store headers — "
+    "same schema, the payload column just isn't materialized.",
+)
+def mm_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 16 + int(doc_id) % HDR_W_MOD
+                h = 16 + (int(doc_id) * 7) % HDR_H_MOD
+                body = str(text).encode("utf-8")
+                payload = (
+                    PNG_SIG
+                    + struct.pack(">I", 13)
+                    + b"IHDR"
+                    + struct.pack(">II", w, h)
+                    + bytes([8, 2, 0, 0, 0])
+                    + body
+                )
+                # the parse half — what production runs against real files:
+                sig_ok = payload[:8] == PNG_SIG and payload[12:16] == b"IHDR"
+                pw = int.from_bytes(payload[16:20], "big")
+                ph = int.from_bytes(payload[20:24], "big")
+                rows.append((int(doc_id), len(payload), pw, ph, bool(sig_ok)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "byte_len", "width", "height", "sig_ok"]
+            )
+
+    return d.mapInPandas(
+        parse,
+        schema="doc_id long, byte_len long, width long, height long, sig_ok boolean",
+    )

@@ -458,18 +458,25 @@ def timeseries_ewma_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
 STAGGER_SIZE_S = 3600  # window width; per-key offset in [0, STAGGER_SIZE_S)
 
 
-def _stagger_body(md5l, str_t: str, floor_epoch: str) -> str:
-    """Shared SQL body: per-key staggered tumbling windows.
+def _stagger_body(d, floor_epoch: str) -> str:
+    """Dialect-routed SQL body: per-key staggered tumbling windows.
 
     Each key's tumbling grid is shifted by a deterministic offset =
     md5(key) % size, so window boundaries — and therefore emission/flush
     load — spread uniformly over the hour instead of every key firing at
     :00 (the thundering-herd problem stagger windows exist to solve).
     Integer epoch arithmetic on identically-floored seconds; offset
-    subtraction stays non-negative because epochs >> size."""
-    off = f"({md5l(f'CAST(user_id AS {str_t})')} % {STAGGER_SIZE_S})"
+    subtraction stays non-negative because epochs >> size. The bucketing
+    division MUST be the dialect's integer division (Spark `div`, DuckDB
+    `//`) — both engines' bare `/` is float division, under which
+    ((e - off)/size)*size + off collapses back to e and the "window"
+    degenerates to per-second groups on BOTH engines (parity would hold
+    while the semantics are vacuous; caught by the max-group-size pin in
+    tests/test_sketch_semantics.py)."""
+    off = f"({d.md5l(f'CAST(user_id AS {d.str_t})')} % {STAGGER_SIZE_S})"
     ws = (
-        f"((({floor_epoch} - {off}) / {STAGGER_SIZE_S}) * {STAGGER_SIZE_S} + {off})"
+        f"({d.idiv(f'({floor_epoch} - {off})', str(STAGGER_SIZE_S))}"
+        f" * {STAGGER_SIZE_S} + {off})"
     )
     return f"""
     WITH base AS (
@@ -487,11 +494,7 @@ def _stagger_body(md5l, str_t: str, floor_epoch: str) -> str:
 
 @register(
     "stagger_window_agg",
-    oracle=_stagger_body(
-        __import__("flock_spark.operators.hashing", fromlist=["duck_md5_long"]).duck_md5_long,
-        "VARCHAR",
-        "(CAST(floor(epoch(ts)) AS BIGINT) // 1)",
-    ),
+    oracle=_stagger_body(DUCK_D, "CAST(floor(epoch(ts)) AS BIGINT)"),
     tags=("window_time", "streaming-twin"),
     doc="Stagger window: per-key tumbling windows whose grid is shifted by "
     "a deterministic hash offset in [0, size) — every key still gets "
@@ -507,9 +510,5 @@ def _stagger_body(md5l, str_t: str, floor_epoch: str) -> str:
     "per key. Offsets are emitted so the grid shift is auditable.",
 )
 def stagger_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flock_spark.operators.hashing import spark_md5_long
-
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        _stagger_body(spark_md5_long, "STRING", "(unix_timestamp(ts) div 1)")
-    )
+    return spark.sql(_stagger_body(SPARK_D, "unix_timestamp(ts)"))

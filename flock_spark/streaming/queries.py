@@ -863,3 +863,48 @@ def streaming_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("long").alias("close_cents"),
         F.count("*").alias("n_ticks"),
     )
+
+
+from flock_spark.operators.sketches import DUCK_D as _DUCK_D  # noqa: E402
+from flock_spark.queries.windows_time import _stagger_body  # noqa: E402
+
+
+@register(
+    "streaming_stagger_window",
+    # shares the batch twin's oracle construction (identical result set)
+    oracle=_stagger_body(_DUCK_D, "CAST(floor(epoch(ts)) AS BIGINT)"),
+    tags=("streaming", "window_time"),
+    doc="Streaming twin of stagger_window_agg: the staggered window start "
+    "is a pure per-row projection (integer epoch arithmetic + portable "
+    "md5 offset), so unlike lag/lead patterns it streams NATIVELY — the "
+    "computed w_start_s is just a group key, aggregated incrementally "
+    "with a watermark and drained in complete mode; no foreachBatch "
+    "replay needed. This is the stagger window's operational payoff: "
+    "per-key grids spread state-store flushes across the hour while the "
+    "streaming plan stays a plain keyed aggregate. Equal to the batch "
+    "twin (shared oracle).",
+)
+def streaming_stagger_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.operators.sketches import SPARK_D
+    from flock_spark.queries.windows_time import STAGGER_SIZE_S
+
+    d = SPARK_D
+    off = f"({d.md5l(f'CAST(user_id AS {d.str_t})')} % {STAGGER_SIZE_S})"
+    ws = (
+        f"({d.idiv(f'(unix_timestamp(ts) - {off})', str(STAGGER_SIZE_S))}"
+        f" * {STAGGER_SIZE_S} + {off})"
+    )
+    s = bounded_stream(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    base = s.select(
+        "user_id",
+        "ts",
+        F.expr(off).cast("long").alias("off_s"),
+        F.expr(ws).cast("long").alias("w_start_s"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    agg = (
+        base.withWatermark("ts", "2 hours")
+        .groupBy("user_id", "off_s", "w_start_s")
+        .agg(F.count("*").alias("cnt"), F.sum("cents").cast("long").alias("sum_cents"))
+    )
+    return run_to_memory(agg, output_mode="complete")

@@ -37,3 +37,20 @@ def test_sliding_hll_gap_days_do_not_widen_window(spark):
     assert out[4] == 64  # {2..4}: user 10 aged out, empty sketch
     assert out[5] == 63  # {3..5}: only user 20 — day-1 user must NOT leak
     spark.catalog.dropTempView("events")
+
+
+def test_stagger_window_actually_buckets(spark, sf_dir):
+    # regression for the float-division collapse: with bare `/`, BOTH
+    # engines computed w_start_s == the raw epoch second, so every "window"
+    # held one event and the oracle still matched. Pin real bucketing:
+    # groups must aggregate multiple events, window starts must align to
+    # each key's offset grid, and offsets must differ across keys.
+    from flock_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+    rows = REGISTRY["stagger_window_agg"].fn(spark, sf_dir).collect()
+    assert rows
+    assert max(r["cnt"] for r in rows) > 1, "windows degenerate to single events"
+    for r in rows:
+        assert r["w_start_s"] % 3600 == r["off_s"]
+    assert len({r["off_s"] for r in rows}) > 1, "offsets do not vary by key"
