@@ -512,3 +512,72 @@ def _stagger_body(d, floor_epoch: str) -> str:
 def stagger_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_stagger_body(SPARK_D, "unix_timestamp(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit (how late does data actually arrive?)
+# ---------------------------------------------------------------------------
+
+LATE_PARTS = 8  # stand-in for source partitions (kafka/kinesis shards)
+
+
+def _lateness_body(d, floor_epoch: str) -> str:
+    """Per-source-partition lateness histogram: an event's lateness is the
+    high-watermark of its own partition's arrival stream (running max of
+    event time in arrival order) minus its event time. Arrival order only
+    exists per partition at scale, so the running max is ONE keyed window —
+    never a global sort. The synthetic corpus is generated in event-time
+    order (lateness would be identically zero — a vacuous audit), so
+    arrival order is simulated by a deterministic md5 permutation within
+    each partition; a real deployment orders by the log offset instead and
+    nothing else changes. Integer seconds from identically-floored epochs;
+    log2 lateness buckets (length(bin(x)) — the HDR-histogram trick, shared
+    SQL on both engines) keep the audit a handful of rows whatever the
+    lateness spread, exactly the resolution watermark tuning needs."""
+    bucket = "(CASE WHEN mx = es THEN 0 ELSE length(bin(mx - es)) END)"
+    arrival = d.md5l(f"CAST(event_id AS {d.str_t})")
+    return f"""
+    WITH o AS (
+      SELECT event_id % {LATE_PARTS} AS part, event_id,
+             {arrival} AS arrival_key,
+             {floor_epoch} AS es
+      FROM events
+    ), r AS (
+      SELECT part, es,
+             max(es) OVER (PARTITION BY part ORDER BY arrival_key, event_id
+                           ROWS UNBOUNDED PRECEDING) AS mx
+      FROM o
+    )
+    SELECT CAST({bucket} AS BIGINT) AS late_bucket,
+           count(*) AS n_events,
+           CAST(min(mx - es) AS BIGINT) AS min_late_s,
+           CAST(max(mx - es) AS BIGINT) AS max_late_s
+    FROM r
+    GROUP BY 1
+    """
+
+
+@register(
+    "events_watermark_lateness_audit",
+    oracle=_lateness_body(DUCK_D, "CAST(floor(epoch(ts)) AS BIGINT)"),
+    tags=("window_time", "streaming-twin", "audit"),
+    doc=f"Watermark lateness audit: per source partition (event_id % "
+    f"{LATE_PARTS} stands in for the shard id), each event's lateness is "
+    "the partition's running event-time high-watermark minus its own "
+    "event time, histogrammed in log2-seconds buckets (the HDR trick — "
+    "a handful of rows at any lateness spread) — THE table consulted to "
+    "choose a withWatermark delay: the bucket where the tail mass ends "
+    "is the delay that bounds state without dropping data, and "
+    "re-running the audit per partition exposes a single skewed shard. "
+    "The reference has no late-data policy at all (SURVEY §2.9); this "
+    "repo adds watermarks everywhere, and this audit is how the delay "
+    "value is chosen rather than guessed. Arrival order is simulated by "
+    "a deterministic md5 permutation (the generator emits in event-time "
+    "order, which would make every lateness zero — vacuous); real "
+    "deployments order by log offset. Plan: one keyed window (arrival "
+    "order is only meaningful per partition at scale, so there is no "
+    "global sort to want) + one tiny histogram aggregate.",
+)
+def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_lateness_body(SPARK_D, "unix_timestamp(ts)"))
