@@ -539,3 +539,56 @@ def test_random_set_operations_match_duckdb(spark, op, mod_a, mod_b):
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     con.close()
     assert got == want, f"engines disagree for {op} (mods {mod_a},{mod_b})"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    size_s=st.sampled_from([60, 300, 900, 3600, 7200]),
+    off_salt=st.integers(min_value=0, max_value=9),
+)
+def test_random_stagger_grid_matches_duckdb(spark, size_s, off_salt):
+    """Randomized stagger grids: per-key offset tumbling must bucket
+    identically on both engines across window sizes and offset families.
+    This is the grammar for the epoch-bucketing arithmetic class: the
+    round-5 stagger bug (bare `/` is FLOAT division on both engines, so
+    ((e-off)/size)*size+off collapses to e, vacuously 'matching') is
+    exactly what this test exists to catch — with integer division the
+    group sizes below must exceed 1 for coarse windows, which the float
+    collapse can never produce."""
+    from flock_spark.catalog import tbl
+    from flock_spark.operators.hashing import duck_md5_long, spark_md5_long
+
+    def body(md5l, str_t, floor_epoch):
+        key_expr = f"CAST(user_id + {off_salt} AS {str_t})"
+        off = f"(({md5l(key_expr)}) % {size_s})"
+        idiv = "div" if str_t == "STRING" else "//"
+        ws = f"((({floor_epoch} - {off}) {idiv} {size_s}) * {size_s} + {off})"
+        return f"""
+        SELECT user_id, CAST({ws} AS BIGINT) AS w_start_s, count(*) AS cnt
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+        """
+
+    tbl(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(body(spark_md5_long, "STRING", "unix_timestamp(ts)")).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            body(duck_md5_long, "VARCHAR", "CAST(floor(epoch(ts)) AS BIGINT)")
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, f"stagger grid mismatch at size={size_s}s salt={off_salt}"
+    if size_s >= 3600:
+        assert max(c for _, _, c in got) > 1, "grid degenerated to per-event groups"
