@@ -7,7 +7,7 @@ flock_spark.oracle.compare. Prints a per-entry line `name  spark_s  duck_s  ok`
 and a sorted summary of the slowest entries, so the full-sweep wall cost the
 external driver pays is visible and optimizable.
 
-Usage: python tools/sweep_sim.py [sf_dir] [--only substr] [--limit N]
+Usage: python tools/sweep_sim.py [sf_dir] [--only substr] [--limit N] [--offset N]
 """
 
 from __future__ import annotations
@@ -29,6 +29,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.01"
     only = None
     limit = None
+    offset = 0
     plain = False
     args = sys.argv[1:]
     while args:
@@ -37,6 +38,8 @@ def main() -> None:
             only = args.pop(0)
         elif a == "--limit":
             limit = int(args.pop(0))
+        elif a == "--offset":
+            offset = int(args.pop(0))
         elif a == "--plain":
             plain = True
         else:
@@ -62,6 +65,7 @@ def main() -> None:
     rows = []
     t_total = time.time()
     names = [n for n in queries if only is None or only in n]
+    names = names[offset:]
     if limit:
         names = names[:limit]
     for name in names:
