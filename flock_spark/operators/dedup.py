@@ -1319,3 +1319,86 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("idx_doc").alias("first_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection within near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    from flock_spark.operators.text import _occ, _tok_count
+
+    return f"""
+    WITH comp AS ({_duck_components_sql()}),
+    q AS (
+      SELECT doc_id,
+             CAST({_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')} AS BIGINT)
+               AS stop_hits,
+             {_tok_count()} AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT comp.cluster_id, comp.doc_id, q.stop_hits, q.n_tokens,
+             row_number() OVER (PARTITION BY comp.cluster_id
+                                ORDER BY q.stop_hits DESC, q.n_tokens DESC,
+                                         comp.doc_id) AS rn,
+             count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+      FROM comp JOIN q ON comp.doc_id = q.doc_id)
+    SELECT cluster_id, doc_id AS kept_doc, n_members,
+           stop_hits AS best_stop_hits, n_tokens AS best_n_tokens,
+           CAST(doc_id <> cluster_id AS BOOLEAN) AS differs_from_min_id
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=_keep_best_oracle(),
+    tags=("dedup", "iterative", "pipeline", "window"),
+    doc="Quality-aware canonical selection: within each near-dup cluster, "
+    "keep the HIGHEST-QUALITY member (integer quality key: stopword hits, "
+    "then token count, then lowest id — exact on both engines) instead of "
+    "the arbitrary min-id representative — what production dedup actually "
+    "ships, since near-duplicates differ in truncation/boilerplate and "
+    "dropping the best copy wastes data (the differs_from_min_id flag "
+    "audits exactly how often quality-keep changes the choice). Reuses "
+    "the memoized cluster relation (label propagation runs once per "
+    "session/dir across the whole dedup family); selection is one "
+    "cluster-keyed window over the cluster members — a relation sized by "
+    "near-duplicates, not the corpus. The plain min-id variant is "
+    "dedup_drop_duplicates; both anti-join the same way downstream.",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flock_spark.operators.text import _occ, _tok_count
+
+    comp = _spark_components(spark, sf_dir)
+    q = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"CAST({_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')} AS BIGINT)"
+        ).alias("stop_hits"),
+        F.expr(_tok_count()).alias("n_tokens"),
+    )
+    members = comp.join(q, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("stop_hits"), F.desc("n_tokens"), "doc_id"
+    )
+    wc = W.partitionBy("cluster_id")
+    ranked = members.select(
+        "cluster_id",
+        "doc_id",
+        "stop_hits",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc"),
+        "n_members",
+        F.col("stop_hits").alias("best_stop_hits"),
+        F.col("n_tokens").alias("best_n_tokens"),
+        (F.col("doc_id") != F.col("cluster_id")).alias("differs_from_min_id"),
+    )
