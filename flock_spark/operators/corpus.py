@@ -914,3 +914,153 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sensitive",
         (F.col("n_sensitive") < LDIV_L).alias("at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (completes the k-anonymity / l-diversity / t-closeness
+# release-checklist triad)
+# ---------------------------------------------------------------------------
+
+TCLOSE_T_PCT = 25  # flag cells whose sensitive-value distribution is more
+# than 0.25 total-variation distance away from the global distribution
+
+# Both engines share the literal SQL below: only floor/count/sum/abs/coalesce,
+# which are dialect-identical. Integer discipline: the TVD comparison is the
+# cross-multiplied form tvd_num * 100 > T * 2 * n_cell * N (never a ratio),
+# and the reported tvd double is one exactly-rounded IEEE division of
+# identical int64 operands (< 2^53 up to ~3e9 documents — the documented
+# precondition; beyond that, pre-divide counts by a common scale).
+_TCLOSE_SQL = f"""
+    WITH cell_lang AS (
+      SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+             lang, count(*) AS c
+      FROM documents GROUP BY source, 2, lang),
+    cells AS (
+      SELECT source, len_bucket, CAST(sum(c) AS BIGINT) AS n_docs
+      FROM cell_lang GROUP BY source, len_bucket),
+    gdist AS (SELECT lang, count(*) AS g FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) AS n FROM documents),
+    spine AS (
+      SELECT ce.source, ce.len_bucket, ce.n_docs, gl.lang, gl.g, t.n
+      FROM cells ce CROSS JOIN gdist gl CROSS JOIN tot t),
+    diffs AS (
+      SELECT s.source, s.len_bucket, s.n_docs, s.n,
+             abs(COALESCE(cl.c, 0) * s.n - s.g * s.n_docs) AS d
+      FROM spine s LEFT JOIN cell_lang cl
+        ON s.source = cl.source AND s.len_bucket = cl.len_bucket
+       AND s.lang = cl.lang)
+    SELECT source, len_bucket, n_docs,
+           CAST(sum(d) AS BIGINT) AS tvd_num,
+           round(CAST(sum(d) AS DOUBLE) / (2.0 * n_docs * n), 6) AS tvd,
+           CAST(sum(d) AS BIGINT) * 100 > {TCLOSE_T_PCT} * 2 * n_docs * n
+             AS at_risk
+    FROM diffs
+    GROUP BY source, len_bucket, n_docs, n
+"""
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=_TCLOSE_SQL,
+    tags=("corpus", "privacy", "audit", "pipeline"),
+    doc=f"t-closeness audit (t={TCLOSE_T_PCT / 100}): the gap k-anonymity "
+    "and l-diversity both miss — a cell can be large AND diverse yet still "
+    "leak because its sensitive-value DISTRIBUTION is skewed far from the "
+    "corpus baseline (e.g. 90% one lang where the corpus is uniform). Per "
+    "quasi-identifier cell (source × length bucket), the total-variation "
+    "distance between the cell's lang distribution and the global one: "
+    "TVD = ½ Σ|p_cell − p_global|, computed as the integer numerator "
+    "Σ|c_cell·N − c_global·n_cell| with a cross-multiplied threshold test "
+    "— no ratio arithmetic anywhere in the decision. Absent langs matter "
+    "(they contribute their full global mass), so the cell×lang spine is "
+    "densified by a cross join of the two AUDIT-SIZED aggregates — cells "
+    "and the global lang histogram — never of rows; the corpus is scanned "
+    "exactly twice (once per histogram) with map-side partials, and every "
+    "join operand above is KiB-scale at any corpus size. Completes the "
+    "privacy release-checklist triad with privacy_k_anonymity and "
+    "privacy_l_diversity.",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_TCLOSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram diversity (corpus-level memorization/diversity audit)
+# ---------------------------------------------------------------------------
+
+DIVERSITY_K = 5  # word-gram width; wider than dedup's candidate shingles so
+# the metric reads as "how much long phrasing is shared across documents"
+
+
+@register(
+    "corpus_ngram_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.lang, string_split(trim(d.text), ' ') AS t
+      FROM documents d),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest([array_to_string(t[i:i+{DIVERSITY_K - 1}], ' ')
+                     for i in generate_series(1, len(t) - {DIVERSITY_K - 1})])
+               AS gram
+      FROM toks WHERE len(t) >= {DIVERSITY_K}),
+    per_gram AS (
+      SELECT lang, gram,
+             CAST(count(*) AS BIGINT) AS occ,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM grams GROUP BY lang, gram)
+    SELECT lang,
+           CAST(sum(occ) AS BIGINT) AS n_occurrences,
+           count(*) AS n_distinct_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) AS BIGINT)
+             AS shared_occurrences
+    FROM per_gram
+    GROUP BY lang
+    """,
+    tags=("corpus", "pipeline", "audit", "dedup"),
+    doc=f"Cross-document n-gram diversity: per language, how many distinct "
+    f"word-{DIVERSITY_K}-grams the corpus contains and what fraction of "
+    "them (and of their occurrences) appear in MORE than one document — "
+    "the corpus-level diversity/memorization dial that sits between "
+    "corpus_repetition_stats (intra-doc repetition) and "
+    "dedup_substring_spans (which REMOVES cross-doc spans): a rising "
+    "shared-gram share is the early signal that a crawl is re-ingesting "
+    "boilerplate and the model will memorize it. Plan: one explode over "
+    "indexed array slices (no token-stream self-join), then two grouped "
+    "aggregates — (lang, gram) with map-side partials, then the "
+    "|langs|-row rollup; the gram relation crosses the shuffle once, as "
+    "32-byte-ish strings, and nothing pair-quadratic exists anywhere. At "
+    "100 TB the same two-level shape holds; production would additionally "
+    "hash grams to int64 (operators/hashing.py) to shrink the exchange, "
+    "kept as raw strings here so the oracle reads naturally.",
+)
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = "split(trim(text), ' ')"
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({toks}) - {DIVERSITY_K - 1}),"
+                f" i -> array_join(slice({toks}, i, {DIVERSITY_K}), ' '))"
+            )
+        ).alias("gram"),
+    ).where(F.expr(f"size({toks}) >= {DIVERSITY_K}"))
+    per_gram = grams.groupBy("lang", "gram").agg(
+        F.count("*").alias("occ"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return per_gram.groupBy("lang").agg(
+        F.sum("occ").cast("long").alias("n_occurrences"),
+        F.count("*").alias("n_distinct_grams"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_grams"),
+        F.sum(F.when(F.col("df") >= 2, F.col("occ")).otherwise(0))
+        .cast("long")
+        .alias("shared_occurrences"),
+    )

@@ -262,3 +262,63 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
     )
+
+
+@register(
+    "ivm_agg_delta",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS micro_sum
+    FROM events
+    WHERE (event_id % 13 = 0)
+       OR (event_id % 13 <> 0 AND event_id % 17 <> 0)
+    GROUP BY event_type
+    """,
+    tags=("incremental", "aggregate", "scale-pattern"),
+    doc="Incremental view maintenance of a grouped aggregate under inserts "
+    "AND deletes: the standing state is the per-type (count, micro-unit "
+    "sum) over the base table (event_id % 13 <> 0); a change batch then "
+    "arrives carrying inserts (event_id % 13 = 0) and retractions (base "
+    "rows with event_id % 17 = 0), and the view is refreshed by MERGING "
+    "signed partials — base + Σ(w), base + Σ(w·micros) with w = ±1 — "
+    "never by rescanning the base. This is the linearity that makes "
+    "count/sum self-maintainable (the DBSP/Materialize z-set discipline; "
+    "complements ivm_join_delta's bilinear join delta): the oracle "
+    "computes the post-change state directly from the final row set, so "
+    "the green row proves merge == recompute including retractions. At "
+    "100 TB the refresh costs O(|Δ|) — the delta aggregates map-side into "
+    "|types| signed partials and the standing state is never re-read "
+    "beyond its |types|-row snapshot; min/max would NOT be maintainable "
+    "this way under deletes (not linear), which is exactly why the "
+    "maintained state here is (count, sum).",
+)
+def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events").withColumn(
+        "micros", F.expr("CAST(round(value * 1000000) AS BIGINT)")
+    )
+    base = e.filter(F.col("event_id") % 13 != 0)
+    inserts = e.filter(F.col("event_id") % 13 == 0).withColumn("w", F.lit(1))
+    deletes = base.filter(F.col("event_id") % 17 == 0).withColumn("w", F.lit(-1))
+    base_state = base.groupBy("event_type").agg(
+        F.count("*").alias("b_n"), F.sum("micros").alias("b_sum")
+    )
+    delta_state = (
+        inserts.unionByName(deletes)
+        .groupBy("event_type")
+        .agg(
+            F.sum("w").alias("d_n"),
+            F.sum(F.col("w") * F.col("micros")).alias("d_sum"),
+        )
+    )
+    merged = base_state.join(delta_state, "event_type", "full_outer")
+    return merged.select(
+        "event_type",
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        (F.coalesce("b_sum", F.lit(0)) + F.coalesce("d_sum", F.lit(0)))
+        .cast("long")
+        .alias("micro_sum"),
+    )

@@ -531,3 +531,122 @@ def tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.desc("cnt"), "pair").limit(BPE_TOP_PAIRS)
     w = W.orderBy(F.desc("cnt"), "pair")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: apply the learned merge, recount (iteration 2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_bpe_apply",
+    oracle=f"""
+    WITH words AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents) t
+      WHERE length(word) >= 2
+      GROUP BY word),
+    pairs AS (
+      SELECT unnest([substring(word, i, 2)
+                     for i in generate_series(1, length(word) - 1)]) AS pair,
+             freq
+      FROM words),
+    counted AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM pairs GROUP BY pair),
+    t1 AS (SELECT pair FROM counted ORDER BY cnt DESC, pair LIMIT 1),
+    merged AS (
+      SELECT replace(word, (SELECT pair FROM t1), chr(1)) AS mw, freq
+      FROM words),
+    mpairs AS (
+      SELECT unnest([substring(mw, i, 2)
+                     for i in generate_series(1, length(mw) - 1)]) AS p2,
+             freq
+      FROM merged WHERE length(mw) >= 2),
+    expanded AS (
+      SELECT CASE WHEN substring(p2, 1, 1) = chr(1)
+                  THEN (SELECT pair FROM t1) ELSE substring(p2, 1, 1) END
+               AS left_sym,
+             CASE WHEN substring(p2, 2, 1) = chr(1)
+                  THEN (SELECT pair FROM t1) ELSE substring(p2, 2, 1) END
+               AS right_sym,
+             freq
+      FROM mpairs),
+    c2 AS (
+      SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM expanded GROUP BY left_sym, right_sym)
+    SELECT left_sym, right_sym, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, left_sym, right_sym)
+                AS BIGINT) AS rank
+    FROM c2 ORDER BY cnt DESC, left_sym, right_sym
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("text", "tokenizer", "aggregate", "scale-pattern"),
+    doc="The second BPE training iteration — proof the merge LOOP runs at "
+    "|vocab| cost, not |corpus|: the winning pair from "
+    "tokenizer_bpe_merge_step is applied to every vocabulary word "
+    "(leftmost non-overlapping replacement with a 1-char marker symbol — "
+    "exactly the greedy left-to-right BPE merge, and exactly what both "
+    "engines' replace() implements, so the merge semantics are "
+    "dialect-identical by construction), then adjacent SYMBOL pairs are "
+    "recounted over the merged vocab, marker expanded back to its "
+    "2-char symbol in the output. The corpus-sized pass remains the ONE "
+    "word-frequency aggregate inherited from step 1; the merge + recount "
+    "touch only vocabulary rows, so iterating to a 50k-merge vocabulary "
+    "costs 50k × |vocab| — never re-reading the corpus. The winning pair "
+    "rides along as a broadcast 1-row relation (scalar subquery), no "
+    "driver collect. Top-k plans as TakeOrderedAndProject.",
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("cnt"))
+    top1 = (
+        counted.orderBy(F.desc("cnt"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("top_pair"))
+    )
+    merged = words.crossJoin(F.broadcast(top1)).select(
+        F.expr("replace(word, top_pair, chr(1))").alias("mw"), "freq", "top_pair"
+    )
+    mpairs = (
+        merged.filter(F.length("mw") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(mw) - 1),"
+                    " i -> substring(mw, i, 2))"
+                )
+            ).alias("p2"),
+            "freq",
+            "top_pair",
+        )
+    )
+    sym = lambda i: F.when(  # noqa: E731
+        F.expr(f"substring(p2, {i}, 1)") == F.expr("chr(1)"), F.col("top_pair")
+    ).otherwise(F.expr(f"substring(p2, {i}, 1)"))
+    expanded = mpairs.select(
+        sym(1).alias("left_sym"), sym(2).alias("right_sym"), "freq"
+    )
+    c2 = expanded.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+    top = c2.orderBy(F.desc("cnt"), "left_sym", "right_sym").limit(BPE_TOP_PAIRS)
+    w = W.orderBy(F.desc("cnt"), "left_sym", "right_sym")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

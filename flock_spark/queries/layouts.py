@@ -324,3 +324,85 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_cents").alias("cents"),
         F.max("p_max").alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (lakehouse table maintenance)
+# ---------------------------------------------------------------------------
+
+# Simulated file inventory: per source, files are geometric log2 buckets of
+# doc_id (widths 1,2,4,…128 docs), so sizes are genuinely skewed — some files
+# land far below their source's total and some near it, at EVERY scale factor
+# (a fixed doc_id % N grid gave near-uniform sizes, which left the rewrite
+# branch empty: vacuous). Thresholds are RELATIVE to the per-source total —
+# integer cross-multiplications, scale-free by construction.
+COMPACT_SMALL_FRAC = 6  # small ⟺ bytes * 6 < per-source total
+COMPACT_BINS = 3  # rewrite-task target size = per-source total / 3
+
+
+def _compact_sql(d) -> str:
+    # bin assignment goes through the dialect integer-division helper
+    # (Spark `div`, DuckDB `//`): CAST(double AS BIGINT) would round in
+    # DuckDB but truncate in Spark — the float-division collapse class the
+    # stagger-window fix already documented
+    return f"""
+    WITH inv AS (
+      SELECT source, CAST(length(bin(1 + doc_id % 256)) AS BIGINT) AS file_id,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, 2),
+    sized AS (
+      SELECT source, file_id, bytes,
+             CAST(sum(bytes) OVER (PARTITION BY source) AS BIGINT) AS total
+      FROM inv),
+    small AS (
+      SELECT source, file_id, bytes, total,
+             CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum
+      FROM sized WHERE bytes * {COMPACT_SMALL_FRAC} < total),
+    planned AS (
+      SELECT source, file_id, bytes,
+             CAST({d.idiv('cum - bytes',
+                          f'1 + {d.idiv("total", COMPACT_BINS)}')}
+                  AS BIGINT) AS bin
+      FROM small)
+    SELECT source, 'rewrite' AS action, bin,
+           count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes_total
+    FROM planned GROUP BY source, bin
+    UNION ALL
+    SELECT source, 'keep' AS action, CAST(-1 AS BIGINT) AS bin,
+           count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes_total
+    FROM sized WHERE bytes * {COMPACT_SMALL_FRAC} >= total
+    GROUP BY source
+"""
+
+
+from flock_spark.operators.sketches import DUCK_D, SPARK_D  # noqa: E402
+
+
+@register(
+    "maintenance_compaction_plan",
+    oracle=_compact_sql(DUCK_D),
+    tags=("layout", "maintenance", "window", "scale-pattern"),
+    doc="Small-file compaction planning — the lakehouse maintenance job "
+    "(Delta OPTIMIZE / Iceberg rewrite_data_files shape) that keeps a "
+    "100 TB table scannable after streaming/CDC ingest has sprayed it "
+    "with KiB files: the file inventory (simulated here as per-source "
+    "geometric doc_id buckets with byte sizes; a real catalog provides "
+    "this metadata directly) splits into files already near target size "
+    "(action='keep', untouched — rewriting them is wasted IO) and small "
+    f"files (bytes × {COMPACT_SMALL_FRAC} < source total — a relative, "
+    "scale-free test), which are packed into rewrite tasks by greedy "
+    "next-fit: a running byte sum per source, bin = prefix_sum div "
+    f"(total div {COMPACT_BINS} + 1) — each bin is one output file near "
+    "target size. THE scale property: planning runs entirely on "
+    "METADATA (the inventory aggregate is |files| rows, the window "
+    "sorts |small files| per source partition) — the data bytes are "
+    "only touched by the subsequent per-bin rewrite tasks, which are "
+    "embarrassingly parallel because bins are disjoint. Deterministic "
+    "bin assignment (file_id order), so replanning is idempotent; all "
+    "size tests are integer cross-multiplication, never ratios.",
+)
+def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_compact_sql(SPARK_D))

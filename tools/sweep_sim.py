@@ -64,7 +64,9 @@ def main() -> None:
 
     rows = []
     t_total = time.time()
-    names = [n for n in queries if only is None or only in n]
+    # --only takes a comma-separated list of substrings (OR-matched)
+    subs = only.split(",") if only else None
+    names = [n for n in queries if subs is None or any(s in n for s in subs)]
     names = names[offset:]
     if limit:
         names = names[:limit]
