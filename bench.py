@@ -78,6 +78,9 @@ HEADLINE = [
     "dedup_incremental_new_batch",
     "ann_ivfpq_topk",
     "corpus_filter_funnel",
+    # late-round-5 additions: cross-doc diversity audit, IVM under deletes
+    "corpus_ngram_diversity",
+    "ivm_agg_delta",
 ]
 
 

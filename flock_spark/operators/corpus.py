@@ -973,16 +973,51 @@ _TCLOSE_SQL = f"""
     "Σ|c_cell·N − c_global·n_cell| with a cross-multiplied threshold test "
     "— no ratio arithmetic anywhere in the decision. Absent langs matter "
     "(they contribute their full global mass), so the cell×lang spine is "
-    "densified by a cross join of the two AUDIT-SIZED aggregates — cells "
-    "and the global lang histogram — never of rows; the corpus is scanned "
-    "exactly twice (once per histogram) with map-side partials, and every "
-    "join operand above is KiB-scale at any corpus size. Completes the "
-    "privacy release-checklist triad with privacy_k_anonymity and "
+    "densified by a cross join of AUDIT-SIZED aggregates — never of rows. "
+    "The corpus is scanned exactly ONCE: the finest-grain (cell × lang) "
+    "histogram is cached, and the cell totals, global lang histogram, and "
+    "grand total are all rollups of it (integer partial sums merge "
+    "losslessly) — the plan pin asserts the single scan. Every join "
+    "operand is KiB-scale at any corpus size. Completes the privacy "
+    "release-checklist triad with privacy_k_anonymity and "
     "privacy_l_diversity.",
 )
 def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_TCLOSE_SQL)
+    d = tbl(spark, sf_dir, "documents")
+    # finest grain once; every coarser histogram is a rollup of this
+    cl = (
+        d.groupBy(
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            "lang",
+        )
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    cells = cl.groupBy("source", "len_bucket").agg(
+        F.sum("c").cast("long").alias("n_docs")
+    )
+    gdist = cl.groupBy("lang").agg(F.sum("c").cast("long").alias("g"))
+    tot = cl.agg(F.sum("c").cast("long").alias("n"))
+    spine = cells.crossJoin(F.broadcast(gdist)).crossJoin(F.broadcast(tot))
+    diffs = spine.join(cl, ["source", "len_bucket", "lang"], "left").select(
+        "source",
+        "len_bucket",
+        "n_docs",
+        "n",
+        F.abs(
+            F.coalesce("c", F.lit(0)) * F.col("n") - F.col("g") * F.col("n_docs")
+        ).alias("d"),
+    )
+    return diffs.groupBy("source", "len_bucket", "n_docs", "n").agg(
+        F.sum("d").cast("long").alias("tvd_num"),
+        F.round(
+            F.sum("d").cast("double") / (2.0 * F.col("n_docs") * F.col("n")), 6
+        ).alias("tvd"),
+        (F.sum("d").cast("long") * 100 > TCLOSE_T_PCT * 2 * F.col("n_docs") * F.col("n")).alias(
+            "at_risk"
+        ),
+    ).drop("n")
 
 
 # ---------------------------------------------------------------------------

@@ -381,3 +381,53 @@ def test_kcore_rounds_are_clamped_and_colocated(spark, sf_dir):
     edges.unpersist()
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tcloseness_single_corpus_scan(spark, sf_dir):
+    # every histogram (cell totals, global lang, grand total) is a rollup
+    # of the ONE cached finest-grain aggregate — exactly one corpus scan;
+    # the densifying cross joins touch only audit-sized relations
+    plan = plan_of(spark, sf_dir, "privacy_t_closeness", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "CartesianProduct" not in final
+
+
+def test_ngram_diversity_two_level_agg_no_self_join(spark, sf_dir):
+    # one scan, explode over indexed slices, (lang,gram) agg then lang
+    # rollup — never a token-stream self-join or pairwise doc product
+    plan = plan_of(spark, sf_dir, "corpus_ngram_diversity", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_bpe_apply_broadcasts_winner_topk_partial(spark, sf_dir):
+    # the winning pair rides along as a broadcast 1-row relation (never a
+    # driver collect), and both rankings plan as TakeOrderedAndProject
+    plan = plan_of(spark, sf_dir, "tokenizer_bpe_apply", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "TakeOrderedAndProject" in final
+    assert "CartesianProduct" not in final
+
+
+def test_compaction_plan_is_metadata_sized(spark, sf_dir):
+    # planning runs on the |files|-row inventory: one corpus scan builds
+    # it (map-side partial agg), windows and the union reuse the exchange
+    plan = plan_of(spark, sf_dir, "maintenance_compaction_plan", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_ivm_agg_delta_no_cartesian_joins_keyed(spark, sf_dir):
+    # signed partial merge: base and delta aggregate independently (map-
+    # side partials), then ONE keyed full-outer merge on the group key
+    plan = plan_of(spark, sf_dir, "ivm_agg_delta", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "FullOuter" in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
