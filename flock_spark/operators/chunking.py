@@ -196,3 +196,190 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("redacted_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) + chunk-level shared-content candidates
+# ---------------------------------------------------------------------------
+
+CDC_GRAM = 4  # rolling-window width (tokens) the boundary test hashes
+CDC_MOD = 8  # boundary when gram_hash % CDC_MOD == 0 → E[chunk] ≈ 8 tokens
+CDC_MIN_SHARED_TOKENS = 6  # chunks shorter than this don't vote for pairs
+CDC_DF_CAP = 25  # stop-chunk removal: drop chunks appearing in > cap docs
+
+# Both engines hash the SAME gram text (md5-based 60-bit int, see
+# operators/hashing.py), so boundaries land on identical token positions.
+_CDC_DUCK = f"""
+    toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t, len({_TOKS_DUCK}) AS n
+      FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT doc_id, t, n, unnest(generate_series(1, n)) AS p
+      FROM toks WHERE n > 0),
+    ends AS (
+      SELECT doc_id, t, n, p
+      FROM pos
+      WHERE p = n
+         OR (p >= {CDC_GRAM}
+             AND (('0x' || substring(md5(array_to_string(
+                    list_slice(t, p - {CDC_GRAM} + 1, p), ' ')), 1, 15))::BIGINT)
+                 % {CDC_MOD} = 0)),
+    spans AS (
+      SELECT doc_id, n, p AS chunk_end,
+             COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
+               AS chunk_start,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1
+               AS BIGINT) AS chunk_id,
+             t
+      FROM ends),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             CAST(chunk_end - chunk_start + 1 AS BIGINT) AS chunk_tokens,
+             (('0x' || substring(md5(array_to_string(
+                list_slice(t, chunk_start, chunk_end), ' ')), 1, 15))::BIGINT)
+               AS chunk_hash
+      FROM spans)
+"""
+
+
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk relation (doc_id, chunk_id, chunk_tokens, chunk_hash) shared by
+    the CDC entries. One scan → explode positions → per-doc window for span
+    starts: a single doc_id-keyed shuffle, output rows ≈ corpus_tokens/8."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.expr(_TOKS_SPARK).alias("t"),
+        F.expr(f"size({_TOKS_SPARK})").alias("n"),
+    )
+    pos = toks.filter(F.col("n") > 0).select(
+        "doc_id", "t", "n", F.explode(F.expr("sequence(1, n)")).alias("p")
+    )
+    gram_hash = F.expr(
+        "CAST(conv(substring(md5(array_join("
+        f"slice(t, p - {CDC_GRAM} + 1, {CDC_GRAM}), ' ')), 1, 15), 16, 10) AS BIGINT)"
+    )
+    ends = pos.filter(
+        (F.col("p") == F.col("n"))
+        | ((F.col("p") >= CDC_GRAM) & (gram_hash % CDC_MOD == 0))
+    )
+    w = W.partitionBy("doc_id").orderBy("p")
+    spans = ends.select(
+        "doc_id",
+        "t",
+        F.col("p").alias("chunk_end"),
+        (F.coalesce(F.lag("p").over(w), F.lit(0)) + 1).alias("chunk_start"),
+        (F.row_number().over(w) - 1).cast("long").alias("chunk_id"),
+    )
+    return spans.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_end") - F.col("chunk_start") + 1).cast("long").alias("chunk_tokens"),
+        F.expr(
+            "CAST(conv(substring(md5(array_join("
+            "slice(t, chunk_start, chunk_end - chunk_start + 1), ' ')), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("chunk_hash"),
+    )
+
+
+@register(
+    "doc_chunk_content_defined",
+    oracle=f"""
+    WITH {_CDC_DUCK}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(min(chunk_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(chunk_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks
+    FROM chunks
+    GROUP BY doc_id
+    """,
+    tags=("corpus", "chunking", "dedup", "scale-pattern"),
+    doc="Content-defined chunking (rolling-hash boundaries, the "
+    f"rsync/LBFS/FastCDC family): a boundary closes a chunk wherever the "
+    f"hash of the trailing {CDC_GRAM}-token gram ≡ 0 (mod {CDC_MOD}), so "
+    "chunk edges depend on CONTENT, not offsets — insert a sentence and "
+    "only the chunks touching the edit change, where fixed-window "
+    "chunking (doc_chunk_fixed_tokens) shifts every downstream chunk. "
+    "That shift-resistance is why dedup at 100 TB chunk-level runs on CDC "
+    "chunks. One corpus scan → per-position explode (output ≈ token "
+    "count) → one doc_id-keyed window; the boundary hash is the engine-"
+    "portable md5 primitive, so both engines cut identical chunks. "
+    "Production note: FastCDC adds min/max chunk clamps and a gear table; "
+    "the clamps change WHICH boundaries are kept, not the plan shape.",
+)
+def doc_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cdc_chunks(spark, sf_dir)
+    return c.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.min("chunk_tokens").alias("min_tokens"),
+        F.max("chunk_tokens").alias("max_tokens"),
+        F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("chunk_hash").cast("long").alias("distinct_chunks"),
+    )
+
+
+@register(
+    "dedup_chunk_shared",
+    oracle=f"""
+    WITH {_CDC_DUCK},
+    eligible AS (
+      SELECT DISTINCT doc_id, chunk_hash, chunk_tokens
+      FROM chunks WHERE chunk_tokens >= {CDC_MIN_SHARED_TOKENS}),
+    df AS (
+      SELECT chunk_hash FROM eligible
+      GROUP BY chunk_hash
+      HAVING count(*) BETWEEN 2 AND {CDC_DF_CAP})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_chunks,
+           CAST(sum(a.chunk_tokens) AS BIGINT) AS shared_tokens
+    FROM eligible a
+    JOIN df USING (chunk_hash)
+    JOIN eligible b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("dedup", "chunking", "join", "scale-pattern"),
+    doc="Chunk-level shared-content candidates: two docs are containment/"
+    "near-dup candidates when they share ≥1 identical CDC chunk — an "
+    "EQUI-self-join on chunk_hash, never a pairwise document comparison "
+    "(this is the scalable candidate generator whose exact quadratic "
+    f"audit is dedup_containment_pairs). Chunks shorter than "
+    f"{CDC_MIN_SHARED_TOKENS} tokens don't vote (too easy to collide by "
+    f"chance) and chunks appearing in > {CDC_DF_CAP} docs are dropped "
+    "before the join (stop-chunk removal — boilerplate headers would "
+    "otherwise create a hot key whose candidate set is quadratic in its "
+    "document frequency; the df filter bounds every hash's fan-out at "
+    "cap², the same discipline as LSH band-bucket caps). At 100 TB the "
+    "shuffle carries (doc_id, 8-byte chunk_hash) pairs — a fraction of "
+    "corpus bytes — and skew is pre-capped by construction.",
+)
+def dedup_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cdc_chunks(spark, sf_dir)
+    eligible = (
+        c.filter(F.col("chunk_tokens") >= CDC_MIN_SHARED_TOKENS)
+        .select("doc_id", "chunk_hash", "chunk_tokens")
+        .distinct()
+    )
+    df_ok = (
+        eligible.groupBy("chunk_hash")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= CDC_DF_CAP))
+        .select("chunk_hash")
+    )
+    a = eligible.join(df_ok, "chunk_hash").alias("a")
+    b = eligible.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_hash") == F.col("b.chunk_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("shared_chunks"),
+            F.sum(F.col("a.chunk_tokens")).cast("long").alias("shared_tokens"),
+        )
+    )

@@ -322,3 +322,57 @@ def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("micro_sum"),
     )
+
+
+@register(
+    "ivm_distinct_delta",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    WHERE (event_id % 13 = 0)
+       OR (event_id % 13 <> 0 AND event_id % 17 <> 0)
+    GROUP BY event_type
+    """,
+    tags=("incremental", "aggregate", "distinct", "scale-pattern"),
+    doc="Incremental view maintenance of COUNT(DISTINCT) under inserts AND "
+    "deletes — the aggregate that is NOT linear, completing the IVM "
+    "algebra set (ivm_agg_delta: linear count/sum; ivm_join_delta: "
+    "bilinear join). Distinct becomes maintainable by lifting the state "
+    "one level: keep a per-(group, key) REFERENCE COUNT; a delta batch "
+    "merges signed per-key partials into it, and the view is the number "
+    "of keys whose refcount stays positive. Same split as ivm_agg_delta "
+    "(base = event_id%13<>0, inserts = %13=0, retractions = base rows "
+    "with %17=0); the oracle recomputes from the final row set, so the "
+    "green row proves refcount-merge == recompute. At 100 TB the state "
+    "is |group×distinct-key| refcounts stored bucketed on the key — the "
+    "refresh shuffles O(|Δ|) signed partials against it, never the base "
+    "rows; this is exactly how Materialize/DBSP maintain DISTINCT, and "
+    "the multiset-ness is why a plain distinct-set state would break on "
+    "the first delete of a still-duplicated key.",
+)
+def ivm_distinct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    base = e.filter(F.col("event_id") % 13 != 0)
+    inserts = e.filter(F.col("event_id") % 13 == 0).withColumn("w", F.lit(1))
+    deletes = base.filter(F.col("event_id") % 17 == 0).withColumn("w", F.lit(-1))
+    # standing state: per-(type, user) refcount over the base
+    base_state = base.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("b_cnt")
+    )
+    delta_state = (
+        inserts.unionByName(deletes)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("w").alias("d_cnt"))
+    )
+    merged = base_state.join(delta_state, ["event_type", "user_id"], "full_outer")
+    alive = merged.select(
+        "event_type",
+        "user_id",
+        (F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
+    ).filter(F.col("cnt") > 0)
+    return alive.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )

@@ -524,3 +524,84 @@ def mm_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse,
         schema="doc_id long, byte_len long, width long, height long, sig_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (banded Hamming over mm_phash64 words)
+# ---------------------------------------------------------------------------
+
+PHASH_HAMMING_MAX = 16  # of 64 bits; tuned non-vacuous on the synthetic corpus
+
+
+@register(
+    "mm_phash_near_dup",
+    oracle=None,  # assigned below: wraps mm_phash64's oracle as a CTE
+    tags=("multimodal", "dedup", "join", "scale-pattern"),
+    doc="Near-duplicate detection over perceptual hashes: mm_phash64's four "
+    "16-bit words ARE the LSH bands — candidate pairs come from an "
+    "EQUI-self-join on (band_idx, word), then the full 64-bit Hamming "
+    "distance (bit_count of xor, summed over words) verifies candidates "
+    f"≤ {PHASH_HAMMING_MAX}. This is image/video near-dup at corpus "
+    "scale: no pairwise product ever forms (pigeonhole guarantees "
+    "recall 1.0 for distance ≤ 3 with 4 bands; production adds "
+    "rotated band sets for deeper recall, same plan shape), and the "
+    "join carries (doc_id, 2-byte band) rows — independent of payload "
+    "size, which at 100 TB of video means the dedup pass never touches "
+    "pixel bytes after the one phash extraction pass. Same banding "
+    "discipline as dedup_simhash_pairs (dedup.py:411); the phash step "
+    "is the pandas-batched extraction certified by mm_phash64.",
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = mm_phash64(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "w0",
+        "w1",
+        "w2",
+        "w3",
+        F.posexplode(F.array("w0", "w1", "w2", "w3")).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.w{k}").bitwiseXOR(F.col(f"b.w{k}"))) for k in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
+# the candidate join replays mm_phash64's exact construction, so its oracle
+# is that entry's SQL wrapped as a CTE
+from flock_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["mm_phash_near_dup"].oracle = f"""
+    WITH ph AS ({_REG["mm_phash64"].oracle}),
+    bands AS (
+      SELECT doc_id, w0, w1, w2, w3, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END
+               AS band_val
+      FROM ph, (SELECT unnest(generate_series(0, 3)) AS i) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+                + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+               AS BIGINT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM cand
+    WHERE hamming <= {PHASH_HAMMING_MAX}
+    """
