@@ -1099,3 +1099,64 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shared_occurrences"),
     )
+
+
+CONTAM_FLAG_BP = 500  # flag docs with >= 5% of their distinct grams in eval
+
+
+@register(
+    "corpus_contamination_overlap",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_word_shingles_duck()}) AS shingle
+                FROM documents),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 <> 0),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(e.shingle) AS BIGINT) AS n_hit
+      FROM train t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_grams, n_hit,
+           (n_hit * 10000) // n_grams AS overlap_bp,
+           (n_hit * 10000) >= {CONTAM_FLAG_BP} * n_grams AS flagged
+    FROM scored
+    """,
+    tags=("corpus", "pipeline", "join"),
+    doc="GRADED benchmark contamination (vs corpus_decontaminate's binary "
+    "any-hit test): per training doc, the fraction of its DISTINCT word-"
+    f"{CONTAM_K}-grams that appear in the eval set, in integer basis "
+    f"points, flagged at ≥ {CONTAM_FLAG_BP} bp. The graded score is what "
+    "real pipelines threshold on (single-shingle hits are mostly common "
+    "phrases; wholesale inclusion shows up as a high overlap fraction), "
+    "and the LEFT join keeps zero-overlap docs in the output so the "
+    "score distribution itself is certified, not just the hits. Same "
+    "scale shape as decontaminate: the eval shingle set broadcasts, the "
+    "training corpus streams through once, the flag test is integer "
+    "cross-multiplication. At 100 TB: one pass, zero corpus shuffles "
+    "beyond the per-doc aggregate.",
+)
+def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
+    ).cache()
+    eval_sh = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
+    scored = (
+        sh.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(eval_sh.withColumn("hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.expr("(n_hit * 10000L) div n_grams").alias("overlap_bp"),
+        (F.col("n_hit") * 10000 >= F.lit(CONTAM_FLAG_BP) * F.col("n_grams")).alias(
+            "flagged"
+        ),
+    )

@@ -650,3 +650,123 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = c2.orderBy(F.desc("cnt"), "left_sym", "right_sym").limit(BPE_TOP_PAIRS)
     w = W.orderBy(F.desc("cnt"), "left_sym", "right_sym")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Greedy longest-match subword tokenization (WordPiece-style)
+# ---------------------------------------------------------------------------
+
+WP_VOCAB_3 = (
+    "ing", "ion", "ent", "ers", "the", "and", "est", "ate", "ter", "ive",
+)
+WP_VOCAB_2 = (
+    "er", "in", "on", "at", "es", "ed", "or", "an", "re", "te", "st", "ar",
+    "al", "it", "se", "le", "is", "en", "nt", "to", "nd", "ou", "ea", "ti",
+    "de", "ra", "ng", "co", "ma", "li",
+)
+WP_TOP_WORDS = 300
+WP_WORD_RE = "[a-z]{2,12}"
+
+
+def _wp_greedy(word: str) -> tuple[int, str]:
+    """Greedy longest-match-first segmentation over the fixed vocab; single
+    chars are always in-vocab (byte fallback), so every word segments."""
+    pieces: list[str] = []
+    pos = 0
+    while pos < len(word):
+        if word[pos : pos + 3] in WP_VOCAB_3:
+            step = 3
+        elif word[pos : pos + 2] in WP_VOCAB_2:
+            step = 2
+        else:
+            step = 1
+        pieces.append(word[pos : pos + step])
+        pos += step
+    return len(pieces), "|".join(pieces)
+
+
+_WP_V3_SQL = ", ".join(f"'{u}'" for u in WP_VOCAB_3)
+_WP_V2_SQL = ", ".join(f"'{u}'" for u in WP_VOCAB_2)
+
+
+@register(
+    "tokenizer_wordpiece_greedy",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT word, cnt FROM (
+        SELECT lower(w) AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+              FROM documents) t
+        WHERE regexp_full_match(lower(w), '{WP_WORD_RE}')
+        GROUP BY lower(w)
+        ORDER BY cnt DESC, word
+        LIMIT {WP_TOP_WORDS}) s
+    ),
+    seg AS (
+      SELECT word, cnt, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS pieces,
+             CAST(0 AS BIGINT) AS n_pieces
+      FROM words
+      UNION ALL
+      SELECT word, cnt, pos + length(m) AS pos, pieces || '|' || m AS pieces,
+             n_pieces + 1 AS n_pieces
+      FROM (
+        SELECT word, cnt, pos, pieces, n_pieces,
+          CASE WHEN substring(word, CAST(pos AS INT), 3) IN ({_WP_V3_SQL})
+                 THEN substring(word, CAST(pos AS INT), 3)
+               WHEN substring(word, CAST(pos AS INT), 2) IN ({_WP_V2_SQL})
+                 THEN substring(word, CAST(pos AS INT), 2)
+               ELSE substring(word, CAST(pos AS INT), 1) END AS m
+        FROM seg WHERE pos <= length(word)) s
+    )
+    SELECT word, cnt, n_pieces, substring(pieces, 2) AS pieces
+    FROM seg WHERE pos = length(word) + 1
+    """,
+    tags=("text", "tokenizer", "pandas_udf"),
+    doc="WordPiece-style INFERENCE: greedy longest-match-first segmentation "
+    "of the corpus's frequent words against a fixed subword vocab (3-char "
+    "units beat 2-char beat single-char fallback — single chars are "
+    "always in-vocab, so segmentation is total; this is the apply side "
+    "of the trainer that tokenizer_bpe_merge_step/tokenizer_bpe_apply "
+    "build). Spark runs the greedy loop as a vectorized pandas batch "
+    "over the word list — per-word cost is O(len), data-parallel, no "
+    "state — while the oracle REPLAYS it as a recursive CTE (one "
+    "recursion step per emitted piece, bounded by max word length), so "
+    "an imperative algorithm is certified against a purely declarative "
+    "respecification, the strongest cross-form check in the repo's "
+    "differential arsenal. At 100 TB tokenization distributes "
+    "perfectly: the vocab broadcasts (real vocabs are ~30k entries — a "
+    "trie per executor), the corpus streams once, output is the token "
+    "stream; the word-frequency LIMIT here only bounds the certified "
+    "sample, not the plan shape.",
+)
+def tokenizer_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .filter(F.col("word").rlike(f"^{WP_WORD_RE}$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(WP_TOP_WORDS)
+    )
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            segs = [_wp_greedy(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "cnt": pdf["cnt"],
+                    "n_pieces": pd.Series([s[0] for s in segs], dtype="int64"),
+                    "pieces": [s[1] for s in segs],
+                }
+            )
+
+    return words.mapInPandas(
+        tokenize, schema="word string, cnt long, n_pieces long, pieces string"
+    )

@@ -1279,3 +1279,126 @@ def table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+@register(
+    "events_pattern_kleene",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER w AS rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    clicks AS (
+      SELECT user_id, rn, ts, prev_type, prev_ts,
+             CASE WHEN prev_type = 'click'
+                   AND ts <= prev_ts + INTERVAL {PATTERN_GAP_S} SECOND
+                  THEN 0 ELSE 1 END AS brk
+      FROM seq WHERE event_type = 'click'),
+    runs0 AS (
+      SELECT user_id, rn, ts, prev_type, prev_ts, brk,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+      FROM clicks),
+    runs AS (
+      SELECT user_id, run_id, max(rn) AS last_rn,
+             CAST(count(*) AS BIGINT) AS n_clicks,
+             max(CASE WHEN brk = 1 THEN prev_type END) AS head_type,
+             max(CASE WHEN brk = 1 THEN prev_ts END) AS head_ts,
+             max(CASE WHEN brk = 1 THEN
+                   CASE WHEN prev_ts IS NOT NULL
+                         AND ts <= prev_ts + INTERVAL {PATTERN_GAP_S} SECOND
+                        THEN 1 ELSE 0 END END) AS head_ok
+      FROM runs0 GROUP BY user_id, run_id),
+    purch AS (
+      SELECT user_id, rn, ts, prev_type, prev_ts
+      FROM seq
+      WHERE event_type = 'purchase' AND prev_ts IS NOT NULL
+        AND ts <= prev_ts + INTERVAL {PATTERN_GAP_S} SECOND)
+    SELECT p.user_id, r.head_ts AS t_view, r.n_clicks, p.ts AS t_purchase
+    FROM purch p JOIN runs r
+      ON p.user_id = r.user_id AND r.last_rn = p.rn - 1
+    WHERE p.prev_type = 'click' AND r.head_type = 'view' AND r.head_ok = 1
+    UNION ALL
+    SELECT user_id, prev_ts AS t_view, CAST(0 AS BIGINT) AS n_clicks,
+           ts AS t_purchase
+    FROM purch WHERE prev_type = 'view'
+    """,
+    tags=("events", "window", "pattern"),
+    doc="Kleene-star pattern matching (MATCH_RECOGNIZE `view click* "
+    "purchase`): strictly-consecutive matches where any NUMBER of clicks "
+    "may sit between the view and the purchase, every adjacent gap ≤ "
+    f"{PATTERN_GAP_S} s. The star is compiled to gaps-and-islands: one "
+    "lag window marks click-run breaks (non-click predecessor or "
+    "over-gap), a running sum names the runs, and a purchase joins the "
+    "run ending immediately before it — so arbitrary-length matches "
+    "cost ONE user-keyed window pass plus one join of the (tiny) run "
+    "summary, where the naive per-length self-join family explodes "
+    "combinatorially and a backtracking NFA (the MATCH_RECOGNIZE "
+    "default) cannot distribute at all. Head/zero-click cases are exact; "
+    "gap tests compare full-microsecond timestamps with INTERVAL bounds "
+    "identically on both engines (events_pattern_3step's discipline). "
+    "At 100 TB: the event log shuffles ONCE on user_id; run summaries "
+    "are |runs| rows, orders of magnitude smaller.",
+)
+def events_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {PATTERN_GAP_S} SECOND")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    in_gap = F.col("ts") <= F.col("prev_ts") + gap
+    clicks = seq.filter(F.col("event_type") == "click").withColumn(
+        "brk",
+        F.when((F.col("prev_type") == "click") & in_gap, F.lit(0)).otherwise(F.lit(1)),
+    )
+    wr = W.partitionBy("user_id").orderBy("rn")
+    runs0 = clicks.withColumn("run_id", F.sum("brk").over(wr))
+    head_ok = F.when(
+        F.col("brk") == 1,
+        F.when(F.col("prev_ts").isNotNull() & in_gap, F.lit(1)).otherwise(F.lit(0)),
+    )
+    runs = runs0.groupBy("user_id", "run_id").agg(
+        F.max("rn").alias("last_rn"),
+        F.count("*").cast("long").alias("n_clicks"),
+        F.max(F.when(F.col("brk") == 1, F.col("prev_type"))).alias("head_type"),
+        F.max(F.when(F.col("brk") == 1, F.col("prev_ts"))).alias("head_ts"),
+        F.max(head_ok).alias("head_ok"),
+    )
+    purch = seq.filter(
+        (F.col("event_type") == "purchase") & F.col("prev_ts").isNotNull() & in_gap
+    )
+    starred = (
+        purch.alias("p")
+        .join(
+            runs.alias("r"),
+            (F.col("p.user_id") == F.col("r.user_id"))
+            & (F.col("r.last_rn") == F.col("p.rn") - 1),
+        )
+        .filter(
+            (F.col("p.prev_type") == "click")
+            & (F.col("r.head_type") == "view")
+            & (F.col("r.head_ok") == 1)
+        )
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("r.head_ts").alias("t_view"),
+            F.col("r.n_clicks").alias("n_clicks"),
+            F.col("p.ts").alias("t_purchase"),
+        )
+    )
+    zero = purch.filter(F.col("prev_type") == "view").select(
+        "user_id",
+        F.col("prev_ts").alias("t_view"),
+        F.lit(0).cast("long").alias("n_clicks"),
+        F.col("ts").alias("t_purchase"),
+    )
+    return starred.unionByName(zero)

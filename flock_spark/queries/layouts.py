@@ -406,3 +406,70 @@ from flock_spark.operators.sketches import DUCK_D, SPARK_D  # noqa: E402
 def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_compact_sql(SPARK_D))
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file skipping
+# ---------------------------------------------------------------------------
+
+SKIP_ROWS_PER_FILE = 200
+SKIP_D1 = "1995-01-01"
+SKIP_D2 = "1996-01-01"
+SKIP_PRICE = 150000.0
+
+
+def _skip_sql(d) -> str:
+    rn = "row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1"
+    return f"""
+    WITH inv AS (
+      SELECT {d.idiv(f'({rn})', str(SKIP_ROWS_PER_FILE))} AS file_id,
+             o_orderdate, o_totalprice
+      FROM orders),
+    zones AS (
+      SELECT file_id,
+             min(o_orderdate) AS min_d, max(o_orderdate) AS max_d,
+             min(o_totalprice) AS min_p, max(o_totalprice) AS max_p,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM inv GROUP BY file_id),
+    plan AS (
+      SELECT file_id, n_rows,
+             CASE
+               WHEN max_d < TIMESTAMP '{SKIP_D1}'
+                 OR min_d >= TIMESTAMP '{SKIP_D2}'
+                 OR max_p <= {SKIP_PRICE} THEN 'skip'
+               WHEN min_d >= TIMESTAMP '{SKIP_D1}'
+                AND max_d < TIMESTAMP '{SKIP_D2}'
+                AND min_p > {SKIP_PRICE} THEN 'full'
+               ELSE 'partial'
+             END AS decision
+      FROM zones)
+    SELECT decision,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows
+    FROM plan GROUP BY decision
+    """
+
+
+@register(
+    "maintenance_file_skipping_plan",
+    oracle=_skip_sql(DUCK_D),
+    tags=("layout", "maintenance", "scale-pattern"),
+    doc="Zone-map (min/max statistics) file skipping — the metadata pruning "
+    "step every lakehouse scan runs before touching data (parquet "
+    "row-group stats, Delta/Iceberg file stats): a per-file inventory of "
+    "min/max orderdate and totalprice classifies each file against the "
+    f"predicate [date ∈ [{SKIP_D1}, {SKIP_D2}) AND price > {SKIP_PRICE}] "
+    "as skip (zone disjoint from predicate — never read), full (zone "
+    "contained — read without re-evaluating the predicate), or partial "
+    "(read + filter). Files simulate time-ordered ingest (row_number "
+    "over orderdate), which is why date zones are TIGHT and most files "
+    "skip — the same clustering-determines-skipping fact the Z-order "
+    "entry (zorder_layout_scan) demonstrates from the write side. At "
+    "100 TB the inventory is catalog METADATA (|files| rows, no data "
+    "scan — the scan here only exists to simulate it); the decision "
+    "column is what the scheduler turns into the task list, and "
+    "'skip' rows are IO that never happens.",
+)
+def maintenance_file_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_skip_sql(SPARK_D))

@@ -431,3 +431,86 @@ def test_ivm_agg_delta_no_cartesian_joins_keyed(spark, sf_dir):
     assert "FullOuter" in final
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_cdc_chunking_single_scan_no_product(spark, sf_dir):
+    # one corpus scan → position explode → one doc_id-keyed window; the
+    # boundary test is a per-row hash, never a join
+    plan = plan_of(spark, sf_dir, "doc_chunk_content_defined", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "CartesianProduct" not in final
+
+
+def test_chunk_shared_is_keyed_equi_join(spark, sf_dir):
+    # candidates come from an equi-join on chunk_hash (banded discipline):
+    # a keyed join operator must appear and no pairwise product may exist
+    plan = plan_of(spark, sf_dir, "dedup_chunk_shared", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert ("SortMergeJoin" in final) or ("ShuffledHashJoin" in final) or (
+        "BroadcastHashJoin" in final
+    )
+
+
+def test_hll_intersect_scans_events_twice_only(spark, sf_dir):
+    # sketch pass + exact-membership audit pass; the only cross join
+    # multiplies two single-row aggregates
+    plan = plan_of(spark, sf_dir, "hll_intersect_estimate", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") <= 2, final
+
+
+def test_ivm_distinct_refcount_merge_is_keyed(spark, sf_dir):
+    # base refcounts and signed delta partials merge on the (type, user)
+    # key — one full-outer keyed join, no product, no driver collect
+    plan = plan_of(spark, sf_dir, "ivm_distinct_delta", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "FullOuter" in final
+    assert "CartesianProduct" not in final
+
+
+def test_phash_near_dup_banded_equi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "mm_phash_near_dup", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "MapInPandas" in final  # the phash extraction stays Arrow-batched
+
+
+def test_pattern_kleene_one_window_pass_no_product(spark, sf_dir):
+    # star matching is gaps-and-islands: user-keyed windows + one keyed
+    # join of the run summary; no per-length self-join of the event log
+    plan = plan_of(spark, sf_dir, "events_pattern_kleene", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_file_skipping_plan_metadata_sized(spark, sf_dir):
+    # inventory simulation is the only scan; decisions are CASE over the
+    # |files|-row zone-map aggregate
+    plan = plan_of(spark, sf_dir, "maintenance_file_skipping_plan", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "CartesianProduct" not in final
+
+
+def test_wordpiece_greedy_topk_then_pandas(spark, sf_dir):
+    # word selection plans as TakeOrderedAndProject (never a global sort);
+    # the greedy loop runs as one Arrow-batched pandas stage
+    plan = plan_of(spark, sf_dir, "tokenizer_wordpiece_greedy", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "MapInPandas" in final
+    assert "CartesianProduct" not in final
+
+
+def test_contamination_overlap_broadcasts_eval_grams(spark, sf_dir):
+    # the eval shingle set broadcasts; the training corpus never shuffles
+    # its gram stream for the join
+    plan = plan_of(spark, sf_dir, "corpus_contamination_overlap", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
