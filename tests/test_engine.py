@@ -125,3 +125,85 @@ def test_builtin_hll_estimate_within_rsd(spark, sf_dir):
     for r in rows:
         assert r["within_3rsd"] is True, (r["event_type"],)
         assert r["exact_users"] == exact[r["event_type"]]
+
+
+def test_cdc_chunk_boundaries_survive_prefix_edit(spark, tmp_path):
+    # THE content-defined property: prepending text to a document perturbs
+    # only the chunks overlapping the edit — every boundary at least one
+    # full gram past the insertion re-synchronizes, so the tail chunks'
+    # hashes are IDENTICAL. Fixed-window chunking has ~zero tail overlap
+    # (every chunk shifts). This certifies the algorithm itself, not just
+    # engine parity.
+    import pandas as pd
+
+    from flock_spark.operators.chunking import _cdc_chunks
+
+    base = " ".join(f"tok{i % 97}w{(i * 7) % 31}" for i in range(400))
+    edited = "inserted preamble words here " + base
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [base, edited],
+            "lang": ["en", "en"],
+            "source": ["a", "a"],
+            "n_chars": [len(base), len(edited)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    chunks = _cdc_chunks(spark, str(tmp_path)).collect()
+    h1 = {r.chunk_hash for r in chunks if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in chunks if r.doc_id == 2}
+    shared = len(h1 & h2)
+    # all but the first chunk (and possibly the re-sync chunk) survive
+    assert shared >= len(h1) - 2, (shared, len(h1))
+    assert shared >= 1
+
+
+def test_kleene_pattern_matches_bruteforce(spark, sf_dir):
+    # independent O(n) python enumerator over the collected event log must
+    # agree exactly with the distributed gaps-and-islands lowering
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from flock_spark.catalog import tbl
+    from flock_spark.queries.advanced import PATTERN_GAP_S, events_pattern_kleene
+
+    rows = tbl(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    gap = timedelta(seconds=PATTERN_GAP_S)
+    expected = set()
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        for j, p in enumerate(evs):
+            if p.event_type != "purchase":
+                continue
+            # walk back through consecutive in-gap clicks to a view head
+            k = j
+            n_clicks = 0
+            ok = True
+            while True:
+                if k == 0:
+                    ok = False
+                    break
+                prev = evs[k - 1]
+                if evs[k].ts > prev.ts + gap:
+                    ok = False
+                    break
+                if prev.event_type == "click":
+                    n_clicks += 1
+                    k -= 1
+                elif prev.event_type == "view":
+                    break
+                else:
+                    ok = False
+                    break
+            if ok:
+                expected.add((uid, evs[k - 1].ts, n_clicks, p.ts))
+    got = {
+        (r.user_id, r.t_view, r.n_clicks, r.t_purchase)
+        for r in events_pattern_kleene(spark, sf_dir).collect()
+    }
+    assert got == expected
