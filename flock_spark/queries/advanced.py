@@ -1402,3 +1402,119 @@ def events_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("t_purchase"),
     )
     return starred.unionByName(zero)
+
+@register(
+    "anomaly_mad_flags",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.50), 6) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.event_id, e.value,
+             abs(e.value - m.med) AS absdev, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (
+      SELECT event_type, round(quantile_cont(absdev, 0.50), 6) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           max(d.med) AS med,
+           max(m.mad) AS mad,
+           CAST(count(*) FILTER (WHERE d.absdev > 4.4478 * m.mad) AS BIGINT)
+             AS n_flagged,
+           round(max(CASE WHEN d.absdev > 4.4478 * m.mad THEN d.value END), 6)
+             AS max_flagged_value
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("stats", "join", "scale-pattern"),
+    doc="Robust anomaly detection via median absolute deviation — the "
+    "companion to anomaly_zscore_flags for the case z-scores silently "
+    "fail: outliers inflate mean AND stddev, masking themselves, while "
+    "median/MAD have a 50% breakdown point. Flag threshold |x−med| > "
+    "3·1.4826·MAD (1.4826 scales MAD to σ under normality; folded into "
+    "the 4.4478 literal so both engines compare the same double). Two "
+    "keyed aggregate passes (median, then MAD of deviations), each a "
+    "KEYS-sized result broadcast back — the fact table never shuffles. "
+    "Spark percentile() ≡ DuckDB quantile_cont, rounded to absorb "
+    "interpolation ulps (agg_percentiles' discipline). At 100 TB the "
+    "exact medians become t-digest/KLL sketches (percentile_approx) "
+    "with identical plan shape; the exact form is the certifiable one.",
+)
+def anomaly_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("absdev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(absdev, 0.50)"), 6).alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    flagged = F.col("absdev") > 4.4478 * F.col("mad")
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+        F.round(F.max(F.when(flagged, F.col("value"))), 6).alias("max_flagged_value"),
+    )
+
+
+_DRIFT_SQL = """
+    WITH snap AS (
+      SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bin,
+             CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap
+      FROM documents),
+    hist AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM snap GROUP BY bin),
+    tot AS (
+      SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+             CAST(sum(c_b) AS BIGINT) AS n_b
+      FROM hist)
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+           CAST(sum(abs(h.c_a * t.n_b - h.c_b * t.n_a)) AS BIGINT) AS tvd_num,
+           round(sum(CAST(h.c_a * t.n_b - h.c_b * t.n_a AS DOUBLE)
+                     * CAST(h.c_a * t.n_b - h.c_b * t.n_a AS DOUBLE)
+                     / (CAST(t.n_a AS DOUBLE) * t.n_b * (h.c_a + h.c_b))), 6)
+             AS chi2,
+           (CAST(sum(abs(h.c_a * t.n_b - h.c_b * t.n_a)) AS BIGINT) * 10
+              > t.n_a * t.n_b) AS drift_flag
+    FROM hist h CROSS JOIN tot t
+    GROUP BY t.n_a, t.n_b
+    """
+
+
+@register(
+    "table_snapshot_drift",
+    oracle=_DRIFT_SQL,
+    tags=("stats", "quality", "scale-pattern"),
+    doc="Distribution-drift monitoring between two table snapshots (split "
+    "here by doc_id parity; in production: yesterday's vs today's "
+    "partition): fixed-width histograms of n_chars compared with (1) "
+    "total variation distance as an INTEGER cross-multiplied numerator "
+    "(t-closeness' no-ratio discipline — drift_flag tests TVD > 5% "
+    "without ever dividing) and (2) the two-sample chi-squared "
+    "statistic, whose one double division is exactly-rounded IEEE on "
+    "identical int64 inputs on both engines. PSI, the industry's usual "
+    "drift score, needs ln(p/q) — libm ln is NOT cross-engine "
+    "bit-stable (the HLL linear-counting table exists for the same "
+    "reason), so the certified metrics are the ln-free pair; a "
+    "production PSI would bolt onto the same histogram. At 100 TB: two "
+    "map-side histogram partials (|bins| rows each), everything after "
+    "is arithmetic on an audit-sized relation. Identical SQL text runs "
+    "on both engines.",
+)
+def table_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_DRIFT_SQL)

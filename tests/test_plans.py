@@ -514,3 +514,21 @@ def test_contamination_overlap_broadcasts_eval_grams(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
     assert "CartesianProduct" not in final
+
+
+def test_mad_flags_broadcast_stats_no_fact_shuffle_twice(spark, sf_dir):
+    # both stats relations (median, MAD) broadcast back; the fact table
+    # never becomes a shuffle-join side
+    plan = plan_of(spark, sf_dir, "anomaly_mad_flags", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_snapshot_drift_two_histogram_partials(spark, sf_dir):
+    # drift metrics are arithmetic over the |bins|-row histogram; the only
+    # cross join multiplies it by the single-row totals
+    plan = plan_of(spark, sf_dir, "table_snapshot_drift", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
