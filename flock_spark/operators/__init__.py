@@ -8,6 +8,7 @@ import flock_spark.operators.asof  # noqa: F401
 import flock_spark.operators.multimodal  # noqa: F401
 import flock_spark.operators.corpus  # noqa: F401
 import flock_spark.operators.chunking  # noqa: F401
+import flock_spark.operators.recsys  # noqa: F401
 import flock_spark.operators.incremental  # noqa: F401
 import flock_spark.operators.sketches  # noqa: F401
 import flock_spark.operators.graph  # noqa: F401

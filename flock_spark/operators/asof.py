@@ -139,3 +139,89 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="event_id long, user_id long, ts timestamp, o_orderkey long, o_orderdate timestamp",
         )
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate, matched_side
+FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         CASE WHEN o.o_orderdate <= e.ts THEN 'backward' ELSE 'forward' END
+           AS matched_side,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
+                    CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+                    CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey
+                         ELSE o.o_orderkey END) AS rn
+  FROM events e JOIN orders o ON e.user_id = o.o_custkey) t
+WHERE rn = 1
+"""
+
+
+@register(
+    "asof_join_nearest",
+    oracle=_ASOF_NEAREST_ORACLE,
+    tags=("asof", "join"),
+    doc="NEAREST-match as-of join (pandas merge_asof direction='nearest' "
+    "semantics): each event takes the order of the same customer closest "
+    "in time on EITHER side, exact-microsecond distance, ties resolved "
+    "backward-first then (backward: highest / forward: lowest) orderkey "
+    "— a pinned total order, so the match is deterministic. Lowered to "
+    "the SAME single union + carry pass as asof_join_window, just with "
+    "BOTH directional carries in one window sort (last ignoreNulls over "
+    "preceding = latest prior; first ignoreNulls over following = "
+    "earliest later) and a constant-time distance compare per event — "
+    "still linear in |events|+|orders| with ONE keyed shuffle, where "
+    "the oracle's join+rank formulation builds the event × order "
+    "product per customer. Distances compare as integer unix "
+    "MICROSECONDS on both engines (the events_pattern_3step precision "
+    "discipline — interval or second-floored arithmetic would diverge).",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    orders_t = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    events_t = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        "event_id",
+        "ts",
+    )
+    base = W.partitionBy("user_id").orderBy("t", "tag", "o_orderkey")
+    wb = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = base.rowsBetween(1, W.unboundedFollowing)
+    u = orders_t.unionByName(events_t)
+    c = (
+        u.withColumn("bk", F.last("o_orderkey", ignorenulls=True).over(wb))
+        .withColumn("bd", F.last("o_orderdate", ignorenulls=True).over(wb))
+        .withColumn("fk", F.first("o_orderkey", ignorenulls=True).over(wf))
+        .withColumn("fd", F.first("o_orderdate", ignorenulls=True).over(wf))
+        .filter(F.col("tag") == 1)
+    )
+    d_back = F.abs(F.unix_micros("ts") - F.unix_micros("bd"))
+    d_fwd = F.abs(F.unix_micros("fd") - F.unix_micros("ts"))
+    take_back = F.col("bd").isNotNull() & (F.col("fd").isNull() | (d_back <= d_fwd))
+    return (
+        c.filter(F.col("bd").isNotNull() | F.col("fd").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(take_back, F.col("bk")).otherwise(F.col("fk")).alias("o_orderkey"),
+            F.when(take_back, F.col("bd")).otherwise(F.col("fd")).alias("o_orderdate"),
+            F.when(take_back, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("matched_side"),
+        )
+    )

@@ -770,3 +770,94 @@ def tokenizer_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.mapInPandas(
         tokenize, schema="word string, cnt long, n_pieces long, pieces string"
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = (
+    "the", "and", "a", "an", "of", "to", "in", "is", "on", "for", "with",
+    "as", "by", "at", "or", "be", "are", "was", "it", "this", "that", "from",
+)
+RAKE_TOP = 100
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS t,
+             len(string_split(trim(lower(text)), ' ')) AS n
+      FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT doc_id, t[p] AS tok, p,
+             CASE WHEN t[p] IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+      FROM (SELECT doc_id, t, unnest(generate_series(1, n)) AS p
+            FROM toks WHERE n > 0) x),
+    islands AS (
+      SELECT doc_id, tok, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY p) AS phrase_id
+      FROM pos),
+    phrases AS (
+      SELECT doc_id, phrase_id, tok,
+             count(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+      FROM islands WHERE is_stop = 0),
+    words AS (
+      SELECT tok AS word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(phrase_len) AS BIGINT) AS degree
+      FROM phrases GROUP BY tok)
+    SELECT word, freq, degree,
+           (degree * 100) // freq AS rake_x100
+    FROM words
+    ORDER BY rake_x100 DESC, freq DESC, word
+    LIMIT {RAKE_TOP}
+    """,
+    tags=("text", "window", "aggregate"),
+    doc="RAKE keyword extraction (Rose et al. 2010): candidate phrases are "
+    "maximal stopword-free token runs — found by gaps-and-islands (a "
+    "running stopword count names the runs; the pattern-matching "
+    "discipline of events_pattern_kleene applied to text) — and each "
+    "word scores degree/freq, where degree sums the lengths of phrases "
+    "containing it (words living in longer phrases rank higher). Score "
+    "kept as integer hundredths via floor division — no float in the "
+    f"ordering. Top-{RAKE_TOP} plans as TakeOrderedAndProject. At "
+    "100 TB: explode → one doc-keyed window → word aggregate; map-side "
+    "partials mean the distinct-word universe, not the token stream, "
+    "crosses the final shuffle; no joins, no pairwise anything.",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.trim(F.lower("text")), " ").alias("t")
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("p", "tok")
+    ).withColumn(
+        "is_stop", F.when(F.col("tok").isin(*RAKE_STOPWORDS), 1).otherwise(0)
+    )
+    wp = W.partitionBy("doc_id").orderBy("p")
+    islands = pos.withColumn("phrase_id", F.sum("is_stop").over(wp))
+    wl = W.partitionBy("doc_id", "phrase_id")
+    phrases = islands.filter(F.col("is_stop") == 0).withColumn(
+        "phrase_len", F.count("*").over(wl)
+    )
+    words = phrases.groupBy(F.col("tok").alias("word")).agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("phrase_len").cast("long").alias("degree"),
+    )
+    return (
+        words.select(
+            "word",
+            "freq",
+            "degree",
+            F.expr("(degree * 100L) div freq").alias("rake_x100"),
+        )
+        .orderBy(F.desc("rake_x100"), F.desc("freq"), "word")
+        .limit(RAKE_TOP)
+    )

@@ -1518,3 +1518,94 @@ _DRIFT_SQL = """
 def table_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_DRIFT_SQL)
+
+
+_AB_SQL_SPARK = None  # the A/B query shares SQL via the hashing primitive
+
+
+@register(
+    "events_ab_test_zstat",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+               % 2 AS variant,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    >= 15 THEN 1 ELSE 0 END AS converted
+      FROM events
+      GROUP BY user_id),
+    arms AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY variant),
+    piv AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM arms)
+    SELECT n0, c0, n1, c1,
+           round(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6)
+             AS lift,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+    FROM piv
+    """,
+    tags=("events", "stats", "experiment"),
+    doc="Two-sample proportions z-test — the experimentation readout an "
+    "analytics engine runs constantly: variant assignment is the "
+    "DETERMINISTIC portable user-id hash (md5 family, hashing.py), so "
+    "both engines assign identical arms and re-runs are reproducible "
+    "(the property real experiment systems get from bucket hashing); "
+    "conversion is a >=15-purchase engagement threshold per user; the pooled-variance z uses "
+    "IEEE division/sqrt on identical inputs (correctly rounded, "
+    "bit-stable across engines), rounded at the boundary. Plan shape at "
+    "100 TB: one user-keyed aggregate (map-side partial over the event "
+    "log), then a 2-row arm pivot — the z-test itself is arithmetic on "
+    "4 integers, which is why experiment analysis parallelizes "
+    "trivially over ANY number of simultaneous experiments (one "
+    "grouped agg per metric×experiment, no joins of row data).",
+)
+def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.operators.hashing import spark_md5_long
+
+    e = tbl(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (F.expr(spark_md5_long("CAST(user_id AS STRING)")) % 2).alias("variant"),
+        "converted",
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    piv = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    return piv.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p1 - p0, 6).alias("lift"),
+        F.round(
+            (p1 - p0)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+            6,
+        ).alias("z_stat"),
+    )

@@ -532,3 +532,40 @@ def test_snapshot_drift_two_histogram_partials(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "table_snapshot_drift", execute=True)
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1, final
+
+
+def test_cooccurrence_pairs_form_inside_baskets(spark, sf_dir):
+    # pair generation is a keyed self-join on the basket key; output is
+    # the ordered top-k (TakeOrderedAndProject), never a global sort
+    plan = plan_of(spark, sf_dir, "items_cooccurrence_jaccard", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "TakeOrderedAndProject" in final
+
+
+def test_ab_test_single_user_aggregate(spark, sf_dir):
+    # one user-keyed aggregate with map-side partials; z-test is
+    # arithmetic over the 2-row arm pivot
+    plan = plan_of(spark, sf_dir, "events_ab_test_zstat", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "partial_" in final  # map-side partial aggregation
+    assert "CartesianProduct" not in final
+
+
+def test_asof_nearest_single_union_pass(spark, sf_dir):
+    # both directional carries run in ONE window sort over the union —
+    # no join operator anywhere (the oracle's join+rank is the quadratic
+    # formulation this lowering exists to avoid)
+    plan = plan_of(spark, sf_dir, "asof_join_nearest", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final, final
+    assert final.count("Window") == 1, final
+
+
+def test_rake_islands_one_window_then_wordcount(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_rake_keywords", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "TakeOrderedAndProject" in final
+    assert "CartesianProduct" not in final
