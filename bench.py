@@ -81,6 +81,12 @@ HEADLINE = [
     # late-round-5 additions: cross-doc diversity audit, IVM under deletes
     "corpus_ngram_diversity",
     "ivm_agg_delta",
+    # round-5 additions: CDC chunk dedup, Kleene patterns, robust anomaly,
+    # basket co-occurrence
+    "dedup_chunk_shared",
+    "events_pattern_kleene",
+    "anomaly_mad_flags",
+    "items_cooccurrence_jaccard",
 ]
 
 
