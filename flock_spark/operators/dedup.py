@@ -1402,3 +1402,70 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("best_n_tokens"),
         (F.col("doc_id") != F.col("cluster_id")).alias("differs_from_min_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-aware sampling weights from near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_cluster_sample_weights",
+    oracle=f"""
+    WITH comp AS ({_duck_components_sql()}),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY cluster_id),
+    weighted AS (
+      SELECT d.doc_id,
+             COALESCE(s.cluster_size, 1) AS cluster_size,
+             (1000000 // COALESCE(s.cluster_size, 1)) AS weight_micro
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.doc_id
+      LEFT JOIN sizes s ON c.cluster_id = s.cluster_id)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(weight_micro) AS BIGINT) AS weight_micro,
+           CAST(sum(weight_micro) AS BIGINT) AS total_weight_micro
+    FROM weighted
+    GROUP BY cluster_size
+    """,
+    tags=("dedup", "corpus", "pipeline"),
+    doc="Count-aware downweighting — the soft alternative to dropping "
+    "near-duplicates: every member of an n-doc cluster samples with "
+    "weight 1/n (integer micro-units, floor division), so each DISTINCT "
+    "piece of content contributes ~equal expected mass to training "
+    "regardless of how often it was crawled (the repetition-vs-quality "
+    "tradeoff documented in dedup scaling studies; hard-dedup is the "
+    "weight→{{0,1}} special case via dedup_drop_duplicates). Reuses the "
+    "memoized cluster relation (label propagation runs ONCE per "
+    "session/dir across the dedup family); singleton docs take weight 1 "
+    "via the LEFT join. Output is the audit histogram per cluster size "
+    "— the sum column proving total mass ≈ |distinct content|. At "
+    "100 TB: clusters are sized by near-duplicates (tiny vs corpus); "
+    "the weight join broadcasts; the sampler applies weight_micro as a "
+    "per-row keep probability exactly like corpus_quality_resample.",
+)
+def corpus_cluster_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _spark_components(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    # comp joins un-hinted: it is near-dup-sized (usually broadcastable, and
+    # AQE will pick that), but forcing broadcast would be wrong for a
+    # pathologically duplicated corpus; sizes is a histogram — always tiny
+    weighted = (
+        d.join(comp, "doc_id", "left")
+        .join(F.broadcast(sizes), "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            F.expr("1000000L div COALESCE(cluster_size, 1L)").alias("weight_micro"),
+        )
+    )
+    return weighted.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("weight_micro").cast("long").alias("weight_micro"),
+        F.sum("weight_micro").cast("long").alias("total_weight_micro"),
+    )

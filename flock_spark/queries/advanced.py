@@ -1342,9 +1342,15 @@ def table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are |runs| rows, orders of magnitude smaller.",
 )
 def events_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kleene_match(tbl(spark, sf_dir, "events"))
+
+
+def kleene_match(e: DataFrame) -> DataFrame:
+    """Shared lowering for the batch entry and its streaming twin
+    (streaming_pattern_kleene): input needs (user_id, ts, event_id,
+    event_type) columns."""
     from pyspark.sql import Window as W
 
-    e = tbl(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.expr(f"INTERVAL {PATTERN_GAP_S} SECOND")
     seq = e.select(

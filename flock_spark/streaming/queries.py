@@ -908,3 +908,34 @@ def streaming_stagger_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.sum("cents").cast("long").alias("sum_cents"))
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_pattern_kleene",
+    oracle=None,  # assigned below: shares the batch twin's oracle verbatim
+    tags=("streaming", "window", "pattern"),
+    doc="Streaming Kleene-star pattern matching (`view click* purchase`): "
+    "like streaming_pattern_3step, an unbounded-lookback pattern window "
+    "cannot run as one incremental query (the run a purchase closes may "
+    "span arbitrarily many micro-batches), so batches stage executor-"
+    "side and the gaps-and-islands matcher (queries/advanced.kleene_match "
+    "— the exact code path the batch entry certifies) re-runs over "
+    "accumulated state per delivery. Batching-independent by "
+    "construction: shared oracle with events_pattern_kleene. The "
+    "production-scale alternative is applyInPandasWithState holding, "
+    "per user, the open run head (view ts + click count + last ts) — "
+    "O(1) state per key, emitting on purchase; the replay form is the "
+    "one an exact-oracle can certify.",
+)
+def streaming_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.queries.advanced import kleene_match
+
+    s = bounded_stream(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return kleene_match(stage_batches(s))
+
+
+from flock_spark.registry import REGISTRY as _REGK  # noqa: E402
+
+_REGK["streaming_pattern_kleene"].oracle = _REGK["events_pattern_kleene"].oracle

@@ -569,3 +569,30 @@ def test_rake_islands_one_window_then_wordcount(spark, sf_dir):
     assert final.count("FileScan parquet") == 1, final
     assert "TakeOrderedAndProject" in final
     assert "CartesianProduct" not in final
+
+
+def test_streaming_kleene_shares_batch_lowering(spark, sf_dir):
+    # the staged-replay twin must reuse the batch matcher's plan shape:
+    # no product joins regardless of the staging source
+    plan = plan_of(spark, sf_dir, "streaming_pattern_kleene", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_scene_cut_single_arrow_pass_then_window(spark, sf_dir):
+    # frame energies come from ONE mapInPandas pass; the cut test is a
+    # doc-keyed lag window — no joins over frames
+    plan = plan_of(spark, sf_dir, "mm_scene_cut_detect", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1, final
+    assert "Join" not in final, final
+
+
+def test_cluster_weights_reuse_memoized_components(spark, sf_dir):
+    # the cluster relation must come from the memoized localCheckpoint
+    # (InMemory/Existing RDD scan), not a fresh fixpoint per entry
+    plan = plan_of(spark, sf_dir, "corpus_cluster_sample_weights", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert ("Scan ExistingRDD" in final) or ("InMemoryTableScan" in final), final
+    assert "CartesianProduct" not in final
