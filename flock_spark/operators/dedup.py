@@ -1469,3 +1469,82 @@ def corpus_cluster_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("weight_micro").cast("long").alias("weight_micro"),
         F.sum("weight_micro").cast("long").alias("total_weight_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit against the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def _recall_audit_oracle() -> str:
+    from flock_spark.registry import REGISTRY
+
+    truth = REGISTRY["dedup_ngram_jaccard"].oracle
+    cand = _duck_pairs_sql()
+    return f"""
+    WITH truth AS ({truth}),
+    cand AS ({cand}),
+    j AS (
+      SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+             COALESCE(t.doc_b, c.doc_b) AS doc_b,
+             (t.doc_a IS NOT NULL) AS in_truth,
+             (c.doc_a IS NOT NULL) AS in_cand
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+           CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS tp,
+           CAST(sum(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+           (CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000)
+             // CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS recall_bp
+    FROM j
+    """
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    oracle=None,  # assigned at import end (composes two registered oracles)
+    tags=("dedup", "audit", "join"),
+    doc="MinHash-LSH RECALL measured against exact ground truth: the "
+    "banded candidate pairs full-outer-joined with the exact char-gram "
+    "Jaccard pairs above threshold (dedup_ngram_jaccard — the quadratic "
+    "baseline that exists precisely to make this audit possible), "
+    "emitting truth/candidate/TP/FN counts and integer basis-point "
+    "recall. This is the measurement that justifies shipping the sketch "
+    "path at 100 TB — LSH's recall guarantee is probabilistic "
+    "(1-(1-s^r)^b), and production validates it on a bounded sample "
+    "exactly like this before trusting a full-corpus run (the sibling "
+    "of ann_ivf_recall_audit on the embedding side). Cost is O(truth ∪ "
+    "candidates) — both relations are pair lists, tiny next to the "
+    "corpus; the join is keyed on the pair.",
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.registry import REGISTRY
+
+    truth = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    cand = _spark_lsh_pairs(spark, sf_dir)
+    j = truth.withColumn("in_truth", F.lit(True)).join(
+        cand.withColumn("in_cand", F.lit(True)), ["doc_a", "doc_b"], "full_outer"
+    )
+    it = F.col("in_truth").isNotNull()
+    ic = F.col("in_cand").isNotNull()
+    return j.agg(
+        F.sum(F.when(it, 1).otherwise(0)).cast("long").alias("n_truth"),
+        F.sum(F.when(ic, 1).otherwise(0)).cast("long").alias("n_cand"),
+        F.sum(F.when(it & ic, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(it & ~ic, 1).otherwise(0)).cast("long").alias("fn"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_truth IS NOT NULL AND in_cand IS NOT NULL"
+            " THEN 1 ELSE 0 END) * 10000L AS BIGINT)"
+            " div CAST(sum(CASE WHEN in_truth IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("recall_bp"),
+    )
+
+
+from flock_spark.registry import REGISTRY as _REG_DD  # noqa: E402
+
+_REG_DD["dedup_lsh_recall_audit"].oracle = _recall_audit_oracle()

@@ -696,3 +696,41 @@ def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_energy",
         F.abs(F.col("energy") - F.col("prev_energy")).cast("long").alias("delta"),
     )
+
+
+@register(
+    "mm_dedup_clusters",
+    oracle=None,  # assigned below: recursive-CTE components over phash pairs
+    tags=("multimodal", "dedup", "iterative"),
+    doc="Connected components over the PERCEPTUAL-hash near-dup graph — the "
+    "step that turns mm_phash_near_dup's pair list into deduplicatable "
+    "media clusters (pick one representative per cluster, exactly like "
+    "dedup_drop_duplicates does for text): reuses the dedup family's "
+    "min-label-propagation fixpoint (dedup.py:596 — one join+agg per "
+    "round, rounds = cluster diameter, lineage truncated per round) over "
+    "the banded-Hamming candidate pairs, certified against a recursive-"
+    "CTE respecification. Closes the multimodal dedup pipeline "
+    "end-to-end: extract (mm_phash64) → candidates (banded equi-join) → "
+    "clusters (iterative CC) — each stage oracle-exact, no stage ever "
+    "touching payload bytes after extraction.",
+)
+def mm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.operators.dedup import _propagate_components
+
+    pairs = mm_phash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return _propagate_components(pairs)
+
+
+from flock_spark.registry import REGISTRY as _REG_MM  # noqa: E402
+
+_REG_MM["mm_dedup_clusters"].oracle = f"""
+    WITH RECURSIVE pairs AS ({_REG_MM["mm_phash_near_dup"].oracle}),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(doc, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT reach.doc, edges.d FROM reach JOIN edges ON reach.r = edges.s)
+    SELECT doc AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY doc
+    """

@@ -596,3 +596,21 @@ def test_cluster_weights_reuse_memoized_components(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert ("Scan ExistingRDD" in final) or ("InMemoryTableScan" in final), final
     assert "CartesianProduct" not in final
+
+
+def test_mm_clusters_iterate_over_pair_relation(spark, sf_dir):
+    # the fixpoint iterates over the (tiny) phash pair relation with
+    # checkpointed lineage — never a product, never the payload bytes
+    plan = plan_of(spark, sf_dir, "mm_dedup_clusters", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "Scan ExistingRDD" in final  # localCheckpoint truncated lineage
+
+
+def test_recall_audit_joins_pair_lists_only(spark, sf_dir):
+    # audit cost is O(truth ∪ candidates): one keyed full-outer join of
+    # two pair lists, single-row aggregate output
+    plan = plan_of(spark, sf_dir, "dedup_lsh_recall_audit", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "FullOuter" in final
+    assert "CartesianProduct" not in final
