@@ -209,7 +209,12 @@ CDC_DF_CAP = 25  # stop-chunk removal: drop chunks appearing in > cap docs
 
 # Both engines hash the SAME gram text (md5-based 60-bit int, see
 # operators/hashing.py), so boundaries land on identical token positions.
-_CDC_DUCK = f"""
+# Parameterized builders: the registered entries use (CDC_GRAM, CDC_MOD);
+# the randomized differential in tests/test_differential.py sweeps others.
+
+
+def _cdc_duck_sql(gram: int = CDC_GRAM, mod: int = CDC_MOD) -> str:
+    return f"""
     toks AS (
       SELECT doc_id, {_TOKS_DUCK} AS t, len({_TOKS_DUCK}) AS n
       FROM documents WHERE text IS NOT NULL),
@@ -220,10 +225,10 @@ _CDC_DUCK = f"""
       SELECT doc_id, t, n, p
       FROM pos
       WHERE p = n
-         OR (p >= {CDC_GRAM}
+         OR (p >= {gram}
              AND (('0x' || substring(md5(array_to_string(
-                    list_slice(t, p - {CDC_GRAM} + 1, p), ' ')), 1, 15))::BIGINT)
-                 % {CDC_MOD} = 0)),
+                    list_slice(t, p - {gram} + 1, p), ' ')), 1, 15))::BIGINT)
+                 % {mod} = 0)),
     spans AS (
       SELECT doc_id, n, p AS chunk_end,
              COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
@@ -242,7 +247,12 @@ _CDC_DUCK = f"""
 """
 
 
-def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+_CDC_DUCK = _cdc_duck_sql()
+
+
+def _cdc_chunks(
+    spark: SparkSession, sf_dir: str, gram: int = CDC_GRAM, mod: int = CDC_MOD
+) -> DataFrame:
     """Chunk relation (doc_id, chunk_id, chunk_tokens, chunk_hash) shared by
     the CDC entries. One scan → explode positions → per-doc window for span
     starts: a single doc_id-keyed shuffle, output rows ≈ corpus_tokens/8."""
@@ -259,11 +269,11 @@ def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gram_hash = F.expr(
         "CAST(conv(substring(md5(array_join("
-        f"slice(t, p - {CDC_GRAM} + 1, {CDC_GRAM}), ' ')), 1, 15), 16, 10) AS BIGINT)"
+        f"slice(t, p - {gram} + 1, {gram}), ' ')), 1, 15), 16, 10) AS BIGINT)"
     )
     ends = pos.filter(
         (F.col("p") == F.col("n"))
-        | ((F.col("p") >= CDC_GRAM) & (gram_hash % CDC_MOD == 0))
+        | ((F.col("p") >= gram) & (gram_hash % mod == 0))
     )
     w = W.partitionBy("doc_id").orderBy("p")
     spans = ends.select(

@@ -592,3 +592,40 @@ def test_random_stagger_grid_matches_duckdb(spark, size_s, off_salt):
     assert got == want, f"stagger grid mismatch at size={size_s}s salt={off_salt}"
     if size_s >= 3600:
         assert max(c for _, _, c in got) > 1, "grid degenerated to per-event groups"
+
+
+# ---------------------------------------------------------------------------
+# Randomized CDC-parameter differential: the chunker must stay oracle-exact
+# for ANY (gram, mod) setting, not just the registered constants
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    gram=st.integers(min_value=2, max_value=6),
+    mod=st.sampled_from([4, 6, 8, 12, 16]),
+)
+def test_cdc_chunker_matches_oracle_for_any_params(spark, gram, mod):
+    from flock_spark.oracle import compare
+    from flock_spark.operators.chunking import _cdc_chunks, _cdc_duck_sql
+    from pyspark.sql import functions as F
+
+    def fn(s, sf):
+        return (
+            _cdc_chunks(s, sf, gram=gram, mod=mod)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+                F.countDistinct("chunk_hash").cast("long").alias("distinct_chunks"),
+            )
+        )
+
+    oracle = f"""
+    WITH {_cdc_duck_sql(gram=gram, mod=mod)}
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks
+    FROM chunks GROUP BY doc_id
+    """
+    compare(spark, fn, oracle, SF_DIR)
