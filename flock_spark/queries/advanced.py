@@ -1615,3 +1615,59 @@ def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+@register(
+    "csv_corrupt_tolerant_read",
+    oracle="""
+    SELECT event_type, count(*) AS cnt
+    FROM events WHERE event_id % 89 <> 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT '_CORRUPT_' AS event_type, count(*) AS cnt
+    FROM events WHERE event_id % 89 = 0
+    """,
+    tags=("source", "csv", "robustness"),
+    doc="Malformed-record tolerance on the CSV path — the delimited-text "
+    "twin of json_wire_corrupt_tolerant (the reference's CSV source is "
+    "flock/src/datasource/memory.rs + arrow CSV; quarantine behavior is "
+    "Spark's PERMISSIVE mode): every 89th record is written as an "
+    "unparseable non-numeric token, from_csv yields NULL for its typed "
+    "lead column, and the reader quarantines it under '_CORRUPT_' "
+    "instead of failing the scan. The oracle replays the corruption "
+    "rule over the clean table, value-verifying the quarantine count. "
+    "Same 100 TB posture: a bad row costs one bucket increment, never "
+    "the job.",
+)
+def csv_corrupt_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.staging import stage_once
+
+    def write_feed(tmp: str) -> None:
+        e = tbl(spark, sf_dir, "events")
+        payload = F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+        )
+        line = F.when(F.col("event_id") % 89 == 0, F.lit("#corrupt#")).otherwise(
+            payload
+        )
+        e.select(line.alias("value")).repartition(4).write.mode("overwrite").text(tmp)
+
+    path = stage_once(f"csv_corrupt_{sf_dir}", "v1-mod89-token", write_feed)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.from_csv(
+            "value", "event_id bigint, user_id bigint, event_type string"
+        ).alias("r")
+    )
+    good = (
+        parsed.filter(F.col("r.event_id").isNotNull())
+        .groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    bad = parsed.filter(F.col("r.event_id").isNull()).agg(
+        F.lit("_CORRUPT_").alias("event_type"), F.count("*").alias("cnt")
+    )
+    return good.unionByName(bad)

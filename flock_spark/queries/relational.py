@@ -1166,3 +1166,38 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
         ).cast("bigint").alias("overlap_days"),
     ).distinct()
+
+
+@register(
+    "window_nth_cume",
+    oracle="""
+    SELECT c_custkey,
+           nth_value(c_name, 3) OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS third_richest,
+           round(cume_dist() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey), 6) AS bal_cume
+    FROM customer
+    """,
+    tags=("window",),
+    doc="NTH_VALUE over a full-partition frame + CUME_DIST — the last two "
+    "analytic functions of the ANSI window surface not already pinned "
+    "(rank/dense/percent_rank/ntile/lag/lead/first/last are certified "
+    "elsewhere). Deterministic: both orderings carry the c_custkey "
+    "tie-break, and cume_dist is an exact rational rounded at the "
+    "boundary. One keyed window pass, nation-partitioned.",
+)
+def window_nth_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    wn = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    wc = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.nth_value("c_name", 3).over(wn).alias("third_richest"),
+        F.round(F.cume_dist().over(wc), 6).alias("bal_cume"),
+    )
