@@ -207,3 +207,86 @@ def test_kleene_pattern_matches_bruteforce(spark, sf_dir):
         for r in events_pattern_kleene(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_file_skipping_decisions_are_sound(spark, sf_dir):
+    # semantic soundness beyond oracle parity: files classified 'skip' must
+    # contain ZERO predicate-matching rows, and 'full' files must match on
+    # EVERY row — the guarantees that make zone-map pruning safe to trust
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flock_spark.catalog import tbl
+    from flock_spark.queries.layouts import (
+        SKIP_D1,
+        SKIP_D2,
+        SKIP_PRICE,
+        SKIP_ROWS_PER_FILE,
+    )
+
+    o = tbl(spark, sf_dir, "orders")
+    w = W.orderBy("o_orderdate", "o_orderkey")
+    inv = o.withColumn(
+        "file_id", ((F.row_number().over(w) - 1) / SKIP_ROWS_PER_FILE).cast("long")
+    )
+    match = (
+        (F.col("o_orderdate") >= F.lit(SKIP_D1).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(SKIP_D2).cast("timestamp"))
+        & (F.col("o_totalprice") > SKIP_PRICE)
+    )
+    per_file = inv.groupBy("file_id").agg(
+        F.sum(F.when(match, 1).otherwise(0)).alias("n_match"),
+        F.count("*").alias("n_rows"),
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"),
+        F.min("o_totalprice").alias("min_p"),
+        F.max("o_totalprice").alias("max_p"),
+    )
+    decided = per_file.withColumn(
+        "decision",
+        F.when(
+            (F.col("max_d") < F.lit(SKIP_D1).cast("timestamp"))
+            | (F.col("min_d") >= F.lit(SKIP_D2).cast("timestamp"))
+            | (F.col("max_p") <= SKIP_PRICE),
+            "skip",
+        )
+        .when(
+            (F.col("min_d") >= F.lit(SKIP_D1).cast("timestamp"))
+            & (F.col("max_d") < F.lit(SKIP_D2).cast("timestamp"))
+            & (F.col("min_p") > SKIP_PRICE),
+            "full",
+        )
+        .otherwise("partial"),
+    ).collect()
+    assert any(r.decision == "skip" for r in decided)
+    for r in decided:
+        if r.decision == "skip":
+            assert r.n_match == 0, r
+        elif r.decision == "full":
+            assert r.n_match == r.n_rows, r
+
+
+def test_wordpiece_pieces_rejoin_to_word(spark, sf_dir):
+    # segmentation is total and lossless: pieces concatenated without the
+    # separator must reproduce the word exactly
+    from flock_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+    rows = REGISTRY["tokenizer_wordpiece_greedy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pieces.replace("|", "") == r.word, r
+        assert r.n_pieces == r.pieces.count("|") + 1, r
+
+
+def test_ab_arms_partition_all_users(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flock_spark.catalog import tbl
+    from flock_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+    row = REGISTRY["events_ab_test_zstat"].fn(spark, sf_dir).collect()[0]
+    n_users = tbl(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert row.n0 + row.n1 == n_users
+    assert 0 <= row.c0 <= row.n0 and 0 <= row.c1 <= row.n1
