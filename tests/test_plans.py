@@ -614,3 +614,12 @@ def test_recall_audit_joins_pair_lists_only(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "FullOuter" in final
     assert "CartesianProduct" not in final
+
+
+def test_modularity_audit_joins_pair_relation_only(spark, sf_dir):
+    # three keyed joins over the pair/components relations; reuses the
+    # memoized components (no fresh fixpoint), no product joins
+    plan = plan_of(spark, sf_dir, "graph_modularity_audit", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "Scan ExistingRDD" in final  # memoized, checkpointed components
