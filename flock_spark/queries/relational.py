@@ -1201,3 +1201,39 @@ def window_nth_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("c_name", 3).over(wn).alias("third_richest"),
         F.round(F.cume_dist().over(wc), 6).alias("bal_cume"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT event_type, bucket AS modal_bucket, cnt AS modal_cnt
+    FROM (
+      SELECT event_type, bucket, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, bucket) AS rn
+      FROM (SELECT event_type, user_id % 25 AS bucket, count(*) AS cnt
+            FROM events GROUP BY event_type, user_id % 25) c) r
+    WHERE rn = 1
+    """,
+    tags=("aggregate", "window", "stats"),
+    doc="Exact MODE with a pinned tie-break — deliberately NOT the engines' "
+    "native mode(), which both Spark and DuckDB define as tie-ARBITRARY "
+    "(a hash gate across engines, or even across partitionings, would "
+    "flake): lowered to count-per-value + row_number ordered (cnt DESC, "
+    "value ASC), the only portable exact-mode formulation. Two-phase "
+    "shape at 100 TB: the value-count aggregate map-side-combines so the "
+    "shuffle carries |group × distinct-value| partials, and the window "
+    "runs over that aggregate, never the rows. The same lowering "
+    "generalizes to top-k modes (rn <= k).",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    c = e.groupBy("event_type", (F.col("user_id") % 25).alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("cnt"), "bucket")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("bucket").alias("modal_bucket"), F.col("cnt").alias("modal_cnt"))
+    )
