@@ -1237,3 +1237,45 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("bucket").alias("modal_bucket"), F.col("cnt").alias("modal_cnt"))
     )
+
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE anc(user_id, anc_id, depth) AS (
+      SELECT user_id, user_id, CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT user_id FROM events) u
+      UNION ALL
+      SELECT a.user_id, CAST(floor(a.anc_id / 2.0) AS BIGINT),
+             a.depth + CAST(1 AS BIGINT)
+      FROM anc a WHERE a.anc_id >= 1
+    )
+    SELECT user_id,
+           CAST(max(depth) AS BIGINT) AS chain_depth,
+           CAST(count(*) AS BIGINT) AS n_ancestors,
+           CAST(sum(anc_id) AS BIGINT) AS anc_id_sum
+    FROM anc
+    GROUP BY user_id
+    """
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle=_RECURSIVE_CTE_SQL,
+    tags=("scalar", "iterative", "sql-surface"),
+    doc="WITH RECURSIVE transitive closure — Spark 4.0 added ANSI recursive "
+    "CTEs (SPARK-24497), so the reference's iterative gap (its engine "
+    "has no recursion at all) is now closed by a NATIVE SQL feature "
+    "rather than only by this repo's driver-controlled fixpoint loops "
+    "(dedup components, k-core, PageRank): each user walks a synthetic "
+    "binary hierarchy (parent = floor(id/2), halving guarantees "
+    "termination in O(log id) rounds) and emits chain depth, ancestor "
+    "count, and an order-insensitive checksum. IDENTICAL SQL text runs "
+    "on both engines — the division is floor(x/2.0), not engine-"
+    "specific integer division. At scale each recursion round is one "
+    "self-join shuffle keyed on the frontier, exactly the plan the "
+    "hand-rolled label-propagation loop produces — which is why the "
+    "hand-rolled form remains the choice when rounds need "
+    "per-iteration checkpointing.",
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_CTE_SQL)
