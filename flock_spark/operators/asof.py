@@ -225,3 +225,81 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("matched_side"),
         )
     )
+
+
+ASOF_TOLERANCE_DAYS = 30
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.ts, m.o_orderkey, m.o_orderdate
+    FROM events e LEFT JOIN (
+      SELECT event_id, o_orderkey, o_orderdate
+      FROM (
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC,
+                                           o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey
+         AND o.o_orderdate <= e.ts
+         AND e.ts <= o.o_orderdate + INTERVAL {ASOF_TOLERANCE_DAYS} DAY) t
+      WHERE rn = 1) m ON e.event_id = m.event_id
+    """,
+    tags=("asof", "join"),
+    doc=f"As-of join with a STALENESS TOLERANCE (pandas merge_asof's "
+    f"tolerance parameter): the latest prior order matches only if it is "
+    f"at most {ASOF_TOLERANCE_DAYS} days old at event time; staler state "
+    "yields NULL (left-join semantics keep every probe row) — the form "
+    "enrichment joins actually ship, because unbounded lookback silently "
+    "attaches years-stale dimension state (the bug asof_join_window's "
+    "unbounded carry would hide). Same single union + carry-forward "
+    "window pass — the tolerance is a post-carry filter, NOT a join "
+    "predicate, so the plan stays linear with one keyed shuffle; the "
+    "oracle's join+rank formulation carries the tolerance in the "
+    "quadratic join to prove both forms agree. Full-precision INTERVAL "
+    "comparison on both engines.",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    orders_t = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    events_t = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        "event_id",
+        "ts",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "tag", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = orders_t.unionByName(events_t)
+    carried = (
+        u.withColumn("m_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("m_orderdate", F.last("o_orderdate", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+    )
+    fresh = F.col("ts") <= F.col("m_orderdate") + F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_DAYS} DAY"
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("m_orderkey")).alias("o_orderkey"),
+        F.when(fresh, F.col("m_orderdate")).alias("o_orderdate"),
+    )
