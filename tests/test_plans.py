@@ -623,3 +623,29 @@ def test_modularity_audit_joins_pair_relation_only(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
     assert "Scan ExistingRDD" in final  # memoized, checkpointed components
+
+
+def test_mode_window_runs_over_aggregate_not_rows(spark, sf_dir):
+    # count partials map-side combine; the rank window sees only the
+    # |group x distinct-value| aggregate
+    plan = plan_of(spark, sf_dir, "agg_mode_deterministic", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final or "partial_" in final, final
+    assert "CartesianProduct" not in final
+
+
+def test_asof_tolerance_single_union_window_no_join(spark, sf_dir):
+    # tolerance is a post-carry filter, not a join predicate: the plan
+    # must stay the linear union+window shape with zero join operators
+    plan = plan_of(spark, sf_dir, "asof_join_tolerance", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final, final
+    assert final.count("Window") == 1, final
+
+
+def test_recursive_cte_executes_natively(spark, sf_dir):
+    # Spark 4 executes WITH RECURSIVE as an iterative union loop — pin
+    # that the native operator is used (no driver-side loop in this entry)
+    plan = plan_of(spark, sf_dir, "recursive_cte_hierarchy", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert ("UnionLoop" in final) or ("Recursion" in final) or ("CTERecursion" in final), final
