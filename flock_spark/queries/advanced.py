@@ -1671,3 +1671,43 @@ def csv_corrupt_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("_CORRUPT_").alias("event_type"), F.count("*").alias("cnt")
     )
     return good.unionByName(bad)
+
+
+@register(
+    "variant_json_shred",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum
+    FROM events
+    WHERE json_valid(props)
+    GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
+    """,
+    tags=("json", "scalar", "sql-surface"),
+    doc="Semi-structured shredding through Spark 4's native VARIANT type "
+    "(SPARK-45827): parse_json lifts the props payload into the binary "
+    "VARIANT encoding once, variant_get extracts typed paths — the "
+    "engine-native path for schema-on-read JSON at scale, where "
+    "get_json_object (json_extract_props) re-parses the string per "
+    "extraction and a thousand-column shred pays a thousand parses. "
+    "try_parse_json gives the same quarantine posture as the corrupt-"
+    "tolerant readers (bad JSON → NULL, never a failed job). The oracle "
+    "shreds the identical paths with DuckDB's JSON type. At 100 TB "
+    "VARIANT additionally vectorizes extraction and supports shredded "
+    "parquet storage — same query text, columnar access.",
+)
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    v = e.select(F.expr("try_parse_json(props)").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        v.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )

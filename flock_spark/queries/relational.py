@@ -1279,3 +1279,44 @@ _RECURSIVE_CTE_SQL = """
 def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+_PIPE_SQL = """
+    FROM events
+    |> WHERE event_type IN ('click', 'purchase')
+    |> EXTEND CAST(round(value * 100) AS BIGINT) AS cents
+    |> AGGREGATE CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(cents) AS BIGINT) AS cents_sum
+       GROUP BY event_type, user_id % 10 AS user_bucket
+    |> WHERE cnt > 5
+    |> ORDER BY event_type, user_bucket
+    |> LIMIT 40
+    """
+
+
+@register(
+    "pipe_syntax_funnel",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type, user_id % 10
+    HAVING count(*) > 5
+    ORDER BY event_type, user_bucket
+    LIMIT 40
+    """,
+    tags=("scalar", "sql-surface", "aggregate"),
+    doc="SQL pipe syntax (Spark 4's |> operators, SPARK-49555 — the "
+    "GoogleSQL pipe-query surface): the same filter→extend→aggregate→"
+    "having→order→limit funnel expressed as a linear pipeline, certified "
+    "against its classic-SQL equivalent on DuckDB. Pipe syntax is pure "
+    "SUGAR over the same logical plan — Catalyst strips the pipe "
+    "operators during analysis, so pushdown/partial-agg/TopK planning "
+    "are identical to the classic form (the plan pin asserts it) and "
+    "there is zero runtime cost to the ergonomic form at any scale.",
+)
+def pipe_syntax_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_PIPE_SQL)

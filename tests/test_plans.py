@@ -649,3 +649,20 @@ def test_recursive_cte_executes_natively(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "recursive_cte_hierarchy", execute=True)
     final = plan.split("== Initial Plan ==")[0]
     assert ("UnionLoop" in final) or ("Recursion" in final) or ("CTERecursion" in final), final
+
+
+def test_pipe_syntax_compiles_to_classic_plan(spark, sf_dir):
+    # pipe operators are analysis-time sugar: pushdown and partial agg
+    # must appear exactly as in the classic formulation
+    plan = plan_of(spark, sf_dir, "pipe_syntax_funnel", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "PushedFilters: [" in plan
+    assert "partial_" in final, final
+    assert "TakeOrderedAndProject" in final
+
+
+def test_variant_shred_single_parse_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "variant_json_shred", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "partial_" in final, final
