@@ -1711,3 +1711,82 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("k_sum"),
         )
     )
+
+
+@register(
+    "udtf_table_arg_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tagged AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS session_id
+      FROM seq)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS t_start, max(ts) AS t_end
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+    tags=("functions", "udtf", "streaming", "window"),
+    doc="Polymorphic Python UDTF with a TABLE argument (Spark 4, "
+    "SPARK-44503): the function consumes TABLE(events) PARTITION BY "
+    "user_id ORDER BY ts — the engine feeds each partition's rows in "
+    "order to a fresh UDTF instance, eval() accumulates the open "
+    "session, terminate() flushes the last one — i.e. the exact "
+    "custom-stateful-operator lifecycle applyInPandasWithState exposes, "
+    "but on the SQL surface. Certified against the declarative "
+    "gaps-and-islands sessionization (10-min gap, the session rule "
+    "session_window_agg pins elsewhere), so the imperative per-"
+    "partition accumulator provably equals the window-algebra form. "
+    "At 100 TB the partition-ordered feed costs the same user-keyed "
+    "shuffle+sort as the window form; the UDTF adds Python transfer, "
+    "which is why it is the API demonstration and the window form is "
+    "the hot path.",
+)
+def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, session_id bigint, n_events bigint,"
+        " t_start timestamp, t_end timestamp"
+    )
+    class Sessionize:
+        def __init__(self):
+            self.user = None
+            self.sid = -1
+            self.n = 0
+            self.start = None
+            self.end = None
+
+        def eval(self, row):
+            from datetime import timedelta
+
+            ts = row["ts"]
+            if self.n and ts > self.end + timedelta(minutes=10):
+                yield self.user, self.sid, self.n, self.start, self.end
+                self.n = 0
+            if self.n == 0:
+                self.sid += 1
+                self.start = ts
+            self.user = row["user_id"]
+            self.end = ts
+            self.n += 1
+
+        def terminate(self):
+            if self.n:
+                yield self.user, self.sid, self.n, self.start, self.end
+
+    spark.udtf.register("flock_sessionize", Sessionize)
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("udtf_sess_src")
+    return spark.sql(
+        "SELECT * FROM flock_sessionize("
+        "TABLE(SELECT user_id, ts, event_id FROM udtf_sess_src)"
+        " PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
