@@ -666,3 +666,14 @@ def test_variant_shred_single_parse_pass(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1, final
     assert "partial_" in final, final
+
+
+def test_table_arg_udtf_partitions_and_sorts_input(spark, sf_dir):
+    # the TABLE argument's PARTITION BY/ORDER BY must become a keyed
+    # exchange + sort feeding the Python eval loop — the same physical
+    # shape as the window-algebra sessionization
+    plan = plan_of(spark, sf_dir, "udtf_table_arg_sessionize", execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Sort" in final, final
+    assert "PythonUDTF" in final or "BatchEvalPythonUDTF" in final or "EvalPython" in final, final
+    assert "CartesianProduct" not in final
