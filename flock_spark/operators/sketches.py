@@ -876,3 +876,48 @@ def _hll_intersect_sql(d: _Dialect) -> str:
 def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_hll_intersect_sql(SPARK_D))
+
+
+# --------------------------------------------- CMS heavy-hitter screen -----
+
+HH_K = 128  # heavy = frequency >= N/K
+
+
+def _cms_hh_sql(d: _Dialect) -> str:
+    return f"""
+    WITH point AS (
+      {_cms_point_sql(d)}
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM events
+    )
+    SELECT p.probe_id, p.est_cnt, p.exact_cnt,
+           (p.est_cnt * {HH_K} >= t.n) AS is_candidate,
+           (p.exact_cnt * {HH_K} >= t.n) AS is_heavy,
+           (p.exact_cnt * {HH_K} < t.n OR p.est_cnt * {HH_K} >= t.n)
+             AS no_false_negative
+    FROM point p CROSS JOIN tot t
+    WHERE p.est_cnt * {HH_K} >= t.n
+    """
+
+
+@register(
+    "cms_heavy_hitters_screen",
+    oracle=_cms_hh_sql(DUCK_D),
+    tags=("approx", "sketch", "frequency", "scale-pattern"),
+    doc=f"Heavy-hitter detection through the Count-Min screen — the "
+    f"canonical CMS deployment: candidates are keys whose SKETCH estimate "
+    f"clears N/{HH_K} (integer cross-multiplied), then only candidates "
+    "pay an exact count for the verify column. The output carries the "
+    "no-false-negative proof BY VALUE: est ≥ exact always (min over "
+    "depth-wise overestimates), so every true heavy hitter is "
+    "necessarily a candidate — the WHERE keeps exactly the candidate "
+    "set and the no_false_negative column is provably TRUE on every "
+    "row, while is_heavy exposes the false positives the exact pass "
+    "exists to reject. At 100 TB this is the two-tier design: the "
+    "KiB-size sketch builds map-side and broadcasts; the expensive "
+    "exact aggregation runs over the candidate keys only — frequency "
+    "screening without ever shuffling the full key universe.",
+)
+def cms_heavy_hitters_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cms_hh_sql(SPARK_D))
