@@ -265,12 +265,14 @@ def _kcore_peeled(spark: SparkSession, sf_dir: str):
     # grouped degree count and survivor joins run at full
     # shuffle-partition width (400 tasks/stage under the driver's plain
     # session — measured 11.7 s/invocation warm at sf0.01; clamped 1.9 s).
-    # Partitioning by the join key also co-locates the u-side join. On a
-    # real cluster the clamp constant scales with executor count (or is
-    # dropped so AQE coalesces the uncached plan); the discipline —
-    # iterate on a keyed, bounded-width cached relation — is the part
-    # that holds at 100 TB.
-    kcore_parts = 8
+    # Partitioning by the join key also co-locates the u-side join. The
+    # clamp scales with the cluster instead of hard-coding single-node
+    # width: defaultParallelism//4 is 8 on local[32] (the measured sweet
+    # spot at sf0.01) and grows to thousands of tasks on a 1000-executor
+    # cluster, so the iteration is never serialized onto 8 tasks at scale.
+    # The discipline — iterate on a keyed, bounded-width cached relation —
+    # is the part that holds at 100 TB.
+    kcore_parts = max(8, spark.sparkContext.defaultParallelism // 4)
     edges = edges.repartition(kcore_parts, "u").cache()
     for _ in range(KCORE_ROUNDS):
         alive = (

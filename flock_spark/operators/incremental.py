@@ -321,6 +321,11 @@ def ivm_agg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("b_sum", F.lit(0)) + F.coalesce("d_sum", F.lit(0)))
         .cast("long")
         .alias("micro_sum"),
+    ).filter(
+        # a delta batch that deletes every live row of a group must retire
+        # the group entirely (the recompute oracle emits no row for it);
+        # same refcount>0 discipline as ivm_distinct_delta below
+        F.col("n_events") > 0
     )
 
 

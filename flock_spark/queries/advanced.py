@@ -168,7 +168,15 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count-distinct Expand; at 100 TB the point of the sketch is to "
     "SKIP that — production drops the exact column and keeps the "
     "estimate, auditing the bound on samples exactly like "
-    "ann_ivf_recall_audit does for ANN.",
+    "ann_ivf_recall_audit does for ANN. NOTE (intentional tripwire): "
+    "within_3rsd depends on pyspark's HLL++ implementation (pinned here: "
+    "pyspark 4.1.2, rsd floor 0.01, Aggregator in "
+    "o.a.s.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus); a "
+    "Spark upgrade that changes the sketch, or a regenerated fixture "
+    "with an unlucky group, flips the boolean and fails this row even "
+    "though nothing is semantically wrong — that is the desired alarm, "
+    "and tests/test_engine.py::test_builtin_hll_estimate_within_rsd "
+    "reproduces the bound check standalone for diagnosis.",
 )
 def approx_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events")

@@ -55,73 +55,68 @@ REGISTRY: dict[str, QuerySpec] = {}
 # `tools/sweep_sim.py --plain` at sf0.01 (pinned by tests/test_registry.py).
 # ---------------------------------------------------------------------------
 DRIVER_SLATE: tuple[str, ...] = (
-    # --- round-5 slate ---
+    # --- round-6 slate ---
     # cheap canaries for the certified core (regression tripwires); every
-    # other slot goes to never-driver-tested entries — round 4 closed
-    # 50/50 green, so there are no re-certs this round
+    # other slot goes to never-driver-tested entries — round 5 closed
+    # 50/50 green, so there are no re-certs this round. Slate drafted and
+    # budget-audited at the end of round 5 (COVERAGE.md "Proposed r6 slate"),
+    # applied verbatim.
     "proj_arith",
     "agg_basic",
     "join_inner",
-    # the six entries round 4 deferred for slate-budget reasons (closes the
-    # §2.11 UDTF row and the multimodal histogram row)
-    "udtf_long_tokens",
-    "mm_byte_histogram",
-    "events_transition_matrix",
-    "streaming_nexmark_native_q7",
-    "hll_merge_shards",
-    "streaming_stateful_running_count",
-    # round-4 registry additions, never driver-tested (dedup_containment_
-    # pairs stays queued: its exact-pair oracle is the expensive side and
-    # blows the shared sweep budget; graph_kcore_peel enters only after its
-    # keyed-repartition clamp cut it 11.7 -> 1.9 s warm at sf0.01)
-    "text_bm25_doc_ranking",
-    "corpus_quality_resample",
-    "corpus_lm_score_proxy",
-    "corpus_cross_source_dup_matrix",
-    "corpus_lang_quality_buckets",
-    "join_fuzzy_levenshtein",
-    "events_pattern_3step",
-    "ann_ivf_recall_audit",
-    "table_quality_checks",
-    "streaming_pattern_3step",
-    "privacy_k_anonymity",
-    "tokenizer_bpe_merge_step",
-    "timeseries_ohlc_daily",
-    "hll_sliding_window_distinct",
-    "timeseries_ewma_shifts",
-    "hdr_quantile_merge_shards",
-    "cms_merge_shards",
-    "dedup_jaccard_threshold_curve",
-    "streaming_ohlc_daily",
-    "graph_kcore_peel",
-    # TPC-H: the last nine uncertified queries (closes §2.8 at 22/22 once
-    # green — q1-q10, q18, q21, q22 certified r1-r4)
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    # window/time batch twins (mirror reference window semantics,
-    # flock-function/src/aws/window/*.rs)
-    "tumbling_window_agg",
-    "hopping_window_agg",
-    "session_window_agg",
-    "session_window_by_key",
-    "tumbling_daily_distinct",
-    "window_ntile_pct",
-    "session_custom_gap_pandas",
-    # newly oracle-paired: exact count beside a bound-verdict on the sketch
-    # estimate (formerly the registry's one rows-only entry)
-    "approx_count_distinct_hll",
-    # family coverage + LLM dedup core start (rest queued for r6)
-    "cdc_snapshot_asof",
-    "json_wire_decode",
-    "dedup_exact",
-    "dedup_minhash_signatures",
+    # dedup/similarity core x15 — the registry's flagship LLM-pipeline
+    # family, zero driver exposure before this round
+    "dedup_exact_normalized",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_drop_duplicates",
+    "dedup_minhash_estimate_vs_exact",
+    "dedup_semdedup_prune",
+    "dedup_multi_signal_clusters",
+    "dedup_clusters_star",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_ivfpq_topk",
+    "embedding_normalize_quantize",
+    "embedding_label_centroids",
+    "embedding_nearest_centroid",
+    # text x8
+    "text_token_stats",
+    "text_langid",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_inverted_index",
+    "text_tfidf_topk_terms",
+    "text_pii_redact",
+    "text_rake_keywords",
+    # corpus x9
+    "corpus_vocab_topk",
+    "corpus_split_stratified",
+    "corpus_repetition_stats",
+    "corpus_sample_deterministic",
+    "corpus_sample_per_group",
+    "corpus_temperature_mix",
+    "corpus_shuffle_shards",
+    "corpus_bigram_counts",
+    "corpus_pack_sequences",
+    # events x8
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "events_value_histogram",
+    "events_cumulative_unique_users",
+    "events_rfm_segments",
+    "events_cusum_drift",
+    "events_max_active_streak",
+    "events_pattern_kleene",
+    # agg/join/scan x7
+    "agg_collect_sorted",
+    "agg_string_concat",
+    "agg_percentiles",
+    "agg_stats_exact",
+    "join_salted",
+    "join_inequality_only",
+    "csv_roundtrip_scan",
 )
 
 # Cumulative driver-certified entries (green CORRECTNESS row in some round,
@@ -130,52 +125,65 @@ DRIVER_SLATE: tuple[str, ...] = (
 # family coverage is asserted over slate ∪ certified.
 CERTIFIED_GREEN: frozenset[str] = frozenset((
     "agg_basic", "agg_count_distinct", "agg_having", "agg_salted_two_stage",
-    "ann_ivf_topk", "ann_pq_adc_topk", "ann_topk_bruteforce",
-    "arrow_grouped_minmax", "asof_join_pandas", "asof_join_window",
-    "bloom_filter_portable", "bloom_membership_probe",
-    "bloom_semijoin_reduction", "bucketed_colocated_join", "case_when",
-    "cdc_upsert_latest", "cms_point_query", "corpus_decontaminate",
-    "corpus_split_leakage_safe", "correlated_exists",
+    "ann_ivf_recall_audit", "ann_ivf_topk", "ann_pq_adc_topk",
+    "ann_topk_bruteforce", "approx_count_distinct_hll", "arrow_grouped_minmax",
+    "asof_join_pandas", "asof_join_window", "bloom_filter_portable",
+    "bloom_membership_probe", "bloom_semijoin_reduction",
+    "bucketed_colocated_join", "case_when", "cdc_snapshot_asof",
+    "cdc_upsert_latest", "cms_merge_shards", "cms_point_query",
+    "corpus_cross_source_dup_matrix", "corpus_decontaminate",
+    "corpus_lang_quality_buckets", "corpus_lm_score_proxy",
+    "corpus_quality_resample", "corpus_split_leakage_safe", "correlated_exists",
     "countmin_sketch_portable", "cube_agg", "date_funcs", "dedup_clusters",
-    "dedup_minhash_lsh_pairs", "dedup_simhash_pairs",
-    "dedup_substring_spans", "distinct_select", "doc_chunk_fixed_tokens",
-    "dpp_star_join", "embedding_power_iteration_pc", "filter_complex",
-    "filter_mod", "graph_pagerank_two_iter", "graph_triangle_count",
-    "hdr_quantile_sketch", "hll_sketch_portable", "ivm_join_delta",
-    "join_anti", "join_broadcast_dim", "join_cross", "join_full_outer",
-    "join_global_max", "join_inner", "join_left_outer", "join_range_binned",
-    "join_range_theta", "join_self_agg_max", "join_semi",
-    "json_wire_corrupt_tolerant", "kmeans_two_iterations", "math_funcs",
-    "mm_audio_window_energy", "mm_meta_extract", "mm_phash64",
-    "nexmark_gen_bid", "nexmark_gen_person_auction", "nexmark_native_q3",
-    "nexmark_native_q4", "nexmark_native_q6", "nexmark_native_q7",
-    "nexmark_native_q8", "nexmark_native_q9", "nexmark_q0_passthrough",
-    "nexmark_q10_date_format", "nexmark_q11_session_bids",
-    "nexmark_q12_proctime_tumble", "nexmark_q13_side_input",
-    "nexmark_q1_currency", "nexmark_q2_mod_filter", "nexmark_q3_join_filter",
-    "nexmark_q4_avg_of_max", "nexmark_q5_hot_items",
+    "dedup_exact", "dedup_jaccard_threshold_curve", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures", "dedup_simhash_pairs", "dedup_substring_spans",
+    "distinct_select", "doc_chunk_fixed_tokens", "dpp_star_join",
+    "embedding_power_iteration_pc", "events_pattern_3step",
+    "events_transition_matrix", "filter_complex", "filter_mod",
+    "graph_kcore_peel", "graph_pagerank_two_iter", "graph_triangle_count",
+    "hdr_quantile_merge_shards", "hdr_quantile_sketch", "hll_merge_shards",
+    "hll_sketch_portable", "hll_sliding_window_distinct", "hopping_window_agg",
+    "ivm_join_delta", "join_anti", "join_broadcast_dim", "join_cross",
+    "join_full_outer", "join_fuzzy_levenshtein", "join_global_max",
+    "join_inner", "join_left_outer", "join_range_binned", "join_range_theta",
+    "join_self_agg_max", "join_semi", "json_wire_corrupt_tolerant",
+    "json_wire_decode", "kmeans_two_iterations", "math_funcs",
+    "mm_audio_window_energy", "mm_byte_histogram", "mm_meta_extract",
+    "mm_phash64", "nexmark_gen_bid", "nexmark_gen_person_auction",
+    "nexmark_native_q3", "nexmark_native_q4", "nexmark_native_q6",
+    "nexmark_native_q7", "nexmark_native_q8", "nexmark_native_q9",
+    "nexmark_q0_passthrough", "nexmark_q10_date_format",
+    "nexmark_q11_session_bids", "nexmark_q12_proctime_tumble",
+    "nexmark_q13_side_input", "nexmark_q1_currency", "nexmark_q2_mod_filter",
+    "nexmark_q3_join_filter", "nexmark_q4_avg_of_max", "nexmark_q5_hot_items",
     "nexmark_q6_double_rownum", "nexmark_q7_max_per_window",
     "nexmark_q8_sellers", "nexmark_q9_winning_bids",
     "pandas_udaf_weighted_mean", "partitioned_write_prune_scan", "pivot_agg",
-    "proj_arith", "queue_sink_exactly_once", "rollup_agg",
-    "rollup_reuse_daily", "scd2_validity_join", "set_except",
-    "set_intersect", "set_union_all", "side_input_csv_join",
+    "privacy_k_anonymity", "proj_arith", "queue_sink_exactly_once",
+    "rollup_agg", "rollup_reuse_daily", "scd2_validity_join",
+    "session_custom_gap_pandas", "session_window_agg", "session_window_by_key",
+    "set_except", "set_intersect", "set_union_all", "side_input_csv_join",
     "sort_global_range", "sort_limit_topk", "sort_multi_col",
     "streaming_cdc_upsert_foreachbatch", "streaming_dedup_ingest",
     "streaming_elementwise_filter", "streaming_hopping_agg",
     "streaming_kafka_wire_decode", "streaming_nexmark_native_q3",
-    "streaming_nexmark_q1", "streaming_proctime_agg",
+    "streaming_nexmark_native_q7", "streaming_nexmark_q1",
+    "streaming_ohlc_daily", "streaming_pattern_3step", "streaming_proctime_agg",
     "streaming_q5_foreachbatch", "streaming_scd2_enrich",
     "streaming_session_foreachbatch", "streaming_session_native",
-    "streaming_stream_stream_join", "streaming_tumbling_agg", "string_funcs",
-    "subquery_in", "subquery_scalar", "text_oov_rate",
-    "text_token_stats_bpe", "timeseries_gapfill_locf", "tpch_q1", "tpch_q10",
-    "tpch_q18", "tpch_q2", "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4",
-    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "window_first_last", "window_frame_moving_avg", "window_lag_lead",
-    "window_percentiles", "window_range_frame_sum", "window_rank_dense",
-    "window_rownum_topk", "window_running_sum", "ysb_campaign_counts",
-    "zorder_layout_scan",
+    "streaming_stateful_running_count", "streaming_stream_stream_join",
+    "streaming_tumbling_agg", "string_funcs", "subquery_in", "subquery_scalar",
+    "table_quality_checks", "text_bm25_doc_ranking", "text_oov_rate",
+    "text_token_stats_bpe", "timeseries_ewma_shifts", "timeseries_gapfill_locf",
+    "timeseries_ohlc_daily", "tokenizer_bpe_merge_step", "tpch_q1", "tpch_q10",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21",
+    "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tumbling_daily_distinct", "tumbling_window_agg",
+    "udtf_long_tokens", "window_first_last", "window_frame_moving_avg",
+    "window_lag_lead", "window_ntile_pct", "window_percentiles",
+    "window_range_frame_sum", "window_rank_dense", "window_rownum_topk",
+    "window_running_sum", "ysb_campaign_counts", "zorder_layout_scan",
 ))
 
 
