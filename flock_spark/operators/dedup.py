@@ -520,9 +520,14 @@ def _duck_pairs_sql() -> str:
 
 
 def _duck_components_sql() -> str:
+    # AS MATERIALIZED is load-bearing: without it DuckDB re-derives the
+    # whole minhash→band→pair chain on EVERY iteration of the recursive
+    # fixpoint (measured 1.76 s vs 0.24 s at sf0.01 — it was the sweep's
+    # dominant oracle cost for the cluster family). DuckDB-only syntax is
+    # fine here: component oracles never run on Spark.
     return f"""
-    WITH RECURSIVE pairs AS ({_duck_pairs_sql()}),
-    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+    WITH RECURSIVE pairs AS MATERIALIZED ({_duck_pairs_sql()}),
+    edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach(doc, r) AS (
       SELECT s, s FROM edges
@@ -920,13 +925,15 @@ def _duck_multi_signal_components_sql() -> str:
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     """
+    # AS MATERIALIZED: see _duck_components_sql — without it DuckDB re-runs
+    # both candidate generators on every fixpoint iteration.
     return f"""
-    WITH RECURSIVE mpairs AS (
+    WITH RECURSIVE mpairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM ({_duck_pairs_sql()}) lshp
       UNION
       SELECT doc_a, doc_b FROM ({simhash_pairs}) shp
     ),
-    edges AS (SELECT doc_a AS s, doc_b AS d FROM mpairs
+    edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM mpairs
               UNION ALL SELECT doc_b, doc_a FROM mpairs),
     reach(doc, r) AS (
       SELECT s, s FROM edges

@@ -300,11 +300,22 @@ def _kcore_peeled(spark: SparkSession, sf_dir: str):
 
 
 def _modularity_oracle() -> str:
-    from flock_spark.operators.dedup import _duck_components_sql, _duck_pairs_sql
+    # Single WITH RECURSIVE scope so the LSH pair list is derived ONCE and
+    # shared by the component recursion and the three audit joins — the old
+    # form nested _duck_components_sql() (which carries its own pairs CTE)
+    # beside a second standalone pairs CTE, paying the minhash-signature
+    # derivation twice and making this the sweep's most expensive oracle.
+    from flock_spark.operators.dedup import _duck_pairs_sql
 
     return f"""
-    WITH comp AS ({_duck_components_sql()}),
-    pairs AS ({_duck_pairs_sql()}),
+    WITH RECURSIVE pairs AS MATERIALIZED ({_duck_pairs_sql()}),
+    edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(doc, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT reach.doc, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+    comp AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
     m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
     deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
@@ -355,7 +366,11 @@ def graph_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flock_spark.operators.dedup import _spark_components, _spark_lsh_pairs
 
     comp = _spark_components(spark, sf_dir)
-    pairs = _spark_lsh_pairs(spark, sf_dir)
+    # localCheckpoint: the pair relation feeds THREE downstream consumers
+    # (edge count m, degree union, intra join) — without materialization each
+    # action re-derives the minhash→band→self-join chain. The relation is
+    # audit-sized (|candidate pairs|, thousands), so this is a free pin.
+    pairs = _spark_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
     m = pairs.count()  # single long, computed once (driver scalar, O(1) data)
     deg = (
         pairs.select(F.col("doc_a").alias("node"))

@@ -723,9 +723,11 @@ def mm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from flock_spark.registry import REGISTRY as _REG_MM  # noqa: E402
 
+# AS MATERIALIZED: see dedup._duck_components_sql — without it DuckDB
+# re-derives the phash near-dup pair generator on every fixpoint iteration.
 _REG_MM["mm_dedup_clusters"].oracle = f"""
-    WITH RECURSIVE pairs AS ({_REG_MM["mm_phash_near_dup"].oracle}),
-    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+    WITH RECURSIVE pairs AS MATERIALIZED ({_REG_MM["mm_phash_near_dup"].oracle}),
+    edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach(doc, r) AS (
       SELECT s, s FROM edges

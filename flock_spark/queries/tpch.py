@@ -56,21 +56,29 @@ _SUPPLY = """
     GROUP BY l_partkey, l_suppkey
 """
 
+# q2's textbook form is a correlated min-cost scalar subquery; de-correlated
+# here to a per-part window min over the already-joined EU supply rows. The
+# correlated form made Spark derive `supply` (a full lineitem scan + groupBy)
+# TWICE — once for the outer join, once inside the subquery rewrite (~6 s at
+# sf0.01 vs DuckDB's 0.6 s with CTE reuse). The window form scans lineitem
+# once, and the min-per-part is computed only over rows that survive the
+# part/region filters — legal because the join drops no EU-supplier row of a
+# surviving part, so the per-part min is unchanged. Same result set, same
+# column names, deterministic under the full tie-break.
 TPCH_SQL["tpch_q2"] = f"""
     WITH supply AS ({_SUPPLY})
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
-    FROM part
-    JOIN supply   ON p_partkey = ps_partkey
-    JOIN supplier ON s_suppkey = ps_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
-      AND ps_supplycost = (SELECT min(s2.ps_supplycost)
-                           FROM supply s2
-                           JOIN supplier sup2 ON sup2.s_suppkey = s2.ps_suppkey
-                           JOIN nation n2 ON sup2.s_nationkey = n2.n_nationkey
-                           JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-                           WHERE s2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    FROM (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost,
+               min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM part
+        JOIN supply   ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    ) costed
+    WHERE ps_supplycost = min_cost
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
 """
