@@ -526,6 +526,161 @@ def mm_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JPEG_COM_MOD = 23  # variable-length comment segment: forces real marker walking
+
+
+@register(
+    "mm_jpeg_header_dims",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(25 + doc_id % {JPEG_COM_MOD} + octet_length(encode(text))
+                AS BIGINT) AS byte_len,
+           CAST(16 + doc_id % {HDR_W_MOD} AS BIGINT) AS width,
+           CAST(16 + (doc_id * 7) % {HDR_H_MOD} AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_components,
+           TRUE AS sof_ok
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+    doc="JPEG dimension extraction by SEGMENT-MARKER WALKING — unlike PNG "
+    "(mm_header_dims, fixed IHDR offsets), JPEG puts its SOF0 frame "
+    "header at a variable offset behind arbitrary-length segments, so "
+    "the parser must walk FF-marker / big-endian-length hops until it "
+    "finds 0xC0. The fixture makes the walk load-bearing: each payload "
+    "is SOI + a COM segment whose length varies per doc (doc_id % "
+    f"{JPEG_COM_MOD} comment bytes) + SOF0 (precision, height u16be, "
+    "width u16be, 3 components) — a fixed-offset read would return "
+    "garbage for every doc with a non-modal comment length and "
+    "hash-mismatch the arithmetic oracle. No codec involved: this is "
+    "the real production fast path (ffprobe-style header sniff) for "
+    "size/aspect/corruption filtering over an image corpus, one "
+    "range-request per object at 100 TB. Parse is vectorized per Arrow "
+    "batch via mapInPandas, same plumbing as mm_header_dims.",
+)
+def mm_jpeg_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 16 + int(doc_id) % HDR_W_MOD
+                h = 16 + (int(doc_id) * 7) % HDR_H_MOD
+                c = int(doc_id) % JPEG_COM_MOD
+                body = str(text).encode("utf-8")
+                payload = (
+                    b"\xff\xd8"  # SOI
+                    + b"\xff\xfe" + struct.pack(">H", 2 + c) + b"x" * c  # COM
+                    + b"\xff\xc0" + struct.pack(">H", 17)  # SOF0, len 17
+                    + bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+                    + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # 3 comp specs
+                    + body
+                )
+                # the parse half — real marker walk, as against actual files:
+                sof_ok, pw, ph, ncomp = False, 0, 0, 0
+                if payload[:2] == b"\xff\xd8":
+                    pos = 2
+                    while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+                        marker = payload[pos + 1]
+                        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+                        if marker == 0xC0:  # SOF0: precision, H, W, ncomp
+                            ph = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+                            pw = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+                            ncomp = payload[pos + 9]
+                            sof_ok = True
+                            break
+                        pos += 2 + seg_len
+                rows.append((int(doc_id), len(payload), pw, ph, ncomp, sof_ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "byte_len", "width", "height", "n_components", "sof_ok"],
+            )
+
+    return d.mapInPandas(
+        parse,
+        schema="doc_id long, byte_len long, width long, height long, "
+        "n_components long, sof_ok boolean",
+    )
+
+
+WAV_RATES = (8000, 16000, 24000, 32000, 40000)  # sample_rate = WAV_RATES[doc_id % 5]
+
+
+@register(
+    "mm_wav_header_audio",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+           CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+           CAST((CAST(octet_length(encode(text)) AS BIGINT) * 1000000)
+                // (CAST(8000 + (doc_id % 5) * 8000 AS BIGINT)
+                    * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_us,
+           TRUE AS riff_ok
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+    doc="WAV/RIFF header parse — the audio sibling of mm_header_dims/"
+    "mm_jpeg_header_dims, and the LITTLE-endian counterexample to their "
+    "big-endian reads (an endianness bug passes one family and fails "
+    "the other, which is exactly what the paired oracles are for). The "
+    "fixture wraps each document's bytes as PCM data behind a complete "
+    "RIFF/WAVE/fmt/data chunk chain (u16le channels, u32le sample "
+    "rate, derived byte rate and block align); the parser validates "
+    "the three FourCCs and reads the fields back, deriving duration "
+    "from data size over byte rate in exact integer microseconds. "
+    "Duration/rate/channel filtering over an audio corpus needs only "
+    "these 44 bytes per object — at 100 TB, a header range-request "
+    "pass, never a decode. No codec libraries involved; mapInPandas "
+    "Arrow batches, constant memory per task.",
+)
+def mm_wav_header_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ch = 1 + int(doc_id) % 2
+                rate = WAV_RATES[int(doc_id) % 5]
+                block = ch * 2  # 16-bit PCM
+                data = str(text).encode("utf-8")
+                payload = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                            rate * block, block, 16)
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                # the parse half — little-endian field reads per the RIFF spec:
+                riff_ok = (
+                    payload[:4] == b"RIFF"
+                    and payload[8:12] == b"WAVE"
+                    and payload[12:16] == b"fmt "
+                    and payload[36:40] == b"data"
+                )
+                p_ch = int.from_bytes(payload[22:24], "little")
+                p_rate = int.from_bytes(payload[24:28], "little")
+                p_byte_rate = int.from_bytes(payload[28:32], "little")
+                p_data = int.from_bytes(payload[40:44], "little")
+                dur_us = p_data * 1_000_000 // p_byte_rate
+                rows.append((int(doc_id), p_ch, p_rate, p_data, dur_us, riff_ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channels", "sample_rate", "data_bytes",
+                         "duration_us", "riff_ok"],
+            )
+
+    return d.mapInPandas(
+        parse,
+        schema="doc_id long, channels long, sample_rate long, data_bytes long, "
+        "duration_us long, riff_ok boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash near-dup (banded Hamming over mm_phash64 words)
 # ---------------------------------------------------------------------------

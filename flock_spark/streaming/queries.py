@@ -308,6 +308,52 @@ def json_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete")
 
 
+def decode_kafka_envelope(records: DataFrame) -> DataFrame:
+    """Everything downstream of the source: envelope → typed payload → agg.
+
+    Shared VERBATIM by the file-staged wire replay (the registry entry) and
+    the env-gated real-broker path (kafka_envelope_stream below) — the
+    'config-only swap' claim is this function existing exactly once."""
+    decoded = records.select(
+        "partition",
+        F.from_json(
+            "value", "event_id bigint, user_id bigint, event_type string, value double"
+        ).alias("r"),
+    ).select("partition", "r.*")
+    return decoded.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("sum_users"),
+        F.max("partition").alias("max_partition"),
+    )
+
+
+def kafka_envelope_stream(spark: SparkSession, topic: str) -> DataFrame:
+    """readStream.format('kafka') → the same envelope columns the file replay
+    stages (topic, partition, offset, key, value as strings/longs). Requires
+    a real broker (KAFKA_BOOTSTRAP) + the spark-sql-kafka connector on the
+    session classpath; exercised by the env-gated broker smoke test in
+    tests/test_streaming.py, skipped cleanly where no broker exists.
+    Reference parity: flock/src/datasource/kafka.rs:54-118 consumes the
+    identical record shape."""
+    import os
+
+    bootstrap = os.environ["KAFKA_BOOTSTRAP"]
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(
+        "topic",
+        F.col("partition").cast("bigint").alias("partition"),
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 @register(
     "streaming_kafka_wire_decode",
     oracle="""
@@ -351,18 +397,7 @@ def streaming_kafka_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .json(path)
     )
-    decoded = records.select(
-        "partition",
-        F.from_json(
-            "value", "event_id bigint, user_id bigint, event_type string, value double"
-        ).alias("r"),
-    ).select("partition", "r.*")
-    agg = decoded.groupBy("event_type").agg(
-        F.count("*").alias("cnt"),
-        F.sum("user_id").alias("sum_users"),
-        F.max("partition").alias("max_partition"),
-    )
-    return run_to_memory(agg, output_mode="complete")
+    return run_to_memory(decode_kafka_envelope(records), output_mode="complete")
 
 
 @register(

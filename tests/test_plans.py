@@ -677,3 +677,15 @@ def test_table_arg_udtf_partitions_and_sorts_input(spark, sf_dir):
     assert "Sort" in final, final
     assert "PythonUDTF" in final or "BatchEvalPythonUDTF" in final or "EvalPython" in final, final
     assert "CartesianProduct" not in final
+
+
+def test_header_parsers_single_scan_arrow_batched(spark, sf_dir):
+    # both new header parsers must stay one narrow mapInPandas pass over
+    # one parquet scan — no shuffle, no per-row Python UDF
+    for name in ("mm_jpeg_header_dims", "mm_wav_header_audio"):
+        plan = plan_of(spark, sf_dir, name, execute=True)
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("FileScan parquet") == 1, (name, final)
+        assert "MapInPandas" in final, (name, final)
+        assert "Exchange" not in final, (name, final)
+        assert "BatchEvalPython" not in final, (name, final)

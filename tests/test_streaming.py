@@ -3,6 +3,9 @@ generator's determinism and the runner plumbing."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from flock_spark.streaming.runner import run_to_memory
@@ -224,3 +227,50 @@ def test_cdc_upsert_stream_runs_multiple_batches(spark, sf_dir):
     keys = {(r["user_id"], r["event_type"]) for r in rows}
     assert len(keys) == len(rows)
     assert all(r["n_versions"] >= 1 for r in rows)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP"),
+    reason="no real Kafka broker in this environment (set KAFKA_BOOTSTRAP to run)",
+)
+def test_kafka_real_broker_wire_decode(spark, sf_dir):
+    """Real-broker twin of streaming_kafka_wire_decode: produce the identical
+    wire records to a topic via Spark's Kafka sink, read them back with
+    format('kafka'), and run the SAME decode_kafka_envelope — asserting the
+    same aggregate the file-replay oracle certifies."""
+    import uuid
+
+    from flock_spark.catalog import tbl
+    from flock_spark.streaming.queries import (
+        decode_kafka_envelope,
+        kafka_envelope_stream,
+        run_to_memory,
+    )
+
+    bootstrap = os.environ["KAFKA_BOOTSTRAP"]
+    topic = f"flock_spark_smoke_{uuid.uuid4().hex[:8]}"
+    e = tbl(spark, sf_dir, "events")
+    (
+        e.select(
+            F.col("event_id").cast("string").alias("key"),
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).alias("value"),
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    out = run_to_memory(
+        decode_kafka_envelope(kafka_envelope_stream(spark, topic)),
+        output_mode="complete",
+    ).collect()
+    expected = {
+        (r["event_type"], r["cnt"], r["sum_users"])
+        for r in e.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("user_id").alias("sum_users"))
+        .collect()
+    }
+    got = {(r["event_type"], r["cnt"], r["sum_users"]) for r in out}
+    assert got == expected
