@@ -1,0 +1,228 @@
+"""Spark 4 SQL-surface entries: SQL UDFs, SQL scripting, session variables,
+parameterized queries, and melt/unpivot.
+
+The reference exposes its query surface as SQL text compiled to a physical
+plan (flock/src/distributed_plan/planner.rs); everything here exercises the
+*newest* parts of Spark's equivalent SQL surface — the features with the most
+engine-version risk, certified against classic relational oracles so a Spark
+upgrade that changes their semantics fails loudly:
+
+- SQL scalar UDFs (SPARK-46057, `CREATE FUNCTION ... RETURNS ... RETURN`):
+  declarative functions Catalyst INLINES into the plan — unlike Python UDFs
+  they cost nothing at 100 TB (no serialization boundary, full codegen).
+- SQL scripting (SPARK-48338, `BEGIN ... END` with local variables): the
+  reference's multi-statement orchestration lives in its CLI/driver
+  (flock-cli/src/main.rs); Spark 4 runs it engine-side.
+- Session variables (SPARK-42849, `DECLARE/SET VARIABLE`): the runtime
+  parameterization the reference passes through Lambda payload context.
+- Named-parameter SQL (SPARK-41271, `:param` markers): injection-safe
+  client-side parameterization.
+- melt/unpivot: the wide→long reshape (inverse of pivot_agg, §2.4).
+
+All five lower to ordinary relational plans — the point of certifying them is
+that the SURFACE is new, not the execution. Each oracle is the classic
+formulation (literal inlined, expression substituted, UNION ALL unpivot), so
+green rows prove the new surface computes exactly its classic twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.registry import register
+
+
+@register(
+    "sql_udf_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2)::DOUBLE
+             AS sum_disc_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("functions", "sql_surface", "spark4"),
+    doc="SQL scalar UDF (Spark 4, SPARK-46057): CREATE TEMPORARY FUNCTION "
+    "disc_price(...) RETURNS ... RETURN <expr>, used inside a grouped "
+    "aggregate. Unlike the Python UDF surface (§2.11), a SQL UDF is inlined "
+    "by Catalyst at analysis time — the physical plan is identical to "
+    "writing the expression inline (whole-stage codegen, no Python "
+    "boundary), which is why this is the right way to package reusable "
+    "business expressions at 100 TB. The oracle inlines the same "
+    "expression; exactness via the repo's DECIMAL(38,6) quantized-sum "
+    "convention.",
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION flock_disc_price("
+        "ep DOUBLE, d DOUBLE) RETURNS DECIMAL(38,6) "
+        "RETURN CAST(ep * (1 - d) AS DECIMAL(38,6))"
+    )
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(round(sum(flock_disc_price(l_extendedprice, l_discount)), 2)
+                    AS DOUBLE) AS sum_disc_price
+        FROM sqludf_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_script_batch",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_big_orders
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags=("functions", "sql_surface", "spark4"),
+    doc="SQL scripting (Spark 4, SPARK-48338): a BEGIN...END batch DECLAREs "
+    "a local variable, SETs it from a scalar aggregate, then uses it in a "
+    "second statement's WHERE — the two-statement compute-threshold-then-"
+    "filter orchestration the reference performs driver-side in its CLI "
+    "(flock-cli/src/main.rs dispatch loop), moved into the engine. The "
+    "script's result is the last statement's DataFrame. The oracle is the "
+    "classic single-statement decorrelation (scalar subquery). Each "
+    "statement is an ordinary Catalyst plan: the variable read is a "
+    "literal at plan time, so the main scan still gets its filter "
+    "pushdown.",
+)
+def sql_script_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE big_threshold DOUBLE DEFAULT 0.0;
+          SET big_threshold = (SELECT avg(o_totalprice) * 1.5 FROM script_orders);
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_big_orders
+          FROM script_orders
+          WHERE o_totalprice > big_threshold
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+@register(
+    "session_variable_param",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_long_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM documents
+    WHERE n_chars >= (SELECT CAST(avg(n_chars) AS BIGINT) FROM documents)
+    GROUP BY lang
+    """,
+    tags=("functions", "sql_surface", "spark4"),
+    doc="Session variables (Spark 4, SPARK-42849): DECLARE VARIABLE at the "
+    "session scope, SET VARIABLE from a scalar query, then reference it "
+    "from a later, separately-issued statement — cross-statement state the "
+    "reference threads through its Lambda invocation payload context "
+    "(flock/src/runtime/context.rs). Unlike a temp view, the variable is a "
+    "plan-time literal in the consuming statement, so predicate pushdown "
+    "sees a constant (pinned in tests/test_plans.py). Oracle: the classic "
+    "scalar-subquery form.",
+)
+def session_variable_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("var_documents")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE flock_min_chars BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        "SET VARIABLE flock_min_chars ="
+        " (SELECT CAST(avg(n_chars) AS BIGINT) FROM var_documents)"
+    )
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_long_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM var_documents
+        WHERE n_chars >= flock_min_chars
+        GROUP BY lang
+        """
+    )
+
+
+@register(
+    "parameterized_sql_query",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(CAST(value AS DECIMAL(38,6))), 2)::DOUBLE AS value_sum
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value >= 50.0
+    GROUP BY event_type
+    """,
+    tags=("functions", "sql_surface", "spark4"),
+    doc="Named-parameter SQL (SPARK-41271): spark.sql(text, args={...}) with "
+    ":param markers — the injection-safe equivalent of the string-formatted "
+    "SQL the reference's CLI builds (flock-cli templates its query text). "
+    "Parameters bind as literals before analysis, so the filter is pushed "
+    "to the scan exactly as if written inline. Oracle inlines the same "
+    "literals.",
+)
+def parameterized_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("param_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                 AS value_sum
+        FROM param_events
+        WHERE event_type IN (:t1, :t2) AND value >= :min_value
+        GROUP BY event_type
+        """,
+        args={"t1": "click", "t2": "purchase", "min_value": 50.0},
+    )
+
+
+@register(
+    "unpivot_melt_wide",
+    oracle="""
+    WITH wide AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars_total,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents GROUP BY lang)
+    SELECT lang, 'n_docs' AS metric, n_docs AS metric_value FROM wide
+    UNION ALL
+    SELECT lang, 'chars_total' AS metric, chars_total FROM wide
+    UNION ALL
+    SELECT lang, 'n_sources' AS metric, n_sources FROM wide
+    """,
+    tags=("agg", "sql_surface"),
+    doc="melt/unpivot — the wide→long reshape (inverse of pivot_agg §2.4): "
+    "a per-lang 3-metric wide aggregate melted to (lang, metric, value) "
+    "rows via DataFrame.melt. Spark lowers melt to an Expand node (each "
+    "input row emitted once per value column) — the same operator behind "
+    "COUNT(DISTINCT) rewrites — so the reshape is a zero-shuffle "
+    "projection over the aggregated (tiny) relation; the oracle is the "
+    "classic UNION ALL formulation. At 100 TB melt the aggregate, never "
+    "the raw table: Expand multiplies row count by the number of value "
+    "columns.",
+)
+def unpivot_melt_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    wide = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return wide.melt(
+        ids=["lang"],
+        values=["n_docs", "chars_total", "n_sources"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )

@@ -689,3 +689,42 @@ def test_header_parsers_single_scan_arrow_batched(spark, sf_dir):
         assert "MapInPandas" in final, (name, final)
         assert "Exchange" not in final, (name, final)
         assert "BatchEvalPython" not in final, (name, final)
+
+
+def test_sql_udf_is_inlined_no_python_boundary(spark, sf_dir):
+    # a SQL UDF (CREATE FUNCTION ... RETURN expr) must be inlined by
+    # Catalyst — the plan has the usual two-phase aggregate and NO Python
+    # eval node (that's the whole 100 TB argument vs a Python UDF)
+    plan = plan_of(spark, sf_dir, "sql_udf_scalar")
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_session_variable_binds_as_pushed_literal(spark, sf_dir):
+    # the SET VARIABLE value is a plan-time literal in the consuming
+    # statement, so the >= filter reaches the parquet scan as a pushed
+    # predicate (a temp-view/scalar-subquery formulation could not)
+    plan = plan_of(spark, sf_dir, "session_variable_param")
+    pushed = plan.split("PushedFilters: [")[1][:300]
+    assert "GreaterThanOrEqual(n_chars" in pushed
+
+
+def test_parameterized_sql_binds_as_pushed_literals(spark, sf_dir):
+    # :param markers bind before analysis; both the IN-list and the value
+    # bound push to the scan
+    plan = plan_of(spark, sf_dir, "parameterized_sql_query")
+    pushed = plan.split("PushedFilters: [")[1][:300]
+    assert "event_type" in pushed and "value" in pushed
+
+
+def test_melt_expands_aggregate_not_raw_table(spark, sf_dir):
+    # melt lowers to Expand; it must sit ABOVE the grouped aggregate (the
+    # tiny relation), never below it over the raw documents scan — Expand
+    # multiplies row count by the number of value columns
+    plan = plan_of(spark, sf_dir, "unpivot_melt_wide")
+    assert "Expand" in plan
+    expand_pos = plan.index("Expand")
+    agg_pos = plan.index("HashAggregate")
+    # executedPlan prints top-down: Expand (later stage) appears BEFORE the
+    # aggregate feeding it
+    assert expand_pos < agg_pos

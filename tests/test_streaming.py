@@ -274,3 +274,99 @@ def test_kafka_real_broker_wire_decode(spark, sf_dir):
     }
     got = {(r["event_type"], r["cnt"], r["sum_users"]) for r in out}
     assert got == expected
+
+
+def _has_tws_protobuf() -> bool:
+    """transformWithStateInPandas' Python state-server runner needs
+    google.protobuf (absent/broken in this container — probed, not assumed)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_tws_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not in this "
+    "container); the test runs unchanged once protobuf is installed",
+)
+def test_transform_with_state_distinct_types(spark, sf_dir):
+    """transformWithState (Spark 4, SPARK-46815) — the arbitrary-state API
+    that supersedes applyInPandasWithState, with typed composite state the
+    old API lacks (MapState/ListState/ValueState + timers). Per-user distinct
+    event types held in a MapState and a running total in a ValueState across
+    micro-batches; the drained final emission per key must equal the batch
+    GROUP BY (the same contract streaming_stateful_running_count certifies
+    for the old API). Requires the RocksDB state-store provider."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class TypeCount(StatefulProcessor):
+        def init(self, handle):
+            self.types = handle.getMapState("types", "etype string", "cnt long")
+            self.total = handle.getValueState("total", "total long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            tot = self.total.get()[0] if self.total.exists() else 0
+            for pdf in rows:
+                tot += len(pdf)
+                for et, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.types.getValue((et,))[0]
+                        if self.types.containsKey((et,))
+                        else 0
+                    )
+                    self.types.updateValue((et,), (prev + int(c),))
+            self.total.update((tot,))
+            n_types = sum(1 for _ in self.types.keys())
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_types": [n_types], "total_events": [tot]}
+            )
+
+        def close(self):
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = bounded_stream(spark, sf_dir, "events").select("user_id", "event_type")
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCount(),
+            outputStructType="user_id long, n_types long, total_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        drained = run_to_memory(out, output_mode="update", cap=8)
+        # emissions are monotone per key; last (= max) is the final state
+        got = {
+            (r["user_id"], r["n_types"], r["total_events"])
+            for r in drained.groupBy("user_id")
+            .agg(F.max("n_types").alias("n_types"), F.max("total_events").alias("total_events"))
+            .collect()
+        }
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        expected = {
+            (r["user_id"], r["n_types"], r["total_events"])
+            for r in e.groupBy("user_id")
+            .agg(
+                F.countDistinct("event_type").alias("n_types"),
+                F.count("*").alias("total_events"),
+            )
+            .collect()
+        }
+        assert got == expected
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
