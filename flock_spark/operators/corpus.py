@@ -1160,3 +1160,44 @@ def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged"
         ),
     )
+
+
+@register(
+    "privacy_dp_histogram",
+    oracle=f"""
+    WITH cell AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY lang, source)
+    SELECT lang, source,
+           CAST(greatest(0, cnt +
+                {duck_md5_long("concat('dp|', lang, '|', source)")} % 7 - 3)
+             AS BIGINT) AS noisy_count
+    FROM cell
+    """,
+    tags=("privacy", "aggregate"),
+    doc="Differentially-private-shaped histogram release: per-(lang, source) "
+    "counts plus bounded integer noise, clamped at zero — the "
+    "sensitivity-1 count + additive noise + post-processing clamp "
+    "mechanism, with the noise draw made DETERMINISTIC (seeded md5 per "
+    "cell, uniform on [-3, 3]) so the release is reproducible and "
+    "cross-engine certifiable. This is explicitly the mechanism's "
+    "distributed-execution skeleton, not a privacy guarantee: a real "
+    "epsilon-DP release replaces the md5 draw with calibrated Laplace "
+    "noise from a secure RNG — a per-cell scalar substitution on the "
+    "already-aggregated (tiny) relation, costing nothing at 100 TB. "
+    "Pairs with privacy_k_anonymity / l_diversity / t_closeness: those "
+    "audit the raw table, this one releases it.",
+)
+def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("cnt"))
+    noise = (
+        F.expr(spark_md5_long("concat('dp|', lang, '|', source)")) % 7 - 3
+    )
+    return cell.select(
+        "lang",
+        "source",
+        F.greatest(F.lit(0).cast("long"), F.col("cnt") + noise)
+        .cast("long")
+        .alias("noisy_count"),
+    )

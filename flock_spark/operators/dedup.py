@@ -1567,3 +1567,78 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 from flock_spark.registry import REGISTRY as _REG_DD  # noqa: E402
 
 _REG_DD["dedup_lsh_recall_audit"].oracle = _recall_audit_oracle()
+
+
+@register(
+    "dedup_line_hash_boilerplate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents),
+    blocks AS (
+      SELECT doc_id, lang,
+             unnest([array_to_string(t[(i*8+1):(i*8+8)], ' ')
+                     for i in generate_series(0, CAST(floor(len(t)/8) AS INT)-1)])
+               AS blk
+      FROM toks),
+    h AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(blk), 1, 15))::BIGINT AS bh
+      FROM blocks),
+    boiler AS (
+      SELECT bh FROM h GROUP BY bh HAVING count(DISTINCT doc_id) >= 2)
+    SELECT h.lang,
+           CAST(count(*) AS BIGINT) AS total_blocks,
+           CAST(sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS boiler_instances,
+           CAST(count(DISTINCT CASE WHEN b.bh IS NOT NULL THEN h.doc_id END)
+                AS BIGINT) AS docs_with_boiler
+    FROM h LEFT JOIN boiler b ON h.bh = b.bh
+    GROUP BY h.lang
+    """,
+    tags=("dedup", "llm"),
+    doc="CCNet-style shared-block boilerplate detection: documents are cut "
+    "into consecutive 8-token blocks (the line/paragraph unit of CCNet's "
+    "line-level dedup — this corpus has no newlines, so the fixed block "
+    "stands in for the line split), each block is hashed with the portable "
+    "md5-60bit family, and a block hash seen in >= 2 distinct documents is "
+    "boilerplate. Output: per-language block totals, boilerplate "
+    "instances, and documents carrying any boilerplate. Two shuffles at "
+    "any scale: one (bh) aggregate to find shared hashes, one keyed "
+    "left join back — 8-token block hashes shuffle, never document text. "
+    "This is the missing granularity between dedup_exact (whole doc) and "
+    "dedup_substring_spans (any 5-gram span): the production CCNet "
+    "pipeline dedups exactly this block unit across shards.",
+)
+def dedup_line_hash_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    blocks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(trim(text), ' ')) >= 8 THEN "
+                "transform(sequence(0, size(split(trim(text), ' ')) div 8 - 1),"
+                " i -> array_join(slice(split(trim(text), ' '), i*8+1, 8), ' '))"
+                " ELSE array() END"
+            )
+        ).alias("blk"),
+    )
+    h = blocks.select(
+        "doc_id", "lang", F.expr(spark_md5_long("blk")).alias("bh")
+    )
+    boiler = (
+        h.groupBy("bh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("bh", F.lit(True).alias("is_boiler"))
+    )
+    j = h.join(boiler, "bh", "left")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("total_blocks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("boiler_instances"),
+        F.countDistinct(F.when(F.col("is_boiler"), F.col("doc_id")))
+        .cast("long")
+        .alias("docs_with_boiler"),
+    )

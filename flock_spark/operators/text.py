@@ -861,3 +861,60 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_x100"), F.desc("freq"), "word")
         .limit(RAKE_TOP)
     )
+
+
+@register(
+    "text_hashed_linear_quality",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(string_split(trim(lower(text)), ' ')) AS n_toks,
+             list_sum([('0x' || substring(md5(w), 1, 15))::BIGINT % 201 - 100
+                       for w in string_split(trim(lower(text)), ' ')]) AS wsum
+      FROM documents),
+    classed AS (
+      SELECT lang, n_toks,
+             CASE WHEN wsum >= 4 * n_toks THEN 'good'
+                  WHEN wsum <= -4 * n_toks THEN 'bad'
+                  ELSE 'mid' END AS qclass
+      FROM scored)
+    SELECT lang, qclass,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS toks_total
+    FROM classed GROUP BY lang, qclass
+    """,
+    tags=("text", "llm", "quality"),
+    doc="Hashed-bag-of-words linear quality classifier — the fastText-style "
+    "model-based filter (score = w·x over hashed token features) that "
+    "production pipelines (CCNet, RefinedWeb) run after the rule-based "
+    "battery (text_quality_score). Weights here are the deterministic "
+    "hash-derived stand-in w(tok) = md5_60(tok) % 201 - 100 (a trained "
+    "model would broadcast a real weight table keyed the same way; the "
+    "Spark plumbing — per-row fold, no shuffle until the final per-class "
+    "rollup — is identical). Classification compares the integer weight "
+    "sum against ±4·n_tokens (avg weight ±4), division-free so both "
+    "engines agree exactly. One scan, one exchange.",
+)
+def text_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        F.expr("size(split(trim(lower(text)), ' '))").alias("n_toks"),
+        F.expr(
+            "aggregate(transform(split(trim(lower(text)), ' '),"
+            " w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
+            " % 201 - 100), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("wsum"),
+    )
+    classed = scored.select(
+        "lang",
+        "n_toks",
+        F.when(F.col("wsum") >= 4 * F.col("n_toks"), "good")
+        .when(F.col("wsum") <= -4 * F.col("n_toks"), "bad")
+        .otherwise("mid")
+        .alias("qclass"),
+    )
+    return classed.groupBy("lang", "qclass").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("toks_total"),
+    )

@@ -1798,3 +1798,97 @@ def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TABLE(SELECT user_id, ts, event_id FROM udtf_sess_src)"
         " PARTITION BY user_id ORDER BY (ts, event_id))"
     )
+
+
+@register(
+    "timeseries_seasonal_baseline",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, hour(ts) AS hod,
+             CAST(count(*) AS BIGINT) AS cnt,
+             sum(CAST(value AS DECIMAL(38,6))) AS ssum
+      FROM events GROUP BY 1, 2)
+    SELECT e.event_type, hour(e.ts) AS hod,
+           CAST(max(c.cnt) AS BIGINT) AS cnt,
+           CAST(round(max(c.ssum), 2) AS DOUBLE) AS sum_value,
+           CAST(sum(CASE WHEN e.value > CAST(c.ssum AS DOUBLE) / c.cnt
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM events e JOIN cell c
+      ON e.event_type = c.event_type AND hour(e.ts) = c.hod
+    GROUP BY e.event_type, hour(e.ts)
+    """,
+    tags=("timeseries", "stats"),
+    doc="Seasonal-baseline decomposition (STL-lite): the seasonal component "
+    "is the per-(event_type, hour-of-day) mean; each event is compared "
+    "against its cell's baseline and the above-baseline counts come back "
+    "per cell. Two-pass shape done right for scale: pass 1 is one grouped "
+    "aggregate producing a |types|×24 cell table; pass 2 joins it back "
+    "BROADCAST (pinned) — the raw events never shuffle for the comparison. "
+    "The baseline division happens in IEEE double on an exactly-summed "
+    "DECIMAL numerator, so both engines compute bit-identical thresholds; "
+    "the emitted sum goes through the repo's round-to-double boundary "
+    "convention. The same two-pass broadcast shape computes residuals for "
+    "any seasonal grid (day-of-week, month) at 100 TB.",
+)
+def timeseries_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    cell = (
+        e.groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("ssum"),
+        )
+    )
+    j = e.withColumn("hod", F.hour("ts")).join(
+        F.broadcast(cell), ["event_type", "hod"]
+    )
+    above = F.col("value") > F.col("ssum").cast("double") / F.col("cnt")
+    return j.groupBy("event_type", "hod").agg(
+        F.max("cnt").cast("long").alias("cnt"),
+        F.round(F.max("ssum"), 2).cast("double").alias("sum_value"),
+        F.sum(F.when(above, 1).otherwise(0)).cast("long").alias("n_above"),
+    )
+
+
+@register(
+    "agg_approx_percentile_audit",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           TRUE AS approx_within_iqr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "approx"),
+    doc="approx_percentile certified the approx_count_distinct_hll way: the "
+    "engine-specific sketch estimate (Greenwald-Khanna, accuracy 1000) "
+    "never leaves the query; the exact interpolated quartiles are emitted "
+    "hash-verified beside a boolean verdict that the approximate median "
+    "lands inside the exact interquartile range, and the oracle asserts "
+    "the verdict is literally TRUE. GK guarantees rank error <= n/accuracy "
+    "(~0.1% of rows here), far inside the IQR for any non-degenerate "
+    "distribution — if a Spark upgrade changed the sketch enough to leave "
+    "the envelope, the boolean flips and the driver's hash gate fires. At "
+    "100 TB the sketch replaces the exact sort entirely (mergeable "
+    "map-side partials); this audit is the spot-check run on samples, "
+    "like ann_ivf_recall_audit for ANN.",
+)
+def agg_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+    agg = l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p25",
+        "p50",
+        "p75",
+        ((F.col("ap50") >= F.col("p25")) & (F.col("ap50") <= F.col("p75"))).alias(
+            "approx_within_iqr"
+        ),
+    )

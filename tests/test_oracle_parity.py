@@ -52,3 +52,23 @@ def test_no_banned_oracle_output_types(sf_dir):
             bad.append((name, str(e).splitlines()[0]))
     con.close()
     assert not bad, f"oracles with non-portable output types: {bad}"
+
+
+def test_line_hash_boilerplate_non_vacuous(spark, sf_dir):
+    """A zero-boilerplate corpus would green-light the entry without testing
+    the membership join; the synthetic corpus's near-dups must produce real
+    shared blocks (cf. the text_oov_rate vacuity fix in round 3)."""
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["dedup_line_hash_boilerplate"].fn(spark, sf_dir).collect()
+    assert sum(r["boiler_instances"] for r in rows) > 0
+    assert sum(r["docs_with_boiler"] for r in rows) > 0
+
+
+def test_hashed_linear_quality_all_classes_present(spark, sf_dir):
+    """The ±4-per-token thresholds must actually split the corpus: all three
+    quality classes populated, so the CASE branches are all exercised."""
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["text_hashed_linear_quality"].fn(spark, sf_dir).collect()
+    assert {r["qclass"] for r in rows} == {"good", "mid", "bad"}

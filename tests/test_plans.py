@@ -728,3 +728,26 @@ def test_melt_expands_aggregate_not_raw_table(spark, sf_dir):
     # executedPlan prints top-down: Expand (later stage) appears BEFORE the
     # aggregate feeding it
     assert expand_pos < agg_pos
+
+
+def test_seasonal_baseline_joins_broadcast(spark, sf_dir):
+    # pass 2 joins the |types|x24 cell table back BROADCAST — the raw
+    # events must never shuffle for the baseline comparison
+    plan = plan_of(spark, sf_dir, "timeseries_seasonal_baseline")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_hash_boilerplate_equi_join_only(spark, sf_dir):
+    # the boilerplate membership join is keyed on the block hash — any
+    # nested-loop fallback would be quadratic in blocks at scale
+    plan = plan_of(spark, sf_dir, "dedup_line_hash_boilerplate")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hashed_linear_quality_single_exchange(spark, sf_dir):
+    # the per-doc score is a row-local HOF fold — the only hash Exchange
+    # is the final (lang, qclass) rollup
+    plan = plan_of(spark, sf_dir, "text_hashed_linear_quality")
+    assert plan.count("Exchange hashpartitioning") == 1
