@@ -414,3 +414,108 @@ def graph_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 from flock_spark.registry import REGISTRY as _REG_G  # noqa: E402
 
 _REG_G["graph_modularity_audit"].oracle = _modularity_oracle()
+
+
+def _label_prop_oracle() -> str:
+    base = """
+    WITH pairs AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT u, u AS lab FROM edges
+    )"""
+    rnd = """, v{i} AS (
+      SELECT e.u, l.lab, count(*) AS c
+      FROM edges e JOIN l{prev} l ON e.v = l.u
+      GROUP BY e.u, l.lab
+    ), l{i} AS (
+      SELECT u, lab FROM (
+        SELECT u, lab,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, lab ASC) AS rn
+        FROM v{i}) t
+      WHERE rn = 1
+    )"""
+    sql = base
+    for i in range(1, LP_ROUNDS + 1):
+        sql += rnd.format(i=i, prev=i - 1)
+    sql += f"""
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l{LP_ROUNDS}
+    GROUP BY lab
+    """
+    return sql
+
+
+LP_ROUNDS = 2
+
+
+@register(
+    "graph_label_prop_communities",
+    tags=("graph", "iterative"),
+    doc="Synchronous label propagation community detection (Raghavan et al. "
+    "2007), 2 rounds over the customer-supplier bipartite graph: every "
+    "node starts as its own label and adopts its neighbors' most frequent "
+    "label each round, ties broken to the SMALLEST label so the "
+    "synchronous schedule is fully deterministic (async LPA is "
+    "run-order-dependent — useless for a certified pipeline). Completes "
+    "the communities toolkit: dedup_clusters finds connected components "
+    "(reachability), graph_modularity_audit scores a partition, LPA "
+    "produces the partition. Per round: one edges ⋈ labels join + a "
+    "(node, label) count + a per-node arg-max window — all keyed on the "
+    "node, the Pregel shape, O(rounds) shuffles regardless of graph "
+    "size. The oracle unrolls the identical rounds as CTEs.",
+)
+def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from flock_spark.session import clamped_shuffle_partitions
+
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    pairs = (
+        o.join(li, "ok")
+        .select(
+            (F.col("c") * 2).cast("long").alias("u"),
+            (F.col("s") * 2 + 1).cast("long").alias("v"),
+        )
+        .distinct()
+    )
+    # same keyed-repartition clamp as _kcore_peeled (measured there:
+    # 11.7 s -> 1.9 s warm at sf0.01 under the driver's plain 200-partition
+    # session); scales with defaultParallelism instead of pinning local width
+    lp_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    edges = (
+        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(lp_parts, "v")
+        .cache()
+    )
+    lab = edges.select("u").distinct().select("u", F.col("u").alias("lab"))
+    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("lab"))
+    with clamped_shuffle_partitions(spark, lp_parts):
+        for _ in range(LP_ROUNDS):
+            votes = (
+                edges.join(lab.withColumnRenamed("u", "v"), "v")
+                .groupBy("u", "lab")
+                .agg(F.count("*").alias("c"))
+            )
+            lab = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("u", "lab")
+            )
+    out = lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+_REG_G["graph_label_prop_communities"].oracle = _label_prop_oracle()

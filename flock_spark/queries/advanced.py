@@ -1892,3 +1892,59 @@ def agg_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_iqr"
         ),
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT e.user_id,
+             date_diff('second', fc.c_ts, min(e.ts)) AS lat_sec
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fc.c_ts
+      GROUP BY e.user_id, fc.c_ts)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lat_sec, 0.5), 6) AS lat_p50,
+           round(quantile_cont(lat_sec, 0.9), 6) AS lat_p90,
+           CAST(max(lat_sec) AS BIGINT) AS lat_max
+    FROM conv
+    """,
+    tags=("events", "funnel", "stats"),
+    doc="Time-to-convert funnel: per-user latency from FIRST click to the "
+    "first purchase at-or-after it, reduced to the latency distribution "
+    "(count, exact p50/p90, max) — the companion to events_funnel_steps, "
+    "which counts who converts but not how fast. One user-keyed window "
+    "pass computes the first-click watermark, the purchase filter and "
+    "per-user min reuse the SAME partitioning (no second exchange — the "
+    "shuffle-reuse discipline that matters when the event log is 100 TB), "
+    "and the final distribution folds a 150-row relation. Latencies are "
+    "integer seconds (unix_timestamp truncation == date_diff boundary "
+    "count), interpolated percentiles per agg_percentiles' convention.",
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    with_fc = e.withColumn(
+        "c_ts", F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    )
+    conv = (
+        with_fc.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c_ts"))
+        )
+        .groupBy("user_id", "c_ts")
+        .agg(F.min("ts").alias("p_ts"))
+        .select(
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lat_sec")
+        )
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lat_sec, 0.5)"), 6).alias("lat_p50"),
+        F.round(F.expr("percentile(lat_sec, 0.9)"), 6).alias("lat_p90"),
+        F.max("lat_sec").cast("long").alias("lat_max"),
+    )

@@ -473,3 +473,114 @@ def _skip_sql(d) -> str:
 def maintenance_file_skipping_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_skip_sql(SPARK_D))
+
+
+def _bucketed_docs_path(spark: SparkSession, sf_dir: str) -> str:
+    from flock_spark.staging import stage_once
+
+    def write_bucketed(tmp: str) -> None:
+        d = tbl(spark, sf_dir, "documents").withColumn(
+            "bucket", (F.col("doc_id") % 4).cast("int")
+        )
+        # repartition by the partition column first: each write task owns
+        # exactly one bucket directory -> exactly one file per directory
+        d.repartition(4, "bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(tmp)
+
+    return stage_once(f"bucket_docs_{sf_dir}", "v1-mod4-onefile", write_bucketed)
+
+
+@register(
+    "scan_file_provenance_audit",
+    oracle="""
+    SELECT CAST(doc_id % 4 AS INT) AS bucket,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS doc_sum
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("source", "layout", "metadata"),
+    doc="Hidden file-metadata columns (_metadata.file_name / file_path / "
+    "file_size, SPARK-37273): the per-file provenance surface a lakehouse "
+    "compaction audit reads — no lineage sidecar table needed. Documents "
+    "are staged partitioned by doc_id % 4 with one task per bucket "
+    "directory, then the audit groups by bucket counting DISTINCT "
+    "_metadata.file_name: exactly 1 file per bucket proves the write was "
+    "compacted (the small-files check), and rows/doc_sum prove the "
+    "layout moved no data. The oracle derives the same buckets from the "
+    "original table with the file count asserted literally — a "
+    "fragmented write (n_files > 1) fails the hash gate. _metadata is "
+    "populated by the scan itself, costs nothing, and at 100 TB is the "
+    "way to find skewed/oversized files without listing the bucket.",
+)
+def scan_file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _bucketed_docs_path(spark, sf_dir)
+    d = spark.read.parquet(path)
+    return d.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.countDistinct(F.col("_metadata.file_name")).cast("long").alias("n_files"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("doc_sum"),
+    )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "layout", "runtime_filter"),
+    doc="Runtime bloom-filter pushdown (SPARK-32268): when a selective "
+    "filter sits on the build side of a SHUFFLE join, Catalyst injects a "
+    "bloom_filter_agg over the build keys and pushes a "
+    "bloom_filter_might_contain probe into the application side's SCAN — "
+    "rows that cannot join are dropped before the shuffle, the runtime "
+    "analog of the static bloom_semijoin_reduction entry and the "
+    "row-level complement of dpp_star_join's partition pruning. "
+    "Thresholds are lowered inside the entry (the defaults assume "
+    "10 GB+ scans — exactly the 100 TB regime where this fires on its "
+    "own) and broadcast is disabled to force the shuffle-join shape the "
+    "optimization exists for. Injection is plan-pinned; the oracle is "
+    "the plain join — runtime filtering must be invisible in results.",
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        o = tbl(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        out = j.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("l_orderkey").cast("long").alias("key_sum"),
+        )
+        # materialize the plan (and run it) under the lowered thresholds;
+        # localCheckpoint would sever lineage, so just force execution into
+        # a fresh DataFrame whose rows no longer depend on the confs
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

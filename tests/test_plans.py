@@ -751,3 +751,37 @@ def test_hashed_linear_quality_single_exchange(spark, sf_dir):
     # is the final (lang, qclass) rollup
     plan = plan_of(spark, sf_dir, "text_hashed_linear_quality")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    # the join_runtime_bloom_filter entry materializes under lowered
+    # thresholds; replicate its conf block and pin that Catalyst actually
+    # injects the bloom creation + scan-side probe into the plan
+    import pyspark.sql.functions as F
+
+    from flock_spark.catalog import tbl
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = tbl(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
