@@ -87,6 +87,12 @@ HEADLINE = [
     "events_pattern_kleene",
     "anomaly_mad_flags",
     "items_cooccurrence_jaccard",
+    # round-6 additions: CCNet block boilerplate, hashed linear quality
+    # filter, deterministic LPA communities, runtime bloom join
+    "dedup_line_hash_boilerplate",
+    "text_hashed_linear_quality",
+    "graph_label_prop_communities",
+    "join_runtime_bloom_filter",
 ]
 
 

@@ -469,8 +469,6 @@ LP_ROUNDS = 2
     "size. The oracle unrolls the identical rounds as CTEs.",
 )
 def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from flock_spark.session import clamped_shuffle_partitions
 
     o = tbl(spark, sf_dir, "orders").select(
@@ -497,7 +495,6 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     lab = edges.select("u").distinct().select("u", F.col("u").alias("lab"))
-    w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("lab"))
     with clamped_shuffle_partitions(spark, lp_parts):
         for _ in range(LP_ROUNDS):
             votes = (
@@ -505,11 +502,12 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("u", "lab")
                 .agg(F.count("*").alias("c"))
             )
-            lab = (
-                votes.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("u", "lab")
-            )
+            # arg-max as a HASH aggregate, not a window sort: lexicographic
+            # max of (count, -label) = most votes, smallest label on ties —
+            # two-phase with map-side partials, no per-partition sort
+            lab = votes.groupBy("u").agg(
+                F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m")
+            ).select("u", (-F.col("m.nl")).alias("lab"))
     out = lab.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").cast("long").alias("n_members")
     )
