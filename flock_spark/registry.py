@@ -215,6 +215,7 @@ def _load_all() -> None:
     import flock_spark.operators  # noqa: F401
     import flock_spark.sources.nexmark_gen  # noqa: F401
     import flock_spark.sources.side_input  # noqa: F401
+    import flock_spark.sources.python_datasource  # noqa: F401
     import flock_spark.streaming  # noqa: F401
 
 
