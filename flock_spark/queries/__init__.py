@@ -8,3 +8,4 @@ import flock_spark.queries.windows_time  # noqa: F401
 import flock_spark.queries.advanced  # noqa: F401
 import flock_spark.queries.layouts  # noqa: F401
 import flock_spark.queries.sql_surface  # noqa: F401
+import flock_spark.queries.analytics  # noqa: F401

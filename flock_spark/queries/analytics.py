@@ -1,0 +1,269 @@
+"""Analytics operators: skyline/pareto frontier, marketing attribution,
+weighted sampling.
+
+Beyond the reference's surface (SURVEY §2 lists none of these) but standard
+asks of a warehouse engine. Each is expressed so the heavy relation crosses
+the wire once:
+
+- the pareto frontier is computed TWO-PHASE (local frontier per hash bucket,
+  then global frontier over the survivors) — dominance is transitive, so a
+  locally-dominated point is globally dominated and can be dropped before
+  the global step ever sees it; the global window runs over a relation
+  bounded by (buckets x local frontier size), not the table;
+- attribution folds the entire multi-touch path into ONE user-keyed window
+  pass by packing (touch-time, channel) into a single BIGINT whose running
+  max IS last-touch attribution (and running min of the mirrored packing is
+  first-touch) — no event-log self-join, no join-back to resolve the
+  winning touch;
+- weighted sampling is the integer bottom-k sketch: replicate each doc
+  `weight` times with salted md5 keys and keep the k smallest keys
+  globally — inclusion probability rises with weight, every comparison is
+  exact int64, and the global bottom-k plans as TakeOrderedAndProject
+  (partial per-partition top-k, never a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import tbl
+from flock_spark.operators.hashing import duck_md5_long, spark_md5_long
+from flock_spark.registry import register
+
+PARETO_BUCKETS = 32
+
+# last-touch packing: epoch_us * 8 + channel_idx. epoch_us ~ 1.7e15 for the
+# 2024 corpus, so packed < 1.4e16 << 2^63; channel_idx < N_CHANNELS <= 8.
+N_CHANNELS = 5
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day attribution window
+
+WRS_K = 32  # weighted-sample size
+WRS_MAX_W = 4
+
+
+def _local_then_global_frontier(pts: DataFrame) -> DataFrame:
+    """Skyline of distinct (price, size) points: minimize price, maximize
+    size. Phase 1 prunes per bucket; phase 2 finalizes over survivors."""
+
+    def frontier(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("price").asc(), F.col("size").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("m", F.max("size").over(w))
+            .where(F.col("m").isNull() | (F.col("m") < F.col("size")))
+            .drop("m")
+        )
+
+    local = frontier(
+        pts.withColumn("b", F.pmod(F.hash("price", "size"), F.lit(PARETO_BUCKETS))),
+        ["b"],
+    ).drop("b")
+    return frontier(local.withColumn("g", F.lit(0)), ["g"]).drop("g")
+
+
+@register(
+    "analytics_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+    ranked AS (
+      SELECT price, size,
+             max(size) OVER (ORDER BY price ASC, size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m
+      FROM pts),
+    sky AS (SELECT price, size FROM ranked WHERE m IS NULL OR m < size)
+    SELECT sky.price, sky.size, count(*) AS n_parts
+    FROM sky JOIN part p ON p.p_retailprice = sky.price AND p.p_size = sky.size
+    GROUP BY sky.price, sky.size
+    """,
+    tags=("analytics", "skyline", "window"),
+    doc="Pareto frontier (skyline) of parts: points where no other part is "
+    "both cheaper-or-equal and larger-or-equal with one strict. After "
+    "dedup to distinct points, the 2-D skyline is a single sorted pass "
+    "(keep a point iff it beats the running max size among all "
+    "cheaper-or-equal points) — never the quadratic dominance join. "
+    "Spark runs it two-phase: a bucket-local frontier prunes dominated "
+    "points map-side (dominance is transitive, so local losers are global "
+    "losers), then the global window sorts only the survivors — at 100 TB "
+    "the global step sees ~buckets x frontier-size rows, not the table. "
+    "The oracle is the single-pass global form; equality of the two-phase "
+    "and direct-quadratic forms is additionally pinned by a NOT EXISTS "
+    "differential test.",
+)
+def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tbl(spark, sf_dir, "part")
+    pts = p.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).distinct()
+    sky = _local_then_global_frontier(pts)
+    return (
+        p.join(
+            F.broadcast(sky),
+            (p.p_retailprice == sky.price) & (p.p_size == sky.size),
+        )
+        .groupBy("price", "size")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+_CH_SPARK = f"({spark_md5_long('CAST(event_id AS STRING)')} % {N_CHANNELS})"
+_CH_DUCK = f"({duck_md5_long('CAST(event_id AS VARCHAR)')} % {N_CHANNELS})"
+
+
+@register(
+    "events_attribution_touch_matrix",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN {_CH_DUCK} END AS ch
+      FROM events),
+    packed AS (
+      SELECT user_id, event_type, us, cents,
+             max(CASE WHEN ch IS NOT NULL THEN us * 8 + ch END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_packed,
+             min(CASE WHEN ch IS NOT NULL THEN us * 8 + (7 - ch) END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_packed
+      FROM ev)
+    SELECT CAST(first_packed % 8 AS BIGINT)         AS first_ch_raw,
+           CAST(last_packed % 8 AS BIGINT)          AS last_ch,
+           count(*)                                 AS n_conversions,
+           CAST(sum(cents) AS BIGINT)               AS attributed_cents
+    FROM packed
+    WHERE event_type = 'purchase'
+      AND last_packed IS NOT NULL
+      AND us - CAST(floor(last_packed / 8) AS BIGINT) <= {ATTR_WINDOW_US}
+    GROUP BY first_ch_raw, last_ch
+    """,
+    tags=("events", "attribution", "window"),
+    doc="Multi-touch attribution matrix: each purchase credited to the LAST "
+    "preceding click/view of the same user within 7 days (and cross-tabbed "
+    "against the FIRST touch on its path). The whole path resolution is "
+    "one user-keyed window pass: (touch epoch-us, channel) packs into a "
+    "single BIGINT us*8+ch whose running MAX is exactly last-touch (time "
+    "dominates; channel breaks same-microsecond ties deterministically), "
+    "and the mirrored packing us*8+(7-ch) under running MIN is first-touch "
+    "— no self-join, no join-back, one exchange on user_id at any scale. "
+    "Revenue is integer cents so the matrix sums exactly. first_ch_raw is "
+    "left mirror-encoded ((7-ch)): decoding costs a projection; the hash "
+    "certifies it either way.",
+)
+def events_attribution_touch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # parquet stores ts as TIMESTAMP_NTZ; session TZ is UTC, so the cast
+        # reads it as UTC instants == DuckDB's epoch_us over naive timestamps
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.expr(_CH_SPARK),
+        ).alias("ch"),
+    )
+    # ROWS frames need a total order: (us, event_id) is unique per user, so
+    # the "preceding" set is identical cross-engine even at equal timestamps.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = ev.select(
+        "user_id",
+        "event_type",
+        "us",
+        "cents",
+        F.max(
+            F.when(F.col("ch").isNotNull(), F.col("us") * 8 + F.col("ch"))
+        ).over(w).alias("last_packed"),
+        F.min(
+            F.when(F.col("ch").isNotNull(), F.col("us") * 8 + (7 - F.col("ch")))
+        ).over(w).alias("first_packed"),
+    )
+    conv = packed.where(
+        (F.col("event_type") == "purchase")
+        & F.col("last_packed").isNotNull()
+        & (
+            F.col("us") - F.floor(F.col("last_packed") / 8).cast("long")
+            <= ATTR_WINDOW_US
+        )
+    )
+    return conv.groupBy(
+        (F.col("first_packed") % 8).cast("long").alias("first_ch_raw"),
+        (F.col("last_packed") % 8).cast("long").alias("last_ch"),
+    ).agg(
+        F.count("*").alias("n_conversions"),
+        F.sum("cents").cast("long").alias("attributed_cents"),
+    )
+
+
+_WKEY_SPARK = spark_md5_long(
+    "concat('wrs', CAST(doc_id AS STRING), '_', CAST(i AS STRING))"
+)
+_WKEY_DUCK = duck_md5_long(
+    "('wrs' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR))"
+)
+
+
+@register(
+    "corpus_weighted_bottomk_sample",
+    oracle=f"""
+    WITH weighted AS (
+      SELECT doc_id, 1 + (n_chars % {WRS_MAX_W}) AS w FROM documents),
+    reps AS (
+      SELECT doc_id, w, {_WKEY_DUCK} AS key
+      FROM weighted JOIN range(1, {WRS_MAX_W + 1}) r(i) ON r.i <= w),
+    best AS (
+      SELECT doc_id, w, min(key) AS doc_key FROM reps GROUP BY doc_id, w)
+    SELECT doc_id, CAST(w AS BIGINT) AS w, doc_key,
+           CAST(row_number() OVER (ORDER BY doc_key) AS BIGINT) AS rk
+    FROM best
+    ORDER BY doc_key LIMIT {WRS_K}
+    """,
+    tags=("corpus", "sampling", "sketch"),
+    doc="Weighted bottom-k sample of the corpus: each document enters "
+    "weight = 1 + n_chars%4 salted md5 keys and the k=32 globally smallest "
+    "keys pick the sample — inclusion probability grows with weight, all "
+    "comparisons are exact int64 (no float pow/log whose libm rounding "
+    "differs across engines), and the per-doc min + global bottom-k both "
+    "plan as partial aggregates / TakeOrderedAndProject, so no full sort "
+    "and no shuffle of the replicated rows at 100 TB. The bottom-k key set "
+    "is also a mergeable distinct-count sketch (KMV) for free.",
+)
+def corpus_weighted_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id", (1 + F.col("n_chars") % WRS_MAX_W).alias("w")
+    )
+    reps = (
+        weighted.join(
+            F.broadcast(
+                spark.range(1, WRS_MAX_W + 1).select(F.col("id").alias("i"))
+            ),
+            F.col("i") <= F.col("w"),
+        )
+        .select("doc_id", "w", F.expr(_WKEY_SPARK).alias("key"))
+    )
+    best = reps.groupBy("doc_id", "w").agg(F.min("key").alias("doc_key"))
+    topk = best.orderBy("doc_key").limit(WRS_K)
+    return topk.select(
+        "doc_id",
+        F.col("w").cast("long").alias("w"),
+        "doc_key",
+        F.row_number()
+        .over(Window.orderBy("doc_key"))
+        .cast("long")
+        .alias("rk"),
+    )
