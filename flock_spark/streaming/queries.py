@@ -280,6 +280,74 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_stream_left_outer",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(p_ts) FROM p))
+                  - INTERVAL 1 HOUR AS w),
+    j AS (SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts
+          FROM c LEFT JOIN p
+            ON c.user_id = p.p_user
+           AND p.p_ts BETWEEN c.click_ts
+                          AND c.click_ts + INTERVAL 10 MINUTE)
+    SELECT click_id, purchase_id, user_id FROM j
+    WHERE purchase_id IS NOT NULL
+       OR click_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    """,
+    tags=("streaming", "join"),
+    doc="Stateful stream-stream LEFT OUTER join — the outer twin of "
+    "streaming_stream_stream_join, a capability the reference cannot "
+    "express at all (its per-window recompute model has no cross-window "
+    "null-emission). Unmatched clicks emit (click_id, NULL) only once the "
+    "watermark proves no matching purchase can still arrive; Spark's "
+    "global watermark is min over both inputs of (max event time - delay), "
+    "applied by the final no-data micro-batch of the AvailableNow drain "
+    "(spark.sql.streaming.noDataMicroBatches, default on). The oracle "
+    "replicates exactly that closure rule: matched rows, plus unmatched "
+    "clicks whose 10-minute correlation window closed strictly below "
+    "LEAST(max click ts, max purchase ts) - 1 hour — so the hash certifies "
+    "both the join values AND the engine's outer-emission watermark "
+    "semantics (verified at sf0.001/0.01/0.1; the not-yet-closable tail "
+    "is exactly the clicks a live deployment would still hold in state).",
+)
+def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        bounded_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        bounded_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND "
+            "p_ts BETWEEN click_ts AND click_ts + INTERVAL 10 MINUTE"
+        ),
+        "leftOuter",
+    )
+    out = j.select("click_id", "purchase_id", "user_id")
+    return run_to_memory(out, output_mode="append", cap=8)
+
+
+@register(
     "json_wire_decode",
     oracle="""
     SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_users

@@ -370,3 +370,17 @@ def test_transform_with_state_distinct_types(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+def test_stream_stream_left_outer_emits_both_shapes(spark, sf_dir):
+    """The outer join must be non-vacuous on BOTH sides of its union:
+    at least one matched row AND many watermark-closed null emissions —
+    a green hash over only-matched (or only-null) rows would not certify
+    the outer-emission path."""
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["streaming_stream_stream_left_outer"].fn(spark, sf_dir).collect()
+    matched = [r for r in rows if r.purchase_id is not None]
+    nulls = [r for r in rows if r.purchase_id is None]
+    assert len(matched) >= 1
+    assert len(nulls) >= 10
