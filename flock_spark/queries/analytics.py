@@ -267,3 +267,87 @@ def corpus_weighted_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("rk"),
     )
+
+
+# OLS trend: epoch base for the integer minute axis (2024-01-01 UTC).
+_OLS_BASE_US = 1_704_067_200_000_000
+
+
+@register(
+    "analytics_ols_trend",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor((epoch_us(ts) - {_OLS_BASE_US}) / 60000000) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+             count(*)                       AS n,
+             CAST(sum(x) AS BIGINT)         AS sx,
+             CAST(sum(y) AS BIGINT)         AS sy,
+             CAST(sum(x * x) AS BIGINT)     AS sxx,
+             CAST(sum(x * y) AS BIGINT)     AS sxy,
+             CAST(sum(y * y) AS BIGINT)     AS syy
+      FROM e GROUP BY event_type)
+    SELECT event_type, n, sx, sy, sxx, sxy,
+           CAST(round(1000000.0 * (n * sxy - sx * sy)
+                      / (n * sxx - sx * sx)) AS BIGINT)
+             AS slope_micro,
+           CAST(round(1000000.0
+                      * ((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
+                      / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)))
+                AS BIGINT)
+             AS r2_micro
+    FROM s
+    """,
+    tags=("analytics", "stats", "regression"),
+    doc="Per-group OLS trend (linear regression of purchase cents on "
+    "time-in-minutes) from EXACT integer moment sums: one partial-"
+    "aggregable scan computes (n, Σx, Σy, Σx², Σxy, Σy²) in int64 — the "
+    "classic distributed-regression shape, map-side combinable like any "
+    "sum, no second pass, no float accumulation-order dependence — then "
+    "slope = (nΣxy-ΣxΣy)/(nΣxx-Σx²) and r² derive in a final projection. "
+    "The moment sums are emitted alongside (hash-exact by construction); "
+    "slope/r² round to 1e-6. The minute-scaled x axis keeps every product "
+    "below 2^63 through sf0.1 with ~50x headroom (documented bound: "
+    "n·Σx² < 2^63 requires n < ~2.4e5 at this 30-day corpus; larger "
+    "corpora re-center x per shard and merge, same as the sketches).",
+)
+def analytics_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.floor(
+            (F.unix_micros(F.col("ts").cast("timestamp")) - _OLS_BASE_US)
+            / 60_000_000
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.round(F.lit(1_000_000.0) * num / den).cast("long").alias("slope_micro"),
+        F.round(
+            F.lit(1_000_000.0) * (num * F.lit(1.0) * num) / (den * F.lit(1.0) * deny)
+        )
+        .cast("long")
+        .alias("r2_micro"),
+    )
