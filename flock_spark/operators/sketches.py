@@ -921,3 +921,76 @@ def _cms_hh_sql(d: _Dialect) -> str:
 def cms_heavy_hitters_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cms_hh_sql(SPARK_D))
+
+
+# ------------------------------------------------ KMV (bottom-k) sketch ---
+
+KMV_K = 256
+KMV_SHARDS = 4
+_KMV_M = 1_152_921_504_606_846_976  # 2^60: the hash universe size
+# 3/sqrt(K-2) relative-error bound for the (K-1)/kth KMV estimator,
+# precomputed as a literal so neither engine calls sqrt at query time.
+_KMV_3SD = repr(3.0 / (254.0 ** 0.5))
+
+
+def _kmv_sql(d: _Dialect) -> str:
+    """Bottom-k mergeability by value (the hll_merge_shards pattern for the
+    OTHER classical distinct sketch): per-shard bottom-k sets merged via a
+    second bottom-k == the direct global bottom-k, proven as an exact set
+    equality (symmetric difference cardinality emitted), plus the
+    (K-1)·M/kth estimate bound-checked against the exact distinct count."""
+    h = d.md5l(f"('kmv' || CAST(event_id AS {d.str_t}))")
+    est = f"round(({KMV_K} - 1) * ({_KMV_M}.0 / stats.kth))"
+    return f"""
+    WITH hashed AS (SELECT DISTINCT {h} AS h FROM events),
+    shards AS (SELECT h, (h % {KMV_SHARDS}) AS shard FROM hashed),
+    shard_topk AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+        FROM shards) t
+      WHERE rn <= {KMV_K}),
+    merged AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM shard_topk) t
+      WHERE rn <= {KMV_K}),
+    direct AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hashed) t
+      WHERE rn <= {KMV_K}),
+    sym AS (
+      SELECT count(*) AS c FROM (
+        (SELECT h FROM merged EXCEPT SELECT h FROM direct)
+        UNION ALL
+        (SELECT h FROM direct EXCEPT SELECT h FROM merged)) u),
+    stats AS (SELECT max(h) AS kth, count(*) AS kk FROM merged),
+    exact AS (SELECT count(*) AS nd FROM hashed)
+    SELECT CAST({KMV_K} AS BIGINT)               AS k,
+           exact.nd                              AS exact_distinct,
+           stats.kth                             AS kth_min_hash,
+           (sym.c = 0 AND stats.kk = {KMV_K})    AS merged_equals_direct,
+           CAST({est} AS BIGINT)                 AS est_distinct,
+           (abs({est} - exact.nd) <= {_KMV_3SD} * exact.nd)
+                                                 AS est_within_3sd
+    FROM stats, exact, sym
+    """
+
+
+@register(
+    "kmv_bottomk_distinct_merge",
+    oracle=_kmv_sql(DUCK_D),
+    tags=("approx", "sketch", "aggregate"),
+    doc=f"KMV (bottom-k) distinct sketch, mergeability proven by value: "
+    f"{KMV_SHARDS} hash shards each keep their {KMV_K} smallest 60-bit "
+    "md5 hashes; merging = bottom-k of the union, and the merged set is "
+    "certified EXACTLY equal to the direct single-pass bottom-k "
+    "(symmetric-difference cardinality 0, emitted through the hash gate) "
+    "— the property that lets each executor ship a k-row partial state "
+    "instead of its rows. The (K-1)·M/kth estimate is bound-checked "
+    "within 3/sqrt(K-2) of the exact distinct count (precomputed "
+    "literal bound — no runtime sqrt/libm). Everything before the final "
+    "estimate division is exact int64; per-shard bottom-k plans as a "
+    "rank-filtered window, never a global sort of the corpus.",
+)
+def kmv_bottomk_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kmv_sql(SPARK_D))

@@ -351,3 +351,53 @@ def analytics_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2_micro"),
     )
+
+
+def _skew_audit_sql(pct: str) -> str:
+    """Shared skew-audit text; `pct` is the engine's interpolated-percentile
+    function name (Spark `percentile`, DuckDB `quantile_cont`)."""
+    return f"""
+    WITH counts AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM counts),
+    tot AS (
+      SELECT count(*)                   AS n_keys,
+             CAST(sum(c) AS BIGINT)     AS total,
+             CAST(max(c) AS BIGINT)     AS max_cnt,
+             CAST(min(c) AS BIGINT)     AS min_cnt,
+             round({pct}(c, 0.50), 6)   AS p50,
+             round({pct}(c, 0.90), 6)   AS p90,
+             round({pct}(c, 0.99), 6)   AS p99
+      FROM counts),
+    lorenz AS (
+      SELECT CAST(sum(i * c) AS BIGINT) AS sic FROM ranked)
+    SELECT n_keys, total, max_cnt, min_cnt, p50, p90, p99,
+           CAST(round(1000000.0 * max_cnt / total) AS BIGINT)
+             AS top1_share_micro,
+           CAST(round(1000000.0 *
+                 (2.0 * sic / (1.0 * n_keys * total)
+                  - (n_keys + 1.0) / n_keys)) AS BIGINT)
+             AS gini_micro
+    FROM tot, lorenz
+    """
+
+
+@register(
+    "table_skew_audit",
+    oracle=_skew_audit_sql("quantile_cont"),
+    tags=("analytics", "profiling", "skew"),
+    doc="Key-distribution skew audit of the event log's join/agg key "
+    "(user_id): per-key counts reduced to the numbers a 100 TB join plan "
+    "is sized from — key cardinality, exact count percentiles, the top-1 "
+    "key's traffic share, and the Gini coefficient from the exact integer "
+    "Lorenz sum (rank x count over a deterministic (count, key) order; "
+    "one double division at the end). The per-key count aggregate is the "
+    "only full-data exchange; everything after folds a keys-sized "
+    "relation. This is the measurement that decides between plain, "
+    "broadcast, and salted joins (join_salted / agg_salted_two_stage are "
+    "the mitigations it selects).",
+)
+def table_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_skew_audit_sql("percentile"))
