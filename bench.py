@@ -93,6 +93,12 @@ HEADLINE = [
     "text_hashed_linear_quality",
     "graph_label_prop_communities",
     "join_runtime_bloom_filter",
+    # round-6 additions: one-pass attribution, two-phase skyline, cell-join
+    # spatial radius, KMV distinct merge
+    "events_attribution_touch_matrix",
+    "analytics_pareto_frontier",
+    "geo_radius_cell_join",
+    "kmv_bottomk_distinct_merge",
 ]
 
 

@@ -994,3 +994,70 @@ def _kmv_sql(d: _Dialect) -> str:
 def kmv_bottomk_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_kmv_sql(SPARK_D))
+
+
+# --------------------------------------- CMS join-cardinality estimate ----
+
+CMS_JOIN_KEYS = 1024  # key universe (4x the CMS width -> real collisions)
+
+
+def _cms_join_card_sql(d: _Dialect) -> str:
+    """CMS inner-product join-size estimate vs the exact key-count join."""
+
+    def cells(src: str) -> str:
+        return "\n      UNION ALL\n".join(
+            f"      SELECT {i} AS depth,"
+            f" ({universal_hash('h', CMS_DEPTH + i)} % {CMS_WIDTH}) AS col,"
+            f" count(*) AS cnt FROM {src} GROUP BY 1, 2"
+            for i in range(CMS_DEPTH)
+        )
+
+    key = f"(CAST(round(value * 100) AS BIGINT) % {CMS_JOIN_KEYS})"
+    h = d.md5l(f"CAST({key} AS {d.str_t})")
+    return f"""
+    WITH ka AS (SELECT {h} AS h, {key} AS k FROM events
+                WHERE event_type = 'click'),
+    kb AS (SELECT {h} AS h, {key} AS k FROM events
+           WHERE event_type = 'purchase'),
+    ca AS (
+{cells('ka')}
+    ), cb AS (
+{cells('kb')}
+    ), prod AS (
+      SELECT ca.depth, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS est
+      FROM ca JOIN cb ON ca.depth = cb.depth AND ca.col = cb.col
+      GROUP BY ca.depth
+    ), est AS (SELECT min(est) AS est_min FROM prod),
+    exact AS (
+      SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_join
+      FROM (SELECT k, count(*) AS c FROM ka GROUP BY k) a
+      JOIN (SELECT k, count(*) AS c FROM kb GROUP BY k) b ON a.k = b.k)
+    SELECT exact.exact_join,
+           est.est_min,
+           (est.est_min >= exact.exact_join) AS est_is_upper_bound,
+           CAST(round(1000000.0 * (est.est_min - exact.exact_join)
+                      / exact.exact_join) AS BIGINT) AS rel_err_micro
+    FROM est, exact
+    """
+
+
+@register(
+    "cms_join_cardinality_estimate",
+    oracle=_cms_join_card_sql(DUCK_D),
+    tags=("approx", "sketch", "join", "planning"),
+    doc="Join-cardinality estimation from Count-Min inner products — the "
+    "planning primitive that sizes a join BEFORE running it: |A JOIN B| "
+    "estimated as min over depth rows of sum_col cmsA[col]*cmsB[col]. "
+    "Each side compresses to depth x width integers (a broadcastable "
+    "sketch built by one partial-aggregable scan per side), the estimate "
+    "is a tiny sketch-sketch join, and the CMS guarantee — collisions "
+    "only ADD counts, so every depth row upper-bounds the true size — is "
+    "verified by value: the exact join size (computed from per-key "
+    "counts, never a materialized join) is emitted next to the estimate "
+    "with the est >= exact verdict the oracle asserts. The 1024-key "
+    "universe against width 256 forces real collisions, so the entry "
+    "certifies a genuine overestimate, not a degenerate exact pass.",
+)
+def cms_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cms_join_card_sql(SPARK_D))
