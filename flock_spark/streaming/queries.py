@@ -1042,3 +1042,114 @@ def streaming_pattern_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
 from flock_spark.registry import REGISTRY as _REGK  # noqa: E402
 
 _REGK["streaming_pattern_kleene"].oracle = _REGK["events_pattern_kleene"].oracle
+
+
+from flock_spark.queries.analytics import (  # noqa: E402
+    ATTR_WINDOW_US,
+    _CH_SPARK as _ATTR_CH_SPARK,
+)
+from flock_spark.registry import REGISTRY as _REG_ATTR  # noqa: E402
+
+
+@register(
+    "streaming_attribution_last_touch",
+    # identical semantics to the batch window pass => shared oracle
+    oracle=_REG_ATTR["events_attribution_touch_matrix"].oracle,
+    tags=("streaming", "stateful", "events"),
+    doc="Streaming twin of events_attribution_touch_matrix: per-user "
+    "first/last-touch state (two packed BIGINTs) held in the state store "
+    "via applyInPandasWithState; each purchase is attributed from the "
+    "state AT ITS ARRIVAL, so the operator is single-pass over the "
+    "stream — the production shape when the event log never lands as a "
+    "batch table. Event-time correctness across micro-batches comes from "
+    "time-ordered delivery: the log stages as three ts-range chunk files "
+    "(sequential appends => strictly increasing mtimes => FileStreamSource "
+    "replays them in event-time order; within a batch the handler sorts "
+    "by (us, event_id), the same total order as the batch window). The "
+    "drained per-purchase emissions fold to the identical attribution "
+    "matrix — certified by the SAME oracle as the batch twin. State is "
+    "O(2 int64) per user forever; at 100 TB the only knob is state-store "
+    "partitioning (cap 8 here for 150 users).",
+)
+def streaming_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from flock_spark.catalog import tbl
+    from flock_spark.staging import stage_once
+
+    def write_chunks(tmp: str) -> None:
+        e = tbl(spark, sf_dir, "events")
+        prepped = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(
+                F.col("event_type").isin("click", "view"),
+                F.expr(_ATTR_CH_SPARK),
+            ).alias("ch"),
+        )
+        # four sequential appends: ts-quartile slices land with strictly
+        # increasing file mtimes, so the file stream replays them in
+        # event-time order (cross-batch ordering is what state correctness
+        # needs; within-batch order is re-established by the handler sort)
+        bounds = [
+            ("2024-01-01", "2024-01-11"),
+            ("2024-01-11", "2024-01-21"),
+            ("2024-01-21", "2024-02-01"),
+        ]
+        for lo, hi in bounds:
+            prepped.filter(
+                (F.col("us") >= F.unix_micros(F.lit(lo).cast("timestamp")))
+                & (F.col("us") < F.unix_micros(F.lit(hi).cast("timestamp")))
+            ).coalesce(1).write.mode("append").parquet(tmp)
+
+    path = stage_once(f"attr_chunks_{sf_dir}", "v2-3slices", write_chunks)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, "
+            "us long, cents long, ch long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+    )
+
+    def attribute(key, pdf_iter, state):
+        if state.exists:
+            last, first = state.get
+        else:
+            last, first = None, None
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["us", "event_id"])
+        out_first, out_last, out_cents = [], [], []
+        for r in rows.itertuples(index=False):
+            if r.event_type == "purchase":
+                if last is not None and r.us - last // 8 <= ATTR_WINDOW_US:
+                    out_first.append(first % 8)
+                    out_last.append(last % 8)
+                    out_cents.append(int(r.cents))
+            elif pd.notna(r.ch):
+                packed = int(r.us) * 8 + int(r.ch)
+                mirrored = int(r.us) * 8 + (7 - int(r.ch))
+                last = packed if last is None else max(last, packed)
+                first = mirrored if first is None else min(first, mirrored)
+        if last is not None:
+            state.update((last, first))
+        yield pd.DataFrame(
+            {"first_ch_raw": out_first, "last_ch": out_last, "cents": out_cents}
+        )
+
+    emitted = stream.groupBy("user_id").applyInPandasWithState(
+        attribute,
+        outputStructType="first_ch_raw long, last_ch long, cents long",
+        stateStructType="last_packed long, first_packed long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    drained = run_to_memory(emitted, output_mode="append", cap=8)
+    return drained.groupBy("first_ch_raw", "last_ch").agg(
+        F.count("*").alias("n_conversions"),
+        F.sum("cents").cast("long").alias("attributed_cents"),
+    )
