@@ -401,3 +401,49 @@ def _skew_audit_sql(pct: str) -> str:
 def table_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_skew_audit_sql("percentile"))
+
+
+def _equidepth_sql(pct: str) -> str:
+    """Shared equi-depth histogram text; `pct` is the interpolated-percentile
+    function. Integer cents values guarantee boundary comparisons are exact
+    (a tie with an interpolated boundary requires the boundary to BE an
+    integer, which both engines then represent identically in double)."""
+    return f"""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    b AS (
+      SELECT {pct}(cents, 0.25) AS q1,
+             {pct}(cents, 0.50) AS q2,
+             {pct}(cents, 0.75) AS q3
+      FROM v)
+    SELECT CASE WHEN cents < q1 THEN 0
+                WHEN cents < q2 THEN 1
+                WHEN cents < q3 THEN 2
+                ELSE 3 END                    AS bucket,
+           count(*)                           AS cnt,
+           CAST(min(cents) AS BIGINT)         AS lo_cents,
+           CAST(max(cents) AS BIGINT)         AS hi_cents,
+           CAST(sum(cents) AS BIGINT)         AS sum_cents
+    FROM v CROSS JOIN b
+    GROUP BY bucket
+    """
+
+
+@register(
+    "events_equidepth_histogram",
+    oracle=_equidepth_sql("quantile_cont"),
+    tags=("analytics", "histogram", "scale-pattern"),
+    doc="Equi-depth (quantile-bucketed) histogram of event value cents — "
+    "the companion to events_value_histogram's equi-WIDTH bins. The scale "
+    "shape is two passes with NO global sort: pass 1 reduces the column "
+    "to 3 quartile boundaries (a partial-aggregable percentile), pass 2 "
+    "assigns buckets via a broadcast 1-row boundary join and aggregates — "
+    "the plan a 100 TB histogram must use (a global NTILE would sort the "
+    "table). At cluster scale pass 1 swaps to approx_percentile "
+    "(mergeable sketch, bound-audited by agg_approx_percentile_audit); "
+    "the bucketing pass is unchanged. Integer cents make every boundary "
+    "comparison deterministic cross-engine.",
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_equidepth_sql("percentile"))

@@ -82,3 +82,18 @@ def test_weighted_sample_dense_rank_and_weights(spark, sf_dir):
     by_rk = sorted(rows, key=lambda r: r.rk)
     keys = [r.doc_key for r in by_rk]
     assert keys == sorted(keys)
+
+
+def test_equidepth_histogram_no_global_sort(spark, sf_dir):
+    """The equi-depth histogram must bucket via a broadcast 1-row boundary
+    join, never a global NTILE sort: no Sort node above the events scan,
+    and the only nested-loop is the bounded 1-row boundary broadcast."""
+    plan = plan_of(spark, sf_dir, "events_equidepth_histogram")
+    assert "CartesianProduct" not in plan
+    # percentile agg + hash agg only — a global sort would appear as Sort
+    assert "Sort [cents" not in plan and "Sort [bucket" not in plan
+    rows = REGISTRY["events_equidepth_histogram"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    total = sum(r.cnt for r in rows)
+    # equi-depth: every bucket within 2x of the ideal quarter (ties skew)
+    assert all(total / 8 <= r.cnt <= total / 2 for r in rows)
