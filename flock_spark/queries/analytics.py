@@ -447,3 +447,59 @@ def _equidepth_sql(pct: str) -> str:
 def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_equidepth_sql("percentile"))
+
+
+_RI_EDGES_SQL = """
+    WITH snap AS (SELECT p_partkey FROM part WHERE p_size > 25),
+    e1 AS (
+      SELECT 'orders.o_custkey->customer' AS edge,
+             count(*) AS n_child,
+             count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphan_rows,
+             count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                 THEN o.o_custkey END) AS n_missing_keys
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    e2 AS (
+      SELECT 'lineitem.l_orderkey->orders' AS edge,
+             count(*) AS n_child,
+             count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphan_rows,
+             count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                 THEN l.l_orderkey END) AS n_missing_keys
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    e3 AS (
+      SELECT 'lineitem.l_suppkey->supplier' AS edge,
+             count(*) AS n_child,
+             count(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS n_orphan_rows,
+             count(DISTINCT CASE WHEN s.s_suppkey IS NULL
+                                 THEN l.l_suppkey END) AS n_missing_keys
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    e4 AS (
+      SELECT 'lineitem.l_partkey->part_snapshot' AS edge,
+             count(*) AS n_child,
+             count(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS n_orphan_rows,
+             count(DISTINCT CASE WHEN p.p_partkey IS NULL
+                                 THEN l.l_partkey END) AS n_missing_keys
+      FROM lineitem l LEFT JOIN snap p ON l.l_partkey = p.p_partkey)
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2
+    UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+"""
+
+
+@register(
+    "table_referential_integrity_audit",
+    oracle=_RI_EDGES_SQL,
+    tags=("analytics", "profiling", "quality"),
+    doc="Referential-integrity audit across four FK edges in one pass each: "
+    "child rows, orphan rows, and distinct missing keys per edge. Three "
+    "edges are the clean TPC-H constraints (zeros certified by value); "
+    "the fourth references a FILTERED part snapshot (p_size > 25) — the "
+    "late-arriving-dimension scenario — so the detector provably fires "
+    "with real orphan counts instead of a vacuous all-zero pass. Each "
+    "edge is a single left join + conditional count (the orphan check "
+    "never materializes matches beyond the join itself); at 100 TB the "
+    "dimension side broadcasts and the fact table is read once per edge "
+    "(or once total with a multi-way conditional aggregate).",
+)
+def table_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "lineitem", "supplier", "part"):
+        tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RI_EDGES_SQL)
