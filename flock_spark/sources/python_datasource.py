@@ -42,7 +42,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from flock_spark.registry import register
@@ -241,3 +243,124 @@ def streaming_pyds_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory sink table is session-scoped; materialize before it's replaced
     rows = spark.table(name).collect()
     return spark.createDataFrame(rows, spark.table(name).schema)
+
+
+# ----------------------------------------------- custom Python SINK -------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """WriterCommitMessage payload: the staged tmp file + its row count."""
+
+    def __init__(self, path: str, n: int):
+        self.path, self.n = path, n
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Executor-side writer: each task streams its partition to a tmp
+    JSON-lines file; commit() renames all tmp files atomically (two-phase:
+    a failed task's tmp never becomes visible, abort() removes strays) —
+    the same staged-rename discipline as the reference's S3 sink
+    (flock/src/datasink/s3.rs put-then-publish)."""
+
+    def __init__(self, options):
+        self.dir = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        p = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(p, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(p, n)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            os.replace(m.path, m.path[:-4])
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class PydsJsonlSink(DataSource):
+    """`flock_pyds_jsonl` — custom JSON-lines sink via the Python
+    DataSource writer API (SPARK-44076)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flock_pyds_jsonl"
+
+    def writer(self, schema, overwrite):
+        return _JsonlWriter(self.options)
+
+
+def _ensure_sink_registered(spark: SparkSession) -> None:
+    if not hasattr(spark, "_flock_pyds_sink_registered"):
+        spark.dataSource.register(PydsJsonlSink)
+        spark._flock_pyds_sink_registered = True
+
+
+@register(
+    "pyds_custom_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*)                                        AS cnt,
+           CAST(sum(user_id) AS BIGINT)                    AS sum_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                                                           AS sum_cents
+    FROM events
+    WHERE user_id < 50
+    GROUP BY event_type
+    """,
+    tags=("sink", "pyds", "spark4"),
+    doc="Custom SINK via the Python DataSource writer API: each task "
+    "streams its partition to a JSON-lines tmp file executor-side and the "
+    "driver-side commit publishes all parts with atomic renames (abort "
+    "removes strays) — the staged two-phase publish of the reference's "
+    "S3 sink (datasink/s3.rs), here as user code under Spark's commit "
+    "protocol. The entry writes a deterministic events slice through the "
+    "sink, reads the JSON back with a declared schema, and aggregates; "
+    "the oracle aggregates the source directly, so a green hash proves "
+    "the write-read round trip lost and duplicated nothing across "
+    "parallel part files.",
+)
+def pyds_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.catalog import tbl
+    from flock_spark.staging import ephemeral_dir
+
+    _ensure_sink_registered(spark)
+    out = ephemeral_dir("flock_pyds_sink_")
+    slice_df = (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    (
+        slice_df.repartition(8)
+        .write.format("flock_pyds_jsonl")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema("user_id long, event_type string, cents long").json(
+        out + "/*.jsonl"
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum("cents").alias("sum_cents"),
+    )
