@@ -1153,3 +1153,137 @@ def streaming_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n_conversions"),
         F.sum("cents").cast("long").alias("attributed_cents"),
     )
+
+
+SESS_GAP_US = 600_000_000  # 10-minute session gap
+SESS_DELAY_US = 3_600_000_000  # 1-hour watermark delay
+
+_SESS_TIMEOUT_ORACLE = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    g AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       > {SESS_GAP_US} THEN 1 ELSE 0 END AS brk
+      FROM e),
+    s AS (
+      SELECT user_id, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, sid,
+             min(us) AS session_start_us,
+             max(us) AS session_end_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid),
+    wm AS (SELECT max(us) - {SESS_DELAY_US} AS w FROM e),
+    last_sess AS (SELECT user_id, max(sid) AS max_sid FROM sess GROUP BY user_id)
+    SELECT sess.user_id, session_start_us, session_end_us, n_events
+    FROM sess
+    JOIN last_sess ON sess.user_id = last_sess.user_id
+    CROSS JOIN wm
+    WHERE sid < max_sid OR session_end_us + {SESS_GAP_US} < wm.w
+"""
+
+
+@register(
+    "streaming_session_state_timeout",
+    oracle=_SESS_TIMEOUT_ORACLE,
+    tags=("streaming", "stateful", "session"),
+    doc="Sessionization driven by EVENT-TIME STATE TIMEOUTS — the one "
+    "state-store mechanism the other stateful entries don't exercise: "
+    "each user's open session sets setTimeoutTimestamp(last_event + gap); "
+    "a session closes either IN-BAND (the next event exceeds the gap — "
+    "emitted immediately, watermark-independent) or via hasTimedOut when "
+    "the watermark passes its deadline (fired by the final no-data "
+    "micro-batch for a bounded drain). The oracle replicates both paths "
+    "exactly: every non-final session per user is in-band; the final one "
+    "appears iff end + gap < max(ts) - delay — the same closure rule the "
+    "left-outer join certified. Event-time order across micro-batches "
+    "comes from ts-range staged chunks (as streaming_attribution_last_"
+    "touch); in-batch order is the handler's sort. State is 3 int64s per "
+    "user; timeouts make state eviction event-time-driven instead of "
+    "traffic-driven — the mechanism that bounds state on a 100 TB stream "
+    "with idle keys.",
+)
+def streaming_session_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from flock_spark.catalog import tbl
+    from flock_spark.staging import stage_once
+
+    def write_chunks(tmp: str) -> None:
+        e = tbl(spark, sf_dir, "events")
+        prepped = e.select(
+            "user_id",
+            F.col("ts"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        bounds = [
+            ("2024-01-01", "2024-01-11"),
+            ("2024-01-11", "2024-01-21"),
+            ("2024-01-21", "2024-02-01"),
+        ]
+        for lo, hi in bounds:
+            prepped.filter(
+                (F.col("us") >= F.unix_micros(F.lit(lo).cast("timestamp")))
+                & (F.col("us") < F.unix_micros(F.lit(hi).cast("timestamp")))
+            ).coalesce(1).write.mode("append").parquet(tmp)
+
+    path = stage_once(f"sess_chunks_{sf_dir}", "v1-3slices", write_chunks)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, us long")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+        .withWatermark("ts", "1 hour")
+    )
+
+    def sessionize(key, pdf_iter, state):
+        import datetime
+
+        closed = []  # (start, end, cnt)
+        if state.hasTimedOut:
+            st, last, cnt = state.get
+            closed.append((st, last, cnt))
+            state.remove()
+        else:
+            if state.exists:
+                st, last, cnt = state.get
+            else:
+                st = last = None
+                cnt = 0
+            rows = pd.concat(list(pdf_iter), ignore_index=True)
+            for us in sorted(rows["us"].tolist()):
+                us = int(us)
+                if st is None:
+                    st, last, cnt = us, us, 1
+                elif us - last > SESS_GAP_US:
+                    closed.append((st, last, cnt))
+                    st, last, cnt = us, us, 1
+                else:
+                    last, cnt = us, cnt + 1
+            state.update((st, last, cnt))
+            # event-time deadline: the session times out `gap` after its
+            # last event (ms granularity — the state API takes epoch ms)
+            state.setTimeoutTimestamp((last + SESS_GAP_US) // 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start_us": [c[0] for c in closed],
+                "session_end_us": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    emitted = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, session_start_us long, session_end_us long, "
+            "n_events long"
+        ),
+        stateStructType="start_us long, last_us long, cnt long",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    return run_to_memory(emitted, output_mode="append", cap=8)
