@@ -131,3 +131,53 @@ def geo_radius_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("min_d2"),
     )
+
+
+CELL = 500  # heatmap cell size: a 20x20 grid over the coordinate plane
+
+
+def _heatmap_sql(cx: str, cy: str) -> str:
+    """Shared heatmap text over engine-templated customer coordinates."""
+    return f"""
+    WITH pts AS (
+      SELECT CAST(floor({cx} / {CELL}) AS BIGINT) AS cell_x,
+             CAST(floor({cy} / {CELL}) AS BIGINT) AS cell_y
+      FROM customer),
+    counts AS (
+      SELECT cell_x, cell_y, count(*) AS own FROM pts
+      GROUP BY cell_x, cell_y),
+    offsets AS (
+      SELECT dx, dy
+      FROM (SELECT -1 AS dx UNION ALL SELECT 0 UNION ALL SELECT 1) a
+      CROSS JOIN (SELECT -1 AS dy UNION ALL SELECT 0 UNION ALL SELECT 1) b),
+    spread AS (
+      SELECT cell_x + dx AS cell_x, cell_y + dy AS cell_y, own
+      FROM counts CROSS JOIN offsets),
+    smoothed AS (
+      SELECT cell_x, cell_y, CAST(sum(own) AS BIGINT) AS neighborhood
+      FROM spread GROUP BY cell_x, cell_y)
+    SELECT s.cell_x, s.cell_y, s.neighborhood,
+           CAST(coalesce(c.own, 0) AS BIGINT) AS own
+    FROM smoothed s LEFT JOIN counts c
+      ON s.cell_x = c.cell_x AND s.cell_y = c.cell_y
+    WHERE s.cell_x >= 0 AND s.cell_x < {GRID // CELL}
+      AND s.cell_y >= 0 AND s.cell_y < {GRID // CELL}
+    """
+
+
+@register(
+    "geo_grid_density_heatmap",
+    oracle=_heatmap_sql(_DCX, _DCY),
+    tags=("geo", "aggregate"),
+    doc="Spatial density heatmap with 3x3 neighborhood smoothing: points "
+    "reduce to per-cell counts FIRST (the only full-data aggregate), then "
+    "the 400-cell count relation explodes by the 9 offsets and re-sums — "
+    "convolution as a constant-factor blowup of the AGGREGATE, never of "
+    "the points (at 100 TB the smoothing pass touches cells-many rows "
+    "regardless of point count; the 9-way CROSS JOIN is against a 9-row "
+    "literal). Off-plane edge cells are clipped; integer coordinates make "
+    "every count exact cross-engine.",
+)
+def geo_grid_density_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_heatmap_sql(_SCX, _SCY))

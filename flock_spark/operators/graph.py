@@ -517,3 +517,64 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG_G["graph_label_prop_communities"].oracle = _label_prop_oracle()
+
+
+_BFS_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ), l0 AS (
+      SELECT CAST(0 AS BIGINT) AS u
+    ), f1 AS (
+      SELECT DISTINCT e.v AS u FROM edges e JOIN l0 ON e.u = l0.u
+    ), l1 AS (
+      SELECT u FROM f1 WHERE u NOT IN (SELECT u FROM l0)
+    ), f2 AS (
+      SELECT DISTINCT e.v AS u FROM edges e JOIN l1 ON e.u = l1.u
+    ), l2 AS (
+      SELECT u FROM f2
+      WHERE u NOT IN (SELECT u FROM l0 UNION ALL SELECT u FROM l1)
+    ), f3 AS (
+      SELECT DISTINCT e.v AS u FROM edges e JOIN l2 ON e.u = l2.u
+    ), l3 AS (
+      SELECT u FROM f3
+      WHERE u NOT IN (SELECT u FROM l0 UNION ALL SELECT u FROM l1
+                      UNION ALL SELECT u FROM l2)
+    )
+    SELECT CAST(layer AS BIGINT) AS layer,
+           count(*) AS n_nodes,
+           min(u) AS min_node,
+           max(u) AS max_node,
+           CAST(sum(u) AS BIGINT) AS sum_nodes
+    FROM (
+      SELECT u, 0 AS layer FROM l0
+      UNION ALL SELECT u, 1 FROM l1
+      UNION ALL SELECT u, 2 FROM l2
+      UNION ALL SELECT u, 3 FROM l3
+    ) t
+    GROUP BY layer
+"""
+
+
+@register(
+    "graph_bfs_layers",
+    oracle=_BFS_SQL,
+    tags=("graph", "iterative"),
+    doc="BFS shortest-path layers from customer node 0 over the bipartite "
+    "customer-supplier graph (same relationally-derived edges as "
+    "PageRank): three unrolled frontier expansions, each one keyed "
+    "edges-join + anti-membership filter — the Pregel round shape, where "
+    "every iteration shuffles only the frontier, never the graph (the "
+    "edges relation would be bucketed by src on a cluster so rounds are "
+    "shuffle-free). Layers are reduced to per-layer integer invariants "
+    "(count/min/max/sum of node ids), exact cross-engine. The SQL text "
+    "is shared verbatim by both engines; the un-unrolled production form "
+    "is the iterate-until-empty loop of graph_kcore_peel.",
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_BFS_SQL)
