@@ -226,3 +226,31 @@ def unpivot_melt_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="metric_value",
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("agg", "sql_surface", "spark4"),
+    doc="GROUP BY ALL resolution (SPARK-44186): the grouping keys are "
+    "inferred as every non-aggregate select item. The oracle spells the "
+    "EXPLICIT grouping list, so the hash certifies Spark resolved ALL to "
+    "exactly those keys — an independent formulation, not a syntax echo. "
+    "Plans identically to the explicit form (same two-phase hash "
+    "aggregate), so the surface costs nothing.",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               sum(o_orderkey) AS key_sum
+        FROM orders
+        GROUP BY ALL
+        """
+    )

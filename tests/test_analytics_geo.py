@@ -97,3 +97,27 @@ def test_equidepth_histogram_no_global_sort(spark, sf_dir):
     total = sum(r.cnt for r in rows)
     # equi-depth: every bucket within 2x of the ideal quarter (ties skew)
     assert all(total / 8 <= r.cnt <= total / 2 for r in rows)
+
+
+def test_parquet_zstd_actually_compresses(spark, sf_dir, tmp_path):
+    """parquet_zstd_roundtrip's codec claim: the zstd files must be
+    materially smaller than an uncompressed write of the identical rows."""
+    import os
+
+    from flock_spark.catalog import tbl
+
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def size_of(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    zdir, udir = str(tmp_path / "z"), str(tmp_path / "u")
+    o.coalesce(1).write.option("compression", "zstd").parquet(zdir)
+    o.coalesce(1).write.option("compression", "uncompressed").parquet(udir)
+    assert size_of(zdir) < 0.8 * size_of(udir)
