@@ -1176,8 +1176,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY c_acctbal DESC, c_custkey
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND UNBOUNDED FOLLOWING) AS third_richest,
-           round(cume_dist() OVER (PARTITION BY c_nationkey
-                                   ORDER BY c_acctbal, c_custkey), 6) AS bal_cume
+           CAST(round(cume_dist() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal, c_custkey)
+                      * count(*) OVER (PARTITION BY c_nationkey))
+                AS BIGINT) AS bal_cume_rank
     FROM customer
     """,
     tags=("window",),
@@ -1185,8 +1187,16 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytic functions of the ANSI window surface not already pinned "
     "(rank/dense/percent_rank/ntile/lag/lead/first/last are certified "
     "elsewhere). Deterministic: both orderings carry the c_custkey "
-    "tie-break, and cume_dist is an exact rational rounded at the "
-    "boundary. One keyed window pass, nation-partitioned.",
+    "tie-break, and cume_dist is certified as the exact INTEGER peer "
+    "count it encodes — cume_dist * partition-count rounds to the "
+    "number of order-peers at-or-below the row (within 1e-9 of an "
+    "integer, so the round is boundary-free). Emitting round(ratio, 6) "
+    "instead was a latent cross-engine hazard: Spark rounds via the "
+    "double's decimal expansion (BigDecimal HALF_UP), DuckDB via "
+    "std::round(x*1e6), and at sf0.1 one row's ratio straddled a "
+    "6th-decimal boundary and hashed differently (caught by the "
+    "round-6 full-registry sf0.1 audit, never driver-exposed). One "
+    "keyed window pass, nation-partitioned.",
 )
 def window_nth_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tbl(spark, sf_dir, "customer")
@@ -1196,10 +1206,13 @@ def window_nth_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     wc = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wp = W.partitionBy("c_nationkey")
     return c.select(
         "c_custkey",
         F.nth_value("c_name", 3).over(wn).alias("third_richest"),
-        F.round(F.cume_dist().over(wc), 6).alias("bal_cume"),
+        F.round(F.cume_dist().over(wc) * F.count("*").over(wp))
+        .cast("long")
+        .alias("bal_cume_rank"),
     )
 
 
