@@ -918,3 +918,166 @@ def text_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("toks_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (CommonCrawl-style)
+# ---------------------------------------------------------------------------
+
+_URL_HOSTS = ["News.Example.COM", "blog.example.com", "WWW.Example.com"]
+_URL_TRACK = ["utm_source=feed", "utm_campaign=x", "ref=home", ""]
+
+
+def _url_gen(md5l, str_t: str) -> str:
+    """Engine-templated synthetic raw URL for a doc_id: mixed-case host,
+    optional default port, tracking params, fragment — every mess the
+    canonicalizer must remove, chosen deterministically by md5."""
+    h = md5l(f"('url' || CAST(doc_id AS {str_t}))")
+    host = (
+        f"(CASE ({h} % 3) WHEN 0 THEN '{_URL_HOSTS[0]}' "
+        f"WHEN 1 THEN '{_URL_HOSTS[1]}' ELSE '{_URL_HOSTS[2]}' END)"
+    )
+    port = f"(CASE WHEN ({h} % 5) = 0 THEN ':80' ELSE '' END)"
+    track = (
+        f"(CASE ({h} % 4) WHEN 0 THEN '?{_URL_TRACK[0]}' "
+        f"WHEN 1 THEN '?{_URL_TRACK[1]}' "
+        f"WHEN 2 THEN '?{_URL_TRACK[2]}' ELSE '' END)"
+    )
+    frag = f"(CASE WHEN ({h} % 7) = 0 THEN '#section2' ELSE '' END)"
+    path = f"('/post/' || CAST(({h} % 40) AS {str_t}) || '/')"
+    return f"('http://' || {host} || {port} || {path} || {track} || {frag})"
+
+
+def _url_canon_sql(md5l, str_t: str) -> str:
+    """Canonicalize then count collisions per canonical URL. The regex
+    surface is deliberately RE2-and-Java-compatible (no lookaround)."""
+    raw = _url_gen(md5l, str_t)
+    return f"""
+    WITH raw AS (SELECT doc_id, {raw} AS url FROM documents),
+    canon AS (
+      SELECT doc_id,
+             -- the :80 strip is a plain string replace (the path alphabet
+             -- can't contain ':80'), NOT a regex with a backreference:
+             -- replacement syntax diverges across engines ($1 in Java
+             -- regex vs \\1 in RE2), so backreferences are banned here
+             replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '#.*$', ''),
+                 '[?](utm_[a-z]+=[^&#]*|ref=[^&#]*)', ''),
+               ':80/', '/') AS c1
+      FROM raw),
+    c2 AS (
+      SELECT doc_id,
+             CASE WHEN c1 LIKE '%/' THEN substring(c1, 1, length(c1) - 1)
+                  ELSE c1 END AS curl
+      FROM canon),
+    c3 AS (SELECT doc_id, replace(curl, '://www.', '://') AS curl FROM c2)
+    SELECT curl,
+           count(*) AS n_docs,
+           min(doc_id) AS canonical_doc,
+           CAST(count(*) - 1 AS BIGINT) AS n_dups
+    FROM c3
+    GROUP BY curl
+    """
+
+
+@register(
+    "text_url_canonicalize_dedup",
+    oracle=None,  # set below — needs the DuckDB md5 template
+    tags=("text", "dedup", "pipeline"),
+    doc="URL canonicalization + exact dedup — the first stage of a "
+    "CommonCrawl-style pipeline: lowercase, strip fragments, tracking "
+    "params (utm_*/ref), default :80 ports, trailing slashes, and the "
+    "www prefix, then group by canonical URL keeping min(doc_id) as "
+    "survivor. The synthetic raw URLs are md5-derived with every mess "
+    "class present (mixed-case hosts, optional ports/params/fragments), "
+    "so the oracle regenerates and re-canonicalizes them independently — "
+    "a green hash certifies the whole normalization chain end to end. "
+    "Regexes are lookaround-free (portable across Java regex and RE2). "
+    "Pure per-row projection + one aggregate: scan-partitioning "
+    "preserved, the only exchange carries canonical keys.",
+)
+def text_url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.operators.hashing import spark_md5_long
+
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_url_canon_sql(spark_md5_long, "STRING"))
+
+
+def _finish_url_oracle() -> None:
+    from flock_spark.operators.hashing import duck_md5_long
+    from flock_spark.registry import REGISTRY
+
+    REGISTRY["text_url_canonicalize_dedup"].oracle = _url_canon_sql(
+        duck_md5_long, "VARCHAR"
+    )
+
+
+_finish_url_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_vocab_coverage_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rk,
+             sum(c) OVER (ORDER BY c DESC, tok
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT CAST(sum(c) AS BIGINT) FROM counts) AS total
+      FROM counts),
+    ks AS (SELECT CAST(1 << i AS BIGINT) AS k
+           FROM range(12) t(i))
+    SELECT ks.k,
+           CAST(max(ranked.cum) AS BIGINT) AS covered,
+           CAST(max(ranked.total) AS BIGINT) AS total,
+           CAST((1000000 * max(ranked.cum)) // max(ranked.total) AS BIGINT)
+             AS coverage_ppm
+    FROM ks JOIN ranked ON ranked.rk <= ks.k
+    GROUP BY ks.k
+    """,
+    tags=("text", "tokenizer", "stats"),
+    doc="Vocabulary coverage curve: what fraction of all token "
+    "occurrences the top-k most frequent types cover, for k in powers "
+    "of two — the measurement a tokenizer vocabulary size is chosen "
+    "from (the integer skeleton of a Zipf fit, no logs). One token "
+    "count aggregate (vocabulary-sized), one running-sum window over "
+    "the RANKED VOCABULARY (not the corpus), and a tiny k-grid join; "
+    "coverage is exact integer ppm. Deterministic tie-break (count "
+    "DESC, token ASC) on the rank order.",
+)
+def tokenizer_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    wr = W.orderBy(F.desc("c"), "tok")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c").over(wr.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    ).crossJoin(counts.agg(F.sum("c").cast("long").alias("total")))
+    ks = d.sparkSession.range(12).selectExpr(
+        "CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT) AS k"
+    )
+    return (
+        ks.join(F.broadcast(ranked), F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.max("cum").cast("long").alias("covered"),
+            F.max("total").cast("long").alias("total"),
+            # integer division on both engines (// in DuckDB, div here):
+            # CAST(double) rounds in DuckDB but truncates in Spark, so the
+            # float path would diverge at x.5 boundaries
+            F.expr("(1000000 * max(cum)) div max(total)").alias("coverage_ppm"),
+        )
+    )
