@@ -552,3 +552,51 @@ _CDF_SQL = """
 def table_snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_CDF_SQL)
+
+
+_BOUNCE_SQL = """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid)
+    SELECT day,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST((1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS bounce_ppm,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM sess
+    GROUP BY day
+"""
+
+
+@register(
+    "events_sessionized_bounce_rate",
+    oracle=_BOUNCE_SQL,
+    tags=("events", "session", "analytics"),
+    doc="Daily bounce rate over sessionized events (30-minute gap): the "
+    "product-analytics composition of gaps-and-islands sessionization "
+    "with a calendar rollup — sessions with exactly one event over all "
+    "sessions, attributed to the day the session STARTED (not the day "
+    "of each event — the subtle correctness point a per-event GROUP BY "
+    "day gets wrong at midnight boundaries). One user-keyed window pass "
+    "builds sessions, the rollup folds a sessions-sized relation; "
+    "bounce rate is exact integer ppm via engine-matched integer "
+    "division. Identical SQL text on both engines.",
+)
+def events_sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # Spark spells integer division `div`; the oracle text uses DuckDB `//`
+    return spark.sql(_BOUNCE_SQL.replace("//", "div"))
