@@ -1081,3 +1081,38 @@ def tokenizer_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr("(1000000 * max(cum)) div max(total)").alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "text_langid_confusion_audit",
+    oracle=f"""
+    WITH pred AS ({_langid_sql()})
+    SELECT lang_declared, lang_pred,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS example_doc
+    FROM pred
+    GROUP BY lang_declared, lang_pred
+    """,
+    tags=("text", "quality", "audit"),
+    doc="Classifier-quality confusion matrix for the heuristic language "
+    "ID: declared label x predicted label with counts and one example "
+    "doc per cell — the accuracy audit every production classifier "
+    "(langid, quality scorer, toxicity filter) ships next to its "
+    "predictions, in the same pattern as ann_ivf_recall_audit for ANN. "
+    "The corpus' lang column is synthetic, so the matrix is deliberately "
+    "noisy — which is the point: the audit MEASURES disagreement rather "
+    "than assuming the label. One scan (prediction is a per-row "
+    "projection) + one cells-sized aggregate.",
+)
+def text_langid_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        WITH pred AS ({_langid_sql()})
+        SELECT lang_declared, lang_pred,
+               count(*) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS example_doc
+        FROM pred
+        GROUP BY lang_declared, lang_pred
+        """
+    )
