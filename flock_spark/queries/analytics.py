@@ -600,3 +600,48 @@ def events_sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFram
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     # Spark spells integer division `div`; the oracle text uses DuckDB `//`
     return spark.sql(_BOUNCE_SQL.replace("//", "div"))
+
+
+_P80_SQL = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, user_id) AS rk,
+             sum(cents) OVER (ORDER BY cents DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per_user),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+                   count(*) AS n_users
+            FROM per_user)
+    SELECT t.n_users,
+           t.total AS total_cents,
+           CAST(min(r.rk) AS BIGINT) AS n_users_for_80pct,
+           CAST((1000000 * min(r.rk)) // t.n_users AS BIGINT)
+             AS user_share_ppm
+    FROM ranked r CROSS JOIN tot t
+    WHERE 5 * r.cum >= 4 * t.total
+    GROUP BY t.n_users, t.total
+"""
+
+
+@register(
+    "events_revenue_pareto80",
+    oracle=_P80_SQL,
+    tags=("events", "analytics", "stats"),
+    doc="Revenue concentration (the 80/20 question): the smallest number "
+    "of users covering 80 percent of purchase revenue, found WITHOUT any "
+    "float threshold — the 80-percent test is the integer "
+    "cross-multiplication 5*cumulative >= 4*total, so there is no "
+    "ratio to round and no boundary to diverge on (the discipline the "
+    "snapshot-drift TVD flag established). One user aggregate, one "
+    "running-sum window over the USERS-sized relation (never the event "
+    "log), one 1-row broadcast of the total. Companion to "
+    "table_skew_audit's Gini: same Lorenz machinery, business framing.",
+)
+def events_revenue_pareto80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_P80_SQL.replace("//", "div"))
