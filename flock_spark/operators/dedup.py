@@ -1642,3 +1642,76 @@ def dedup_line_hash_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_with_boiler"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-score vs duplication calibration
+# ---------------------------------------------------------------------------
+
+
+def _quality_q4_sql() -> str:
+    """Integer quality level 0..4 — text_quality_score's additive score *4
+    (each arm is an exact quarter, so the integer mapping is lossless)."""
+    from flock_spark.operators.text import _occ, _tok_count
+
+    stop = f"{_occ(' the ')} + {_occ(' a ')} + {_occ(' of ')}"
+    return (
+        "(CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 2 ELSE 0 END"
+        f" + CASE WHEN {_tok_count()} >= 20 THEN 1 ELSE 0 END"
+        f" + CASE WHEN ({stop}) > 0 THEN 1 ELSE 0 END)"
+    )
+
+
+@register(
+    "corpus_quality_dup_calibration",
+    oracle=None,  # assembled below (needs the recursive-CTE cluster oracle)
+    tags=("corpus", "dedup", "quality", "audit"),
+    doc="Calibration of the quality score against an independent signal — "
+    "near-duplicate cluster membership: per integer quality level, how "
+    "many documents sit inside a dup cluster and the dup rate in exact "
+    "ppm. This is the measurement behind 'is low quality correlated "
+    "with boilerplate duplication?', i.e. whether the two curation "
+    "filters are redundant or complementary. Composes two already-"
+    "certified relations: the quality projection (per-row, zero "
+    "shuffle) and the MEMOIZED label-propagation cluster relation "
+    "(computed once per session across the dedup family); the join is "
+    "cluster-sized, the output is levels-sized. Integer quality levels "
+    "(score*4) avoid grouping on doubles.",
+)
+def corpus_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _spark_components(spark, sf_dir).select("doc_id").distinct()
+    d = tbl(spark, sf_dir, "documents")
+    q = d.selectExpr("doc_id", f"CAST({_quality_q4_sql()} AS BIGINT) AS quality_q4")
+    joined = q.join(
+        comp.withColumn("in_dup", F.lit(1)), "doc_id", "left"
+    )
+    return joined.groupBy("quality_q4").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(F.col("in_dup"), F.lit(0))).cast("long").alias("n_in_dup"),
+        F.expr(
+            "(1000000 * sum(COALESCE(in_dup, 0))) div count(*)"
+        ).alias("dup_rate_ppm"),
+    )
+
+
+def _finish_calibration_oracle() -> None:
+    from flock_spark.registry import REGISTRY
+
+    REGISTRY["corpus_quality_dup_calibration"].oracle = f"""
+    WITH comp AS ({_duck_components_sql()}),
+    members AS (SELECT DISTINCT doc_id FROM comp),
+    q AS (SELECT doc_id, CAST({_quality_q4_sql()} AS BIGINT) AS quality_q4
+          FROM documents)
+    SELECT q.quality_q4,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_dup,
+           CAST((1000000 * sum(CASE WHEN m.doc_id IS NOT NULL
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS dup_rate_ppm
+    FROM q LEFT JOIN members m ON q.doc_id = m.doc_id
+    GROUP BY q.quality_q4
+    """
+
+
+_finish_calibration_oracle()
