@@ -1061,3 +1061,179 @@ def _cms_join_card_sql(d: _Dialect) -> str:
 def cms_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cms_join_card_sql(SPARK_D))
+
+
+# ---------------------------------------------------------------------------
+# Native sketch surface (Spark 4: Datasketches HLL/Theta, bitmaps, top-k)
+# ---------------------------------------------------------------------------
+#
+# The portable integer sketches above are the CROSS-ENGINE constructions;
+# these entries certify Spark's NATIVE sketch functions against exact twins
+# computed in the same query — the approx_count_distinct_hll pattern: the
+# engine-specific sketch state never leaves the query, only exact values and
+# boolean verdicts the oracle asserts TRUE.
+
+THETA_REL_BOUND = 0.05  # |est - exact| <= 5% at lgK=12 over ~1e4 distinct
+
+
+@register(
+    "bitmap_exact_distinct_native",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_distinct,
+           count(DISTINCT user_id) AS bitmap_distinct,
+           count(DISTINCT user_id) AS merged_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("approx", "sketch", "spark4", "aggregate"),
+    doc="Native bitmap distinct counting (bitmap_construct_agg / "
+    "bitmap_or_agg / bitmap_count, SPARK-44156): EXACT distinct counts "
+    "from mergeable fixed-width bitmaps — the structure that replaces "
+    "count(DISTINCT) rewrites when the key domain is dense integers. "
+    "Emitted next to the exact count twice over: once built directly, "
+    "once built as four md5-shard bitmaps OR-merged (mergeability by "
+    "value, the hll_merge_shards discipline). The oracle emits the "
+    "exact count for all three columns, so the hash proves bitmap == "
+    "merged == exact. Bucketing by bitmap_bucket_number keeps the "
+    "construction correct beyond the 32768-bit bucket width; at 100 TB "
+    "each exchange row is one bucket bitmap per group, not user ids.",
+)
+def bitmap_exact_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    shard = "(" + SPARK_D.md5l("CAST(event_id AS STRING)") + " % 4)"
+    return spark.sql(
+        f"""
+        WITH direct AS (
+          SELECT event_type,
+                 CAST(sum(cnt) AS BIGINT) AS bitmap_distinct
+          FROM (
+            SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+                   bitmap_count(bitmap_construct_agg(
+                     bitmap_bit_position(user_id))) AS cnt
+            FROM events GROUP BY event_type, bitmap_bucket_number(user_id)
+          ) b GROUP BY event_type),
+        sharded AS (
+          SELECT event_type, bkt,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM (SELECT event_type, user_id,
+                       bitmap_bucket_number(user_id) AS bkt,
+                       {shard} AS shard
+                FROM events) s
+          GROUP BY event_type, bkt, shard),
+        merged AS (
+          SELECT event_type,
+                 CAST(sum(bitmap_count(bm_or)) AS BIGINT) AS merged_distinct
+          FROM (SELECT event_type, bkt, bitmap_or_agg(bm) AS bm_or
+                FROM sharded GROUP BY event_type, bkt) m
+          GROUP BY event_type),
+        exact AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, e.exact_distinct,
+               d.bitmap_distinct, m.merged_distinct
+        FROM exact e
+        JOIN direct d ON e.event_type = d.event_type
+        JOIN merged m ON e.event_type = m.event_type
+        """
+    )
+
+
+@register(
+    "theta_sketch_native_audit",
+    oracle="""
+    SELECT count(DISTINCT user_id)  AS users_exact,
+           TRUE                     AS theta_users_exact_match,
+           count(DISTINCT event_id) AS events_exact,
+           TRUE                     AS theta_events_within_bound
+    FROM events
+    """,
+    tags=("approx", "sketch", "spark4", "aggregate"),
+    doc="Native Datasketches Theta sketch (theta_sketch_agg/_estimate, "
+    "SPARK-48521): below the sketch's retention threshold (lgK=12) Theta "
+    "is EXACT — certified by equality on the user domain — and above it "
+    "the estimate must land within 5% of the exact distinct count "
+    "(event domain, ~10k at sf0.01), certified as a boolean the oracle "
+    "asserts TRUE. Retained-minimum-hash state is order- and "
+    "partitioning-independent, so the verdicts are deterministic; the "
+    "raw estimate never leaves the query (engine-specific). Theta's "
+    "practical edge over HLL is set algebra (union/intersection/"
+    "difference on sketches) at bounded error — the 100 TB overlap-"
+    "audit primitive.",
+)
+def theta_sketch_native_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        SELECT count(DISTINCT user_id) AS users_exact,
+               (theta_sketch_estimate(theta_sketch_agg(user_id))
+                  = count(DISTINCT user_id)) AS theta_users_exact_match,
+               count(DISTINCT event_id) AS events_exact,
+               (abs(theta_sketch_estimate(theta_sketch_agg(event_id))
+                    - count(DISTINCT event_id))
+                  <= {THETA_REL_BOUND} * count(DISTINCT event_id))
+                 AS theta_events_within_bound
+        FROM events
+        """
+    )
+
+
+APPROX_TOPK_K = 10
+
+
+@register(
+    "approx_top_k_native_audit",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    topk AS (
+      SELECT c FROM per_user ORDER BY c DESC, user_id LIMIT {APPROX_TOPK_K})
+    SELECT CAST({APPROX_TOPK_K} AS BIGINT) AS k,
+           CAST(sum(c) AS BIGINT) AS topk_count_sum,
+           CAST(max(c) AS BIGINT) AS top1_count,
+           TRUE AS counts_match_exact,
+           TRUE AS items_counted_exactly
+    FROM topk
+    """,
+    tags=("approx", "sketch", "spark4", "aggregate"),
+    doc="Native approx_top_k (SPARK-48506) audited against the exact "
+    "top-k: with maxItemsTracked >= the distinct-key count the sketch's "
+    "counts are exact, so (1) the MULTISET of its top-k counts must "
+    "equal the exact window top-k counts (multisets, not items — count "
+    "ties at the k-boundary make item selection legitimately arbitrary, "
+    "and a hash over items would flake on a correct engine), and (2) "
+    "every returned item's count must equal that item's exact count. "
+    "Both certified as booleans the oracle asserts TRUE, beside the "
+    "exact top-k count-sum and max. The two-level agg shape (per-key "
+    "counts -> sketch) is what replaces ORDER BY count LIMIT k when the "
+    "key domain is too large to rank exactly.",
+)
+def approx_top_k_native_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        WITH per_user AS (
+          SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        exact_topk AS (
+          SELECT c FROM per_user ORDER BY c DESC, user_id LIMIT {APPROX_TOPK_K}),
+        approx AS (
+          SELECT explode(approx_top_k(user_id, {APPROX_TOPK_K}, 100000)) AS r
+          FROM events),
+        approx_rows AS (SELECT r.item AS user_id, r.count AS ac FROM approx),
+        exact_counts AS (
+          SELECT sort_array(collect_list(c), false) AS cs FROM exact_topk),
+        approx_counts AS (
+          SELECT sort_array(collect_list(ac), false) AS cs FROM approx_rows),
+        item_check AS (
+          SELECT count(*) AS n_bad
+          FROM approx_rows a JOIN per_user p ON a.user_id = p.user_id
+          WHERE a.ac <> p.c)
+        SELECT CAST({APPROX_TOPK_K} AS BIGINT) AS k,
+               (SELECT CAST(sum(c) AS BIGINT) FROM exact_topk)
+                 AS topk_count_sum,
+               (SELECT CAST(max(c) AS BIGINT) FROM exact_topk) AS top1_count,
+               ((SELECT cs FROM exact_counts) = (SELECT cs FROM approx_counts))
+                 AS counts_match_exact,
+               ((SELECT n_bad FROM item_check) = 0) AS items_counted_exactly
+        """
+    )
