@@ -254,3 +254,67 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+_CI_MIXED = (
+    "(CASE (CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 3)"
+    " WHEN 0 THEN upper(event_type)"
+    " WHEN 1 THEN initcap(event_type)"
+    " ELSE event_type END)"
+)
+_CI_MIXED_DUCK = (
+    "(CASE ((('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)"
+    " % 3)"
+    " WHEN 0 THEN upper(event_type)"
+    " WHEN 1 THEN "
+    "   (upper(substring(event_type, 1, 1)) || substring(event_type, 2))"
+    " ELSE event_type END)"
+)
+
+
+@register(
+    "sql_collation_ci_agg",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT {_CI_MIXED_DUCK} AS etype_mixed,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT lower(etype_mixed) AS etype,
+           count(*) AS cnt,
+           count(DISTINCT etype_mixed) AS n_case_variants,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM mixed
+    GROUP BY lower(etype_mixed)
+    """,
+    tags=("functions", "sql_surface", "spark4"),
+    doc="Collation-aware aggregation (SPARK-46830, Spark 4's collation "
+    "engine): event types are deterministically case-mangled into three "
+    "variants per type, then grouped under COLLATE UNICODE_CI — the "
+    "collation, not any explicit lower(), must merge the variants. The "
+    "emitted key is normalized (lower of the group's arbitrary "
+    "representative) so the output is deterministic, and "
+    "n_case_variants = 3 per group proves the input really carried "
+    "mixed case (non-vacuity: an accidental pre-normalization would "
+    "show 1). The oracle is the independent formulation — explicit "
+    "lower() grouping — so the hash certifies the collation's "
+    "equivalence classes. Collation comparisons run JVM-side in "
+    "hash aggregates exactly like binary strings: same two-phase plan.",
+)
+def sql_collation_ci_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        WITH mixed AS (
+          SELECT {_CI_MIXED} AS etype_mixed,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events)
+        SELECT lower(min(etype_mixed COLLATE UNICODE_CI)) AS etype,
+               count(*) AS cnt,
+               count(DISTINCT etype_mixed COLLATE UTF8_BINARY)
+                 AS n_case_variants,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM mixed
+        GROUP BY etype_mixed COLLATE UNICODE_CI
+        """
+    )
