@@ -318,3 +318,80 @@ def sql_collation_ci_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY etype_mixed COLLATE UNICODE_CI
         """
     )
+
+
+def _luhn_sql(h_expr: str, concat_digits: str) -> str:
+    """Shared Luhn construction: 9 payload digits from a 60-bit hash, a
+    check digit computed by Luhn arithmetic, then deliberately corrupted
+    on odd hashes. `concat_digits` is the engine's 10-digit string concat."""
+    ds = [f"(CAST(floor(h / {10 ** i}) AS BIGINT) % 10)" for i in range(9)]
+    # Luhn from the right, check digit at position 1: payload digits at
+    # even positions (2,4,...) double with the >=5 fold
+    doubled = [ds[0], ds[2], ds[4], ds[6], ds[8]]
+    plain = [ds[1], ds[3], ds[5], ds[7]]
+    fold = " + ".join(
+        f"(2 * {d} - CASE WHEN {d} >= 5 THEN 9 ELSE 0 END)" for d in doubled
+    )
+    s = f"(({fold}) + ({' + '.join(plain)}))"
+    return f"""
+    WITH base AS (
+      SELECT {h_expr} AS h FROM events),
+    digits AS (
+      SELECT h,
+             {s} AS luhn_sum,
+             ((10 - ({s} % 10)) % 10) AS check_ok,
+             (h % 2 = 0) AS expected_valid
+      FROM base),
+    numbered AS (
+      SELECT expected_valid,
+             {concat_digits} AS card
+      FROM digits)
+    """
+
+
+@register(
+    "sql_luhn_check_audit",
+    oracle="""
+    SELECT (h % 2 = 0) AS expected_valid,
+           (h % 2 = 0) AS luhn_says,
+           count(*) AS n
+    FROM (SELECT (('0x' || substring(md5('luhn' || CAST(event_id AS VARCHAR)),
+                   1, 15))::BIGINT) AS h
+          FROM events) t
+    GROUP BY (h % 2 = 0)
+    """,
+    tags=("functions", "sql_surface", "spark4", "quality"),
+    doc="Native luhn_check (SPARK-42191) certified against INDEPENDENT "
+    "integer arithmetic: 10-digit numbers are constructed with a Luhn "
+    "check digit computed from first principles (double-every-second "
+    "with the >=5 fold), then deliberately corrupted (+1 mod 10) on odd "
+    "hashes — so luhn_check must return TRUE exactly on even hashes. "
+    "The oracle never runs Luhn at all: it asserts the diagonal "
+    "(luhn_says == expected_valid) from the parity alone, which only "
+    "hashes equal if the native function agrees with the arithmetic on "
+    "every row. The validation itself is a pure projection (the shape "
+    "of a 100 TB PII/format-check pass); the audit aggregate is "
+    "two-phase.",
+)
+def sql_luhn_check_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    h_expr = (
+        "CAST(conv(substring(md5(concat('luhn', CAST(event_id AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    )
+    ds = [f"CAST(CAST(floor(h / {10 ** i}) AS BIGINT) % 10 AS STRING)" for i in range(9)]
+    # card string: payload digits d8..d0 left-to-right, check digit last;
+    # odd hashes corrupt the check digit by +1 mod 10
+    check = "CAST((check_ok + CASE WHEN h % 2 = 0 THEN 0 ELSE 1 END) % 10 AS STRING)"
+    concat_digits = "concat(" + ", ".join(reversed(ds)) + f", {check})"
+    body = _luhn_sql(h_expr, concat_digits)
+    return spark.sql(
+        body
+        + """
+        SELECT expected_valid,
+               luhn_check(card) AS luhn_says,
+               count(*) AS n
+        FROM numbered
+        GROUP BY expected_valid, luhn_check(card)
+        """
+    )
