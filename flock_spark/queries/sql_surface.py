@@ -395,3 +395,36 @@ def sql_luhn_check_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY expected_valid, luhn_check(card)
         """
     )
+
+
+@register(
+    "sql_listagg_within_group",
+    oracle="""
+    SELECT event_type,
+           string_agg(CAST(b AS VARCHAR), ',' ORDER BY b) AS buckets_csv,
+           count(*) AS n_buckets
+    FROM (SELECT DISTINCT event_type, user_id % 16 AS b FROM events) t
+    GROUP BY event_type
+    """,
+    tags=("agg", "sql_surface", "spark4"),
+    doc="ANSI LISTAGG ... WITHIN GROUP (ORDER BY ...) (SPARK-42746, new "
+    "in Spark 4): ordered string aggregation with a deterministic order "
+    "key over a bounded distinct domain (16 buckets per group — ordered "
+    "collect over unbounded groups is the anti-pattern; production "
+    "callers bound or top-k first, as agg_collect_sorted documents). "
+    "The oracle is DuckDB's string_agg with ORDER BY — same ANSI "
+    "semantics, independently implemented. Plans as a sort-based "
+    "aggregate over the deduped relation, never the raw events.",
+)
+def sql_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               listagg(CAST(b AS STRING), ',')
+                 WITHIN GROUP (ORDER BY b) AS buckets_csv,
+               count(*) AS n_buckets
+        FROM (SELECT DISTINCT event_type, user_id % 16 AS b FROM events) t
+        GROUP BY event_type
+        """
+    )
