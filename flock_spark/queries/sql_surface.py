@@ -428,3 +428,49 @@ def sql_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@register(
+    "sql_utf8_validation_audit",
+    oracle="""
+    SELECT ((h % 256) < 128) AS expected_valid,
+           ((h % 256) < 128) AS utf8_says,
+           count(*) AS n,
+           CAST(min(h % 256) AS BIGINT) AS min_byte,
+           CAST(max(h % 256) AS BIGINT) AS max_byte
+    FROM (SELECT (('0x' || substring(md5('u8' || CAST(event_id AS VARCHAR)),
+                   1, 15))::BIGINT) AS h
+          FROM events) t
+    GROUP BY ((h % 256) < 128)
+    """,
+    tags=("functions", "sql_surface", "spark4", "quality"),
+    doc="Native UTF-8 validation (try_validate_utf8, SPARK-48162) "
+    "certified against first-principles byte arithmetic: a single byte "
+    "is valid UTF-8 iff it is < 0x80, so for md5-derived bytes the "
+    "function's verdict must equal the integer comparison on every row "
+    "— the oracle asserts the diagonal from arithmetic alone, never "
+    "running any UTF-8 logic. This is the ingest-sanitization primitive "
+    "(malformed byte streams quarantined before parsing — the byte-level "
+    "companion of csv_corrupt_tolerant_read); validation is a pure "
+    "projection at any scale.",
+)
+def sql_utf8_validation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT CAST(conv(substring(md5(concat('u8', CAST(event_id AS STRING))),
+                           1, 15), 16, 10) AS BIGINT) AS h
+          FROM events)
+        SELECT ((h % 256) < 128) AS expected_valid,
+               (try_validate_utf8(unhex(lpad(hex(h % 256), 2, '0')))
+                  IS NOT NULL) AS utf8_says,
+               count(*) AS n,
+               CAST(min(h % 256) AS BIGINT) AS min_byte,
+               CAST(max(h % 256) AS BIGINT) AS max_byte
+        FROM b
+        GROUP BY ((h % 256) < 128),
+                 (try_validate_utf8(unhex(lpad(hex(h % 256), 2, '0')))
+                    IS NOT NULL)
+        """
+    )
