@@ -1201,3 +1201,73 @@ def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH big AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               toks[1:len(toks) - 1],
+               (x, i) -> x || ' ' || toks[i + 1])) AS bigram
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents) t),
+    tf AS (SELECT doc_id, bigram, count(*) AS c FROM big
+           GROUP BY doc_id, bigram),
+    first_seen AS (
+      SELECT bigram, min(doc_id) AS first_doc FROM tf GROUP BY bigram)
+    SELECT tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(sum(CASE WHEN f.first_doc = tf.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((1000000 * sum(CASE WHEN f.first_doc = tf.doc_id
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS novelty_ppm
+    FROM tf JOIN first_seen f ON tf.bigram = f.bigram
+    GROUP BY tf.doc_id
+    """,
+    tags=("corpus", "ngram", "pipeline"),
+    doc="Cross-document n-gram novelty: per document, the fraction of its "
+    "distinct bigrams whose FIRST corpus occurrence (min doc_id — in "
+    "production, min ingest timestamp) is this document — the redundancy "
+    "signal a curriculum or incremental-crawl scheduler ranks by "
+    "(novelty collapses as a crawl saturates a domain; documents with "
+    "novelty ~0 are reformulations of already-held content even when no "
+    "dedup rule fires). Same scale shape as the fluency scorer: per-doc "
+    "tf pre-aggregation so raw occurrences never shuffle, a "
+    "vocabulary-sized min aggregate, one join back on the gram. Exact "
+    "integer ppm.",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.catalog import spread
+
+    d = spread(tbl(spark, sf_dir, "documents"))
+    toks = "split(trim(text), ' ')"
+    bigrams = (
+        f"transform(slice({toks}, 1, size({toks}) - 1),"
+        f" (x, i) -> concat(x, ' ', element_at({toks}, i + 2)))"
+    )
+    big = d.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+    tf = big.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    first_seen = tf.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        tf.join(first_seen, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_bigrams"),
+            novel.cast("long").alias("n_novel"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END))"
+                " div count(*)"
+            ).alias("novelty_ppm"),
+        )
+    )
