@@ -891,3 +891,68 @@ _REG_MM["mm_dedup_clusters"].oracle = f"""
     SELECT doc AS doc_id, min(r) AS cluster_id
     FROM reach GROUP BY doc
     """
+
+
+GIF_W_MOD, GIF_H_MOD = 4080, 2144
+
+
+@register(
+    "mm_gif_header_dims",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 + doc_id % {GIF_W_MOD} AS BIGINT) AS width,
+           CAST(16 + (doc_id * 11) % {GIF_H_MOD} AS BIGINT) AS height,
+           CAST((CAST(1 AS BIGINT) << CAST(doc_id % 8 + 1 AS INT)) AS BIGINT)
+             AS n_gct_colors,
+           TRUE AS sig_ok
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+    doc="GIF header parse — the third byte-layout class in the codec-free "
+    "parser family: PNG is big-endian chunks, WAV is a little-endian "
+    "RIFF chain, GIF adds BIT-FIELD decoding (the logical screen "
+    "descriptor's packed byte: global-color-table flag in bit 7, table "
+    "size in bits 0-2, colors = 2^(size+1)). The fixture wraps each "
+    "document in a valid GIF89a prefix (signature + uint16-LE "
+    "width/height + packed GCT byte derived from doc_id) and the "
+    "operator parses the actual bytes back — wrong endianness, offset, "
+    "or bit mask would hash-mismatch against the oracle's pure "
+    "arithmetic. Vectorized mapInPandas; at scale a 13-byte "
+    "range-request per object.",
+)
+def mm_gif_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 16 + int(doc_id) % GIF_W_MOD
+                h = 16 + (int(doc_id) * 11) % GIF_H_MOD
+                gct_bits = int(doc_id) % 8
+                packed = 0x80 | gct_bits  # GCT present, size field
+                payload = (
+                    b"GIF89a"
+                    + struct.pack("<HH", w, h)
+                    + bytes([packed, 0, 0])
+                    + str(text).encode("utf-8")
+                )
+                # parse half — what production runs on real files:
+                sig_ok = payload[:6] in (b"GIF89a", b"GIF87a")
+                pw = int.from_bytes(payload[6:8], "little")
+                ph = int.from_bytes(payload[8:10], "little")
+                pk = payload[10]
+                n_colors = 1 << ((pk & 0x07) + 1) if pk & 0x80 else 0
+                rows.append((int(doc_id), pw, ph, n_colors, bool(sig_ok)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_gct_colors", "sig_ok"],
+            )
+
+    return d.mapInPandas(
+        parse,
+        schema="doc_id long, width long, height long, n_gct_colors long, "
+        "sig_ok boolean",
+    )
