@@ -645,3 +645,48 @@ _P80_SQL = """
 def events_revenue_pareto80(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_P80_SQL.replace("//", "div"))
+
+
+_VELOCITY_SQL = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+      FROM events),
+    v AS (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+               AS n_10min
+      FROM e)
+    SELECT user_id,
+           CAST(max(n_10min) AS BIGINT) AS max_velocity,
+           CAST(sum(CASE WHEN n_10min >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           count(*) AS n_events
+    FROM v
+    GROUP BY user_id
+"""
+
+
+@register(
+    "events_velocity_range_frame",
+    oracle=_VELOCITY_SQL,
+    tags=("events", "window", "analytics"),
+    doc="Velocity rule over a TIME-VALUED RANGE frame (the fraud/abuse "
+    "primitive: how many events did this user produce in the trailing "
+    "10 minutes, evaluated AT every event): RANGE BETWEEN 600 PRECEDING "
+    "on integer epoch-seconds, so same-second bursts land in one peer "
+    "group and the frame is value-bounded, not row-bounded — the "
+    "distinction ROWS frames get wrong under bursts. Per-user flag "
+    "counts and the max trailing velocity fold the window output back "
+    "to a users-sized relation; one keyed exchange total. Identical "
+    "SQL text on both engines (Spark parses epoch_us via the registered "
+    "view's column — see the per-engine projection swap in the entry).",
+)
+def events_velocity_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark_sql = _VELOCITY_SQL.replace(
+        "CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)",
+        "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000) AS BIGINT)",
+    )
+    return spark.sql(spark_sql)
