@@ -526,14 +526,19 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM e)
     SELECT vec_id,
            round(nrm, 6) AS norm,
-           list_transform(v, x -> CAST(round(127 * x / nrm) AS BIGINT)) AS q8
+           array_to_string(
+             list_transform(v, x -> CAST(round(127 * x / nrm) AS BIGINT)), ',')
+             AS q8
     FROM n
     """,
     tags=("similarity", "embedding"),
     doc="Storage-side ANN prep: L2-normalize then symmetric int8 quantize "
     "(×127, round) — 8× smaller than float64 at <1% cosine error, the form "
     "a 100 TB vector corpus persists in. All JVM-side array transforms "
-    "(whole-stage codegen); integer outputs are bit-exact cross-engine.",
+    "(whole-stage codegen); integer outputs are bit-exact cross-engine. "
+    "The q8 vector is emitted as a CSV string (positional, so the "
+    "serialization is canonical) — LIST output columns are banned at the "
+    "output boundary (r6 driver canonicalizer hazard).",
 )
 def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spark_vecs(spark, sf_dir)
@@ -541,7 +546,10 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "vec_id",
         F.round("nrm", 6).alias("norm"),
-        F.expr("transform(v, x -> CAST(round(127 * x / nrm) AS BIGINT))").alias("q8"),
+        F.expr(
+            "array_join(transform(v,"
+            " x -> CAST(CAST(round(127 * x / nrm) AS BIGINT) AS STRING)), ',')"
+        ).alias("q8"),
     )
 
 
@@ -551,6 +559,16 @@ def _favg_fixed(expr: str) -> str:
     return (
         f"(CAST(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
         f" / 1000000.0 / count(*))"
+    )
+
+
+def _favg_micro(expr: str) -> str:
+    """Fixed-point exact average in micro-units (BIGINT): the sum is an exact
+    integer on both engines, the single double division and round are
+    IEEE-identical, so the micro-unit value is bit-exact cross-engine."""
+    return (
+        f"CAST(round(CAST(sum(CAST(round(({expr}) * 1000000) AS BIGINT))"
+        f" AS DOUBLE) / count(*)) AS BIGINT)"
     )
 
 
@@ -564,6 +582,21 @@ def _centroid_duck() -> str:
     return "[" + ", ".join(_favg_fixed(f"v[{i + 1}]") for i in range(64)) + "]"
 
 
+def _centroid_micro_spark() -> str:
+    # serialized form: CSV of micro-unit BIGINTs (positional → canonical)
+    parts = ", ".join(
+        f"CAST({_favg_micro(f'v[{i}]')} AS STRING)" for i in range(64)
+    )
+    return f"concat_ws(',', {parts})"
+
+
+def _centroid_micro_duck() -> str:
+    parts = ", ".join(
+        f"CAST({_favg_micro(f'v[{i + 1}]')} AS VARCHAR)" for i in range(64)
+    )
+    return f"concat_ws(',', {parts})"
+
+
 _DUCK_VECS = """SELECT vec_id, label,
        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
 FROM embeddings"""
@@ -572,7 +605,7 @@ FROM embeddings"""
 @register(
     "embedding_label_centroids",
     oracle=f"""
-    SELECT label, count(*) AS n_vecs, {_centroid_duck()} AS centroid
+    SELECT label, count(*) AS n_vecs, {_centroid_micro_duck()} AS centroid_micro
     FROM ({_DUCK_VECS}) e
     GROUP BY label
     """,
@@ -582,13 +615,17 @@ FROM embeddings"""
     "carries 64 longs per (partition, label), never a vector row. This is "
     "the M-step primitive for distributed k-means / class prototypes; "
     "micro-unit BIGINT accumulation keeps the result bit-identical across "
-    "engines and partition orders.",
+    "engines and partition orders. Emitted as a CSV string of micro-unit "
+    "integers (positional → canonical): LIST output columns are banned at "
+    "the output boundary (r6 driver canonicalizer hazard), and micro-unit "
+    "ints also sidestep cross-engine double-formatting divergence that a "
+    "stringified DOUBLE[] would reintroduce.",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spark_vecs(spark, sf_dir)
     return e.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
-        F.expr(_centroid_spark()).alias("centroid"),
+        F.expr(_centroid_micro_spark()).alias("centroid_micro"),
     )
 
 

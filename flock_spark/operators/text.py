@@ -258,7 +258,8 @@ MIN_DF = 5
       SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''
     )
     SELECT tok, count(*) AS df,
-           (list_sort(list(doc_id)))[1:{POSTINGS_HEAD}] AS postings_head
+           array_to_string((list_sort(list(doc_id)))[1:{POSTINGS_HEAD}], ',')
+             AS postings_head
     FROM toks
     GROUP BY tok
     HAVING count(*) >= {MIN_DF}
@@ -271,7 +272,9 @@ MIN_DF = 5
     f"{POSTINGS_HEAD} entries in the OUTPUT only (a result row must stay "
     "O(1); full postings would make stopword rows gigabytes at 100 TB) — "
     "production writes the full lists sharded by token instead. df keeps "
-    "the exact count either way.",
+    "the exact count either way. The sorted head is serialized to a CSV "
+    "string at the output boundary (LIST output columns are banned — r6 "
+    "driver canonicalizer hazard).",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
@@ -282,11 +285,14 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     postings = F.sort_array(F.collect_set("doc_id"))
+    head = F.transform(
+        F.slice(postings, 1, POSTINGS_HEAD), lambda x: x.cast("string")
+    )
     return (
         toks.groupBy("tok")
         .agg(
             F.size(postings).cast("long").alias("df"),
-            F.slice(postings, 1, POSTINGS_HEAD).alias("postings_head"),
+            F.array_join(head, ",").alias("postings_head"),
         )
         .filter(F.col("df") >= MIN_DF)
     )

@@ -28,6 +28,15 @@ from flock_spark.catalog import TABLE_NAMES
 # AS BIGINT) in the oracle SQL.
 BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
+# Round-6 driver finding (the third output-boundary type hazard after r1's
+# DECIMAL and r3's HUGEINT): the driver's canonicalizer pandas-sorts result
+# columns and dies on list cells (TypeError: unhashable type: 'list').
+# The local _canon() below canonicalizes lists, which MASKED the hazard for
+# two rounds — so nested output columns are banned outright on both engines;
+# serialize arrays to strings at the output boundary (array_join /
+# array_to_string over a pinned-order array is canonical).
+BANNED_ORACLE_TYPE_IDS = ("list", "struct", "map", "array")
+
 
 def check_oracle_types(con, sql: str) -> None:
     rel = con.sql(sql)
@@ -35,10 +44,12 @@ def check_oracle_types(con, sql: str) -> None:
         (c, str(t))
         for c, t in zip(rel.columns, rel.types)
         if any(b in str(t).upper() for b in BANNED_ORACLE_TYPES)
+        or t.id in BANNED_ORACLE_TYPE_IDS
     ]
     assert not bad, (
         f"oracle outputs non-portable column types (driver hashes int128/"
-        f"decimal differently from Spark — CAST(... AS BIGINT/DOUBLE)): {bad}"
+        f"decimal differently from Spark and cannot hash LIST/STRUCT/MAP "
+        f"cells at all — CAST scalars, array_to_string arrays): {bad}"
     )
 
 
@@ -100,6 +111,20 @@ def compare(spark: SparkSession, fn, oracle_sql: str, sf_dir: str) -> None:
     # ann_topk_bruteforce were green in r3 with opposite-width int pairings)
     float_cols = [f.name for f in sdf.schema.fields if isinstance(f.dataType, T.FloatType)]
     assert not float_cols, f"FLOAT-typed output columns (cast to DOUBLE): {float_cols}"
+    # Round-6 driver finding: nested output columns (array/struct/map) break
+    # the driver's hash gate (unhashable list cells in its pandas sort).
+    # _canon() tuple-izes lists below, which is exactly what masked this
+    # locally — ban them at the source instead.
+    nested_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+    ]
+    assert not nested_cols, (
+        f"nested (array/struct/map) output columns break the driver's hash "
+        f"gate — serialize to string (array_join) at the output boundary: "
+        f"{nested_cols}"
+    )
     s_cols = sorted(sdf.columns)
     s_rows = [tuple(row[c] for c in s_cols) for row in sdf.collect()]
 

@@ -46,18 +46,27 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-    SELECT event_type, list_sort(list(DISTINCT user_id % 25)) AS user_buckets
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id % 25)), ',')
+             AS user_buckets
     FROM events
     GROUP BY event_type
     """,
     tags=("aggregate", "array"),
     doc="Array aggregation: collect_set sorted for deterministic comparison "
-    "(collect order is partition-dependent; the sort pins it).",
+    "(collect order is partition-dependent; the sort pins it). The sorted "
+    "array is serialized to a CSV string at the output boundary — LIST "
+    "output columns are banned (r6 driver finding: its canonicalizer "
+    "cannot hash list cells; the serialization is canonical because the "
+    "array is already sorted).",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "events")
+    buckets = F.array_sort(F.collect_set(F.col("user_id") % 25))
     return e.groupBy("event_type").agg(
-        F.array_sort(F.collect_set(F.col("user_id") % 25)).alias("user_buckets")
+        F.array_join(F.transform(buckets, lambda x: x.cast("string")), ",").alias(
+            "user_buckets"
+        )
     )
 
 

@@ -55,68 +55,81 @@ REGISTRY: dict[str, QuerySpec] = {}
 # `tools/sweep_sim.py --plain` at sf0.01 (pinned by tests/test_registry.py).
 # ---------------------------------------------------------------------------
 DRIVER_SLATE: tuple[str, ...] = (
-    # --- round-6 slate ---
-    # cheap canaries for the certified core (regression tripwires); every
-    # other slot goes to never-driver-tested entries — round 5 closed
-    # 50/50 green, so there are no re-certs this round. Slate drafted and
-    # budget-audited at the end of round 5 (COVERAGE.md "Proposed r6 slate"),
-    # applied verbatim.
+    # --- round-7 slate ---
+    # Applied from the committed r7 draft (COVERAGE.md "Committed r7 slate
+    # draft", drafted at the start of round 6) under its stated displacement
+    # rule: the 4 r6 red rows re-certify FIRST (array-output serialization
+    # fix, this round), displacing the bottom 4 draft entries
+    # (orc_roundtrip_scan, table_profile_stats, maintenance_compaction_plan,
+    # items_cooccurrence_jaccard) to the r8 pool. 2 canaries + 4 re-certs +
+    # 44 never-driver-tested = 50.
     "proj_arith",
-    "agg_basic",
     "join_inner",
-    # dedup/similarity core x15 — the registry's flagship LLM-pipeline
-    # family, zero driver exposure before this round
-    "dedup_exact_normalized",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_drop_duplicates",
-    "dedup_minhash_estimate_vs_exact",
-    "dedup_semdedup_prune",
-    "dedup_multi_signal_clusters",
-    "dedup_clusters_star",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "ann_ivfpq_topk",
+    # re-certs x4 — r6 reds, one mechanical cause (LIST output columns vs
+    # the driver's canonicalizer); now serialized to strings on both engines
+    "agg_collect_sorted",
+    "text_inverted_index",
     "embedding_normalize_quantize",
     "embedding_label_centroids",
-    "embedding_nearest_centroid",
-    # text x8
-    "text_token_stats",
-    "text_langid",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_inverted_index",
-    "text_tfidf_topk_terms",
-    "text_pii_redact",
-    "text_rake_keywords",
-    # corpus x9
-    "corpus_vocab_topk",
-    "corpus_split_stratified",
-    "corpus_repetition_stats",
-    "corpus_sample_deterministic",
-    "corpus_sample_per_group",
-    "corpus_temperature_mix",
-    "corpus_shuffle_shards",
-    "corpus_bigram_counts",
-    "corpus_pack_sequences",
-    # events x8
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "events_value_histogram",
-    "events_cumulative_unique_users",
-    "events_rfm_segments",
-    "events_cusum_drift",
-    "events_max_active_streak",
-    "events_pattern_kleene",
-    # agg/join/scan x7
-    "agg_collect_sorted",
-    "agg_string_concat",
-    "agg_percentiles",
-    "agg_stats_exact",
-    "join_salted",
-    "join_inequality_only",
-    "csv_roundtrip_scan",
+    # Spark-4-native surface x4 (highest engine-version risk, certified first)
+    "recursive_cte_hierarchy",
+    "variant_json_shred",
+    "pipe_syntax_funnel",
+    "udtf_table_arg_sessionize",
+    # stagger-window twins + watermark audit x3
+    "stagger_window_agg",
+    "streaming_stagger_window",
+    "events_watermark_lateness_audit",
+    # streaming rest x3
+    "streaming_dedup_within_watermark",
+    "streaming_q13_side_input",
+    "streaming_pattern_kleene",
+    # dedup/cluster rest x8
+    "dedup_containment_pairs",
+    "dedup_incremental_new_batch",
+    "dedup_keep_best_quality",
+    "dedup_lsh_recall_audit",
+    "dedup_chunk_shared",
+    "doc_chunk_content_defined",
+    "pipeline_quality_dedup_stats",
+    "corpus_cluster_sample_weights",
+    # multimodal x4 (real-parse + near-dup chain)
+    "mm_header_dims",
+    "mm_phash_near_dup",
+    "mm_scene_cut_detect",
+    "mm_dedup_clusters",
+    # tokenizers x2
+    "tokenizer_bpe_apply",
+    "tokenizer_wordpiece_greedy",
+    # corpus rest x3
+    "corpus_filter_funnel",
+    "corpus_ngram_diversity",
+    "corpus_contamination_overlap",
+    # IVM + sketch x4
+    "ivm_agg_delta",
+    "ivm_distinct_delta",
+    "hll_intersect_estimate",
+    "cms_heavy_hitters_screen",
+    # graph/audit x1
+    "graph_modularity_audit",
+    # as-of x2
+    "asof_join_nearest",
+    "asof_join_tolerance",
+    # events/anomaly x4
+    "events_ab_test_zstat",
+    "anomaly_mad_flags",
+    "table_snapshot_drift",
+    "agg_spearman_rank_corr",
+    # privacy x1
+    "privacy_t_closeness",
+    # joins x2
+    "join_interval_overlap",
+    "join_null_safe_eq",
+    # agg/window x2
+    "agg_mode_deterministic",
+    "window_nth_cume",
+    # scans x1 (the other 3 draft scan entries displaced to r8)
+    "csv_corrupt_tolerant_read",
 )
 
 # Cumulative driver-certified entries (green CORRECTNESS row in some round,
@@ -124,62 +137,86 @@ DRIVER_SLATE: tuple[str, ...] = (
 # Drives the rotation policy: slate slots go to names NOT in this set, and
 # family coverage is asserted over slate ∪ certified.
 CERTIFIED_GREEN: frozenset[str] = frozenset((
-    "agg_basic", "agg_count_distinct", "agg_having", "agg_salted_two_stage",
-    "ann_ivf_recall_audit", "ann_ivf_topk", "ann_pq_adc_topk",
-    "ann_topk_bruteforce", "approx_count_distinct_hll", "arrow_grouped_minmax",
-    "asof_join_pandas", "asof_join_window", "bloom_filter_portable",
-    "bloom_membership_probe", "bloom_semijoin_reduction",
-    "bucketed_colocated_join", "case_when", "cdc_snapshot_asof",
-    "cdc_upsert_latest", "cms_merge_shards", "cms_point_query",
+    "agg_basic", "agg_count_distinct", "agg_having", "agg_percentiles",
+    "agg_salted_two_stage", "agg_stats_exact", "agg_string_concat",
+    "ann_ivf_recall_audit", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_lsh_buckets", "ann_lsh_topk", "ann_pq_adc_topk",
+    "ann_topk_bruteforce", "approx_count_distinct_hll",
+    "arrow_grouped_minmax", "asof_join_pandas", "asof_join_window",
+    "bloom_filter_portable", "bloom_membership_probe",
+    "bloom_semijoin_reduction", "bucketed_colocated_join", "case_when",
+    "cdc_snapshot_asof", "cdc_upsert_latest", "cms_merge_shards",
+    "cms_point_query", "corpus_bigram_counts",
     "corpus_cross_source_dup_matrix", "corpus_decontaminate",
     "corpus_lang_quality_buckets", "corpus_lm_score_proxy",
-    "corpus_quality_resample", "corpus_split_leakage_safe", "correlated_exists",
-    "countmin_sketch_portable", "cube_agg", "date_funcs", "dedup_clusters",
-    "dedup_exact", "dedup_jaccard_threshold_curve", "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures", "dedup_simhash_pairs", "dedup_substring_spans",
-    "distinct_select", "doc_chunk_fixed_tokens", "dpp_star_join",
-    "embedding_power_iteration_pc", "events_pattern_3step",
-    "events_transition_matrix", "filter_complex", "filter_mod",
-    "graph_kcore_peel", "graph_pagerank_two_iter", "graph_triangle_count",
-    "hdr_quantile_merge_shards", "hdr_quantile_sketch", "hll_merge_shards",
-    "hll_sketch_portable", "hll_sliding_window_distinct", "hopping_window_agg",
-    "ivm_join_delta", "join_anti", "join_broadcast_dim", "join_cross",
-    "join_full_outer", "join_fuzzy_levenshtein", "join_global_max",
-    "join_inner", "join_left_outer", "join_range_binned", "join_range_theta",
-    "join_self_agg_max", "join_semi", "json_wire_corrupt_tolerant",
-    "json_wire_decode", "kmeans_two_iterations", "math_funcs",
-    "mm_audio_window_energy", "mm_byte_histogram", "mm_meta_extract",
-    "mm_phash64", "nexmark_gen_bid", "nexmark_gen_person_auction",
-    "nexmark_native_q3", "nexmark_native_q4", "nexmark_native_q6",
-    "nexmark_native_q7", "nexmark_native_q8", "nexmark_native_q9",
-    "nexmark_q0_passthrough", "nexmark_q10_date_format",
-    "nexmark_q11_session_bids", "nexmark_q12_proctime_tumble",
-    "nexmark_q13_side_input", "nexmark_q1_currency", "nexmark_q2_mod_filter",
-    "nexmark_q3_join_filter", "nexmark_q4_avg_of_max", "nexmark_q5_hot_items",
-    "nexmark_q6_double_rownum", "nexmark_q7_max_per_window",
-    "nexmark_q8_sellers", "nexmark_q9_winning_bids",
-    "pandas_udaf_weighted_mean", "partitioned_write_prune_scan", "pivot_agg",
-    "privacy_k_anonymity", "proj_arith", "queue_sink_exactly_once",
-    "rollup_agg", "rollup_reuse_daily", "scd2_validity_join",
-    "session_custom_gap_pandas", "session_window_agg", "session_window_by_key",
-    "set_except", "set_intersect", "set_union_all", "side_input_csv_join",
-    "sort_global_range", "sort_limit_topk", "sort_multi_col",
+    "corpus_pack_sequences", "corpus_quality_resample",
+    "corpus_repetition_stats", "corpus_sample_deterministic",
+    "corpus_sample_per_group", "corpus_shuffle_shards",
+    "corpus_split_leakage_safe", "corpus_split_stratified",
+    "corpus_temperature_mix", "corpus_vocab_topk", "correlated_exists",
+    "countmin_sketch_portable", "csv_roundtrip_scan", "cube_agg",
+    "date_funcs", "dedup_clusters", "dedup_clusters_star",
+    "dedup_drop_duplicates", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_exact_normalized", "dedup_jaccard_threshold_curve",
+    "dedup_minhash_estimate_vs_exact", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures", "dedup_multi_signal_clusters",
+    "dedup_ngram_jaccard", "dedup_semdedup_prune", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_substring_spans", "distinct_select",
+    "doc_chunk_fixed_tokens", "dpp_star_join",
+    "embedding_nearest_centroid", "embedding_power_iteration_pc",
+    "events_cumulative_unique_users", "events_cusum_drift",
+    "events_funnel_steps", "events_max_active_streak",
+    "events_pattern_3step", "events_pattern_kleene",
+    "events_retention_cohorts", "events_rfm_segments",
+    "events_transition_matrix", "events_value_histogram", "filter_complex",
+    "filter_mod", "graph_kcore_peel", "graph_pagerank_two_iter",
+    "graph_triangle_count", "hdr_quantile_merge_shards",
+    "hdr_quantile_sketch", "hll_merge_shards", "hll_sketch_portable",
+    "hll_sliding_window_distinct", "hopping_window_agg", "ivm_join_delta",
+    "join_anti", "join_broadcast_dim", "join_cross", "join_full_outer",
+    "join_fuzzy_levenshtein", "join_global_max", "join_inequality_only",
+    "join_inner", "join_left_outer", "join_range_binned",
+    "join_range_theta", "join_salted", "join_self_agg_max", "join_semi",
+    "json_wire_corrupt_tolerant", "json_wire_decode",
+    "kmeans_two_iterations", "math_funcs", "mm_audio_window_energy",
+    "mm_byte_histogram", "mm_meta_extract", "mm_phash64",
+    "nexmark_gen_bid", "nexmark_gen_person_auction", "nexmark_native_q3",
+    "nexmark_native_q4", "nexmark_native_q6", "nexmark_native_q7",
+    "nexmark_native_q8", "nexmark_native_q9", "nexmark_q0_passthrough",
+    "nexmark_q10_date_format", "nexmark_q11_session_bids",
+    "nexmark_q12_proctime_tumble", "nexmark_q13_side_input",
+    "nexmark_q1_currency", "nexmark_q2_mod_filter",
+    "nexmark_q3_join_filter", "nexmark_q4_avg_of_max",
+    "nexmark_q5_hot_items", "nexmark_q6_double_rownum",
+    "nexmark_q7_max_per_window", "nexmark_q8_sellers",
+    "nexmark_q9_winning_bids", "pandas_udaf_weighted_mean",
+    "partitioned_write_prune_scan", "pivot_agg", "privacy_k_anonymity",
+    "proj_arith", "queue_sink_exactly_once", "rollup_agg",
+    "rollup_reuse_daily", "scd2_validity_join",
+    "session_custom_gap_pandas", "session_window_agg",
+    "session_window_by_key", "set_except", "set_intersect",
+    "set_union_all", "side_input_csv_join", "sort_global_range",
+    "sort_limit_topk", "sort_multi_col",
     "streaming_cdc_upsert_foreachbatch", "streaming_dedup_ingest",
     "streaming_elementwise_filter", "streaming_hopping_agg",
     "streaming_kafka_wire_decode", "streaming_nexmark_native_q3",
     "streaming_nexmark_native_q7", "streaming_nexmark_q1",
-    "streaming_ohlc_daily", "streaming_pattern_3step", "streaming_proctime_agg",
-    "streaming_q5_foreachbatch", "streaming_scd2_enrich",
-    "streaming_session_foreachbatch", "streaming_session_native",
-    "streaming_stateful_running_count", "streaming_stream_stream_join",
-    "streaming_tumbling_agg", "string_funcs", "subquery_in", "subquery_scalar",
-    "table_quality_checks", "text_bm25_doc_ranking", "text_oov_rate",
-    "text_token_stats_bpe", "timeseries_ewma_shifts", "timeseries_gapfill_locf",
-    "timeseries_ohlc_daily", "tokenizer_bpe_merge_step", "tpch_q1", "tpch_q10",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21",
-    "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tumbling_daily_distinct", "tumbling_window_agg",
+    "streaming_ohlc_daily", "streaming_pattern_3step",
+    "streaming_proctime_agg", "streaming_q5_foreachbatch",
+    "streaming_scd2_enrich", "streaming_session_foreachbatch",
+    "streaming_session_native", "streaming_stateful_running_count",
+    "streaming_stream_stream_join", "streaming_tumbling_agg",
+    "string_funcs", "subquery_in", "subquery_scalar",
+    "table_quality_checks", "text_bm25_doc_ranking", "text_fingerprint",
+    "text_langid", "text_oov_rate", "text_pii_redact",
+    "text_quality_score", "text_rake_keywords", "text_tfidf_topk_terms",
+    "text_token_stats", "text_token_stats_bpe", "timeseries_ewma_shifts",
+    "timeseries_gapfill_locf", "timeseries_ohlc_daily",
+    "tokenizer_bpe_merge_step", "tpch_q1", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tumbling_daily_distinct", "tumbling_window_agg",
     "udtf_long_tokens", "window_first_last", "window_frame_moving_avg",
     "window_lag_lead", "window_ntile_pct", "window_percentiles",
     "window_range_frame_sum", "window_rank_dense", "window_rownum_topk",

@@ -54,6 +54,41 @@ def test_no_banned_oracle_output_types(sf_dir):
     assert not bad, f"oracles with non-portable output types: {bad}"
 
 
+def test_nested_oracle_output_rejected():
+    """Round-6 driver finding (third output-type hazard after r1 DECIMAL and
+    r3 HUGEINT): the driver's canonicalizer cannot hash LIST/STRUCT/MAP cells
+    (TypeError: unhashable type: 'list' — all 4 r6 reds). check_oracle_types
+    must red-line any oracle emitting a nested column."""
+    import duckdb
+
+    from flock_spark.oracle import check_oracle_types
+
+    con = duckdb.connect()
+    for sql in (
+        "SELECT [1, 2, 3] AS xs",
+        "SELECT {'a': 1} AS s",
+        "SELECT map([1], [2]) AS m",
+    ):
+        with pytest.raises(AssertionError, match="non-portable"):
+            check_oracle_types(con, sql)
+    # the sanctioned serialization passes
+    check_oracle_types(con, "SELECT array_to_string([1, 2, 3], ',') AS xs")
+    con.close()
+
+
+def test_nested_spark_output_rejected(spark, sf_dir):
+    """Spark-side twin of the nested-output ban: compare() must refuse an
+    array-typed result column before it ever reaches the multiset diff
+    (the local _canon list branch is what masked the r6 reds)."""
+    import pyspark.sql.functions as F
+
+    def fn(sp, d):
+        return sp.range(1).select(F.array(F.lit(1), F.lit(2)).alias("xs"))
+
+    with pytest.raises(AssertionError, match="nested"):
+        compare(spark, fn, "SELECT array_to_string([1,2], ',') AS xs", sf_dir)
+
+
 def test_line_hash_boilerplate_non_vacuous(spark, sf_dir):
     """A zero-boilerplate corpus would green-light the entry without testing
     the membership join; the synthetic corpus's near-dups must produce real

@@ -1,10 +1,15 @@
 """Scan every registered oracle's DuckDB output types for non-portable
-integer/decimal widths (HUGEINT, UHUGEINT, DECIMAL).
+output columns: HUGEINT/UHUGEINT/DECIMAL widths and LIST/STRUCT/MAP nesting.
 
 DuckDB promotes sum(INT/BIGINT) to HUGEINT (int128); the external driver
 hashes int128 differently from Spark's int64 even when values are equal
-(round-3 root cause of all 6 red driver rows). This scan is the mechanical
-detector: run it after adding/changing any oracle.
+(round-3 root cause of all 6 red driver rows). Round 6 added the nesting
+rule: the driver's canonicalizer pandas-sorts result columns and dies on
+list cells (`TypeError: unhashable type: 'list'` — all 4 r6 reds), so no
+oracle may OUTPUT a LIST/STRUCT/MAP column either; serialize arrays to
+strings at the output boundary (array_to_string / array_join — canonical
+when the array order is pinned). This scan is the mechanical detector: run
+it after adding/changing any oracle.
 
 Usage: python tools/oracle_typescan.py [sf_dir]
 """
@@ -21,6 +26,9 @@ from flock_spark.catalog import TABLE_NAMES  # noqa: E402
 from flock_spark import registry  # noqa: E402
 
 BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
+# DuckDB type-id names for nested output columns (r6 driver canonicalizer
+# hazard: unhashable list cells in its pandas sort)
+BANNED_IDS = ("list", "struct", "map", "array")
 
 
 def scan(sf_dir: str) -> dict[str, list[tuple[str, str]]]:
@@ -36,6 +44,7 @@ def scan(sf_dir: str) -> dict[str, list[tuple[str, str]]]:
             (c, str(t))
             for c, t in zip(rel.columns, rel.types)
             if any(b in str(t).upper() for b in BANNED)
+            or t.id in BANNED_IDS
         ]
         if hits:
             bad[name] = hits
