@@ -116,15 +116,31 @@ def main() -> None:
     # sub-second query times is ±2× — observed q9 0.77 s vs 2.24 s across
     # otherwise-identical runs)
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
+        best = min(runs)
         timings[name] = round(best, 3)
+        # spread = worst/best over the WARM runs only (runs 2..3). Run 1
+        # legitimately pays 5-25x compile/codegen cost on sub-second
+        # queries, so including it would flag every healthy run; two warm
+        # runs of the same plan should agree within ~2x on an idle box.
+        # Best-of-3 absorbs JIT noise but NOT a concurrently loaded box
+        # (round-6 finding: a contended machine inflated unchanged queries
+        # 20-30x even at best-of-3); the warm spread makes a polluted run
+        # machine-detectable.
+        warm = runs[1:]
+        spreads[name] = round(max(warm) / min(warm), 2) if min(warm) > 0 else 1.0
 
     total = round(sum(timings.values()), 3)
+    worst_spread = max(spreads.values()) if spreads else 1.0
+    # >3x between two warm runs of any single query means something else
+    # was using the box mid-measurement; flag the whole run as suspect.
+    suspect = worst_spread > 3.0
     print(
         json.dumps(
             {
@@ -133,6 +149,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spreads": spreads,
+                "worst_spread": round(worst_spread, 2),
+                "suspect": suspect,
             }
         )
     )

@@ -1271,3 +1271,42 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+_LENGTH_BAND_SQL = """
+WITH cuts AS (
+  SELECT lang,
+         round({pctile}(n_chars, 0.10), 6) AS p10,
+         round({pctile}(n_chars, 0.90), 6) AS p90
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CASE WHEN d.n_chars < c.p10 THEN 'short'
+            WHEN d.n_chars > c.p90 THEN 'long'
+            ELSE 'mid' END AS band,
+       count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN cuts c ON d.lang = c.lang
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "corpus_length_band_twopass",
+    oracle=_LENGTH_BAND_SQL.format(pctile="quantile_cont"),
+    tags=("corpus", "scale-pattern", "aggregate"),
+    doc="The two-pass percentile-cut + broadcast-threshold-join pattern as "
+    "a first-class certified entry (the 100 TB replacement for global/"
+    "per-group NTILE windows — see window_percentiles_twopass and the "
+    "corpus_lang_quality_buckets docstring): pass 1 computes per-language "
+    "p10/p90 document-length cut points (a |langs|-row aggregate), pass 2 "
+    "broadcast-joins the tiny cut table back and classifies every "
+    "document with a pure projection — the corpus itself never sorts and "
+    "never passes through a single partition. Cut points rounded to 6 on "
+    "both engines before the comparison (interpolated-percentile ulp "
+    "discipline, as in agg_percentiles).",
+)
+def corpus_length_band_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    df = spark.sql(_LENGTH_BAND_SQL.format(pctile="percentile"))
+    return df

@@ -1296,3 +1296,75 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= PQ_TOP_K
     )
+
+
+RADIUS_T = 0.20  # cosine threshold: ~p90 of in-bucket cosines at every SF
+# (measured: max in-bucket cosine is ~0.45, median ~0.04 — 0.20 returns a
+# real neighbor set while excluding ~90% of candidates, non-vacuous both ways)
+
+
+@register(
+    "ann_radius_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, label, v, CAST({{bucket}} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT * FROM b WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {{nq}})
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+    FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE round(list_cosine_similarity(q.v, c.v), 6) >= {RADIUS_T}
+    """,
+    tags=("similarity", "embedding", "sketch"),
+    doc=f"Radius (range) similarity search — the THRESHOLD dual of "
+    "ann_lsh_topk's top-k: every corpus vector within cosine "
+    f">= {RADIUS_T} of each query, candidates restricted to the query's "
+    "LSH bucket. Range queries are what dedup-style 'find everything "
+    "this similar' workloads actually issue (top-k truncates arbitrarily "
+    "when a query has many near-matches). Same scale shape as the top-k "
+    "path: bounded broadcast query set, bucket-keyed equi-join, exact "
+    "re-score of collisions only — cost divides by the bucket count and "
+    "never touches cross-bucket pairs. Cosine rounded to 6 BEFORE the "
+    "threshold on both engines so accumulation-order ulps can't flip a "
+    "boundary row.",
+)
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spark_vecs(spark, sf_dir)
+    b = e.select(
+        "vec_id",
+        "v",
+        F.expr(f"CAST({_bucket_spark()} AS BIGINT)").alias("bucket"),
+        F.expr(f"sqrt({_dot('v', 'v')})").alias("norm"),
+    )
+    q = (
+        b.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cand = F.broadcast(q).join(b, "bucket").filter(F.col("query_id") != F.col("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _pair_dot()(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RADIUS_T)
+    )
+
+
+# bake the bucket expression and query-set size into the oracle text
+from flock_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["ann_radius_search"].oracle = _REG["ann_radius_search"].oracle.format(
+    bucket=_bucket_duck(), nq=N_QUERIES
+)

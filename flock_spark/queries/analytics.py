@@ -690,3 +690,73 @@ def events_velocity_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000) AS BIGINT)",
     )
     return spark.sql(spark_sql)
+
+
+_LOG2_MICRO = (
+    "(length(bin(greatest(CAST(round(value * 1000000) AS BIGINT), 0) + 1)) - 1)"
+)
+
+
+@register(
+    "events_log2_value_histogram",
+    oracle=f"""
+    SELECT CAST({_LOG2_MICRO} AS BIGINT) AS log2_bin,
+           count(*) AS cnt,
+           CAST(min(value) AS DOUBLE) AS min_v,
+           CAST(max(value) AS DOUBLE) AS max_v
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("aggregate", "profiling", "histogram"),
+    doc="Log2-binned (exponential) histogram over event values: the "
+    "heavy-tail profile equi-width bins can't show (one bucket per "
+    "power-of-two of the micro-unit value). The bin is computed WITHOUT "
+    "libm — floor(log2(x)) == bit_length(x) - 1, via length(bin(x)) on "
+    "both engines — so the binning is exact integer arithmetic with no "
+    "cross-engine float-boundary risk (the repo's no-libm-in-certified-"
+    "values rule). One two-phase aggregate, ~64 output rows max at any "
+    "scale.",
+)
+def events_log2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events")
+    return e.groupBy(F.expr(_LOG2_MICRO).cast("long").alias("log2_bin")).agg(
+        F.count("*").alias("cnt"),
+        F.min("value").cast("double").alias("min_v"),
+        F.max("value").cast("double").alias("max_v"),
+    )
+
+
+_GAP_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         ({ts_us}) - lag({ts_us}) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT CAST(length(bin(gap_us + 1)) - 1 AS BIGINT) AS log2_gap_us,
+       count(*) AS cnt,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register(
+    "events_gap_log2_histogram",
+    oracle=_GAP_SQL.format(ts_us="epoch_us(ts)"),
+    tags=("events", "window", "profiling", "histogram"),
+    doc="Inter-arrival-time profile: per-user event gaps (one user-keyed "
+    "LAG window — partitioned, parallel, never a self-join) bucketed into "
+    "power-of-two microsecond bins via the exact bit-length log2 (see "
+    "events_log2_value_histogram; no libm). This is the burst/bot-detection "
+    "and session-gap-calibration primitive: the histogram tells you where "
+    "to put a sessionization gap threshold BEFORE running sessionization. "
+    "Shuffles once on user_id; output is ~64 rows at any corpus size.",
+)
+def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _GAP_SQL.format(ts_us="unix_micros(CAST(ts AS TIMESTAMP))")
+    )

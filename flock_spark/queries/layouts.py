@@ -584,3 +584,28 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "scan_count_star_pruned",
+    oracle="""
+    SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
+           (SELECT count(*) FROM orders)   AS n_orders,
+           (SELECT count(*) FROM events)   AS n_events
+    """,
+    tags=("scan", "scale-pattern"),
+    doc="count(*) with full column pruning: the scan must read ZERO data "
+    "columns (ReadSchema: struct<> — plan-pinned), so Spark answers it "
+    "from parquet row-group row counts at near-metadata speed; at 100 TB "
+    "this is the difference between a footer walk and a full-table read. "
+    "Three tables in one row keeps the oracle a single scalar select.",
+)
+def scan_count_star_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = [
+        tbl(spark, sf_dir, t).select(F.count("*").alias(f"n_{t}"))
+        for t in ("lineitem", "orders", "events")
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)  # 1-row x 1-row scalar joins
+    return out

@@ -689,6 +689,38 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).filter(F.col("ak") != F.col("bk")).select("from_region", "to_region")
 
 
+@register(
+    "join_shuffle_hash_hint",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {fsum('l_extendedprice')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "scale-pattern"),
+    doc="Large-large equi-join forced to SHUFFLED HASH via the "
+    "SHUFFLE_HASH hint (plan-pinned in tests/test_plans.py). Spark "
+    "defaults large-large joins to sort-merge; when the build side's "
+    "per-partition share fits executor memory, shuffled-hash skips BOTH "
+    "sorts — O(n) probe instead of O(n log n) per partition — and at "
+    "100 TB that is the cheaper plan whenever the smaller side is still "
+    "too big to broadcast but partitions evenly (orders vs lineitem is "
+    "exactly that shape: ~1:4, uniform orderkey). AQE only converts "
+    "SMJ→SHJ under narrow conditions, so the hint is how a user pins it. "
+    "Values identical to the unhinted join — the oracle is hint-free, so "
+    "the green row certifies the strategy swap changes nothing.",
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = tbl(spark, sf_dir, "lineitem")  # noqa: E741
+    o = tbl(spark, sf_dir, "orders")
+    j = l.join(o.hint("SHUFFLE_HASH"), l.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.expr(fsum("l_extendedprice")).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytic window functions (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -847,7 +879,13 @@ def window_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """,
     tags=("window",),
-    doc="NTILE + PERCENT_RANK (global ordering).",
+    doc="NTILE + PERCENT_RANK (global ordering). Scale posture: a "
+    "semantically global ranking needs a global order, and this direct "
+    "form runs it as one unpartitioned window — the ONLY registry entry "
+    "that windows an unpartitioned full base table. At 100 TB use "
+    "window_percentiles_twopass (same output, driver-verified equal via "
+    "the shared oracle): bin-partitioned rank + broadcast bin offsets, "
+    "no single-partition pass over the data.",
 )
 def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tbl(spark, sf_dir, "customer")
@@ -856,6 +894,70 @@ def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(4).over(w).cast("long").alias("bal_quartile"),
         F.percent_rank().over(w).alias("bal_pct"),
+    )
+
+
+@register(
+    "window_percentiles_twopass",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bal_quartile,
+           percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS bal_pct
+    FROM customer
+    """,
+    tags=("window", "scale-pattern"),
+    doc="Scale-safe twin of window_percentiles: identical output (global "
+    "NTILE(4) + PERCENT_RANK over customer) with NO unpartitioned "
+    "full-table window. Two-pass distributed rank: (1) bin rows by "
+    "floor(c_acctbal/100) and count per bin — the cumulative-offset window "
+    "runs over the ~bin-count-sized aggregate only; (2) rank within each "
+    "bin (window PARTITIONED by bin — parallel, spill-free) and add the "
+    "broadcast bin offset for the exact global rank. NTILE/PERCENT_RANK "
+    "are then closed-form in the rank: ntile's unequal-bucket rule "
+    "(first n%4 tiles get one extra row) is reproduced exactly, and the "
+    "(c_acctbal, c_custkey) order is unique so percent_rank = "
+    "(r-1)/(n-1). This is the production shape for global ranking at "
+    "100 TB — the base table never passes through a single partition. "
+    "Oracle is the same global-window SQL as window_percentiles, so the "
+    "driver-green row doubles as an equivalence proof of the two forms.",
+)
+def window_percentiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    binned = c.withColumn("bin", F.floor(F.col("c_acctbal") / 100).cast("long"))
+
+    # pass 1: per-bin counts; the running-offset window is over ~|bins| rows
+    bin_counts = binned.groupBy("bin").agg(F.count("*").alias("bin_n"))
+    w_bins = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    offsets = bin_counts.select(
+        "bin",
+        F.coalesce(F.sum("bin_n").over(w_bins), F.lit(0)).alias("bin_off"),
+    )
+    n_total = binned.groupBy().agg(F.count("*").alias("n_total"))
+
+    # pass 2: rank within bin (partitioned window), global rank by offset
+    w_in_bin = W.partitionBy("bin").orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        binned.join(F.broadcast(offsets), "bin")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("r", F.row_number().over(w_in_bin) + F.col("bin_off"))
+    )
+    # ntile(4) exact rule: k = n div 4 rows per tile, the first n mod 4
+    # tiles take k+1; unique sort key makes rank == row_number
+    tile = F.expr(
+        """CASE WHEN (r - 1) < ((n_total DIV 4) + 1) * (n_total % 4)
+                THEN (r - 1) DIV ((n_total DIV 4) + 1) + 1
+                ELSE (n_total % 4)
+                     + ((r - 1) - ((n_total DIV 4) + 1) * (n_total % 4))
+                       DIV (n_total DIV 4) + 1
+           END"""
+    )
+    return ranked.select(
+        "c_custkey",
+        tile.cast("long").alias("bal_quartile"),
+        (
+            (F.col("r") - 1).cast("double")
+            / (F.col("n_total") - 1).cast("double")
+        ).alias("bal_pct"),
     )
 
 

@@ -474,3 +474,39 @@ def sql_utf8_validation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     IS NOT NULL)
         """
     )
+
+
+_FILTER_AGG_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+         AS n_finished,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+         AS n_open,
+       CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+         AS n_big,
+       (CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+             FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 1000000.0)
+         AS finished_revenue
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_filter_clause",
+    oracle=_FILTER_AGG_SQL,
+    tags=("aggregate", "sql_surface"),
+    doc="ANSI FILTER clause on aggregates (SQL:2003 <filter clause>; Spark "
+    "3.0+, identical text in DuckDB): several differently-filtered "
+    "aggregates computed in ONE grouped pass over the table — the "
+    "declarative replacement for N self-joins or N sum(CASE WHEN) "
+    "rewrites. Catalyst plans it as a single two-phase hash aggregate, so "
+    "at 100 TB the table is read and shuffled exactly once regardless of "
+    "how many filtered metrics ride along. Revenue goes through the "
+    "micro-unit BIGINT fixed-point sum (exact, order-insensitive; "
+    "fsum convention) with the FILTER attached to the inner sum so both "
+    "engines skip identical rows.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_FILTER_AGG_SQL)

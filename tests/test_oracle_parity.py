@@ -100,6 +100,31 @@ def test_line_hash_boilerplate_non_vacuous(spark, sf_dir):
     assert sum(r["docs_with_boiler"] for r in rows) > 0
 
 
+def test_radius_search_non_vacuous(spark, sf_dir):
+    """A threshold that nothing crosses would certify an empty result set;
+    the range query must return real neighbors AND exclude real candidates
+    (i.e., the threshold bites both ways)."""
+    from flock_spark.operators.similarity import RADIUS_T
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["ann_radius_search"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["cos_sim"] >= RADIUS_T for r in rows)
+
+
+def test_log2_histogram_bins_match_bitlength(spark, sf_dir):
+    """The no-libm log2 bin must equal floor(log2(micro+1)) recomputed in
+    Python for every bin's min/max — pins the bit-length identity."""
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["events_log2_value_histogram"].fn(spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        for v in (r["min_v"], r["max_v"]):
+            micro = max(int(round(v * 1_000_000)), 0) + 1
+            assert micro.bit_length() - 1 == r["log2_bin"]
+
+
 def test_hashed_linear_quality_all_classes_present(spark, sf_dir):
     """The ±4-per-token thresholds must actually split the corpus: all three
     quality classes populated, so the CASE branches are all exercised."""

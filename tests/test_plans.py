@@ -156,6 +156,46 @@ def test_inverted_index_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_length_band_cut_table_broadcasts(spark, sf_dir):
+    # pass-2 of the two-pass percentile pattern must broadcast the
+    # |langs|-row cut table — the corpus side never shuffles for the join
+    plan = plan_of(spark, sf_dir, "corpus_length_band_twopass")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_count_star_scan_reads_zero_columns(spark, sf_dir):
+    # count(*) must prune every data column: each parquet scan's ReadSchema
+    # is the empty struct, so only row-group counts are read
+    plan = plan_of(spark, sf_dir, "scan_count_star_pruned")
+    schemas = [s.splitlines()[0].strip() for s in plan.split("ReadSchema: ")[1:]]
+    assert schemas and all(s.startswith("struct<>") for s in schemas), schemas
+
+
+def test_shuffle_hash_hint_pins_strategy(spark, sf_dir):
+    # the SHUFFLE_HASH hint must survive to the physical plan: a shuffled
+    # hash join (no per-partition sorts), never sort-merge
+    plan = plan_of(spark, sf_dir, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_percentiles_twopass_no_global_window(spark, sf_dir):
+    # the scale-safe twin must rank inside bin-partitioned windows; the only
+    # SinglePartition pass allowed is over the ~|bins|-sized aggregate (the
+    # cumulative-offset window) and the 1-row total, never the base table
+    plan = plan_of(spark, sf_dir, "window_percentiles_twopass")
+    assert "hashpartitioning(bin" in plan
+    # the direct form's signature — a global-sort window keyed on the raw
+    # acctbal column — must not appear
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        frag = m.group(0)
+        if "row_number" in frag:
+            assert "bin" in plan[max(0, m.start() - 400): m.start() + 400]
+
+
 def test_funnel_single_key_shuffle(spark, sf_dir):
     # one shuffle keyed by user_id for the per-step conditional mins; the
     # final roll-up is a scalar aggregate over 150 rows (SinglePartition) —
