@@ -102,9 +102,35 @@ HEADLINE = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Contention sentinel. The warm-spread guard below catches BURSTY load (one
+# warm run slow, the other fast) but is blind to STEADY background load,
+# which inflates both warm runs uniformly — the round-7 failure mode, where
+# a "clean" run totaled 79 s vs 46 s on an idle box with every per-query
+# spread under 3x. A fixed single-thread busy loop timed before and after
+# the suite exposes that mode: steady load deschedules the loop and its
+# wall time drifts versus the committed idle-box reference.
+# ---------------------------------------------------------------------------
+CALIBRATION_N = 20_000_000  # fixed work; ~1.73 s single-thread on this box
+# Idle-box reference, measured with nothing else running (4 idle runs r8:
+# 1.724/1.721/1.767/1.734 — see COVERAGE.md "Bench calibration reference").
+# Override for a different box via env.
+CALIB_REF_SEC = float(os.environ.get("SPARK_GRAFT_CALIB_REF", "1.73"))
+CALIB_DRIFT_LIMIT = 1.3
+
+
+def _calibrate() -> float:
+    acc = 0
+    t0 = time.perf_counter()
+    for i in range(CALIBRATION_N):
+        acc = (acc + i * i) % 1000000007
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calib_before = round(_calibrate(), 3)
     get_queries()
     spark = get_spark("flock_spark_bench")
 
@@ -138,9 +164,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     worst_spread = max(spreads.values()) if spreads else 1.0
+    calib_after = round(_calibrate(), 3)
+    # Steady contention: either calibration run drifting >1.3x from the
+    # committed idle-box reference means the box was loaded even if every
+    # per-query warm spread looked clean. With no reference committed for
+    # this box (env override unset, constant 0), contended stays None —
+    # the before/after numbers are still emitted for manual comparison.
+    contended: bool | None = None
+    if CALIB_REF_SEC > 0:
+        contended = max(calib_before, calib_after) > CALIB_DRIFT_LIMIT * CALIB_REF_SEC
     # >3x between two warm runs of any single query means something else
     # was using the box mid-measurement; flag the whole run as suspect.
-    suspect = worst_spread > 3.0
+    suspect = worst_spread > 3.0 or bool(contended)
     print(
         json.dumps(
             {
@@ -151,6 +186,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "spreads": spreads,
                 "worst_spread": round(worst_spread, 2),
+                "calibration_before_sec": calib_before,
+                "calibration_after_sec": calib_after,
+                "calibration_ref_sec": CALIB_REF_SEC or None,
+                "contended": contended,
                 "suspect": suspect,
             }
         )

@@ -116,50 +116,88 @@ def mm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RESIZE_CROP = 64  # deterministic fake resize: crop to first 64 content chars
+RESIZE_SRC_W = 32  # raw grayscale layout: 32 bytes per scanline
+RESIZE_TW = 8  # target width
+RESIZE_TH = 8  # target height
 
 
 @register(
-    "mm_resize_stub",
+    "mm_resize_nearest",
     oracle=f"""
+    WITH img AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(floor(octet_length(encode(text)) / {RESIZE_SRC_W}) AS BIGINT) AS src_h
+      FROM documents
+      WHERE octet_length(encode(text)) >= {RESIZE_SRC_W}),
+    grid AS (
+      SELECT i.doc_id, y.y, x.x,
+             (CAST(floor(y.y * i.src_h / {RESIZE_TH}) AS BIGINT) * {RESIZE_SRC_W}
+              + CAST(floor(x.x * {RESIZE_SRC_W} / {RESIZE_TW}) AS BIGINT)) AS src_idx
+      FROM img i,
+           (SELECT unnest(generate_series(0, {RESIZE_TH - 1})) AS y) y,
+           (SELECT unnest(generate_series(0, {RESIZE_TW - 1})) AS x) x),
+    px AS (
+      SELECT g.doc_id, g.y, g.x,
+             substring(i.hx, g.src_idx * 2 + 1, 2) AS phex,
+             ('0x' || substring(i.hx, g.src_idx * 2 + 1, 2))::BIGINT AS pval
+      FROM grid g JOIN img i ON g.doc_id = i.doc_id)
     SELECT doc_id,
-           CAST(octet_length(encode(substring(text, 1, {RESIZE_CROP}))) AS BIGINT)
-             AS resized_bytes,
-           md5(substring(text, 1, {RESIZE_CROP})) AS resized_md5,
-           224 AS target_w, 224 AS target_h
-    FROM documents
+           md5(string_agg(phex, '' ORDER BY y, x)) AS resized_md5,
+           CAST(sum(pval) AS BIGINT) AS pixel_sum,
+           {RESIZE_TW} AS target_w, {RESIZE_TH} AS target_h
+    FROM px GROUP BY doc_id
     """,
     tags=("multimodal", "pandas_udf"),
-    doc="Resize-step plumbing (decode libs absent — the transform is a "
-    "deterministic crop stand-in, clearly stubbed): mapInPandas consumes the "
-    "payload batch-wise and emits the transformed payload's size/checksum "
-    "plus target dims. A real resize swaps only the body of _fake_resize; "
-    "schema, batching, and partitioning are production-shaped.",
+    doc=f"Real nearest-neighbor image resample, no codec needed: the payload "
+    f"bytes are a raw grayscale grid ({RESIZE_SRC_W} bytes per scanline, "
+    f"height = len // {RESIZE_SRC_W}), resampled H x {RESIZE_SRC_W} -> "
+    f"{RESIZE_TH} x {RESIZE_TW} with the standard integer index map "
+    f"src_y = y*H // {RESIZE_TH}, src_x = x*W // {RESIZE_TW} (numpy fancy "
+    "indexing per Arrow batch). The oracle re-derives the identical index "
+    "map in SQL over hex(encode(text)) and md5s the same pixel sequence — "
+    "the resample itself is cross-engine verified, not just its plumbing. "
+    "Scale: mapInPandas streams Arrow batches, constant memory per task; a "
+    "codec-backed decode would swap only the np.frombuffer line.",
 )
-def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
 
-    def _fake_resize(payload: bytes) -> bytes:
-        # stand-in for Image.resize((224, 224)): deterministic truncation
-        return payload.decode("utf-8", errors="ignore")[:RESIZE_CROP].encode("utf-8")
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length(F.col("text").cast("binary")) >= RESIZE_SRC_W)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = (np.arange(RESIZE_TW) * RESIZE_SRC_W) // RESIZE_TW
         for pdf in batches:
-            payloads = [t.encode("utf-8") for t in pdf["text"]]
-            resized = [_fake_resize(p) for p in payloads]
+            out_md5, out_sum = [], []
+            for t in pdf["text"]:
+                b = t.encode("utf-8")
+                src_h = len(b) // RESIZE_SRC_W
+                arr = np.frombuffer(b[: src_h * RESIZE_SRC_W], dtype=np.uint8).reshape(
+                    src_h, RESIZE_SRC_W
+                )
+                yidx = (np.arange(RESIZE_TH) * src_h) // RESIZE_TH
+                resized = arr[np.ix_(yidx, xs)]
+                # DuckDB hex() is uppercase; md5 the same hex text both sides
+                out_md5.append(
+                    hashlib.md5(resized.tobytes().hex().upper().encode()).hexdigest()
+                )
+                out_sum.append(int(resized.sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "resized_bytes": [len(r) for r in resized],
-                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
-                    "target_w": 224,
-                    "target_h": 224,
+                    "resized_md5": out_md5,
+                    "pixel_sum": out_sum,
+                    "target_w": RESIZE_TW,
+                    "target_h": RESIZE_TH,
                 }
             )
 
     return d.mapInPandas(
         run,
-        schema="doc_id long, resized_bytes long, resized_md5 string, "
+        schema="doc_id long, resized_md5 string, pixel_sum long, "
         "target_w int, target_h int",
     )
 
@@ -480,7 +518,7 @@ HDR_W_MOD, HDR_H_MOD = 4080, 2144  # synthetic dims: 16..4095 × 16..2159
     doc="Image-dimension extraction from the container HEADER — the "
     "production fast path for size/aspect filtering that reads 24 bytes "
     "per object instead of decoding pixels (decode needs a codec library; "
-    "header parsing needs none, so unlike mm_resize_stub this step is "
+    "header parsing needs none, so like mm_resize_nearest this step is "
     "REAL end to end). The fixture wraps each document in a valid PNG "
     "prefix (8-byte signature + IHDR chunk with big-endian uint32 "
     "width/height derived from doc_id), and the operator parses the "

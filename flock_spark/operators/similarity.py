@@ -1309,8 +1309,8 @@ RADIUS_T = 0.20  # cosine threshold: ~p90 of in-bucket cosines at every SF
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    b AS (SELECT vec_id, label, v, CAST({{bucket}} AS BIGINT) AS bucket FROM e),
-    q AS (SELECT * FROM b WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {{nq}})
+    b AS (SELECT vec_id, label, v, CAST({_bucket_duck()} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT * FROM b WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {N_QUERIES})
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
     FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
@@ -1360,11 +1360,3 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= RADIUS_T)
     )
-
-
-# bake the bucket expression and query-set size into the oracle text
-from flock_spark.registry import REGISTRY as _REG  # noqa: E402
-
-_REG["ann_radius_search"].oracle = _REG["ann_radius_search"].oracle.format(
-    bucket=_bucket_duck(), nq=N_QUERIES
-)

@@ -55,81 +55,79 @@ REGISTRY: dict[str, QuerySpec] = {}
 # `tools/sweep_sim.py --plain` at sf0.01 (pinned by tests/test_registry.py).
 # ---------------------------------------------------------------------------
 DRIVER_SLATE: tuple[str, ...] = (
-    # --- round-7 slate ---
-    # Applied from the committed r7 draft (COVERAGE.md "Committed r7 slate
-    # draft", drafted at the start of round 6) under its stated displacement
-    # rule: the 4 r6 red rows re-certify FIRST (array-output serialization
-    # fix, this round), displacing the bottom 4 draft entries
-    # (orc_roundtrip_scan, table_profile_stats, maintenance_compaction_plan,
-    # items_cooccurrence_jaccard) to the r8 pool. 2 canaries + 4 re-certs +
-    # 44 never-driver-tested = 50.
+    # --- round-8 slate ---
+    # Applied from the committed r8 draft (COVERAGE.md "Committed r8 slate
+    # draft", drafted at the end of round 6) with the pool recomputed at
+    # application time per the draft's own instruction: CORRECTNESS_r07 was
+    # 50/50 green (no re-cert slots owed), pool = 77 never-driver-tested.
+    # 2 canaries + the draft's 47 (mm_resize_stub now replaced by the real
+    # mm_resize_nearest) + items_cooccurrence_jaccard (displaced twice,
+    # r7 and r8 drafts) = 50. Cheap-first; the 4 stateful-streaming heavies
+    # and pyds_custom_sink_roundtrip sit at the tail interleaved with cheap
+    # multimodal entries so no two drain-heavy entries are adjacent.
     "proj_arith",
     "join_inner",
-    # re-certs x4 — r6 reds, one mechanical cause (LIST output columns vs
-    # the driver's canonicalizer); now serialized to strings on both engines
-    "agg_collect_sorted",
-    "text_inverted_index",
-    "embedding_normalize_quantize",
-    "embedding_label_centroids",
-    # Spark-4-native surface x4 (highest engine-version risk, certified first)
-    "recursive_cte_hierarchy",
-    "variant_json_shred",
-    "pipe_syntax_funnel",
-    "udtf_table_arg_sessionize",
-    # stagger-window twins + watermark audit x3
-    "stagger_window_agg",
-    "streaming_stagger_window",
-    "events_watermark_lateness_audit",
-    # streaming rest x3
-    "streaming_dedup_within_watermark",
-    "streaming_q13_side_input",
-    "streaming_pattern_kleene",
-    # dedup/cluster rest x8
-    "dedup_containment_pairs",
-    "dedup_incremental_new_batch",
-    "dedup_keep_best_quality",
-    "dedup_lsh_recall_audit",
-    "dedup_chunk_shared",
-    "doc_chunk_content_defined",
-    "pipeline_quality_dedup_stats",
-    "corpus_cluster_sample_weights",
-    # multimodal x4 (real-parse + near-dup chain)
-    "mm_header_dims",
-    "mm_phash_near_dup",
-    "mm_scene_cut_detect",
-    "mm_dedup_clusters",
-    # tokenizers x2
-    "tokenizer_bpe_apply",
-    "tokenizer_wordpiece_greedy",
-    # corpus rest x3
-    "corpus_filter_funnel",
-    "corpus_ngram_diversity",
-    "corpus_contamination_overlap",
-    # IVM + sketch x4
-    "ivm_agg_delta",
-    "ivm_distinct_delta",
-    "hll_intersect_estimate",
-    "cms_heavy_hitters_screen",
-    # graph/audit x1
-    "graph_modularity_audit",
-    # as-of x2
-    "asof_join_nearest",
-    "asof_join_tolerance",
-    # events/anomaly x4
-    "events_ab_test_zstat",
-    "anomaly_mad_flags",
-    "table_snapshot_drift",
-    "agg_spearman_rank_corr",
-    # privacy x1
-    "privacy_t_closeness",
-    # joins x2
-    "join_interval_overlap",
-    "join_null_safe_eq",
-    # agg/window x2
-    "agg_mode_deterministic",
-    "window_nth_cume",
-    # scans x1 (the other 3 draft scan entries displaced to r8)
-    "csv_corrupt_tolerant_read",
+    # SQL surface x6
+    "sql_udf_scalar",
+    "sql_script_batch",
+    "session_variable_param",
+    "parameterized_sql_query",
+    "unpivot_melt_wide",
+    "sql_group_by_all",
+    # agg/scan leftovers x8
+    "json_extract_props",
+    "array_hof_funcs",
+    "grouping_sets_agg",
+    "rollup_two_level",
+    "schema_evolution_merge_read",
+    "parquet_zstd_roundtrip",
+    "scan_file_provenance_audit",
+    "maintenance_file_skipping_plan",
+    # analytics x6
+    "analytics_pareto_frontier",
+    "analytics_ols_trend",
+    "table_skew_audit",
+    "events_equidepth_histogram",
+    "table_referential_integrity_audit",
+    "events_funnel_time_to_convert",
+    # events/anomaly x3
+    "events_attribution_touch_matrix",
+    "anomaly_zscore_flags",
+    "agg_approx_percentile_audit",
+    # privacy x2
+    "privacy_dp_histogram",
+    "privacy_l_diversity",
+    # LLM pipeline x4
+    "dedup_line_hash_boilerplate",
+    "text_hashed_linear_quality",
+    "corpus_weighted_bottomk_sample",
+    "timeseries_seasonal_baseline",
+    # recsys x1 (displaced from both the r7 and r8 drafts; gets in now)
+    "items_cooccurrence_jaccard",
+    # sketches x2
+    "kmv_bottomk_distinct_merge",
+    "cms_join_cardinality_estimate",
+    # geo x2
+    "geo_radius_cell_join",
+    "geo_grid_density_heatmap",
+    # graph x2
+    "graph_bfs_layers",
+    "graph_label_prop_communities",
+    # joins x1
+    "join_runtime_bloom_filter",
+    # pyds batch source x1
+    "pyds_custom_source_agg",
+    # tail: streaming/drain heavies interleaved with cheap multimodal
+    "mm_jpeg_header_dims",
+    "streaming_stream_stream_left_outer",
+    "mm_wav_header_audio",
+    "streaming_pyds_source_agg",
+    "mm_frame_index",
+    "streaming_attribution_last_touch",
+    "mm_frame_sample",
+    "streaming_session_state_timeout",
+    "mm_resize_nearest",
+    "pyds_custom_sink_roundtrip",
 )
 
 # Cumulative driver-certified entries (green CORRECTNESS row in some round,
@@ -137,6 +135,28 @@ DRIVER_SLATE: tuple[str, ...] = (
 # Drives the rotation policy: slate slots go to names NOT in this set, and
 # family coverage is asserted over slate ∪ certified.
 CERTIFIED_GREEN: frozenset[str] = frozenset((
+    # round-7 greens (CORRECTNESS_r07: 50/50; the 48 new plus 2 canaries
+    # already present below)
+    "agg_collect_sorted", "text_inverted_index", "embedding_normalize_quantize",
+    "embedding_label_centroids", "recursive_cte_hierarchy", "variant_json_shred",
+    "pipe_syntax_funnel", "udtf_table_arg_sessionize", "stagger_window_agg",
+    "streaming_stagger_window", "events_watermark_lateness_audit",
+    "streaming_dedup_within_watermark", "streaming_q13_side_input",
+    "streaming_pattern_kleene", "dedup_containment_pairs",
+    "dedup_incremental_new_batch", "dedup_keep_best_quality",
+    "dedup_lsh_recall_audit", "dedup_chunk_shared", "doc_chunk_content_defined",
+    "pipeline_quality_dedup_stats", "corpus_cluster_sample_weights",
+    "mm_header_dims", "mm_phash_near_dup", "mm_scene_cut_detect",
+    "mm_dedup_clusters", "tokenizer_bpe_apply", "tokenizer_wordpiece_greedy",
+    "corpus_filter_funnel", "corpus_ngram_diversity",
+    "corpus_contamination_overlap", "ivm_agg_delta", "ivm_distinct_delta",
+    "hll_intersect_estimate", "cms_heavy_hitters_screen",
+    "graph_modularity_audit", "asof_join_nearest", "asof_join_tolerance",
+    "events_ab_test_zstat", "anomaly_mad_flags", "table_snapshot_drift",
+    "agg_spearman_rank_corr", "privacy_t_closeness", "join_interval_overlap",
+    "join_null_safe_eq", "agg_mode_deterministic", "window_nth_cume",
+    "csv_corrupt_tolerant_read",
+    # rounds 1-6
     "agg_basic", "agg_count_distinct", "agg_having", "agg_percentiles",
     "agg_salted_two_stage", "agg_stats_exact", "agg_string_concat",
     "ann_ivf_recall_audit", "ann_ivf_topk", "ann_ivfpq_topk",

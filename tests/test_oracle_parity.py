@@ -103,13 +103,39 @@ def test_line_hash_boilerplate_non_vacuous(spark, sf_dir):
 def test_radius_search_non_vacuous(spark, sf_dir):
     """A threshold that nothing crosses would certify an empty result set;
     the range query must return real neighbors AND exclude real candidates
-    (i.e., the threshold bites both ways)."""
-    from flock_spark.operators.similarity import RADIUS_T
+    (i.e., the threshold bites both ways). Both directions are asserted:
+    results exist, and the in-bucket candidate-pair count strictly exceeds
+    the returned row count (a threshold excluding nothing would tie)."""
+    import pyspark.sql.functions as F
+
+    from flock_spark.operators.similarity import (
+        N_QUERIES,
+        RADIUS_T,
+        _bucket_spark,
+        _spark_vecs,
+    )
     from flock_spark.registry import REGISTRY
 
     rows = REGISTRY["ann_radius_search"].fn(spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r["cos_sim"] >= RADIUS_T for r in rows)
+
+    b = _spark_vecs(spark, sf_dir).select(
+        "vec_id", F.expr(f"CAST({_bucket_spark()} AS BIGINT)").alias("bucket")
+    )
+    q = (
+        b.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "bucket")
+    )
+    n_candidates = (
+        q.join(b, "bucket").filter(F.col("query_id") != F.col("vec_id")).count()
+    )
+    assert n_candidates > len(rows), (
+        f"threshold excluded nothing: {n_candidates} candidates, "
+        f"{len(rows)} returned"
+    )
 
 
 def test_log2_histogram_bins_match_bitlength(spark, sf_dir):
@@ -117,11 +143,16 @@ def test_log2_histogram_bins_match_bitlength(spark, sf_dir):
     Python for every bin's min/max — pins the bit-length identity."""
     from flock_spark.registry import REGISTRY
 
+    import math
+
     rows = REGISTRY["events_log2_value_histogram"].fn(spark, sf_dir).collect()
     assert len(rows) > 1
     for r in rows:
         for v in (r["min_v"], r["max_v"]):
-            micro = max(int(round(v * 1_000_000)), 0) + 1
+            # half-away-from-zero, matching both engines' round(); Python's
+            # built-in round() is banker's rounding and would flip a micro
+            # value landing exactly on a .5 boundary
+            micro = max(int(math.floor(v * 1_000_000 + 0.5)), 0) + 1
             assert micro.bit_length() - 1 == r["log2_bin"]
 
 
