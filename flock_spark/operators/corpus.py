@@ -1310,3 +1310,100 @@ def corpus_length_band_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     df = spark.sql(_LENGTH_BAND_SQL.format(pctile="percentile"))
     return df
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture scheduling: the step between "corpus is clean" and "train on
+# it" — decide how much of each source actually enters the token budget.
+# ---------------------------------------------------------------------------
+
+_TOKC = "(CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS BIGINT))"
+
+_MIX_SQL = f"""
+    WITH src AS (
+      SELECT source, CAST(sum({_TOKC}) AS BIGINT) AS src_tokens,
+             CAST(count(*) AS BIGINT) AS src_docs
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM src)
+    SELECT s.source, s.src_docs, s.src_tokens, t.total_tokens,
+           CAST(least(1000000, floor(t.total_tokens * 1000000.0
+                                     / (t.n_sources * s.src_tokens) + 0.5))
+                AS BIGINT) AS rate_micro,
+           CAST(floor(s.src_tokens
+                      * least(1000000, floor(t.total_tokens * 1000000.0
+                                             / (t.n_sources * s.src_tokens) + 0.5))
+                      / 1000000.0) AS BIGINT) AS effective_tokens
+    FROM src s CROSS JOIN tot t
+"""
+
+
+@register(
+    "corpus_domain_mix_rates",
+    oracle=_MIX_SQL,
+    tags=("corpus", "aggregate"),
+    doc="Domain-mixture sampling rates: per-source token mass -> the "
+    "down-sampling rate that moves the corpus toward a uniform target mix "
+    "(rate = target_share * total / source_tokens, capped at 1; the "
+    "DoReMi/Pile-style static reweight, arXiv:2305.10429 without the "
+    "learned proxy). Rates are exact micro-unit integers (half-away-from-"
+    "zero) so the schedule is reproducible across engines and runs. Scale: "
+    "one two-phase hash aggregate over the corpus produces a sources-sized "
+    "table; the cross join is against a 1-row total. Exactness bound: "
+    "total_tokens * 1e6 must stay under 2^53 (~9e15 tokens) — beyond that, "
+    "compute rates per shard and merge, same as the OLS re-centering note.",
+)
+def corpus_domain_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_MIX_SQL)
+
+
+TOKEN_BUDGET_X = 3  # train-budget multiple of the corpus' total token mass
+MAX_EPOCHS = 4  # per-source repeat cap (data-constrained scaling practice)
+
+_EPOCH_SQL = f"""
+    WITH src AS (
+      SELECT source, CAST(sum({_TOKC}) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM src),
+    alloc AS (
+      SELECT s.source, s.src_tokens,
+             CAST(floor(t.total_tokens * {TOKEN_BUDGET_X} / t.n_sources)
+                  AS BIGINT) AS target_tokens
+      FROM src s CROSS JOIN tot t)
+    SELECT source, src_tokens, target_tokens,
+           CAST(least({MAX_EPOCHS}, floor(target_tokens / src_tokens))
+                AS BIGINT) AS full_epochs,
+           CAST(CASE WHEN floor(target_tokens / src_tokens) >= {MAX_EPOCHS}
+                     THEN 0
+                     ELSE target_tokens % src_tokens END
+                AS BIGINT) AS partial_epoch_tokens,
+           CAST(least({MAX_EPOCHS}, floor(target_tokens / src_tokens)) * src_tokens
+                + CASE WHEN floor(target_tokens / src_tokens) >= {MAX_EPOCHS}
+                       THEN 0
+                       ELSE target_tokens % src_tokens END
+                AS BIGINT) AS scheduled_tokens
+    FROM alloc
+"""
+
+
+@register(
+    "corpus_epoch_repeat_schedule",
+    oracle=_EPOCH_SQL,
+    tags=("corpus", "aggregate"),
+    doc=f"Epoch-repeat schedule for a data-constrained budget (Muennighoff "
+    f"et al. 2023, arXiv:2305.16264: repeating up to ~4 epochs is near-free): "
+    f"each source gets an equal share of a {TOKEN_BUDGET_X}x-corpus token "
+    f"budget, served as full epochs capped at {MAX_EPOCHS} plus a partial "
+    "epoch remainder — pure integer arithmetic end to end (floor division "
+    "and modulus, no floats anywhere), so the schedule is bit-reproducible. "
+    "Scale: same sources-sized aggregate shape as corpus_domain_mix_rates; "
+    "the schedule table drives downstream per-epoch unions, it never "
+    "materializes repeated data itself.",
+)
+def corpus_epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_EPOCH_SQL)

@@ -994,3 +994,83 @@ def mm_gif_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width long, height long, n_gct_colors long, "
         "sig_ok boolean",
     )
+
+
+TILE_G = 4  # tile grid: TILE_G x TILE_G tiles over the H x 32 byte grid
+
+
+@register(
+    "mm_image_tile_stats",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(floor(octet_length(encode(text)) / {RESIZE_SRC_W}) AS BIGINT) AS h
+      FROM documents
+      WHERE octet_length(encode(text)) >= {TILE_G * RESIZE_SRC_W}),
+    px AS (
+      SELECT doc_id, h, unnest(generate_series(0, h * {RESIZE_SRC_W} - 1)) AS i
+      FROM img),
+    v AS (
+      SELECT p.doc_id,
+             CAST(floor((p.i // {RESIZE_SRC_W}) * {TILE_G} / p.h) AS BIGINT) AS tile_y,
+             CAST((p.i % {RESIZE_SRC_W}) // {RESIZE_SRC_W // TILE_G} AS BIGINT) AS tile_x,
+             ('0x' || substring(i2.hx, p.i * 2 + 1, 2))::BIGINT AS val
+      FROM px p JOIN img i2 USING (doc_id))
+    SELECT doc_id, tile_y, tile_x,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(val) AS BIGINT) AS px_sum,
+           CAST(sum(val * val) AS BIGINT) AS px_sumsq
+    FROM v GROUP BY doc_id, tile_y, tile_x
+    """,
+    tags=("multimodal", "pandas_udf"),
+    doc=f"Per-tile image statistics — the feature-extraction step behind "
+    f"blur/flat-region/exposure filters in image-corpus curation: the raw "
+    f"H x {RESIZE_SRC_W} byte grid split into a {TILE_G} x {TILE_G} tile "
+    "grid (tile_y = y*G // H, same integer index map family as "
+    "mm_resize_nearest), per-tile pixel count / sum / sum-of-squares as "
+    "exact BIGINTs (mean and variance derive downstream without any float "
+    "having crossed an engine boundary). One np.bincount per image inside "
+    "mapInPandas — no per-pixel Python, no shuffle before the final "
+    "doc+tile aggregate, which is emitted directly from the batch. The "
+    "oracle re-derives the identical tile map per byte in SQL.",
+)
+def mm_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length(F.col("text").cast("binary")) >= TILE_G * RESIZE_SRC_W)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tx = (np.arange(RESIZE_SRC_W) * TILE_G) // RESIZE_SRC_W
+        out = {k: [] for k in ("doc_id", "tile_y", "tile_x", "n_px", "px_sum", "px_sumsq")}
+        for pdf in batches:
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = t.encode("utf-8")
+                src_h = len(b) // RESIZE_SRC_W
+                arr = np.frombuffer(
+                    b[: src_h * RESIZE_SRC_W], dtype=np.uint8
+                ).reshape(src_h, RESIZE_SRC_W).astype(np.int64)
+                ty = (np.arange(src_h) * TILE_G) // src_h
+                tid = (ty[:, None] * TILE_G + tx[None, :]).ravel()
+                flat = arr.ravel()
+                n = np.bincount(tid, minlength=TILE_G * TILE_G)
+                s = np.bincount(tid, weights=flat, minlength=TILE_G * TILE_G)
+                s2 = np.bincount(tid, weights=flat * flat, minlength=TILE_G * TILE_G)
+                for k in range(TILE_G * TILE_G):
+                    out["doc_id"].append(doc_id)
+                    out["tile_y"].append(k // TILE_G)
+                    out["tile_x"].append(k % TILE_G)
+                    out["n_px"].append(int(n[k]))
+                    out["px_sum"].append(int(s[k]))
+                    out["px_sumsq"].append(int(s2[k]))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, tile_y long, tile_x long, n_px long, "
+        "px_sum long, px_sumsq long",
+    )

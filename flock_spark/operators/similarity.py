@@ -1360,3 +1360,314 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= RADIUS_T)
     )
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (Kusupati et al. 2022, arXiv:2205.13147):
+# MRL-style embeddings keep their head dims most informative, so serving
+# stacks retrieve with a truncated prefix and re-rank with the full vector.
+# Before shipping that, you measure what the truncation costs — this entry.
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32)  # prefix lengths audited against the full 64 dims
+
+
+def _mrl_oracle() -> str:
+    from flock_spark.registry import REGISTRY
+
+    brute = REGISTRY["ann_topk_bruteforce"].oracle
+    dims_sql = ", ".join(str(d) for d in MRL_DIMS)
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {N_QUERIES}),
+    dims AS (SELECT CAST(unnest([{dims_sql}]) AS BIGINT) AS trunc_dim),
+    scored AS (
+      SELECT d.trunc_dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(array_slice(q.v, 1, d.trunc_dim),
+                                          array_slice(c.v, 1, d.trunc_dim)), 6) AS cos_sim
+      FROM q JOIN e c ON q.vec_id <> c.vec_id CROSS JOIN dims d),
+    tk AS (SELECT trunc_dim, query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY trunc_dim, query_id
+                                          ORDER BY cos_sim DESC, neighbor_id) AS rn
+             FROM scored) t WHERE rn <= {TOP_K}),
+    brute AS (SELECT query_id, neighbor_id FROM ({brute}) b),
+    base AS (SELECT d.trunc_dim, b.query_id, b.neighbor_id
+             FROM brute b CROSS JOIN dims d)
+    SELECT base.trunc_dim,
+           CAST(count(*) AS BIGINT) AS n_possible,
+           CAST(sum(CASE WHEN tk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN tk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS recall_at_k
+    FROM base LEFT JOIN tk
+      ON base.trunc_dim = tk.trunc_dim AND base.query_id = tk.query_id
+         AND base.neighbor_id = tk.neighbor_id
+    GROUP BY base.trunc_dim
+    """
+
+
+@register(
+    "embedding_matryoshka_recall_audit",
+    oracle=_mrl_oracle(),
+    tags=("similarity", "embedding", "audit"),
+    doc=f"Matryoshka-truncation recall audit: exact top-{TOP_K} under "
+    f"prefix-truncated cosine (dims {MRL_DIMS}) versus the full-dim "
+    f"brute-force ranking, aggregated to recall@{TOP_K} per truncation "
+    "width — the measurement behind 'retrieve at d=8, re-rank at d=64' "
+    "serving stacks (arXiv:2205.13147). Same audit discipline as "
+    "ann_ivf_recall_audit: bounded deterministic query sample, the "
+    "expensive part IS the exact ground truth, output is dims-sized. "
+    "Truncated cosines round to 6 with id tie-breaks on both engines; "
+    "per-vector prefix norms are precomputed once per side, so the "
+    "per-pair work is one Arrow-batched einsum per width.",
+)
+def embedding_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.registry import REGISTRY
+
+    e = _spark_vecs(spark, sf_dir)
+    corp = e.select(
+        "vec_id",
+        "v",
+        *[
+            F.expr(f"sqrt({_dot(f'slice(v, 1, {d})', f'slice(v, 1, {d})')})").alias(
+                f"n{d}"
+            )
+            for d in MRL_DIMS
+        ],
+    )
+    q = (
+        corp.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            *[F.col(f"n{d}").alias(f"qn{d}") for d in MRL_DIMS],
+        )
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(corp)
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    from pyspark.sql import Window as W
+
+    per_dim = []
+    for d in MRL_DIMS:
+        scored = pairs.select(
+            F.lit(d).cast("long").alias("trunc_dim"),
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _pair_dot()(F.slice("qv", 1, d), F.slice("v", 1, d))
+                / (F.col(f"qn{d}") * F.col(f"n{d}")),
+                6,
+            ).alias("cos_sim"),
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+        per_dim.append(
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("trunc_dim", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+        )
+    tk = per_dim[0]
+    for x in per_dim[1:]:
+        tk = tk.unionAll(x)
+
+    brute = (
+        REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    dims_df = spark.createDataFrame(
+        [(int(d),) for d in MRL_DIMS], "trunc_dim long"
+    )
+    base = brute.crossJoin(F.broadcast(dims_df))
+    j = base.join(tk, ["trunc_dim", "query_id", "neighbor_id"], "left")
+    return j.groupBy("trunc_dim").agg(
+        F.count("*").cast("long").alias("n_possible"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count("*"), 6
+        ).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe sweep: recall as a function of how many nearest cells a query
+# probes — THE tuning knob of a deployed IVF index (nprobe=1 is ann_ivf_topk;
+# production indexes pick the smallest nprobe whose recall clears the bar).
+# ---------------------------------------------------------------------------
+
+NPROBES = (1, 2, 4)
+
+
+def _nprobe_oracle() -> str:
+    from flock_spark.registry import REGISTRY
+
+    brute = REGISTRY["ann_topk_bruteforce"].oracle
+    probes_sql = ", ".join(str(p) for p in NPROBES)
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             WHERE vec_id % {CENTROID_MOD} = {CENTROID_REM}
+             ORDER BY vec_id LIMIT {N_IVF_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0
+          ORDER BY vec_id LIMIT {N_QUERIES}),
+    probes AS (
+      SELECT query_id, cell, probe_rank FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cid
+               ) AS probe_rank
+        FROM q CROSS JOIN cent c) t
+      WHERE probe_rank <= {max(NPROBES)}),
+    np AS (SELECT CAST(unnest([{probes_sql}]) AS BIGINT) AS nprobe),
+    cand AS (
+      SELECT np.nprobe, p.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      FROM probes p
+      JOIN np ON p.probe_rank <= np.nprobe
+      JOIN assign c ON c.cell = p.cell
+      JOIN q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id),
+    tk AS (SELECT nprobe, query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                                          ORDER BY cos_sim DESC, neighbor_id) AS rn
+             FROM cand) t WHERE rn <= {IVF_TOP_K}),
+    brute AS (SELECT query_id, neighbor_id FROM ({brute}) b
+              WHERE rank <= {IVF_TOP_K}),
+    base AS (SELECT np.nprobe, b.query_id, b.neighbor_id
+             FROM brute b CROSS JOIN np)
+    SELECT base.nprobe,
+           CAST(count(*) AS BIGINT) AS n_possible,
+           CAST(sum(CASE WHEN tk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN tk.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS recall_at_k
+    FROM base LEFT JOIN tk
+      ON base.nprobe = tk.nprobe AND base.query_id = tk.query_id
+         AND base.neighbor_id = tk.neighbor_id
+    GROUP BY base.nprobe
+    """
+
+
+@register(
+    "ann_ivf_nprobe_recall_curve",
+    oracle=_nprobe_oracle(),
+    tags=("similarity", "embedding", "audit"),
+    doc=f"IVF nprobe→recall curve: for nprobe in {NPROBES}, each query "
+    "probes its nprobe nearest cells (by rounded centroid cosine, cid "
+    f"tie-break) and recall@{IVF_TOP_K} is measured against the exact "
+    "brute-force ranking — one table, one row per knob setting, the "
+    "exact artifact an index rollout reviews before picking its "
+    "latency/recall point. nprobe=1 reproduces ann_ivf_recall_audit's "
+    "setting by construction (a corpus query's nearest centroid IS its "
+    "assigned cell). Scale shape: the probe list is queries×nprobe rows "
+    "(bounded), candidates are an equi-join on the cell key bounded by "
+    "nprobe cells per query, and the memoized IVF assignment is reused "
+    "— only the ground-truth side touches the whole corpus, which is "
+    "inherent to any recall audit.",
+)
+def ann_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from flock_spark.registry import REGISTRY
+
+    assigned = _ivf_assigned(spark, sf_dir)
+    e = _spark_vecs(spark, sf_dir)
+
+    # bounded collects: N_IVF_CENTROIDS centroids, N_QUERIES queries
+    crows = (
+        e.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_REM)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(N_IVF_CENTROIDS)
+        .collect()
+    )
+    qrows = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .collect()
+    )
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    cm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        s = np.round(qv / np.linalg.norm(qv) @ cn.T, 6)
+        # sort by (-sim, cid): rounded-cosine desc with cid tie-break,
+        # matching the oracle's window ordering
+        order = sorted(range(len(cids)), key=lambda i: (-s[i], cids[i]))
+        for rank, i in enumerate(order[: max(NPROBES)], start=1):
+            probe_rows.append((int(r["vec_id"]), int(cids[i]), rank))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell long, probe_rank int"
+    )
+
+    qdf = (
+        assigned.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    np_df = spark.createDataFrame([(int(p),) for p in NPROBES], "nprobe long")
+    probe_sets = (
+        F.broadcast(probes)
+        .join(F.broadcast(np_df), F.col("probe_rank") <= F.col("nprobe"))
+        .select("nprobe", "query_id", "cell")
+    )
+    cand = (
+        F.broadcast(probe_sets.join(F.broadcast(qdf), "query_id"))
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    scored = cand.select(
+        "nprobe",
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _pair_dot()(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    tk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    brute = (
+        REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir)
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    base = brute.crossJoin(F.broadcast(np_df))
+    j = base.join(tk, ["nprobe", "query_id", "neighbor_id"], "left")
+    return j.groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("n_possible"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count("*"), 6
+        ).alias("recall_at_k"),
+    )
