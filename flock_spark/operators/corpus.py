@@ -1407,3 +1407,48 @@ _EPOCH_SQL = f"""
 def corpus_epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_EPOCH_SQL)
+
+
+_CHI2_SQL = """
+    WITH b AS (
+      SELECT source,
+             least(4, CAST(floor(n_chars / 150.0) AS BIGINT)) AS len_bin
+      FROM documents),
+    o AS (SELECT source, len_bin, CAST(count(*) AS BIGINT) AS observed
+          FROM b GROUP BY source, len_bin),
+    rt AS (SELECT source, CAST(count(*) AS BIGINT) AS rtot FROM b GROUP BY source),
+    ct AS (SELECT len_bin, CAST(count(*) AS BIGINT) AS ctot FROM b GROUP BY len_bin),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+    SELECT o.source, o.len_bin, o.observed,
+           CAST(floor(rt.rtot * ct.ctot * 1000000.0 / tot.n + 0.5) AS BIGINT)
+             AS expected_micro,
+           CAST(floor(
+                 (CAST(o.observed * tot.n - rt.rtot * ct.ctot AS DOUBLE)
+                  * (o.observed * tot.n - rt.rtot * ct.ctot))
+                 / (CAST(rt.rtot AS DOUBLE) * ct.ctot * tot.n)
+                 * 1000000.0 + 0.5) AS BIGINT)
+             AS chi2_contrib_micro
+    FROM o JOIN rt USING (source) JOIN ct USING (len_bin) CROSS JOIN tot
+"""
+
+
+@register(
+    "corpus_source_drift_chi2",
+    oracle=_CHI2_SQL,
+    tags=("corpus", "audit", "aggregate"),
+    doc="Chi-square homogeneity audit across sources: document-length "
+    "distributions binned into 5 fixed bands, each (source, bin) cell's "
+    "observed count vs the marginal-product expectation, and the cell's "
+    "chi-square contribution in micro-units — the drift test run when a "
+    "new crawl snapshot lands (a source whose length profile shifts "
+    "inflates its cells' contributions; the per-cell view says WHERE). "
+    "Per-cell integer output deliberately avoids any cross-row double "
+    "sum, so no accumulation-order hazard exists; the single division "
+    "happens in one canonical order on both engines. Scale: one grouped "
+    "count over the corpus, then joins among sources x bins sized "
+    "aggregates. Exactness bound: observed * total < 2^53 (~9e15), same "
+    "family as corpus_domain_mix_rates.",
+)
+def corpus_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CHI2_SQL)

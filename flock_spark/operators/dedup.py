@@ -1715,3 +1715,143 @@ def _finish_calibration_oracle() -> None:
 
 
 _finish_calibration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# LSH band/row tradeoff: the (b, r) knob of every MinHash deployment.
+# b*r = N_MINHASH is fixed by the signature; moving rows between bands walks
+# the S-curve 1-(1-s^r)^b — more bands/fewer rows = higher recall + more
+# false candidates, and you pick the point from a table exactly like this.
+# ---------------------------------------------------------------------------
+
+BAND_CONFIGS = ((6, 2), (4, 3), (3, 4), (2, 6))  # (bands, rows), b*r = 12
+
+
+def _band_expr_cfg(j: int, r: int) -> str:
+    parts = " || '_' || ".join(f"CAST(mh{r * j + k} AS STRING)" for k in range(r))
+    return f"({parts})"
+
+
+def _band_tradeoff_oracle() -> str:
+    from flock_spark.registry import REGISTRY
+
+    truth = REGISTRY["dedup_ngram_jaccard"].oracle
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}x{r}' AS cfg, {j} AS band_idx,"
+        f" {_band_expr_cfg(j, r)} AS band_val FROM sig"
+        for (b, r) in BAND_CONFIGS
+        for j in range(b)
+    )
+    cfg_list = ", ".join(f"'{b}x{r}'" for (b, r) in BAND_CONFIGS)
+    return f"""
+    WITH sig AS MATERIALIZED ({_duck_minhash_sig_sql()}),
+    truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ({truth}) t0),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.cfg = b.cfg AND a.band_idx = b.band_idx
+       AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    t2 AS (SELECT c.cfg, t.doc_a, t.doc_b
+           FROM truth t CROSS JOIN (SELECT unnest([{cfg_list}]) AS cfg) c),
+    j AS (
+      SELECT COALESCE(t.cfg, c.cfg) AS cfg,
+             (t.doc_a IS NOT NULL) AS in_truth,
+             (c.doc_a IS NOT NULL) AS in_cand
+      FROM t2 t FULL OUTER JOIN cand c
+        ON t.cfg = c.cfg AND t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT cfg,
+           CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+           CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS tp,
+           (CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000)
+             // CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS recall_bp,
+           CASE WHEN sum(CASE WHEN in_cand THEN 1 ELSE 0 END) = 0 THEN 0
+                ELSE (CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                           AS BIGINT) * 10000)
+                     // CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT)
+           END AS precision_bp
+    FROM j GROUP BY cfg
+    """
+
+
+@register(
+    "dedup_lsh_band_tradeoff_audit",
+    oracle=None,  # assigned at import end (composes registered oracles)
+    tags=("dedup", "audit", "sketch"),
+    doc=f"LSH band/row S-curve measured, not assumed: the SAME "
+    f"{N_MINHASH}-hash signature re-banded as {BAND_CONFIGS} and each "
+    "configuration's candidate set scored against the exact char-gram "
+    "Jaccard ground truth — one row per (b, r) with candidate volume, "
+    "recall, and precision in integer basis points. This is the table a "
+    "100 TB dedup rollout reads to pick its operating point (6x2 finds "
+    "more true pairs but pays more candidate verifications; 2x6 is "
+    "near-free but misses). Scale: signatures are computed ONCE (memoized "
+    "narrow map), each config is a banded equi-self-join whose cost "
+    "tracks its own collision rate, and the scoring join is over pair "
+    "lists — the corpus is never re-read per config.",
+)
+def dedup_lsh_band_tradeoff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.registry import REGISTRY
+
+    sig = _spark_minhash_sig(spark, sf_dir)
+    bands = None
+    for (b, r) in BAND_CONFIGS:
+        part = sig.select(
+            "doc_id",
+            F.lit(f"{b}x{r}").alias("cfg"),
+            F.posexplode(
+                F.array(*[F.expr(_band_expr_cfg(j, r)) for j in range(b)])
+            ).alias("band_idx", "band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    truth = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    cfgs = spark.createDataFrame(
+        [(f"{b}x{r}",) for (b, r) in BAND_CONFIGS], "cfg string"
+    )
+    t2 = truth.crossJoin(F.broadcast(cfgs))
+    j = t2.withColumn("in_truth", F.lit(True)).join(
+        cand.withColumn("in_cand", F.lit(True)), ["cfg", "doc_a", "doc_b"], "full_outer"
+    )
+    it = F.col("in_truth").isNotNull()
+    ic = F.col("in_cand").isNotNull()
+    return j.groupBy("cfg").agg(
+        F.sum(F.when(it, 1).otherwise(0)).cast("long").alias("n_truth"),
+        F.sum(F.when(ic, 1).otherwise(0)).cast("long").alias("n_cand"),
+        F.sum(F.when(it & ic, 1).otherwise(0)).cast("long").alias("tp"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_truth IS NOT NULL AND in_cand IS NOT NULL"
+            " THEN 1 ELSE 0 END) * 10000L AS BIGINT)"
+            " div CAST(sum(CASE WHEN in_truth IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("recall_bp"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN in_cand IS NOT NULL THEN 1 ELSE 0 END) = 0"
+            " THEN 0L ELSE"
+            " CAST(sum(CASE WHEN in_truth IS NOT NULL AND in_cand IS NOT NULL"
+            " THEN 1 ELSE 0 END) * 10000L AS BIGINT)"
+            " div CAST(sum(CASE WHEN in_cand IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " END"
+        ).alias("precision_bp"),
+    )
+
+
+_REG_DD["dedup_lsh_band_tradeoff_audit"].oracle = _band_tradeoff_oracle()

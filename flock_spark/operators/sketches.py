@@ -1298,3 +1298,99 @@ def datasketches_union_merge_audit(spark: SparkSession, sf_dir: str) -> DataFram
         FROM merged m CROSS JOIN direct d
         """
     )
+
+
+# ------------------------------------------------- HyperBall 2-hop reach ---
+
+REACH_SAMPLE = 32  # audited source nodes (deterministic bounded sample)
+
+
+def _reach2_sql(d: _Dialect) -> str:
+    """HyperBall step (Boldi & Vigna 2013, arXiv:1308.2144): per-node
+    neighborhood-function estimation by merging neighbor HLL sketches —
+    B(u,2) = B(u,1) ∪ ⋃_{v∈N(u)} B(v,1), where each B(·,1) is a 64-bucket
+    tall-form sketch and merge = max per bucket. The exact 2-hop reach is
+    computed alongside for the bounded sample so the estimate is audited."""
+    h_node = d.md5l(f"CAST(u AS {d.str_t})")
+    w = d.shr("h", 6)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    hh AS (SELECT u, {h_node} AS h FROM nodes),
+    hb AS (SELECT u, (h % 64) AS bucket,
+                  CASE WHEN {w} = 0 THEN 55
+                       ELSE 55 - length(bin({w})) END AS r
+           FROM hh),
+    rho1 AS (
+      SELECT xu AS u, bucket, max(r) AS m_j FROM (
+        SELECT u AS xu, bucket, r FROM hb
+        UNION ALL
+        SELECT e.u AS xu, hb.bucket, hb.r FROM edges e JOIN hb ON hb.u = e.v
+      ) x GROUP BY xu, bucket),
+    smp AS (SELECT u FROM nodes WHERE u % 2 = 0 ORDER BY u LIMIT {REACH_SAMPLE}),
+    rho2 AS (
+      SELECT su AS u, bucket, max(m_j) AS m_j FROM (
+        SELECT s.u AS su, r1.bucket, r1.m_j
+        FROM smp s JOIN rho1 r1 ON r1.u = s.u
+        UNION ALL
+        SELECT e.u AS su, r1.bucket, r1.m_j
+        FROM smp s JOIN edges e ON e.u = s.u JOIN rho1 r1 ON r1.u = e.v
+      ) x GROUP BY su, bucket),
+    sketch AS (
+      SELECT u, count(*) AS n_hot, sum({d.shl('55 - m_j')}) AS hot_sum
+      FROM rho2 GROUP BY u),
+    est AS (
+      SELECT u,
+             CAST(64 - n_hot AS BIGINT) AS v_empty,
+             CAST(hot_sum + (64 - n_hot) * 36028797018963968 AS BIGINT)
+               AS harmonic_sum_scaled,
+             ({HLL_ALPHA_NUM}
+               / CAST(hot_sum + (64 - n_hot) * 36028797018963968 AS DOUBLE))
+               AS raw_estimate,
+             n_hot
+      FROM sketch),
+    reach AS (
+      SELECT su AS u, count(DISTINCT w) AS exact_2hop FROM (
+        SELECT s.u AS su, s.u AS w FROM smp s
+        UNION ALL
+        SELECT s.u AS su, e.v AS w FROM smp s JOIN edges e ON e.u = s.u
+        UNION ALL
+        SELECT s.u AS su, e2.v AS w
+        FROM smp s JOIN edges e ON e.u = s.u JOIN edges e2 ON e2.u = e.v
+      ) x GROUP BY su)
+    SELECT e.u, e.v_empty, e.harmonic_sum_scaled,
+           CAST(r.exact_2hop AS BIGINT) AS exact_2hop,
+           CASE WHEN e.raw_estimate <= 160.0 AND e.v_empty > 0
+                THEN {_hll_linear_case().replace('n_hot', 'e.n_hot')}
+                ELSE e.raw_estimate END AS hll_estimate
+    FROM est e JOIN reach r ON e.u = r.u
+    """
+
+
+@register(
+    "graph_2hop_reach_hll_audit",
+    oracle=_reach2_sql(DUCK_D),
+    tags=("graph", "sketch", "approx", "audit"),
+    doc=f"HyperBall neighborhood function (arXiv:1308.2144) as a Spark "
+    "relational plan: each node's 2-hop reach |B(u,2)| is estimated by "
+    "MERGING neighbor HLL sketches (tall 64-bucket form, merge = keyed "
+    "max per bucket) — one edges⋈sketch join + one grouped max per "
+    "radius, cost O(64·|E|) per iteration and never a wedge "
+    "materialization. The exact 2-hop distinct count runs alongside for "
+    f"a deterministic {REACH_SAMPLE}-node sample (the wedge join is "
+    "bounded by the sample, exactly like the ANN recall audits), so the "
+    "sketch's error is measured, not assumed. At 100 TB graph scale "
+    "(centrality, anti-abuse blast-radius scoring) HyperBall is the only "
+    "feasible shape: the exact wedge join grows with Σdeg², the sketch "
+    "path stays linear in edges. Registers and harmonic sums are exact "
+    "integers; the estimate embeds precomputed log literals (no libm), "
+    "so every output column hashes identically cross-engine.",
+)
+def graph_2hop_reach_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_reach2_sql(SPARK_D))

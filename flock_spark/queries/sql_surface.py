@@ -510,3 +510,38 @@ GROUP BY o_orderpriority
 def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_FILTER_AGG_SQL)
+
+
+@register(
+    "sql_lateral_topk_per_group",
+    oracle="""
+    SELECT seg, c_custkey, c_acctbal
+    FROM (SELECT c_mktsegment AS seg, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer) t
+    WHERE rn <= 3
+    """,
+    tags=("sql_surface", "join", "spark4"),
+    doc="Correlated LATERAL subquery with ORDER BY ... LIMIT — the 'top 3 "
+    "per segment' idiom written the way application SQL writes it. The "
+    "point is what Catalyst does with it: the lateral is decorrelated "
+    "into WindowGroupLimit with a PARTIAL stage (plan-pinned in "
+    "tests/test_plans.py), i.e. each map task prunes to its local top-3 "
+    "per group BEFORE the shuffle — per-group state on the map side is "
+    "k rows, and the exchange carries ~partitions x groups x k rows "
+    "instead of the table. The oracle is the classic row_number "
+    "formulation, proving the new surface computes exactly its window "
+    "twin.",
+)
+def sql_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT s.seg, t.c_custkey, t.c_acctbal
+        FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) s,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_mktsegment = s.seg
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        """
+    )

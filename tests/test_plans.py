@@ -825,3 +825,30 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark, sf_dir):
+    # the LATERAL ORDER BY ... LIMIT 3 must decorrelate into WindowGroupLimit
+    # with a Partial stage — each map task prunes to its local top-3 per
+    # group BEFORE the shuffle; the exchange then carries ~groups x k rows,
+    # not the table. A plan that re-correlates (one subquery execution per
+    # outer row) or full-sorts per group loses the 100 TB property.
+    plan = plan_of(spark, sf_dir, "sql_lateral_topk_per_group")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1][:200] or \
+        plan.count("WindowGroupLimit") >= 2
+
+
+def test_mm_tile_stats_no_shuffle_before_emit(spark, sf_dir):
+    # per-tile stats are finalized inside mapInPandas per document — the
+    # plan must not hash-exchange pixel- or tile-level rows (the only
+    # allowed Exchange is catalog.spread()'s RoundRobin input balancing)
+    plan = plan_of(spark, sf_dir, "mm_image_tile_stats")
+    assert "hashpartitioning" not in plan
+
+
+def test_matryoshka_audit_broadcasts_query_side(spark, sf_dir):
+    # the bounded query set must broadcast; the corpus must never be on the
+    # build side of a nested-loop against itself
+    plan = plan_of(spark, sf_dir, "embedding_matryoshka_recall_audit")
+    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
