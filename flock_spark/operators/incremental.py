@@ -381,3 +381,64 @@ def ivm_distinct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_users"),
         F.sum("cnt").cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "ivm_window_delta",
+    oracle="""
+    SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id, micros
+    FROM (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS micros,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(round(value * 1000000) AS BIGINT) DESC, event_id
+             ) AS rn
+      FROM events
+      WHERE (event_id % 13 = 0)
+         OR (event_id % 13 <> 0 AND event_id % 17 <> 0)) t
+    WHERE rn <= 2
+    """,
+    tags=("incremental", "window", "scale-pattern"),
+    doc="Incremental maintenance of a WINDOW view (per-user top-2 by "
+    "value) — the aggregate class with NO algebraic delta (ranks are not "
+    "linear or bilinear), maintained the way production systems actually "
+    "do it: partition-scoped recompute. The standing view is the top-2 "
+    "over the base; a change batch (inserts = event_id%13=0, retractions "
+    "= base rows with %17=0, same split as the ivm siblings) names its "
+    "AFFECTED partition keys; the refresh recomputes the window only "
+    "over the final rows of affected users (keyed semi-join) and unions "
+    "the untouched users' standing rows via an anti-join — the window "
+    "never re-runs over unaffected partitions. The oracle recomputes "
+    "directly from the final row set, so the green row proves "
+    "scoped-recompute == full recompute. At 100 TB the base is stored "
+    "bucketed by user_id: the semi-join prunes to affected buckets and "
+    "refresh cost is O(|delta| + rows of affected partitions), which is "
+    "the best possible for rank-class views (DBSP non-linear operator "
+    "treatment; complements agg/distinct/join deltas).",
+)
+def ivm_window_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events").withColumn(
+        "micros", F.expr("CAST(round(value * 1000000) AS BIGINT)")
+    )
+    base = e.filter(F.col("event_id") % 13 != 0)
+    inserts = e.filter(F.col("event_id") % 13 == 0)
+    deletes = base.filter(F.col("event_id") % 17 == 0)
+
+    w = W.partitionBy("user_id").orderBy(F.col("micros").desc(), "event_id")
+
+    def top2(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 2)
+            .select("user_id", "rank", "event_id", "micros")
+        )
+
+    standing = top2(base)
+    affected = (
+        inserts.select("user_id").unionAll(deletes.select("user_id")).distinct()
+    )
+    final_rows = base.filter(F.col("event_id") % 17 != 0).unionByName(inserts)
+    recomputed = top2(final_rows.join(affected, "user_id", "semi"))
+    untouched = standing.join(affected, "user_id", "anti")
+    return untouched.unionByName(recomputed)

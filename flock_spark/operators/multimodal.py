@@ -1074,3 +1074,107 @@ def mm_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, tile_y long, tile_x long, n_px long, "
         "px_sum long, px_sumsq long",
     )
+
+
+@register(
+    "mm_resize_bilinear",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(floor(octet_length(encode(text)) / {RESIZE_SRC_W}) AS BIGINT) AS h
+      FROM documents
+      WHERE octet_length(encode(text)) >= {RESIZE_SRC_W}),
+    grid AS (
+      SELECT i.doc_id, i.hx, i.h, y.y, x.x,
+             greatest(0, (2 * y.y + 1) * i.h - {RESIZE_TH}) AS sy16,
+             (4 * x.x + 1) AS x0
+      FROM img i,
+           (SELECT unnest(generate_series(0, {RESIZE_TH - 1})) AS y) y,
+           (SELECT unnest(generate_series(0, {RESIZE_TW - 1})) AS x) x),
+    coords AS (
+      SELECT doc_id, hx, h, y, x, x0,
+             sy16 // 16 AS y0,
+             least(sy16 // 16 + 1, h - 1) AS y1,
+             sy16 % 16 AS fy
+      FROM grid),
+    px AS (
+      SELECT doc_id, y, x, fy,
+             ('0x' || substring(hx, (y0 * {RESIZE_SRC_W} + x0) * 2 + 1, 2))::BIGINT AS p00,
+             ('0x' || substring(hx, (y0 * {RESIZE_SRC_W} + x0 + 1) * 2 + 1, 2))::BIGINT AS p01,
+             ('0x' || substring(hx, (y1 * {RESIZE_SRC_W} + x0) * 2 + 1, 2))::BIGINT AS p10,
+             ('0x' || substring(hx, (y1 * {RESIZE_SRC_W} + x0 + 1) * 2 + 1, 2))::BIGINT AS p11
+      FROM coords),
+    vals AS (
+      SELECT doc_id, y, x,
+             ((16 - fy) * (8 * p00 + 8 * p01)
+              + fy * (8 * p10 + 8 * p11)) // 256 AS pv
+      FROM px)
+    SELECT doc_id,
+           md5(string_agg(CAST(pv AS VARCHAR), ',' ORDER BY y, x)) AS resized_md5,
+           CAST(sum(pv) AS BIGINT) AS pixel_sum,
+           {RESIZE_TW} AS target_w, {RESIZE_TH} AS target_h
+    FROM vals GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas_udf"),
+    doc=f"Bilinear resample in FIXED-POINT integer arithmetic — the "
+    "anti-aliasing upgrade over mm_resize_nearest, bit-reproducible "
+    "across engines because no float ever appears: source coordinates in "
+    "1/16 units via sy16 = (2y+1)H - 8 (the standard half-pixel-center "
+    "mapping scaled by 16), corner weights (16-f)/f, and the 2x2 blend "
+    "(16-fy)(8*p00+8*p01) + fy(8*p10+8*p11) >> 8 (horizontal fraction is "
+    f"constant 8/16 for the {RESIZE_SRC_W}->{RESIZE_TW} ratio). This is "
+    "how production image pipelines get deterministic resizes across "
+    "heterogeneous executors — float bilinear differs by ulps across "
+    "SIMD paths; integer fixed-point cannot. numpy gather + blend per "
+    "Arrow batch; the oracle replays the identical integer formulas per "
+    "output pixel in SQL and md5s the same pixel sequence.",
+)
+def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length(F.col("text").cast("binary")) >= RESIZE_SRC_W)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs0 = 4 * np.arange(RESIZE_TW) + 1  # x0; fx = 8 (constant for 32->8)
+        for pdf in batches:
+            out_md5, out_sum = [], []
+            for t in pdf["text"]:
+                b = t.encode("utf-8")
+                src_h = len(b) // RESIZE_SRC_W
+                arr = np.frombuffer(
+                    b[: src_h * RESIZE_SRC_W], dtype=np.uint8
+                ).reshape(src_h, RESIZE_SRC_W).astype(np.int64)
+                sy16 = np.maximum(
+                    0, (2 * np.arange(RESIZE_TH) + 1) * src_h - RESIZE_TH
+                )
+                y0 = sy16 // 16
+                y1 = np.minimum(y0 + 1, src_h - 1)
+                fy = (sy16 % 16)[:, None]
+                p00 = arr[np.ix_(y0, xs0)]
+                p01 = arr[np.ix_(y0, xs0 + 1)]
+                p10 = arr[np.ix_(y1, xs0)]
+                p11 = arr[np.ix_(y1, xs0 + 1)]
+                pv = ((16 - fy) * (8 * p00 + 8 * p01) + fy * (8 * p10 + 8 * p11)) // 256
+                flat = pv.ravel()
+                key = ",".join(str(int(v)) for v in flat)
+                out_md5.append(hashlib.md5(key.encode()).hexdigest())
+                out_sum.append(int(flat.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized_md5": out_md5,
+                    "pixel_sum": out_sum,
+                    "target_w": RESIZE_TW,
+                    "target_h": RESIZE_TH,
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, resized_md5 string, pixel_sum long, "
+        "target_w int, target_h int",
+    )

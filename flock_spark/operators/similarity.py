@@ -1671,3 +1671,75 @@ def ann_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count("*"), 6
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold calibration: the in-bucket cosine distribution that RADIUS_T /
+# SEMDEDUP_T / COSINE_T are read off of.
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 20  # histogram bins over cosine range [-1, 1)
+
+
+@register(
+    "embedding_cosine_calibration_bins",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({_bucket_duck()} AS BIGINT) AS bucket FROM e),
+    pairs AS (
+      SELECT round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT least({CAL_BINS - 1},
+                 greatest(0, CAST(floor((cos_sim + 1.0) * {CAL_BINS // 2}) AS BIGINT)))
+             AS cos_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           min(cos_sim) AS min_cos,
+           max(cos_sim) AS max_cos
+    FROM pairs GROUP BY 1
+    """,
+    tags=("similarity", "embedding", "audit"),
+    doc=f"In-bucket cosine calibration histogram: every LSH-colliding pair's "
+    f"cosine, binned into {CAL_BINS} fixed bins over [-1, 1) — the "
+    "distribution that similarity thresholds (RADIUS_T, SEMDEDUP_T, "
+    "COSINE_T) are actually read off of before a dedup/search rollout "
+    "commits to one. Candidate pairs come from the banded equi-self-join "
+    "only (never all pairs), each pair costs one Arrow-batched einsum, "
+    "and the output is a bins-sized table. Cosines round to 6 before "
+    "binning on both engines; bin ids are clamped integers.",
+)
+def embedding_cosine_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spark_vecs(spark, sf_dir)
+    b = e.select(
+        "vec_id",
+        "v",
+        F.expr(f"CAST({_bucket_spark()} AS BIGINT)").alias("bucket"),
+        F.expr(f"sqrt({_dot('v', 'v')})").alias("norm"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    ).select(
+        F.round(
+            _pair_dot()(F.col("a.v"), F.col("c.v"))
+            / (F.col("a.norm") * F.col("c.norm")),
+            6,
+        ).alias("cos_sim")
+    )
+    binned = pairs.select(
+        F.least(
+            F.lit(CAL_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("cos_sim") + 1.0) * (CAL_BINS // 2)).cast("long"),
+            ),
+        ).alias("cos_bin"),
+        "cos_sim",
+    )
+    return binned.groupBy("cos_bin").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("cos_sim").alias("min_cos"),
+        F.max("cos_sim").alias("max_cos"),
+    )

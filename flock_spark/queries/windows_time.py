@@ -581,3 +581,81 @@ def _lateness_body(d, floor_epoch: str) -> str:
 def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_lateness_body(SPARK_D, "unix_timestamp(ts)"))
+
+
+GAP_SWEEP_MIN = (30, 120, 360)  # candidate session gaps, minutes
+
+
+@register(
+    "events_session_gap_sweep",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       IS NULL THEN NULL
+                  ELSE ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) END AS delta
+      FROM events),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             {", ".join(
+               f"CAST(sum(CASE WHEN delta > INTERVAL '{g} minutes' THEN 1 ELSE 0 END) AS BIGINT) AS brk{g}"
+               for g in GAP_SWEEP_MIN)}
+      FROM d)
+    {" UNION ALL ".join(
+      f'''SELECT CAST({g} AS BIGINT) AS gap_minutes, n_users, n_events,
+                 n_users + brk{g} AS n_sessions,
+                 CAST(floor(n_events * 1000000.0 / (n_users + brk{g}) + 0.5)
+                      AS BIGINT) AS events_per_session_micro
+          FROM a''' for g in GAP_SWEEP_MIN)}
+    """,
+    tags=("window_time", "session", "audit"),
+    doc=f"Session-gap parameter sweep: for gap in {GAP_SWEEP_MIN} minutes, "
+    "the session count and mean session size the corpus would produce — "
+    "the tuning table read before fixing a sessionizer's gap (too small "
+    "fragments journeys, too large merges visits). ONE window pass "
+    "computes each event's per-user predecessor delta; every gap then "
+    "costs only a conditional sum in the same aggregate (n_sessions = "
+    "n_users + breaks), and the 3-row output is unpivoted from a single "
+    "1-row aggregate — the event log is scanned once and shuffled once "
+    "(by user_id), not once per candidate gap. Mean sizes are exact "
+    "micro-unit integers.",
+)
+def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = tbl(spark, sf_dir, "events").select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.withColumn(
+        "delta_us",
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+    )
+    agg = d.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        *[
+            F.sum(F.when(F.col("delta_us") > g * 60_000_000, 1).otherwise(0))
+            .cast("long")
+            .alias(f"brk{g}")
+            for g in GAP_SWEEP_MIN
+        ],
+    )
+    parts = []
+    for g in GAP_SWEEP_MIN:
+        parts.append(
+            agg.select(
+                F.lit(g).cast("long").alias("gap_minutes"),
+                "n_users",
+                "n_events",
+                (F.col("n_users") + F.col(f"brk{g}")).alias("n_sessions"),
+                F.expr(
+                    f"CAST(floor(n_events * 1000000.0 / (n_users + brk{g}) + 0.5) AS BIGINT)"
+                ).alias("events_per_session_micro"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
