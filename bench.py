@@ -99,6 +99,12 @@ HEADLINE = [
     "analytics_pareto_frontier",
     "geo_radius_cell_join",
     "kmv_bottomk_distinct_merge",
+    # round-8 additions: real integer resample, one-pass gap sweep,
+    # truncated-embedding recall, partition-scoped window IVM
+    "mm_resize_nearest",
+    "events_session_gap_sweep",
+    "embedding_matryoshka_recall_audit",
+    "ivm_window_delta",
 ]
 
 
