@@ -1,0 +1,36 @@
+"""Contract tests for bench.py's measurement-integrity guards.
+
+The bench JSON is the round's graded artifact; these pins keep the two
+anti-contamination guards (warm-spread flag, busy-loop calibration
+sentinel) from silently regressing. The suite itself is NOT run here —
+only the guard logic and the headline registry wiring.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+
+def _bench():
+    return importlib.import_module("bench")
+
+
+def test_headline_queries_all_registered():
+    b = _bench()
+    from flock_spark.registry import REGISTRY, get_queries
+
+    get_queries()
+    missing = [n for n in b.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+    assert len(set(b.HEADLINE)) == len(b.HEADLINE), "duplicate headline entries"
+
+
+def test_calibration_loop_is_fixed_work_and_reference_committed():
+    b = _bench()
+    # the sentinel only works if the workload is fixed and a reference is
+    # committed for this box (env-overridable, but the default must be real)
+    assert b.CALIBRATION_N == 20_000_000
+    assert b.CALIB_REF_SEC > 0
+    assert b.CALIB_DRIFT_LIMIT == 1.3
+    dt = b._calibrate()
+    assert 0.05 < dt < 60.0
