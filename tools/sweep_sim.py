@@ -31,6 +31,7 @@ def main() -> None:
     limit = None
     offset = 0
     plain = False
+    restart_every = 0  # 0 = never; N>0 restarts the JVM every N entries
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -42,6 +43,11 @@ def main() -> None:
             offset = int(args.pop(0))
         elif a == "--plain":
             plain = True
+        elif a == "--restart-every":
+            # long single-session sf0.1 audits accumulate cached/memoized
+            # relations until the JVM dies (round-8 finding: crash after 92
+            # heavy entries); a periodic restart keeps the audit one command
+            restart_every = int(args.pop(0))
         else:
             sf_dir = a
 
@@ -50,15 +56,23 @@ def main() -> None:
         # flock_spark.session's tuning (200 shuffle partitions, no minPartitionNum)
         from pyspark.sql import SparkSession
 
-        spark = (
-            SparkSession.builder.master("local[*]")
-            .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("WARN")
+        def make_session():
+            s = (
+                SparkSession.builder.master("local[*]")
+                .config("spark.sql.session.timeZone", "UTC")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            s.sparkContext.setLogLevel("WARN")
+            return s
+
+        spark = make_session()
     else:
-        spark = get_spark()
+
+        def make_session():
+            return get_spark()
+
+        spark = make_session()
     queries = get_queries()
     oracles = get_oracles()
 
@@ -70,7 +84,11 @@ def main() -> None:
     names = names[offset:]
     if limit:
         names = names[:limit]
-    for name in names:
+    for idx, name in enumerate(names):
+        if restart_every and idx and idx % restart_every == 0:
+            # fresh JVM: memo dicts are keyed by session and self-evict
+            spark.stop()
+            spark = make_session()
         fn = queries[name]
         t0 = time.time()
         status = "ok"
