@@ -181,6 +181,10 @@ def main() -> None:
         contended = max(calib_before, calib_after) > CALIB_DRIFT_LIMIT * CALIB_REF_SEC
     # >3x between two warm runs of any single query means something else
     # was using the box mid-measurement; flag the whole run as suspect.
+    # (Every flagged run so far proved genuinely contaminated on absolute
+    # deltas — multi-second stalls, not GC blips — so the strict
+    # single-violation rule stands; spread_outliers names the culprits.)
+    spread_outliers = sorted(k for k, v in spreads.items() if v > 3.0)
     suspect = worst_spread > 3.0 or bool(contended)
     print(
         json.dumps(
@@ -192,6 +196,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "spreads": spreads,
                 "worst_spread": round(worst_spread, 2),
+                "spread_outliers": spread_outliers,
                 "calibration_before_sec": calib_before,
                 "calibration_after_sec": calib_after,
                 "calibration_ref_sec": CALIB_REF_SEC or None,
