@@ -849,6 +849,10 @@ def test_mm_tile_stats_no_shuffle_before_emit(spark, sf_dir):
 
 def test_matryoshka_audit_broadcasts_query_side(spark, sf_dir):
     # the bounded query set must broadcast; the corpus must never be on the
-    # build side of a nested-loop against itself
+    # build side of a nested-loop against itself — and every per-dim top-k
+    # must prune map-side (WindowGroupLimit Partial) before its shuffle, so
+    # the exchanges carry ~queries x k rows per dim, not the scored pairs
     plan = plan_of(spark, sf_dir, "embedding_matryoshka_recall_audit")
     assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
+    assert plan.count("WindowGroupLimit") >= 6  # Partial+Final per dim
+    assert "Partial" in plan
