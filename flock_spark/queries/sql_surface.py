@@ -545,3 +545,99 @@ def sql_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
         """
     )
+
+
+@register(
+    "sql_xml_shred",
+    oracle="""
+    SELECT o_orderkey AS o_key,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS status
+    FROM orders
+    """,
+    tags=("functions", "sql_surface", "spark4"),
+    doc="XML shredding via Spark 4's built-in from_xml — the XML twin of "
+    "variant_json_shred, certifying the three parse paths a feed decoder "
+    "uses: an ATTRIBUTE (id, surfaced under the default '_' prefix), a "
+    "numeric ELEMENT (integer cents so no float-to-string formatting "
+    "crosses the roundtrip), and a string element. Each row is serialized "
+    "to XML from the source columns and parsed back engine-side; the "
+    "oracle computes the same values directly from the columns, so a "
+    "parser that misread attributes vs elements, dropped the type "
+    "coercion, or mangled the text path would hash-mismatch. Scale: pure "
+    "projection, no shuffle — from_xml runs inside codegen like from_json "
+    "(DuckDB has no XML parser, which is why the oracle is the classic "
+    "direct formulation).",
+)
+def sql_xml_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<o id="'),
+        F.col("o_orderkey"),
+        F.lit('"><cents>'),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        F.lit("</cents><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status></o>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "struct<_id: bigint, cents: bigint, status: string>").alias("p")
+    )
+    return parsed.select(
+        F.col("p._id").alias("o_key"),
+        F.col("p.cents").alias("cents"),
+        F.col("p.status").alias("status"),
+    )
+
+
+@register(
+    "sql_try_arithmetic_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           CAST(sum(CASE WHEN event_id % 5 <> 0
+                         THEN CAST(floor(CAST(round(value * 1000000) AS BIGINT)
+                                         / (event_id % 5)) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS div_floor_sum,
+           CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_add_null
+    FROM events GROUP BY event_type
+    """,
+    tags=("functions", "sql_surface", "spark4", "quality"),
+    doc="ANSI-mode safety surface: try_divide must return NULL exactly on "
+    "the zero-divisor rows (event_id % 5 = 0) and try_add must return "
+    "NULL exactly when 9223372036854775807 + 1 overflows int64 (every "
+    "row with event_id % 7 <> 0) — certified by COUNTING the nulls per "
+    "group and checksumming the surviving integer-floored quotients "
+    "against the classic CASE-guarded formulation. This is the surface a "
+    "pipeline flips on instead of letting one bad row kill a 100 TB job; "
+    "the green row proves try_* nulls land on precisely the rows the "
+    "guard clause names, no more and no fewer. Pure projection + one "
+    "two-phase aggregate. (floor of the double quotient is cross-engine "
+    "safe here: divisors are 1-4 and quotients are ~1e8 scale, so the "
+    "fractional part is always >= 0.25 minus sub-ulp error.)",
+)
+def sql_try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("micros"),
+    )
+    probed = e.select(
+        "event_type",
+        F.expr("try_divide(micros, event_id % 5)").alias("q"),
+        F.expr(
+            "try_add(9223372036854775807L,"
+            " CASE WHEN event_id % 7 = 0 THEN 0L ELSE 1L END)"
+        ).alias("a"),
+    )
+    return probed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("q").isNull(), 1).otherwise(0)).cast("long").alias("n_div_null"),
+        F.sum(
+            F.when(F.col("q").isNotNull(), F.floor("q").cast("long")).otherwise(0)
+        ).cast("long").alias("div_floor_sum"),
+        F.sum(F.when(F.col("a").isNull(), 1).otherwise(0)).cast("long").alias("n_add_null"),
+    )
