@@ -133,10 +133,41 @@ def _calibrate() -> float:
     return time.perf_counter() - t0
 
 
+# Multi-process calibration: the single-thread probe under-detects PARTIAL
+# core contention (observed: probe at 1.26x while the 32-thread suite ran
+# 1.30x slow — a neighbor using a third of the cores barely deschedules one
+# busy loop but starves a wide Spark stage). N parallel busy loops measure
+# the machine's usable parallel capacity, which is what the suite consumes.
+CALIB_MT_PROCS = 16
+CALIB_MT_N = 10_000_000  # per-process work (~1.05 s idle wall for the batch)
+# Idle reference measured r8 over repeated quiet windows: 1.054/1.037/1.066
+# (vs 1.38-1.46 during verified neighbor load that the single-thread probe
+# read as only 1.19x). Override for a different box via env.
+CALIB_MT_REF_SEC = float(os.environ.get("SPARK_GRAFT_CALIB_MT_REF", "1.05"))
+
+
+def _mt_worker(_: int) -> int:
+    acc = 0
+    for i in range(CALIB_MT_N):
+        acc = (acc + i * i) % 1000000007
+    return acc
+
+
+def _calibrate_mt() -> float:
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    t0 = time.perf_counter()
+    with ctx.Pool(CALIB_MT_PROCS) as pool:
+        pool.map(_mt_worker, range(CALIB_MT_PROCS))
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     calib_before = round(_calibrate(), 3)
+    calib_mt_before = round(_calibrate_mt(), 3)
     get_queries()
     spark = get_spark("flock_spark_bench")
 
@@ -176,9 +207,13 @@ def main() -> None:
     # per-query warm spread looked clean. With no reference committed for
     # this box (env override unset, constant 0), contended stays None —
     # the before/after numbers are still emitted for manual comparison.
+    calib_mt_after = round(_calibrate_mt(), 3)
     contended: bool | None = None
     if CALIB_REF_SEC > 0:
         contended = max(calib_before, calib_after) > CALIB_DRIFT_LIMIT * CALIB_REF_SEC
+    if CALIB_MT_REF_SEC > 0:
+        mt_drift = max(calib_mt_before, calib_mt_after) > CALIB_DRIFT_LIMIT * CALIB_MT_REF_SEC
+        contended = bool(contended) or mt_drift
     # >3x between two warm runs of any single query means something else
     # was using the box mid-measurement; flag the whole run as suspect.
     # (Every flagged run so far proved genuinely contaminated on absolute
@@ -200,6 +235,9 @@ def main() -> None:
                 "calibration_before_sec": calib_before,
                 "calibration_after_sec": calib_after,
                 "calibration_ref_sec": CALIB_REF_SEC or None,
+                "calibration_mt_before_sec": calib_mt_before,
+                "calibration_mt_after_sec": calib_mt_after,
+                "calibration_mt_ref_sec": CALIB_MT_REF_SEC or None,
                 "contended": contended,
                 "suspect": suspect,
             }

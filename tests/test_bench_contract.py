@@ -34,3 +34,9 @@ def test_calibration_loop_is_fixed_work_and_reference_committed():
     assert b.CALIB_DRIFT_LIMIT == 1.3
     dt = b._calibrate()
     assert 0.05 < dt < 60.0
+    # the parallel probe (catches partial-core neighbor load the
+    # single-thread loop under-reads) must also have a committed reference
+    assert b.CALIB_MT_PROCS == 16 and b.CALIB_MT_N == 10_000_000
+    assert b.CALIB_MT_REF_SEC > 0
+    mt = b._calibrate_mt()
+    assert 0.05 < mt < 60.0
