@@ -138,28 +138,38 @@ def _calibrate() -> float:
 # 1.30x slow — a neighbor using a third of the cores barely deschedules one
 # busy loop but starves a wide Spark stage). N parallel busy loops measure
 # the machine's usable parallel capacity, which is what the suite consumes.
+#
+# Implemented with plain subprocess children, NOT multiprocessing: the
+# after-suite probe runs while this driver process hosts py4j/JVM-gateway
+# threads, and fork()ing a multithreaded process can intermittently deadlock
+# the children (only the forking thread survives; any lock held by another
+# thread at fork time stays held forever). Fresh `python -c` interpreters
+# share no state with the parent; their ~30 ms boot is inside the timed
+# window consistently for both the committed reference and live runs.
 CALIB_MT_PROCS = 16
-CALIB_MT_N = 10_000_000  # per-process work (~1.05 s idle wall for the batch)
-# Idle reference measured r8 over repeated quiet windows: 1.054/1.037/1.066
-# (vs 1.38-1.46 during verified neighbor load that the single-thread probe
-# read as only 1.19x). Override for a different box via env.
-CALIB_MT_REF_SEC = float(os.environ.get("SPARK_GRAFT_CALIB_MT_REF", "1.05"))
+CALIB_MT_N = 10_000_000  # per-process work (~1.1 s idle wall for the batch)
+# Idle reference measured r9 over repeated quiet windows with the subprocess
+# implementation (boot included): see COVERAGE.md "Bench calibration
+# reference". Override for a different box via env.
+CALIB_MT_REF_SEC = float(os.environ.get("SPARK_GRAFT_CALIB_MT_REF", "1.10"))
 
-
-def _mt_worker(_: int) -> int:
-    acc = 0
-    for i in range(CALIB_MT_N):
-        acc = (acc + i * i) % 1000000007
-    return acc
+_MT_CHILD_CODE = (
+    "acc = 0\n"
+    f"for i in range({CALIB_MT_N}):\n"
+    "    acc = (acc + i * i) % 1000000007\n"
+)
 
 
 def _calibrate_mt() -> float:
-    import multiprocessing as mp
+    import subprocess
 
-    ctx = mp.get_context("fork")
     t0 = time.perf_counter()
-    with ctx.Pool(CALIB_MT_PROCS) as pool:
-        pool.map(_mt_worker, range(CALIB_MT_PROCS))
+    procs = [
+        subprocess.Popen([sys.executable, "-c", _MT_CHILD_CODE])
+        for _ in range(CALIB_MT_PROCS)
+    ]
+    for p in procs:
+        p.wait()
     return time.perf_counter() - t0
 
 

@@ -1362,7 +1362,16 @@ def corpus_domain_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_X = 3  # train-budget multiple of the corpus' total token mass
 MAX_EPOCHS = 4  # per-source repeat cap (data-constrained scaling practice)
 
-_EPOCH_SQL = f"""
+def _epoch_sql(idiv: str) -> str:
+    """Epoch-repeat schedule SQL, parameterized on the engine's INTEGER
+    division operator (Spark ``div``, DuckDB ``//``) so the arithmetic is
+    genuinely integer end to end — ``floor(a / b)`` would route through
+    double division and silently lose exactness past 2^53. All operands are
+    nonnegative token counts, so the two engines' integer-division semantics
+    (truncate-toward-zero vs floor) coincide."""
+    tdiv = f"((t.total_tokens * {TOKEN_BUDGET_X}) {idiv} t.n_sources)"
+    ediv = f"(target_tokens {idiv} src_tokens)"
+    return f"""
     WITH src AS (
       SELECT source, CAST(sum({_TOKC}) AS BIGINT) AS src_tokens
       FROM documents GROUP BY source),
@@ -1371,18 +1380,16 @@ _EPOCH_SQL = f"""
             FROM src),
     alloc AS (
       SELECT s.source, s.src_tokens,
-             CAST(floor(t.total_tokens * {TOKEN_BUDGET_X} / t.n_sources)
-                  AS BIGINT) AS target_tokens
+             CAST({tdiv} AS BIGINT) AS target_tokens
       FROM src s CROSS JOIN tot t)
     SELECT source, src_tokens, target_tokens,
-           CAST(least({MAX_EPOCHS}, floor(target_tokens / src_tokens))
-                AS BIGINT) AS full_epochs,
-           CAST(CASE WHEN floor(target_tokens / src_tokens) >= {MAX_EPOCHS}
+           CAST(least({MAX_EPOCHS}, {ediv}) AS BIGINT) AS full_epochs,
+           CAST(CASE WHEN {ediv} >= {MAX_EPOCHS}
                      THEN 0
                      ELSE target_tokens % src_tokens END
                 AS BIGINT) AS partial_epoch_tokens,
-           CAST(least({MAX_EPOCHS}, floor(target_tokens / src_tokens)) * src_tokens
-                + CASE WHEN floor(target_tokens / src_tokens) >= {MAX_EPOCHS}
+           CAST(least({MAX_EPOCHS}, {ediv}) * src_tokens
+                + CASE WHEN {ediv} >= {MAX_EPOCHS}
                        THEN 0
                        ELSE target_tokens % src_tokens END
                 AS BIGINT) AS scheduled_tokens
@@ -1392,21 +1399,22 @@ _EPOCH_SQL = f"""
 
 @register(
     "corpus_epoch_repeat_schedule",
-    oracle=_EPOCH_SQL,
+    oracle=_epoch_sql("//"),
     tags=("corpus", "aggregate"),
     doc=f"Epoch-repeat schedule for a data-constrained budget (Muennighoff "
     f"et al. 2023, arXiv:2305.16264: repeating up to ~4 epochs is near-free): "
     f"each source gets an equal share of a {TOKEN_BUDGET_X}x-corpus token "
     f"budget, served as full epochs capped at {MAX_EPOCHS} plus a partial "
-    "epoch remainder — pure integer arithmetic end to end (floor division "
-    "and modulus, no floats anywhere), so the schedule is bit-reproducible. "
-    "Scale: same sources-sized aggregate shape as corpus_domain_mix_rates; "
-    "the schedule table drives downstream per-epoch unions, it never "
-    "materializes repeated data itself.",
+    "epoch remainder — pure integer arithmetic end to end (each engine's "
+    "native integer division: Spark `div`, DuckDB `//`, plus modulus; no "
+    "floats anywhere), so the schedule is bit-reproducible at any token "
+    "mass an int64 holds. Scale: same sources-sized aggregate shape as "
+    "corpus_domain_mix_rates; the schedule table drives downstream "
+    "per-epoch unions, it never materializes repeated data itself.",
 )
 def corpus_epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_EPOCH_SQL)
+    return spark.sql(_epoch_sql("div"))
 
 
 _CHI2_SQL = """

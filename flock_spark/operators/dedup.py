@@ -1516,10 +1516,11 @@ def _recall_audit_oracle() -> str:
              AS tp,
            CAST(sum(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END)
              AS BIGINT) AS fn,
-           (CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT)
-             * 10000)
-             // CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
-             AS recall_bp
+           CASE WHEN sum(CASE WHEN in_truth THEN 1 ELSE 0 END) = 0 THEN 0
+                ELSE (CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                           AS BIGINT) * 10000)
+                     // CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+           END AS recall_bp
     FROM j
     """
 
@@ -1557,9 +1558,12 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(it & ic, 1).otherwise(0)).cast("long").alias("tp"),
         F.sum(F.when(it & ~ic, 1).otherwise(0)).cast("long").alias("fn"),
         F.expr(
-            "CAST(sum(CASE WHEN in_truth IS NOT NULL AND in_cand IS NOT NULL"
+            "CASE WHEN sum(CASE WHEN in_truth IS NOT NULL THEN 1 ELSE 0 END) = 0"
+            " THEN 0L ELSE"
+            " CAST(sum(CASE WHEN in_truth IS NOT NULL AND in_cand IS NOT NULL"
             " THEN 1 ELSE 0 END) * 10000L AS BIGINT)"
             " div CAST(sum(CASE WHEN in_truth IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " END"
         ).alias("recall_bp"),
     )
 
@@ -1765,10 +1769,11 @@ def _band_tradeoff_oracle() -> str:
            CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
            CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT)
              AS tp,
-           (CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT)
-             * 10000)
-             // CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
-             AS recall_bp,
+           CASE WHEN sum(CASE WHEN in_truth THEN 1 ELSE 0 END) = 0 THEN 0
+                ELSE (CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                           AS BIGINT) * 10000)
+                     // CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+           END AS recall_bp,
            CASE WHEN sum(CASE WHEN in_cand THEN 1 ELSE 0 END) = 0 THEN 0
                 ELSE (CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
                            AS BIGINT) * 10000)
@@ -1839,9 +1844,12 @@ def dedup_lsh_band_tradeoff_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(ic, 1).otherwise(0)).cast("long").alias("n_cand"),
         F.sum(F.when(it & ic, 1).otherwise(0)).cast("long").alias("tp"),
         F.expr(
-            "CAST(sum(CASE WHEN in_truth IS NOT NULL AND in_cand IS NOT NULL"
+            "CASE WHEN sum(CASE WHEN in_truth IS NOT NULL THEN 1 ELSE 0 END) = 0"
+            " THEN 0L ELSE"
+            " CAST(sum(CASE WHEN in_truth IS NOT NULL AND in_cand IS NOT NULL"
             " THEN 1 ELSE 0 END) * 10000L AS BIGINT)"
             " div CAST(sum(CASE WHEN in_truth IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " END"
         ).alias("recall_bp"),
         F.expr(
             "CASE WHEN sum(CASE WHEN in_cand IS NOT NULL THEN 1 ELSE 0 END) = 0"

@@ -10,6 +10,7 @@ no duplicates, emitted first, and every slated entry carries an exact oracle
 
 from flock_spark.registry import (
     CERTIFIED_GREEN,
+    CERTIFIED_ROUNDS,
     DRIVER_SLATE,
     REGISTRY,
     get_oracles,
@@ -42,14 +43,67 @@ def test_every_slated_entry_has_exact_oracle():
 
 
 def test_slate_is_fresh_and_certified_ledger_valid():
-    """Rotation policy: graded slots are for never-certified entries.
-    Beyond a handful of canaries, slated names must not already be green,
-    and the certified ledger must only contain registered names."""
+    """Rotation policy: never-certified entries have absolute priority for
+    graded slots — while any exist, ALL of them must be slated before any
+    slot goes to a re-cert (beyond that, certified canaries/re-certs fill
+    the remainder; once the pool is empty, a fully-certified slate is the
+    r10+ regression-surveillance regime). The certified ledger must only
+    contain registered names."""
     queries = get_queries()
     unknown = [n for n in CERTIFIED_GREEN if n not in queries]
     assert not unknown, f"certified ledger has unregistered names: {unknown}"
-    stale = [n for n in DRIVER_SLATE if n in CERTIFIED_GREEN]
-    assert len(stale) <= 4, f"slate wastes graded slots on certified entries: {stale}"
+    pool = [n for n in queries if n not in CERTIFIED_GREEN]
+    if len(pool) <= 50:
+        unslated = [n for n in pool if n not in DRIVER_SLATE]
+        assert not unslated, (
+            f"never-certified entries left off the slate while re-certs "
+            f"hold slots: {unslated}"
+        )
+    else:
+        stale = [n for n in DRIVER_SLATE if n in CERTIFIED_GREEN]
+        assert len(stale) <= 10, (
+            f"slate wastes graded slots on certified entries: {stale}"
+        )
+
+
+def test_certified_rounds_history_matches_artifacts():
+    """CERTIFIED_ROUNDS is the machine-readable certification history the
+    rotation policy sorts by. Re-derive it from the committed
+    CORRECTNESS_r*.json artifacts: first fully-green round per entry, and
+    no entry red in any round after its certification round."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert files, "no CORRECTNESS artifacts found"
+    derived: dict[str, int] = {}
+    for f in files:
+        rn = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for name, row in json.load(open(f)).items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            if green:
+                derived.setdefault(name, rn)
+            else:
+                assert name not in derived or derived[name] >= rn, (
+                    f"{name} went red in round {rn} after certifying in "
+                    f"round {derived[name]} — drop it from CERTIFIED_ROUNDS"
+                )
+    # the committed dict must contain everything derivable from artifacts
+    # present at commit time; newer artifacts may add entries not yet folded
+    # in (the ledger is regenerated at round close), so check containment of
+    # the committed dict in the derived one, with identical round numbers.
+    for name, rn in CERTIFIED_ROUNDS.items():
+        assert name in derived, f"{name} certified in no artifact"
+        assert derived[name] == rn, (
+            f"{name}: committed round {rn} != derived {derived[name]}"
+        )
 
 
 def test_slate_covers_every_family():

@@ -97,16 +97,52 @@ def test_reach_hll_estimate_tracks_exact(spark, sf_dir):
     assert errs[len(errs) // 2] < 0.35
 
 
-def test_resize_nearest_and_bilinear_agree_on_flat_rows(spark, sf_dir):
-    # invariant: both resamples preserve total brightness ORDER — a doc
-    # whose bytes are uniformly larger resizes to a larger pixel_sum under
-    # both kernels. Checked via rank correlation sign on the shared docs.
-    near = {r["doc_id"]: r["pixel_sum"] for r in _rows(spark, sf_dir, "mm_resize_nearest")}
-    bil = {r["doc_id"]: r["pixel_sum"] for r in _rows(spark, sf_dir, "mm_resize_bilinear")}
-    shared = sorted(set(near) & set(bil))
-    assert len(shared) > 10
-    # bilinear averages 4 neighbors, so it must smooth: per-doc bilinear
-    # sum stays within the byte range implied by nearest's min/max bound
-    for d in shared:
-        assert 0 <= bil[d] <= 255 * 64
-        assert 0 <= near[d] <= 255 * 64
+def test_resize_nearest_and_bilinear_agree_on_flat_rows(spark, sf_dir, tmp_path):
+    # The invariant the name promises, checked where it is EXACT: on a
+    # constructed corpus of flat (constant-byte) grids, every sampled and
+    # every blended pixel equals that byte, so BOTH kernels must produce
+    # pixel_sum == 64*byte — equal to each other and strictly ordered by
+    # brightness. (On the real corpus this is untestable: natural text has
+    # near-identical mean byte values across docs, so 64-sample sums are
+    # dominated by sampling noise — measured Spearman was -0.34, which is
+    # why a corpus-level rank assertion would be wrong, not just weak.)
+    import pandas as _pd
+
+    flat_bytes = [48, 65, 85, 101, 122]  # '0' 'A' 'U' 'e' 'z'
+    docs = [(i, chr(c) * 256) for i, c in enumerate(flat_bytes)]
+    # one vertical gradient doc: 8 scanlines of 32 chars, bytes 40..110
+    grad_rows = [chr(40 + 10 * r) * 32 for r in range(8)]
+    docs.append((99, "".join(grad_rows)))
+    pdf = _pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    syn_dir = str(tmp_path / "resize_syn")
+    (tmp_path / "resize_syn").mkdir()
+    pdf.to_parquet(f"{syn_dir}/documents.parquet", index=False)
+
+    near = {r["doc_id"]: r["pixel_sum"] for r in _rows(spark, syn_dir, "mm_resize_nearest")}
+    bil = {r["doc_id"]: r["pixel_sum"] for r in _rows(spark, syn_dir, "mm_resize_bilinear")}
+    for i, c in enumerate(flat_bytes):
+        assert near[i] == 64 * c, f"nearest flat doc {i}: {near[i]} != {64 * c}"
+        assert bil[i] == 64 * c, f"bilinear flat doc {i}: {bil[i]} != {64 * c}"
+    # gradient doc: nearest samples each scanline once (yidx == y for H=8),
+    # so its sum is exactly 8 * sum(row bytes at 8 sampled columns)
+    assert near[99] == 8 * sum(40 + 10 * r for r in range(8))
+    # bilinear blends adjacent scanlines: bounded by the doc's byte range,
+    # and within one byte-range of nearest
+    assert 64 * 40 <= bil[99] <= 64 * 110
+    assert abs(near[99] - bil[99]) <= 64 * (110 - 40)
+
+    # real-corpus sanity: both kernels emit the same doc set with sums in
+    # the 8x8 byte-sum range (the exact values are oracle-verified)
+    rnear = {r["doc_id"]: r["pixel_sum"] for r in _rows(spark, sf_dir, "mm_resize_nearest")}
+    rbil = {r["doc_id"]: r["pixel_sum"] for r in _rows(spark, sf_dir, "mm_resize_bilinear")}
+    assert set(rnear) == set(rbil) and len(rnear) > 10
+    assert all(0 <= v <= 255 * 64 for v in rnear.values())
+    assert all(0 <= v <= 255 * 64 for v in rbil.values())
