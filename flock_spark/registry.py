@@ -70,14 +70,17 @@ DRIVER_SLATE: tuple[str, ...] = (
     # no streaming drains in this pool at all.
     "proj_arith",
     "join_inner",
-    # re-cert spares x4: changed-entry first (dedup_lsh_recall_audit's
+    # re-cert spares: changed-entry first (dedup_lsh_recall_audit's
     # recall_bp gained a zero-truth guard this round — rotation policy says
     # a changed certified entry re-certifies THE round it changed, jumping
     # the staleness queue), then oldest-certified-first round-1 greens.
+    # Two spare slots were reclaimed by the round-9 codec additions below
+    # (new never-certified entries take slots ahead of all re-certs).
     "dedup_lsh_recall_audit",
-    "agg_having",
-    "sort_limit_topk",
     "window_rank_dense",
+    # round-9 additions: genuinely compressed payload decode x2
+    "mm_gif_lzw_decode",
+    "mm_png_inflate_stored",
     # SQL surface x7
     "sql_collation_ci_agg",
     "sql_luhn_check_audit",
