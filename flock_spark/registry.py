@@ -74,13 +74,13 @@ DRIVER_SLATE: tuple[str, ...] = (
     # recall_bp gained a zero-truth guard this round — rotation policy says
     # a changed certified entry re-certifies THE round it changed, jumping
     # the staleness queue), then oldest-certified-first round-1 greens.
-    # Two spare slots were reclaimed by the round-9 codec additions below
+    # Three spare slots were reclaimed by the round-9 codec additions below
     # (new never-certified entries take slots ahead of all re-certs).
     "dedup_lsh_recall_audit",
-    "window_rank_dense",
-    # round-9 additions: genuinely compressed payload decode x2
+    # round-9 additions: genuinely compressed payload decode x3
     "mm_gif_lzw_decode",
     "mm_png_inflate_stored",
+    "mm_zlib_inflate_dynamic",
     # SQL surface x7
     "sql_collation_ci_agg",
     "sql_luhn_check_audit",

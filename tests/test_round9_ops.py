@@ -164,3 +164,86 @@ def test_gif_lzw_operator_md5_matches_direct(spark, sf_dir):
         assert rows[doc_id]["n_px"] == len(px)
         checked += 1
     assert checked >= 10
+
+
+# ---------------------------------------------------------------------------
+# full RFC 1951 inflate vs the real stdlib compressor
+# ---------------------------------------------------------------------------
+
+
+def test_inflate_roundtrips_real_zlib_all_levels():
+    import zlib
+
+    from flock_spark.operators.multimodal import zlib_inflate
+
+    rng = np.random.default_rng(5)
+    cases = [
+        b"",
+        b"a",
+        b"hello world" * 200,
+        bytes(range(256)) * 50,
+        rng.integers(0, 256, size=100_000, dtype=np.uint8).tobytes(),
+        b"aaaaabbbbb" * 5000,  # long back-references, overlapping copies
+    ]
+    # level 0 = stored blocks, 1 = fast (fixed/dynamic mix), 6/9 = dynamic
+    for lvl in (0, 1, 6, 9):
+        for c in cases:
+            assert zlib_inflate(zlib.compress(c, lvl)) == c
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=5000), st.sampled_from([0, 1, 6, 9]))
+def test_inflate_roundtrip_property(data, level):
+    import zlib
+
+    from flock_spark.operators.multimodal import zlib_inflate
+
+    assert zlib_inflate(zlib.compress(data, level)) == data
+
+
+def test_inflate_handles_fixed_huffman_blocks():
+    # hand-build a fixed-Huffman stream: zlib only sometimes emits BTYPE=01,
+    # so exercise the fixed tables deterministically through a raw deflate
+    # stream built by zlib with no container, then check our raw inflate
+    import zlib
+
+    from flock_spark.operators.multimodal import inflate
+
+    co = zlib.compressobj(1, zlib.DEFLATED, -15)  # raw deflate, fast mode
+    raw = co.compress(b"abc" * 20) + co.flush()
+    assert inflate(raw) == b"abc" * 20
+
+
+def test_inflate_rejects_malformed():
+    import zlib
+
+    from flock_spark.operators.multimodal import inflate, zlib_inflate
+
+    with pytest.raises(ValueError):
+        zlib_inflate(b"\x78\x02" + bytes(8))  # bad header check bits
+    with pytest.raises(ValueError):
+        zlib_inflate(b"\x79\x01" + bytes(8))  # CM != 8
+    good = bytearray(zlib.compress(b"hello world hello world", 6))
+    good[-1] ^= 0xFF  # corrupt adler trailer
+    with pytest.raises(ValueError, match="adler32"):
+        zlib_inflate(bytes(good))
+    # reserved BTYPE=11: first block header bits BFINAL=1, BTYPE=3
+    with pytest.raises(ValueError, match="BTYPE"):
+        inflate(bytes([0b00000111, 0, 0]))
+    # distance beyond window: length/dist pair pointing before start —
+    # craft via truncation-free check on a corrupt dynamic stream is
+    # overkill; the guard is unit-visible in inflate() (dist > len(out))
+
+
+def test_inflate_canonical_huffman_tables():
+    from flock_spark.operators.multimodal import _build_huffman
+
+    # RFC 1951 §3.2.2 worked example: lengths (3,3,3,3,3,2,4,4) for A..H
+    table = _build_huffman([3, 3, 3, 3, 3, 2, 4, 4])
+    # symbol F (index 5) has the unique 2-bit code 00
+    assert table[(2, 0b00)] == 5
+    # symbol A (index 0) -> 010
+    assert table[(3, 0b010)] == 0
+    # symbol G (index 6) -> 1110, H (7) -> 1111
+    assert table[(4, 0b1110)] == 6
+    assert table[(4, 0b1111)] == 7
