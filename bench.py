@@ -105,6 +105,10 @@ HEADLINE = [
     "events_session_gap_sweep",
     "embedding_matryoshka_recall_audit",
     "ivm_window_delta",
+    # round-9 additions: genuinely compressed payload decode (GIF LZW
+    # roundtrip; full RFC 1951 inflate of real zlib compressor output)
+    "mm_gif_lzw_decode",
+    "mm_zlib_inflate_dynamic",
 ]
 
 
