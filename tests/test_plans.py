@@ -856,3 +856,16 @@ def test_matryoshka_audit_broadcasts_query_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
     assert plan.count("WindowGroupLimit") >= 6  # Partial+Final per dim
     assert "Partial" in plan
+
+
+def test_codec_decodes_are_shuffle_free_single_scan(spark, sf_dir):
+    # the codec family's scale claim: embarrassingly parallel across
+    # objects — one parquet scan feeding mapInPandas, never a shuffle
+    # (the only allowed Exchange is catalog.spread()'s RoundRobin input
+    # balancing), and no pixel/byte-level row expansion JVM-side
+    for name in ("mm_gif_lzw_decode", "mm_png_inflate_stored",
+                 "mm_zlib_inflate_dynamic"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "hashpartitioning" not in plan, name
+        assert "MapInPandas" in plan, name
+        assert plan.count("Scan parquet") == 1, name
