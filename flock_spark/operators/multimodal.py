@@ -1270,6 +1270,10 @@ def lzw_decode(data: bytes) -> list[int]:
     if not data:
         raise ValueError("empty LZW stream")
     min_code = data[0]
+    if not 1 <= min_code <= 11:
+        # GIF caps code width at 12 bits, so min code size is at most 11;
+        # an unvalidated byte here would size the base table as 2^min_code
+        raise ValueError(f"invalid LZW min code size {min_code}")
     clear = 1 << min_code
     eoi = clear + 1
     # unwrap sub-blocks

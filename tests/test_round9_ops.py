@@ -247,3 +247,36 @@ def test_inflate_canonical_huffman_tables():
     # symbol G (index 6) -> 1110, H (7) -> 1111
     assert table[(4, 0b1110)] == 6
     assert table[(4, 0b1111)] == 7
+
+
+def test_decoders_reject_garbage_without_hanging():
+    # a 100 TB scan decodes UNTRUSTED payloads: any malformed stream must
+    # raise promptly (every code path consumes input monotonically), never
+    # hang or return silently corrupt output that a checksum would catch
+    import random
+    import time
+
+    from flock_spark.operators.multimodal import (
+        lzw_decode,
+        png_inflate_stored,
+        zlib_inflate,
+    )
+
+    rng = random.Random(13)
+    t0 = time.perf_counter()
+    outcomes = {"raise": 0, "ok": 0}
+    for _ in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400)))
+        for dec in (lzw_decode, zlib_inflate, png_inflate_stored):
+            try:
+                dec(blob)
+                outcomes["ok"] += 1  # legal-by-luck garbage is acceptable
+            except ValueError:
+                outcomes["raise"] += 1
+            except Exception as e:  # noqa: BLE001
+                raise AssertionError(
+                    f"{dec.__name__} leaked non-ValueError on garbage: {type(e).__name__}: {e}"
+                )
+    # no pathological slowdown across 900 decodes of garbage
+    assert time.perf_counter() - t0 < 30
+    assert outcomes["raise"] > 800  # virtually all garbage must be rejected
