@@ -1870,3 +1870,460 @@ def mm_zlib_inflate_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         run, schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Container layer above the codec layer: gzip members (RFC 1952), PNG chunk
+# framing (PNG spec §5), and GIF interlacing (GIF89a appendix E). The codec
+# entries above decode compressed PAYLOADS; these walk the FILE FORMATS that
+# carry them — header flags, CRC-32 integrity, chunk inventories, and the
+# four-pass interlace row permutation. Reference parity: the reference treats
+# media as opaque payload blobs (flock/src/datasource/memory.rs payload
+# tables); this closes the gap a real 100 TB media-lake scan hits first:
+# trusting container metadata without validating it.
+# ---------------------------------------------------------------------------
+
+_CRC32_TABLE: list[int] = []
+
+
+def _crc32_own(data: bytes, crc: int = 0) -> int:
+    """Table-driven CRC-32/ISO-HDLC (poly 0xEDB88320) from the public spec.
+
+    Deliberately NOT zlib.crc32: writers below stamp trailers with the stdlib
+    (the "other party"), and validation runs THIS implementation — a bug here
+    mismatches real-world checksums instead of silently agreeing with itself.
+    """
+    if not _CRC32_TABLE:
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+            _CRC32_TABLE.append(c)
+    c = crc ^ 0xFFFFFFFF
+    for b in data:
+        c = _CRC32_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def gzip_member_build(name: str, mtime: int, payload: bytes) -> bytes:
+    """A valid single-member gzip stream (RFC 1952): magic, CM=8, FLG with
+    FNAME+FHCRC, MTIME, raw-deflate body from the stdlib compressor, CRC32 +
+    ISIZE trailer (stamped with the stdlib so validation is adversarial)."""
+    import zlib as _zlib
+
+    hdr = bytearray(b"\x1f\x8b\x08")
+    hdr.append(0x08 | 0x02)  # FLG: FNAME | FHCRC
+    hdr.extend((mtime & 0xFFFFFFFF).to_bytes(4, "little"))
+    hdr.extend(b"\x00\x03")  # XFL=0, OS=3 (Unix)
+    hdr.extend(name.encode("latin-1") + b"\x00")
+    hdr.extend((_zlib.crc32(bytes(hdr)) & 0xFFFF).to_bytes(2, "little"))
+    co = _zlib.compressobj(6, _zlib.DEFLATED, -15)  # raw deflate, no wrapper
+    body = co.compress(payload) + co.flush()
+    trailer = (_zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+    trailer += (len(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(hdr) + body + trailer
+
+
+def gzip_member_parse(stream: bytes) -> tuple[str, int, bytes]:
+    """Parse + validate one gzip member: magic/CM, FLG bit walk (FEXTRA,
+    FNAME, FCOMMENT, FHCRC), header CRC16, full inflate of the deflate body
+    via this repo's RFC 1951 decoder, CRC32 + ISIZE trailer — every check
+    with _crc32_own. Returns (fname, mtime, payload); ValueError on any
+    violation."""
+    if len(stream) < 18:
+        raise ValueError("gzip stream too short")
+    if stream[0] != 0x1F or stream[1] != 0x8B:
+        raise ValueError("bad gzip magic")
+    if stream[2] != 8:
+        raise ValueError(f"unsupported CM={stream[2]}")
+    flg = stream[3]
+    if flg & 0xE0:
+        raise ValueError("reserved FLG bits set")
+    mtime = int.from_bytes(stream[4:8], "little")
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        xlen = int.from_bytes(stream[pos : pos + 2], "little")
+        pos += 2 + xlen
+    fname = ""
+    if flg & 0x08:  # FNAME, zero-terminated latin-1
+        end = stream.index(b"\x00", pos)
+        fname = stream[pos:end].decode("latin-1")
+        pos = end + 1
+    if flg & 0x10:  # FCOMMENT
+        pos = stream.index(b"\x00", pos) + 1
+    if flg & 0x02:  # FHCRC: CRC16 of everything before it
+        expect = int.from_bytes(stream[pos : pos + 2], "little")
+        if _crc32_own(stream[:pos]) & 0xFFFF != expect:
+            raise ValueError("header CRC16 mismatch")
+        pos += 2
+    payload = inflate(stream[pos:-8])
+    crc = int.from_bytes(stream[-8:-4], "little")
+    isize = int.from_bytes(stream[-4:], "little")
+    if _crc32_own(payload) != crc:
+        raise ValueError("payload CRC32 mismatch")
+    if len(payload) & 0xFFFFFFFF != isize:
+        raise ValueError("ISIZE mismatch")
+    return fname, mtime, payload
+
+
+@register(
+    "mm_gzip_member_parse",
+    oracle="""
+    SELECT doc_id,
+           'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+           CAST(doc_id AS BIGINT) AS mtime,
+           CAST(10 AS BIGINT) AS flg,
+           CAST(octet_length(encode(text)) AS BIGINT) AS isize,
+           md5(hex(encode(text))) AS payload_md5
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+    tags=("multimodal", "pandas_udf", "codec", "container"),
+    doc="RFC 1952 gzip member walk against REAL compressor output: each "
+    "document becomes a valid gzip member (FNAME + FHCRC flags, stdlib "
+    "deflate body, stdlib-stamped CRC32/ISIZE trailer) and the operator "
+    "parses it back — magic/CM, FLG bit walk, zero-terminated FNAME, "
+    "header CRC16 and trailer CRC32 validated with THIS REPO'S table-driven "
+    "CRC-32 (so a CRC bug mismatches the stdlib stamp instead of agreeing "
+    "with itself), body inflated with the repo's full RFC 1951 decoder, "
+    "ISIZE cross-checked. Oracle re-derives every parsed field in SQL. "
+    "Scale: one member per row via mapInPandas, embarrassingly parallel "
+    "across objects — the shape of a 100 TB WET/WARC-style archive scan "
+    "where trusting unvalidated members corrupts the corpus silently.",
+)
+def mm_gzip_member_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .filter(F.length(F.col("payload")) > 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "fname": [], "mtime": [], "flg": [],
+                "isize": [], "payload_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                original = bytes(payload)
+                member = gzip_member_build(
+                    f"doc_{int(doc_id)}.txt", int(doc_id), original
+                )
+                fname, mtime, decoded = gzip_member_parse(member)
+                if decoded != original:
+                    raise ValueError(f"gzip roundtrip mismatch for doc {doc_id}")
+                rows["doc_id"].append(int(doc_id))
+                rows["fname"].append(fname)
+                rows["mtime"].append(mtime)
+                rows["flg"].append(member[3])
+                rows["isize"].append(len(decoded))
+                rows["payload_md5"].append(
+                    hashlib.md5(decoded.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "fname": pd.Series(rows["fname"], dtype="object"),
+                    "mtime": pd.Series(rows["mtime"], dtype="int64"),
+                    "flg": pd.Series(rows["flg"], dtype="int64"),
+                    "isize": pd.Series(rows["isize"], dtype="int64"),
+                    "payload_md5": pd.Series(rows["payload_md5"], dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, fname string, mtime long, flg long, isize long, "
+        "payload_md5 string",
+    )
+
+
+def png_container_build(grid, source: str, np) -> bytes:
+    """A complete, valid PNG file: 8-byte signature, IHDR (8-bit grayscale,
+    no interlace), one tEXt chunk carrying the document's source tag, one
+    IDAT holding the filtered grid in a stored-block zlib stream, IEND.
+    Chunk CRCs are stamped with the stdlib (adversarial to _crc32_own)."""
+    import zlib as _zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (_zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    h, w = grid.shape
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # bit depth 8, grayscale, deflate, adaptive, no interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"source\x00" + source.encode("latin-1"))
+        + chunk(b"IDAT", png_stored_deflate(png_filter_rows(grid, np)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_container_walk(stream: bytes, np):
+    """Walk a PNG file chunk by chunk: signature, per-chunk length/type/CRC
+    (validated with _crc32_own), IHDR field extraction, tEXt key/value split,
+    IDAT inflate + unfilter via the stored-block zlib path, IEND terminator.
+    Returns (width, height, n_chunks, idat_len, texts, grid)."""
+    if stream[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    width = height = -1
+    n_chunks = 0
+    idat_len = 0
+    idat = bytearray()
+    texts: dict[str, str] = {}
+    ended = False
+    while pos < len(stream):
+        if ended:
+            raise ValueError("data after IEND")
+        if pos + 12 > len(stream):
+            raise ValueError("truncated chunk header")
+        ln = int.from_bytes(stream[pos : pos + 4], "big")
+        ctype = stream[pos + 4 : pos + 8]
+        data = stream[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated chunk data")
+        crc = int.from_bytes(stream[pos + 8 + ln : pos + 12 + ln], "big")
+        if _crc32_own(ctype + data) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        n_chunks += 1
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            if data[8] != 8 or data[9] != 0 or data[12] != 0:
+                raise ValueError("unsupported IHDR settings")
+        elif ctype == b"tEXt":
+            k, _, v = data.partition(b"\x00")
+            texts[k.decode("latin-1")] = v.decode("latin-1")
+        elif ctype == b"IDAT":
+            idat_len += ln
+            idat.extend(data)
+        elif ctype == b"IEND":
+            if ln:
+                raise ValueError("non-empty IEND")
+            ended = True
+        pos += 12 + ln
+    if not ended:
+        raise ValueError("missing IEND")
+    grid = png_unfilter_rows(png_inflate_stored(bytes(idat)), width, np)
+    if grid.shape != (height, width):
+        raise ValueError("IHDR dims disagree with IDAT payload")
+    return width, height, n_chunks, idat_len, texts, grid
+
+
+@register(
+    "mm_png_chunk_walk",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, source, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) // {PNG_ROW_W} AS BIGINT) AS h
+      FROM documents
+      WHERE octet_length(encode(text)) >= {PNG_ROW_W})
+    SELECT doc_id,
+           CAST({PNG_ROW_W} AS BIGINT) AS width,
+           h AS height,
+           CAST(4 AS BIGINT) AS n_chunks,
+           CAST(2 + 5 * ((h * {PNG_ROW_W + 1} + 65534) // 65535)
+                + h * {PNG_ROW_W + 1} + 4 AS BIGINT) AS idat_len,
+           source AS src,
+           md5(substring(hx, 1, CAST(h * {PNG_ROW_W} * 2 AS INT)))
+             AS pixels_md5
+    FROM img
+    """,
+    tags=("multimodal", "pandas_udf", "codec", "container"),
+    doc="PNG container walk with CRC-32 validation, from the public PNG "
+    "spec: each document's byte grid is wrapped in a COMPLETE PNG file "
+    "(signature, IHDR, a tEXt chunk carrying the source tag, stored-zlib "
+    "IDAT, IEND; chunk CRCs stamped by the stdlib) and the operator walks "
+    "the chunk stream back — signature, length/type/CRC framing with the "
+    "repo's own CRC-32, IHDR field checks, tEXt key/value split, IDAT "
+    "inflate + scanline unfilter, IEND terminator. The oracle re-derives "
+    "width/height/chunk-count and the exact IDAT byte length from the "
+    "stored-block framing arithmetic (2-byte zlib header + 5 bytes per "
+    "65535-byte block + adler32) and md5s the original grid from "
+    "hex(encode(text)). Closes the container layer above the codec layer. "
+    "Scale: per-object mapInPandas, same as the whole decode family.",
+)
+def mm_png_chunk_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.col("text").cast("binary").alias("payload")
+        )
+        .filter(F.length(F.col("payload")) >= PNG_ROW_W)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_chunks": [],
+                "idat_len": [], "src": [], "pixels_md5": [],
+            }
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                h = len(b) // PNG_ROW_W
+                grid = np.frombuffer(b[: h * PNG_ROW_W], dtype=np.uint8).reshape(
+                    h, PNG_ROW_W
+                )
+                png = png_container_build(grid, str(source), np)
+                w2, h2, n_chunks, idat_len, texts, recon = png_container_walk(
+                    png, np
+                )
+                if not (recon == grid).all():
+                    raise ValueError(f"PNG walk roundtrip mismatch doc {doc_id}")
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w2)
+                rows["height"].append(h2)
+                rows["n_chunks"].append(n_chunks)
+                rows["idat_len"].append(idat_len)
+                rows["src"].append(texts["source"])
+                rows["pixels_md5"].append(
+                    hashlib.md5(
+                        recon.astype(np.uint8).tobytes().hex().upper().encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int64"),
+                    "height": pd.Series(rows["height"], dtype="int64"),
+                    "n_chunks": pd.Series(rows["n_chunks"], dtype="int64"),
+                    "idat_len": pd.Series(rows["idat_len"], dtype="int64"),
+                    "src": pd.Series(rows["src"], dtype="object"),
+                    "pixels_md5": pd.Series(rows["pixels_md5"], dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, n_chunks long, "
+        "idat_len long, src string, pixels_md5 string",
+    )
+
+
+def gif_interlace_order(h: int) -> list[int]:
+    """GIF89a appendix-E interlace: the order in which source rows appear in
+    the encoded stream — pass 1 rows 0,8,16…, pass 2 rows 4,12…, pass 3 rows
+    2,6,10…, pass 4 rows 1,3,5…"""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def gif_deinterlace(rows_in_stream_order: list, h: int) -> list:
+    """Invert the four-pass interlace: stream position i holds source row
+    gif_interlace_order(h)[i]; place each back."""
+    order = gif_interlace_order(h)
+    if len(rows_in_stream_order) != h or len(order) != h:
+        raise ValueError("row count disagrees with height")
+    out: list = [None] * h
+    for i, y in enumerate(order):
+        if out[y] is not None:
+            raise ValueError(f"duplicate target row {y}")
+        out[y] = rows_in_stream_order[i]
+    return out
+
+
+@register(
+    "mm_gif_deinterlace",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) // {PNG_ROW_W} AS BIGINT) AS h
+      FROM documents
+      WHERE octet_length(encode(text)) >= {PNG_ROW_W}),
+    rows_ AS (
+      SELECT doc_id, h, hx, unnest(generate_series(0, h - 1)) AS y FROM img),
+    pos AS (
+      SELECT doc_id, h, hx, y,
+             CASE
+               WHEN y % 8 = 0 THEN y // 8
+               WHEN y % 8 = 4 THEN (h + 7) // 8 + (y - 4) // 8
+               WHEN y % 4 = 2 THEN (h + 7) // 8 + (h + 3) // 8 + (y - 2) // 4
+               ELSE (h + 7) // 8 + (h + 3) // 8 + (h + 1) // 4 + (y - 1) // 2
+             END AS p
+      FROM rows_)
+    SELECT doc_id,
+           max(h) AS n_rows,
+           md5(string_agg(CAST(y AS VARCHAR), ',' ORDER BY p)) AS perm_md5,
+           md5(max(substring(hx, 1, CAST(h * {PNG_ROW_W} * 2 AS INT))))
+             AS restored_md5
+    FROM pos GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas_udf", "codec", "container"),
+    doc="GIF89a four-pass interlace / deinterlace (appendix E of the public "
+    "spec): the document's byte grid is emitted in interlaced stream order "
+    "(rows 0,8,16… then 4,12… then 2,6… then odd rows) exactly as a GIF "
+    "encoder writes it, and the operator inverts the permutation to restore "
+    "raster order, hard-failing on any duplicate or missing target row. "
+    "The oracle recomputes the permutation arithmetically in SQL — per-pass "
+    "offsets (h+7)//8, (h+3)//8, (h+1)//4 and within-pass strides — and "
+    "md5s both the stream-order row sequence and the restored grid, so an "
+    "off-by-one in any pass boundary mismatches. Scale: pure per-object "
+    "array permutation in mapInPandas; the container/codec family's "
+    "constant-memory shape.",
+)
+def mm_gif_deinterlace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .filter(F.length(F.col("payload")) >= PNG_ROW_W)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_rows": [], "perm_md5": [], "restored_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                h = len(b) // PNG_ROW_W
+                grid = np.frombuffer(b[: h * PNG_ROW_W], dtype=np.uint8).reshape(
+                    h, PNG_ROW_W
+                )
+                order = gif_interlace_order(h)
+                interlaced = [grid[y] for y in order]  # what the encoder emits
+                restored = gif_deinterlace(interlaced, h)
+                recon = np.stack(restored)
+                if not (recon == grid).all():
+                    raise ValueError(f"deinterlace mismatch for doc {doc_id}")
+                rows["doc_id"].append(int(doc_id))
+                rows["n_rows"].append(h)
+                rows["perm_md5"].append(
+                    hashlib.md5(
+                        ",".join(str(y) for y in order).encode()
+                    ).hexdigest()
+                )
+                rows["restored_md5"].append(
+                    hashlib.md5(
+                        recon.astype(np.uint8).tobytes().hex().upper().encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_rows": pd.Series(rows["n_rows"], dtype="int64"),
+                    "perm_md5": pd.Series(rows["perm_md5"], dtype="object"),
+                    "restored_md5": pd.Series(rows["restored_md5"], dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, n_rows long, perm_md5 string, restored_md5 string",
+    )

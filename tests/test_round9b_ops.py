@@ -1,0 +1,225 @@
+"""Round-9b container-layer operators: gzip members, PNG chunk framing, GIF
+interlacing.
+
+Non-vacuity discipline: validation must run AGAINST the stdlib's stamps (a
+self-agreeing CRC would be vacuous), corruption must be rejected at the exact
+framing layer that covers it, and the interlace permutation must genuinely
+reorder rows."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flock_spark.operators.multimodal import (
+    PNG_ROW_W,
+    _crc32_own,
+    gif_deinterlace,
+    gif_interlace_order,
+    gzip_member_build,
+    gzip_member_parse,
+    png_container_build,
+    png_container_walk,
+)
+
+
+# ---------------------------------------------------------------------------
+# CRC-32: our table-driven implementation vs the stdlib stamp
+# ---------------------------------------------------------------------------
+
+
+def test_crc32_own_matches_zlib():
+    import zlib
+
+    for data in [b"", b"a", b"hello world" * 100, bytes(range(256)) * 37]:
+        assert _crc32_own(data) == zlib.crc32(data) & 0xFFFFFFFF
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2000))
+def test_crc32_own_matches_zlib_property(data):
+    import zlib
+
+    assert _crc32_own(data) == zlib.crc32(data) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# gzip member (RFC 1952)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=3000), st.integers(min_value=0, max_value=2**32 - 1))
+def test_gzip_roundtrip_property(payload, mtime):
+    member = gzip_member_build("f.bin", mtime, payload)
+    fname, mt, decoded = gzip_member_parse(member)
+    assert (fname, mt, decoded) == ("f.bin", mtime, payload)
+
+
+def test_gzip_stdlib_can_read_our_member():
+    # the member must be a REAL gzip file, not a private framing
+    import gzip as _gzip
+    import io
+
+    member = gzip_member_build("doc_7.txt", 7, b"hello gzip world" * 10)
+    with _gzip.GzipFile(fileobj=io.BytesIO(member)) as fh:
+        assert fh.read() == b"hello gzip world" * 10
+
+
+def test_gzip_parse_reads_stdlib_member():
+    # and the parser must read a member the stdlib wrote (FNAME, no FHCRC)
+    import gzip as _gzip
+    import io
+
+    buf = io.BytesIO()
+    with _gzip.GzipFile(filename="x.txt", mode="wb", fileobj=buf, mtime=42) as fh:
+        fh.write(b"payload from the stdlib writer")
+    fname, mtime, payload = gzip_member_parse(buf.getvalue())
+    assert fname == "x.txt"
+    assert mtime == 42
+    assert payload == b"payload from the stdlib writer"
+
+
+def test_gzip_rejects_corruption_at_each_layer():
+    member = bytearray(gzip_member_build("a.txt", 1, b"abcdef" * 50))
+    bad = member.copy()
+    bad[0] = 0x1E  # magic
+    with pytest.raises(ValueError, match="magic"):
+        gzip_member_parse(bytes(bad))
+    bad = member.copy()
+    bad[6] ^= 0x01  # XFL byte is covered by FHCRC
+    with pytest.raises(ValueError, match="CRC16"):
+        gzip_member_parse(bytes(bad))
+    bad = member.copy()
+    bad[-6] ^= 0xFF  # trailer CRC32
+    with pytest.raises(ValueError, match="CRC32"):
+        gzip_member_parse(bytes(bad))
+    bad = member.copy()
+    bad[-1] ^= 0xFF  # ISIZE
+    with pytest.raises(ValueError, match="ISIZE"):
+        gzip_member_parse(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# PNG container walk
+# ---------------------------------------------------------------------------
+
+
+def _grid(h, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, PNG_ROW_W), dtype=np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=30), st.integers(min_value=0, max_value=9999))
+def test_png_container_roundtrip_property(h, seed):
+    grid = _grid(h, seed)
+    png = png_container_build(grid, f"src{seed % 20}", np)
+    w2, h2, n_chunks, idat_len, texts, recon = png_container_walk(png, np)
+    assert (w2, h2, n_chunks) == (PNG_ROW_W, h, 4)
+    assert texts == {"source": f"src{seed % 20}"}
+    assert (recon == grid).all()
+    # stored-block framing arithmetic the oracle relies on
+    sl = h * (PNG_ROW_W + 1)
+    assert idat_len == 2 + 5 * ((sl + 65534) // 65535) + sl + 4
+
+
+def test_png_walk_rejects_corruption():
+    png = bytearray(png_container_build(_grid(3), "srcX", np))
+    bad = png.copy()
+    bad[1] ^= 0xFF  # signature
+    with pytest.raises(ValueError, match="signature"):
+        png_container_walk(bytes(bad), np)
+    bad = png.copy()
+    bad[20] ^= 0x01  # inside IHDR data -> chunk CRC must catch
+    with pytest.raises(ValueError, match="CRC"):
+        png_container_walk(bytes(bad), np)
+    with pytest.raises(ValueError, match="IEND"):
+        png_container_walk(bytes(png[:-12]), np)  # drop IEND
+    with pytest.raises(ValueError, match="after IEND"):
+        png_container_walk(bytes(png) + bytes(png[-12:]), np)
+
+
+def test_png_walk_dims_must_agree_with_idat():
+    # lie about the height in IHDR (re-stamp its CRC so only the dim check fires)
+    import zlib
+
+    png = bytearray(png_container_build(_grid(4), "s", np))
+    ihdr_start = 8
+    data = bytearray(png[ihdr_start + 8 : ihdr_start + 8 + 13])
+    data[4:8] = (5).to_bytes(4, "big")  # claim h=5, payload has 4 rows
+    png[ihdr_start + 8 : ihdr_start + 8 + 13] = data
+    crc = zlib.crc32(b"IHDR" + bytes(data)) & 0xFFFFFFFF
+    png[ihdr_start + 21 : ihdr_start + 25] = crc.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="disagree"):
+        png_container_walk(bytes(png), np)
+
+
+# ---------------------------------------------------------------------------
+# GIF interlace
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=500))
+def test_gif_interlace_is_a_permutation(h):
+    order = gif_interlace_order(h)
+    assert sorted(order) == list(range(h))
+
+
+def test_gif_interlace_matches_spec_example():
+    # GIF89a appendix E ordering for a 10-row image
+    assert gif_interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+
+
+def test_gif_interlace_actually_reorders():
+    # non-vacuity: for any h >= 3 the stream order differs from raster order
+    for h in range(3, 40):
+        assert gif_interlace_order(h) != list(range(h))
+
+
+def test_gif_deinterlace_inverts():
+    h = 23
+    grid = _grid(h, 7)
+    interlaced = [grid[y] for y in gif_interlace_order(h)]
+    restored = np.stack(gif_deinterlace(interlaced, h))
+    assert (restored == grid).all()
+
+
+def test_gif_deinterlace_rejects_bad_row_count():
+    with pytest.raises(ValueError, match="row count"):
+        gif_deinterlace([np.zeros(4)] * 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# operator-level: parsed fields equal the direct derivation
+# ---------------------------------------------------------------------------
+
+
+def test_gzip_operator_fields_match_direct(spark, sf_dir):
+    from flock_spark.registry import REGISTRY
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["mm_gzip_member_parse"].fn(spark, sf_dir).collect()
+    }
+    import duckdb
+
+    src = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' LIMIT 20"
+    ).fetchall()
+    checked = 0
+    for doc_id, text in src:
+        b = text.encode("utf-8")
+        if not b or doc_id not in rows:
+            continue
+        r = rows[doc_id]
+        assert r["fname"] == f"doc_{doc_id}.txt"
+        assert r["mtime"] == doc_id
+        assert r["flg"] == 0x0A
+        assert r["isize"] == len(b)
+        assert r["payload_md5"] == hashlib.md5(b.hex().upper().encode()).hexdigest()
+        checked += 1
+    assert checked >= 10
