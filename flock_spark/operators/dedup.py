@@ -1863,3 +1863,145 @@ def dedup_lsh_band_tradeoff_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _REG_DD["dedup_lsh_band_tradeoff_audit"].oracle = _band_tradeoff_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup via sorted suffixes (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499 — the
+# suffix-array method, audit-sized): cross-document repeated substrings are
+# exactly the long common prefixes of ADJACENT entries in the sorted suffix
+# order. Distinct from dedup_substring_spans (word-5-gram spans): this works
+# at CHARACTER granularity with exact LCP lengths, the shape that catches
+# templated boilerplate crossing token boundaries.
+# ---------------------------------------------------------------------------
+
+SFX_SAMPLE = 32  # docs in the audited sample (bounded, like all recall audits)
+SFX_W = 48  # suffixes truncated to this width (caps LCP; >= threshold)
+SFX_MIN_LCP = 16  # report adjacent pairs sharing at least this many chars
+
+
+@register(
+    "dedup_suffix_lcp_pairs",
+    oracle=f"""
+    WITH samp AS (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5('sfx:' || CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT {SFX_SAMPLE}),
+    sfx AS (
+      SELECT doc_id, i AS pos, substring(text, CAST(i AS INT), {SFX_W}) AS suf
+      FROM samp,
+           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) t),
+    ord AS (
+      SELECT doc_id, pos, suf,
+             lag(doc_id) OVER (ORDER BY suf, doc_id, pos) AS pdoc,
+             lag(suf) OVER (ORDER BY suf, doc_id, pos) AS psuf
+      FROM sfx),
+    adj AS (
+      SELECT doc_id, pdoc, pos, suf, psuf FROM ord
+      WHERE pdoc IS NOT NULL AND pdoc != doc_id),
+    lcp AS (
+      SELECT doc_id, pdoc, pos,
+             least(max(CASE WHEN substring(suf, 1, CAST(k AS INT))
+                               = substring(psuf, 1, CAST(k AS INT))
+                            THEN k ELSE 0 END),
+                   length(suf), length(psuf)) AS lcp
+      FROM adj,
+           LATERAL (SELECT unnest(generate_series(1, {SFX_W})) AS k) t
+      GROUP BY doc_id, pdoc, pos, suf, psuf)
+    SELECT least(doc_id, pdoc) AS doc_a, greatest(doc_id, pdoc) AS doc_b,
+           CAST(max(lcp) AS BIGINT) AS max_lcp,
+           CAST(count(*) AS BIGINT) AS n_adj
+    FROM lcp WHERE lcp >= {SFX_MIN_LCP}
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "window", "audit"),
+    doc=f"Exact-substring duplicate pairs via sorted suffixes (the Lee et "
+    f"al. suffix-array shape, arXiv:2107.06499), audit-sized: a "
+    f"deterministic {SFX_SAMPLE}-doc sample explodes into per-position "
+    f"suffixes (truncated to {SFX_W} chars), the suffixes sort globally, "
+    "and each ADJACENT cross-document pair reports its exact LCP — "
+    "repeated substrings of length >= L appear as adjacent sorted suffixes "
+    f"with LCP >= L, so pairs at LCP >= {SFX_MIN_LCP} are character-exact "
+    "boilerplate hits that word-shingle dedup can miss across token "
+    "boundaries. LCP is computed relationally (max matching prefix width "
+    "over a bounded k-unnest — monotone, so max = LCP) and both engines "
+    "sort ASCII binary-identically, making adjacency itself oracle-exact. "
+    "Scale: a distributed suffix sort is range-partitioned sort + "
+    "boundary-row exchange (each partition needs only its predecessor's "
+    "last suffix); cost is O(total chars · log) with NO all-pairs term, "
+    "which is why the suffix approach, not pairwise comparison, is the "
+    "production path for exact-substring dedup at 100 TB.",
+)
+def dedup_suffix_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    samp = (
+        d.orderBy(
+            F.md5(F.concat(F.lit("sfx:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .limit(SFX_SAMPLE)
+        .select("doc_id", "text")
+    )
+    sfx = samp.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).select(
+        "doc_id",
+        F.col("i").alias("pos"),
+        F.expr(f"substring(text, i, {SFX_W})").alias("suf"),
+    )
+    # the audit's global suffix sort: one window over ~SFX_SAMPLE * avg_len
+    # rows. At corpus scale this becomes repartitionByRange(suf) + a
+    # per-partition lag with each partition's first row joined against its
+    # predecessor's last (boundary exchange), never a single-partition sort.
+    w = Window.orderBy("suf", "doc_id", "pos")
+    ordered = sfx.select(
+        "doc_id",
+        "pos",
+        "suf",
+        F.lag("doc_id").over(w).alias("pdoc"),
+        F.lag("suf").over(w).alias("psuf"),
+    )
+    adj = ordered.filter(
+        F.col("pdoc").isNotNull() & (F.col("pdoc") != F.col("doc_id"))
+    )
+    lcp = (
+        adj.select(
+            "doc_id",
+            "pdoc",
+            "pos",
+            "suf",
+            "psuf",
+            F.explode(F.sequence(F.lit(1), F.lit(SFX_W))).alias("k"),
+        )
+        .groupBy("doc_id", "pdoc", "pos", "suf", "psuf")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("substring(suf, 1, k) = substring(psuf, 1, k)"),
+                    F.col("k"),
+                ).otherwise(F.lit(0))
+            ).alias("maxk")
+        )
+        .select(
+            "doc_id",
+            "pdoc",
+            F.least(
+                F.col("maxk"), F.length("suf"), F.length("psuf")
+            ).alias("lcp"),
+        )
+    )
+    return (
+        lcp.filter(F.col("lcp") >= SFX_MIN_LCP)
+        .groupBy(
+            F.least("doc_id", "pdoc").alias("doc_a"),
+            F.greatest("doc_id", "pdoc").alias("doc_b"),
+        )
+        .agg(
+            F.max("lcp").cast("long").alias("max_lcp"),
+            F.count("*").alias("n_adj"),
+        )
+    )

@@ -1394,3 +1394,324 @@ def graph_2hop_reach_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         tbl(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_reach2_sql(SPARK_D))
+
+
+# ---------------------------------------------------------------------------
+# Order-dependent streaming sketches: space-saving heavy hitters and t-digest
+# quantiles. Unlike the hash-based sketches above, their per-partition state
+# depends on stream order, so the oracle cannot replay them in SQL. Instead
+# each ships as a GUARANTEE AUDIT: the oracle computes the exact answer and
+# the theorem-implied invariants (space-saving: every item with true count
+# > N/k present in the union-merged summary, lower/upper bounds bracketing
+# the truth; t-digest: rank error within the scale-function bound, centroid
+# count within the compression budget), and the Spark side runs the REAL
+# sketch and checks itself against them — an implementation bug that breaks
+# any guarantee hash-mismatches. This mirrors the Bloom entries' "no false
+# negatives" discipline for the order-dependent family.
+# ---------------------------------------------------------------------------
+
+SS_K = 128  # space-saving counters per stream segment
+SS_SEGMENTS = 8  # stream segments (distributed sketch instances)
+SS_AUDIT_TOP = 20  # exact top items audited against the merged summary
+SS_LIGHT_W = 50000  # light-tail item universe width
+
+
+def space_saving_summary(items, k: int) -> dict[str, list[int]]:
+    """Space-saving (Metwally et al.) over one stream: at most k counters of
+    [est, err]; a new item over capacity adopts the min counter's estimate as
+    its error (est=min+1, err=min). Invariants the audit relies on: est >=
+    true count >= est - err for every tracked item, and any item with true
+    count > N/k is tracked at stream end."""
+    counters: dict[str, list[int]] = {}
+    for item in items:
+        if item in counters:
+            counters[item][0] += 1
+        elif len(counters) < k:
+            counters[item] = [1, 0]
+        else:  # evict the min counter (deterministic tie-break), carry err
+            evict = min(counters, key=lambda it: (counters[it][0], it))
+            m = counters.pop(evict)[0]
+            counters[item] = [m + 1, m]
+    return counters
+
+
+def _ss_stream_sql(d: _Dialect, str_cat: str, seg: bool) -> str:
+    """Engine-neutral derivation of the audited stream: one item per token
+    occurrence, two-level hash mixture — 1/16 of occurrences land on 4 heavy
+    items ('H0'..'H3', each ~N/64 > N/SS_K, theorem-guaranteed present), the
+    rest spread over 50k light items (forces constant eviction: distinct
+    items >> SS_SEGMENTS*SS_K). Integer-only, so both engines agree exactly."""
+    h = d.md5l(f"{str_cat}")
+    seg_col = f", doc_id % {SS_SEGMENTS} AS seg" if seg else ""
+    return f"""
+      SELECT CASE WHEN h % 16 = 0
+                  THEN 'H' || CAST((h_div) % 4 AS {d.str_t})
+                  ELSE 'L' || CAST((h_div) % {SS_LIGHT_W} AS {d.str_t})
+             END AS item{seg_col}
+      FROM (SELECT {h} AS h, {d.idiv(h, '16')} AS h_div, doc_id
+            FROM __tokpos__) q
+    """
+
+
+@register(
+    "sketch_space_saving_topk",
+    oracle=f"""
+    WITH doc AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS nt FROM documents),
+    __tokpos__ AS (
+      SELECT doc_id, unnest(generate_series(0, nt - 1)) AS pos FROM doc),
+    items AS ({_ss_stream_sql(DUCK_D, "'ss:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)", seg=False)}),
+    cnt AS (SELECT item, count(*) AS c FROM items GROUP BY item),
+    n AS (SELECT count(*) AS n FROM items),
+    top AS (SELECT item, c FROM cnt ORDER BY c DESC, item LIMIT {SS_AUDIT_TOP})
+    SELECT item,
+           CAST(c AS BIGINT) AS true_cnt,
+           CAST(CASE WHEN c * {SS_K} > n.n THEN 1 ELSE 0 END AS BIGINT)
+             AS guaranteed,
+           CAST(1 AS BIGINT) AS present_ok,
+           CAST(1 AS BIGINT) AS ub_ok,
+           CAST(1 AS BIGINT) AS lb_ok
+    FROM top, n
+    """,
+    tags=("approx", "sketch", "frequency", "audit", "pandas_udf"),
+    doc=f"Space-saving streaming top-k (Metwally et al., the SpaceSaving "
+    f"summary) with distributed merge: {SS_SEGMENTS} stream segments each "
+    f"run a capacity-{SS_K} counter summary over their token-occurrence "
+    "stream in pandas (count-increment / min-eviction with error carry), "
+    "then the segment summaries union-merge — per audited item the upper "
+    "bound sums est (or the segment's min counter when absent) and the "
+    "lower bound sums est-err. The oracle computes the exact counts and "
+    "emits the THEOREMS as columns: any item with true count > N/k is "
+    "present in the merged summary (pigeonhole across segments: its count "
+    "must exceed N_p/k somewhere), lb <= true <= ub always. The stream "
+    "mixes 4 hash-derived heavy items (~N/64 each) over a 50k-item light "
+    "tail, so eviction pressure is real (distinct >> segments*k) while the "
+    "guarantee bites on genuinely heavy keys. Scale: this is THE bounded-"
+    "memory heavy-hitter shape for unshuffled 100 TB streams — per-segment "
+    "state is k counters regardless of input size, merge is k*segments "
+    "rows, and no (item)-keyed shuffle of the raw stream ever happens "
+    "(contrast corpus_vocab_topk, which shuffles the distinct-token "
+    "universe).",
+)
+def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    d = tbl(spark, sf_dir, "documents")
+    tokpos = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("pos", "tok"),
+    ).select("doc_id", "pos")
+    tokpos.createOrReplaceTempView("__tokpos__")
+    stream = spark.sql(
+        _ss_stream_sql(
+            SPARK_D,
+            "CONCAT('ss:', CAST(doc_id AS STRING), ':', CAST(pos AS STRING))",
+            seg=True,
+        )
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        counters = space_saving_summary(pdf["item"], SS_K)
+        min_est = min(v[0] for v in counters.values())
+        return pd.DataFrame(
+            {
+                "seg": pd.Series(
+                    [int(pdf["seg"].iloc[0])] * len(counters), dtype="int64"
+                ),
+                "item": list(counters.keys()),
+                "est": pd.Series([v[0] for v in counters.values()], dtype="int64"),
+                "err": pd.Series([v[1] for v in counters.values()], dtype="int64"),
+                "min_est": pd.Series([min_est] * len(counters), dtype="int64"),
+            }
+        )
+
+    summary = stream.groupBy("seg").applyInPandas(
+        summarize, schema="seg long, item string, est long, err long, min_est long"
+    )
+
+    # the stream feeds three consumers (segment summaries, exact counts, N);
+    # persist so the explode+hash scan runs once, like the graph ops' cached
+    # edges — at 100 TB this is the standard reuse of a derived stream
+    stream = stream.persist()
+    cnt = stream.groupBy("item").agg(F.count("*").alias("true_cnt"))
+    n = cnt.agg(F.sum("true_cnt")).collect()[0][0]  # one scalar, reuses cnt
+    top = cnt.orderBy(F.col("true_cnt").desc(), "item").limit(SS_AUDIT_TOP)
+    seg_mins = summary.groupBy("seg").agg(F.min("min_est").alias("seg_min"))
+
+    merged = (
+        top.crossJoin(F.broadcast(seg_mins))
+        .join(summary, ["item", "seg"], "left")
+        .groupBy("item", "true_cnt")
+        .agg(
+            F.sum(F.coalesce(F.col("est"), F.col("seg_min"))).alias("ub"),
+            F.sum(
+                F.when(F.col("est").isNotNull(), F.col("est") - F.col("err"))
+                .otherwise(F.lit(0))
+            ).alias("lb"),
+            F.max(
+                F.when(F.col("est").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("present"),
+        )
+    )
+    return merged.select(
+        "item",
+        "true_cnt",
+        F.when(F.col("true_cnt") * SS_K > n, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("guaranteed"),
+        F.greatest(
+            F.col("present").cast("long"),
+            F.when(F.col("true_cnt") * SS_K > n, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long"),
+        ).alias("present_ok"),
+        (F.col("ub") >= F.col("true_cnt")).cast("long").alias("ub_ok"),
+        (F.col("lb") <= F.col("true_cnt")).cast("long").alias("lb_ok"),
+    )
+
+
+TD_DELTA = 100  # t-digest compression parameter
+TD_SHARDS = 8  # independent shard digests, merged once
+TD_QS_BP = (100, 1000, 5000, 9000, 9900)  # audited quantiles, basis points
+
+
+def _td_cluster(means: list[float], weights: list[int], cap: int):
+    """Size-capped (k0-scale) t-digest clustering over value-sorted input:
+    accumulate running (sum, weight) clusters, closing a cluster when adding
+    the next point/cluster would exceed the weight cap. Returns (means,
+    weights) of the compacted digest; never splits an input cluster."""
+    out_m: list[float] = []
+    out_w: list[int] = []
+    cur_s = 0.0
+    cur_w = 0
+    for m, w in zip(means, weights):
+        if cur_w and cur_w + w > cap:
+            out_m.append(cur_s / cur_w)
+            out_w.append(cur_w)
+            cur_s, cur_w = 0.0, 0
+        cur_s += m * w
+        cur_w += w
+    if cur_w:
+        out_m.append(cur_s / cur_w)
+        out_w.append(cur_w)
+    return out_m, out_w
+
+
+@register(
+    "sketch_tdigest_quantile_audit",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n FROM events WHERE value IS NOT NULL)
+    SELECT CAST(q.q_bp AS BIGINT) AS q_bp,
+           CAST(n.n AS BIGINT) AS n,
+           CAST(2 * (n.n // {TD_DELTA // 2}) + 2 AS BIGINT) AS rank_bound,
+           CAST(1 AS BIGINT) AS rank_ok,
+           CAST(1 AS BIGINT) AS compact_ok
+    FROM (VALUES {", ".join(f"({q})" for q in TD_QS_BP)}) q(q_bp), n
+    """,
+    tags=("approx", "sketch", "aggregate", "stats", "audit", "pandas_udf"),
+    doc=f"t-digest quantile sketch (Dunning & Ertl, arXiv:1902.04023) with "
+    f"shard merge, k0/size-capped variant: {TD_SHARDS} shards each build a "
+    f"digest over their sorted values (cluster weight cap 2·n_shard/δ, "
+    f"δ={TD_DELTA}), the shard digests merge into one (re-cluster by mean "
+    "with cap 2·n/δ — never splitting an input cluster, so the cap "
+    "invariant survives the merge), and quantile estimates interpolate "
+    "between adjacent centroid means. The oracle emits the theorem: the "
+    "estimate's true rank (counted against the raw data with a broadcast "
+    "join) lies within 2·(2n/δ)+2 of q·n — adjacent-cluster weights bound "
+    "the interpolation error — and the merged digest stays within the "
+    f"δ-centroid compression budget. Digest state is ~δ centroids "
+    "regardless of input size; this is the mergeable-quantile shape for "
+    "100 TB percentile dashboards (HDR sketches above trade to fixed bins; "
+    "t-digest keeps relative accuracy at the tails with float centroids).",
+)
+def sketch_tdigest_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    ev = ev.withColumn("shard", F.pmod(F.col("event_id"), F.lit(TD_SHARDS)))
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(float(v) for v in pdf["value"])
+        cap = max(1, (2 * len(vals)) // TD_DELTA)
+        means, weights = _td_cluster(vals, [1] * len(vals), cap)
+        return pd.DataFrame(
+            {
+                "mean": pd.Series(means, dtype="float64"),
+                "weight": pd.Series(weights, dtype="int64"),
+            }
+        )
+
+    shard_digests = ev.groupBy("shard").applyInPandas(
+        build_shard, schema="mean double, weight long"
+    )
+
+    def merge_and_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values(["mean", "weight"])
+        n = int(order["weight"].sum())
+        cap = max(1, (2 * n) // TD_DELTA)
+        means, weights = _td_cluster(
+            [float(m) for m in order["mean"]],
+            [int(w) for w in order["weight"]],
+            cap,
+        )
+        n_centroids = len(means)
+        cum = []
+        acc = 0
+        for w in weights:  # centroid midpoint ranks, the standard t-digest walk
+            cum.append(acc + w / 2.0)
+            acc += w
+        ests = []
+        for q_bp in TD_QS_BP:
+            target = q_bp * n / 10000.0
+            if target <= cum[0]:
+                est = means[0]
+            elif target >= cum[-1]:
+                est = means[-1]
+            else:
+                j = max(i for i in range(len(cum)) if cum[i] <= target)
+                frac = (target - cum[j]) / (cum[j + 1] - cum[j])
+                est = means[j] + frac * (means[j + 1] - means[j])
+            ests.append(est)
+        return pd.DataFrame(
+            {
+                "q_bp": pd.Series(list(TD_QS_BP), dtype="int64"),
+                "est": pd.Series(ests, dtype="float64"),
+                "n_centroids": pd.Series([n_centroids] * len(ests), dtype="int64"),
+            }
+        )
+
+    digest = (
+        shard_digests.withColumn("one", F.lit(1))
+        .groupBy("one")
+        .applyInPandas(merge_and_query, schema="q_bp long, est double, n_centroids long")
+    )
+
+    # rank-check the estimates against the raw data: 5-row broadcast side
+    checked = (
+        ev.crossJoin(F.broadcast(digest))
+        .groupBy("q_bp", "n_centroids")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") < F.col("est")).cast("long")).alias("cnt_lt"),
+            F.sum((F.col("value") <= F.col("est")).cast("long")).alias("cnt_le"),
+        )
+    )
+    bound = 2 * F.expr(f"n div {TD_DELTA // 2}") + 2  # integer div, like the oracle's //
+    target = (F.col("q_bp") * F.col("n") / 10000.0)
+    return checked.select(
+        "q_bp",
+        F.col("n").cast("long").alias("n"),
+        bound.alias("rank_bound"),
+        (
+            (F.col("cnt_lt") <= target + bound)
+            & (F.col("cnt_le") >= target - bound)
+        ).cast("long").alias("rank_ok"),
+        (F.col("n_centroids") <= F.lit(TD_DELTA)).cast("long").alias("compact_ok"),
+    )

@@ -223,3 +223,152 @@ def test_gzip_operator_fields_match_direct(spark, sf_dir):
         assert r["payload_md5"] == hashlib.md5(b.hex().upper().encode()).hexdigest()
         checked += 1
     assert checked >= 10
+
+
+# ---------------------------------------------------------------------------
+# space-saving: the algorithm's invariants, independent of the audit
+# ---------------------------------------------------------------------------
+
+
+from collections import Counter
+
+from flock_spark.operators.sketches import (
+    _td_cluster,
+    space_saving_summary,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=80), min_size=1, max_size=1500),
+    st.integers(min_value=2, max_value=24),
+)
+def test_space_saving_invariants(stream, k):
+    items = [f"i{v}" for v in stream]
+    true = Counter(items)
+    summary = space_saving_summary(items, k)
+    assert len(summary) <= k
+    n = len(items)
+    for item, (est, err) in summary.items():
+        assert est >= true[item] >= est - err
+    # guarantee: every item with true count > N/k is tracked
+    for item, c in true.items():
+        if c * k > n:
+            assert item in summary, f"{item} ({c} > {n}/{k}) missing"
+
+
+def test_space_saving_actually_evicts_and_approximates():
+    # 30 distinct items, k=8: eviction must happen, and at least one tracked
+    # item must be overestimated (est > true) — a passthrough exact counter
+    # cannot produce this shape
+    items = [f"x{i % 30}" for i in range(900)]
+    summary = space_saving_summary(items, 8)
+    true = Counter(items)
+    assert len(summary) == 8
+    assert any(est > true[it] for it, (est, _) in summary.items())
+    assert any(err > 0 for _, err in summary.values())
+
+
+def test_space_saving_exact_when_under_capacity():
+    items = ["a", "b", "a", "c", "a", "b"]
+    summary = space_saving_summary(items, 10)
+    assert {it: est for it, (est, _) in summary.items()} == {"a": 3, "b": 2, "c": 1}
+    assert all(err == 0 for _, err in summary.values())
+
+
+def test_space_saving_operator_guarantee_bites(spark, sf_dir):
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["sketch_space_saving_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    # the 4 hash-derived heavy items must be flagged guaranteed (non-vacuity:
+    # the present_ok theorem clause actually constrains something)
+    assert sum(r["guaranteed"] for r in rows) == 4
+    assert all(r["present_ok"] == 1 and r["ub_ok"] == 1 and r["lb_ok"] == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# t-digest: clustering invariants + the rank-error bound genuinely bites
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=800,
+    ),
+    st.integers(min_value=1, max_value=50),
+)
+def test_td_cluster_invariants(values, cap):
+    values = sorted(values)
+    means, weights = _td_cluster(values, [1] * len(values), cap)
+    assert sum(weights) == len(values)  # weight conserved
+    assert all(w <= cap for w in weights)  # cap respected (unit inputs)
+    assert means == sorted(means)  # centroid order preserved
+    # weighted mean preserved up to float error
+    if values:
+        assert abs(
+            sum(m * w for m, w in zip(means, weights)) / len(values)
+            - sum(values) / len(values)
+        ) <= 1e-6 * max(1.0, max(abs(v) for v in values))
+
+
+def test_td_cluster_compresses():
+    vals = sorted(float(i) for i in range(10_000))
+    means, weights = _td_cluster(vals, [1] * len(vals), 200)
+    assert len(means) <= 51  # ~n/cap clusters, far below n
+
+
+def test_td_cluster_never_splits_big_input_cluster():
+    # a pre-merged cluster above the cap passes through intact (merge safety)
+    means, weights = _td_cluster([1.0, 5.0, 9.0], [10, 500, 10], 100)
+    assert 500 in weights
+
+
+def test_tdigest_operator_bound_bites(spark, sf_dir):
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["sketch_tdigest_quantile_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["rank_ok"] == 1 and r["compact_ok"] == 1
+        # non-vacuity: the bound is a small fraction of n, not n itself
+        assert r["rank_bound"] < r["n"] / 10
+
+
+# ---------------------------------------------------------------------------
+# suffix-LCP dedup: reported pairs must correspond to REAL shared substrings
+# ---------------------------------------------------------------------------
+
+
+def test_suffix_lcp_pairs_are_real_shared_substrings(spark, sf_dir):
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["dedup_suffix_lcp_pairs"].fn(spark, sf_dir).collect()
+    assert rows, "audit found no pairs — vacuous at this corpus"
+    import duckdb
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    # every reported pair must actually share a substring of max_lcp chars
+    for r in sorted(rows, key=lambda r: -r["max_lcp"])[:10]:
+        a, b, L = texts[r["doc_a"]], texts[r["doc_b"]], r["max_lcp"]
+        assert L >= 16
+        grams_a = {a[i : i + L] for i in range(len(a) - L + 1)}
+        assert any(b[i : i + L] in grams_a for i in range(len(b) - L + 1)), (
+            f"pair ({r['doc_a']},{r['doc_b']}) claims LCP {L} but no shared "
+            "substring of that length exists"
+        )
+
+
+def test_suffix_lcp_threshold_excludes_short_matches(spark, sf_dir):
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["dedup_suffix_lcp_pairs"].fn(spark, sf_dir).collect()
+    assert all(r["max_lcp"] >= 16 for r in rows)
+    assert all(r["n_adj"] >= 1 for r in rows)
