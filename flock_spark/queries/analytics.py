@@ -760,3 +760,70 @@ def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _GAP_SQL.format(ts_us="unix_micros(CAST(ts AS TIMESTAMP))")
     )
+
+
+RES_K = 8  # reservoir capacity per key
+
+_RESERVOIR_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY {ts_us}, event_id) AS i
+      FROM events),
+    writes AS (
+      SELECT user_id, event_id, i,
+             CASE WHEN i <= {k} THEN i - 1
+                  WHEN h % i < {k} THEN h % i
+                  ELSE NULL END AS slot
+      FROM (SELECT user_id, event_id, i, {h} AS h FROM seq) q),
+    ranked AS (
+      SELECT user_id, slot, event_id, i,
+             row_number() OVER (
+               PARTITION BY user_id, slot ORDER BY i DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, slot) AS n_writes
+      FROM writes WHERE slot IS NOT NULL)
+    SELECT user_id, CAST(slot AS BIGINT) AS slot,
+           event_id AS sampled_event,
+           CAST(n_writes AS BIGINT) AS n_writes
+    FROM ranked WHERE rn = 1
+"""
+
+
+def _reservoir_sql(ts_us: str, md5l) -> str:
+    h = md5l(
+        "concat('res:', CAST(user_id AS {t}), ':', CAST(i AS {t}))".format(
+            t="STRING"
+        )
+    )
+    return _RESERVOIR_SQL.format(ts_us=ts_us, k=RES_K, h=h)
+
+
+@register(
+    "events_reservoir_per_key",
+    oracle=_reservoir_sql("epoch_us(ts)", duck_md5_long).replace(
+        "concat('res:', CAST(user_id AS STRING), ':', CAST(i AS STRING))",
+        "('res:' || CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))",
+    ),
+    tags=("corpus", "sampling", "window", "events"),
+    doc=f"Per-key reservoir sample, Vitter's algorithm R with a seeded "
+    f"hash as the randomness source: each user's event stream (ordered by "
+    f"ts, event_id) seeds slots 0..{RES_K - 1} with its first {RES_K} "
+    f"events, then event i replaces slot h_i mod i when that lands below "
+    f"{RES_K} — the exact R acceptance rule, giving every prefix a "
+    "uniform-over-prefix sample under a uniform hash. The sequential "
+    "algorithm's FINAL state is replayed relationally: slot s holds the "
+    "highest-index event that wrote s (seed writes i-1, replacement "
+    "writes h_i mod i), so one row_number + one argmax-per-slot computes "
+    "the reservoir without any sequential pass, and the oracle replays "
+    "the identical closed form. n_writes exposes the replacement "
+    "dynamics (slots with n_writes > 1 prove eviction happened). Scale: "
+    "two keyed window passes, state per key is {RES_K} rows regardless "
+    "of stream length — the per-entity sampling shape for 100 TB event "
+    "stores where df.sample() cannot give per-key guarantees, and the "
+    "closed form is embarrassingly shuffle-friendly (PARTITION BY key).",
+)
+def events_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _reservoir_sql("unix_micros(CAST(ts AS TIMESTAMP))", spark_md5_long)
+    )
