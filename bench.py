@@ -109,6 +109,11 @@ HEADLINE = [
     # roundtrip; full RFC 1951 inflate of real zlib compressor output)
     "mm_gif_lzw_decode",
     "mm_zlib_inflate_dynamic",
+    # round-9b additions: bounded-memory heavy hitters with union merge,
+    # sorted-suffix exact-substring dedup, closed-form per-key reservoir
+    "sketch_space_saving_topk",
+    "dedup_suffix_lcp_pairs",
+    "events_reservoir_per_key",
 ]
 
 

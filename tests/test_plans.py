@@ -869,3 +869,23 @@ def test_codec_decodes_are_shuffle_free_single_scan(spark, sf_dir):
         assert "hashpartitioning" not in plan, name
         assert "MapInPandas" in plan, name
         assert plan.count("Scan parquet") == 1, name
+
+
+def test_tdigest_rank_check_broadcasts_digest_side(spark, sf_dir):
+    # the 5-row digest must be the broadcast side of the rank-check join;
+    # the events table must never be nested-loop build side. At 100 TB the
+    # raw-data side streams once past a handful of broadcast estimates.
+    plan = plan_of(spark, sf_dir, "sketch_tdigest_quantile_audit")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BuildRight" in plan
+
+
+def test_space_saving_merge_joins_on_bounded_summaries(spark, sf_dir):
+    # the audit join operates on the k*segments summary rows and the 8-row
+    # per-segment minima (broadcast), never re-shuffling the raw stream for
+    # the merge: the only hash exchanges are the item-count aggregate and
+    # the summary/audit-key joins, all keyed on bounded row sets.
+    plan = plan_of(spark, sf_dir, "sketch_space_saving_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the exact-count path must keep map-side partial aggregation
+    assert "partial_count" in plan or "Partial" in plan
