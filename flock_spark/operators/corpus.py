@@ -1460,3 +1460,56 @@ _CHI2_SQL = """
 def corpus_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CHI2_SQL)
+
+
+QUOTA_K = 1000  # total sample slots to apportion across sources
+
+
+def _quota_sql(idiv: str) -> str:
+    """Hamilton / largest-remainder apportionment of QUOTA_K sample slots
+    across sources, proportional to document counts. `idiv` is the engine's
+    integer-division operator (Spark ``div``, DuckDB ``//``); all operands
+    are nonnegative counts, so both engines' semantics coincide and the
+    allocation is exact integer arithmetic end to end."""
+    return f"""
+    WITH cnt AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_docs) AS total FROM cnt),
+    base AS (
+      SELECT c.source, c.n_docs,
+             ({QUOTA_K} * c.n_docs) {idiv} t.total AS base_q,
+             ({QUOTA_K} * c.n_docs) % t.total AS rem
+      FROM cnt c, tot t),
+    ranked AS (
+      SELECT source, n_docs, base_q, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             sum(base_q) OVER () AS sum_base
+      FROM base)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(base_q + CASE WHEN rk <= {QUOTA_K} - sum_base
+                              THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM ranked
+    """
+
+
+@register(
+    "corpus_quota_largest_remainder",
+    oracle=_quota_sql("//"),
+    tags=("corpus", "sampling", "aggregate"),
+    doc=f"Largest-remainder (Hamilton) apportionment: exactly {QUOTA_K} "
+    "sample slots split across sources proportional to their document "
+    "counts — floor quotas first, then the leftover slots go to the "
+    "largest fractional remainders (ties by source name). This is the "
+    "exact-quota companion to the probabilistic samplers above: when a "
+    "training mix contract says 'exactly K documents, source shares as "
+    "close to proportional as integers allow', Bernoulli sampling can't "
+    "deliver it and naive rounding mis-totals. Sum of quotas == K by "
+    "construction, each quota within 1 of the real-valued share "
+    "(Hamilton's defining property). One count aggregate + one "
+    "sources-sized window — at 100 TB the windows run over a table the "
+    "size of the source list, never the corpus.",
+)
+def corpus_quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_quota_sql("div"))

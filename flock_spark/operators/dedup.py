@@ -2005,3 +2005,83 @@ def dedup_suffix_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_adj"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact edit distance over LSH candidates: the re-rank stage of a fuzzy-dedup
+# pipeline. MinHash/LSH nominates, levenshtein adjudicates — both engines
+# compute the same classic DP distance JVM-/native-side, so the oracle is
+# exact with no UDF anywhere.
+# ---------------------------------------------------------------------------
+
+
+EDIT_MIN_BANDS = 2  # adjudicate only band-consensus candidates (see doc)
+
+
+def _edit_pairs_oracle() -> str:
+    from flock_spark.registry import REGISTRY
+
+    pairs = REGISTRY["dedup_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH cand AS ({pairs}),
+    pairs AS (SELECT * FROM cand WHERE n_bands >= {EDIT_MIN_BANDS})
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           CAST((levenshtein(a.text, b.text) * 10000)
+                // greatest(length(a.text), length(b.text), 1) AS BIGINT)
+             AS rel_bp
+    FROM pairs p
+    JOIN documents a ON p.doc_a = a.doc_id
+    JOIN documents b ON p.doc_b = b.doc_id
+    """
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    oracle=_edit_pairs_oracle(),
+    tags=("dedup", "join", "audit"),
+    doc="Exact Levenshtein re-rank of the LSH candidate pairs: the fuzzy-"
+    "dedup adjudication stage — MinHash banding nominates O(true near-dup) "
+    "candidates, then the exact DP edit distance scores each pair plus a "
+    "length-normalized distance in integer basis points (edit*10000 div "
+    "max(len)), the threshold unit a curation pipeline actually tunes on. "
+    "Both engines run their native levenshtein (Spark JVM codegen, DuckDB "
+    "vectorized) over the identical ASCII texts, so the score is "
+    "oracle-exact with zero Python in the loop. Scale: cost is "
+    "O(candidates * len^2) with candidates bounded by the banded "
+    "self-join, never all-pairs — at 100 TB the DP runs only on pairs "
+    "that already share a signature band, the same shape DataComp/CCNet "
+    "use for final adjudication. Candidates are tiered by band "
+    f"consensus first: only pairs colliding in >= {EDIT_MIN_BANDS} of the "
+    "4 bands pay the DP (this corpus is heavily templated — single-band "
+    "collisions are ~100x the consensus set and already adjudicated "
+    "cheaply by the signature estimate in "
+    "dedup_minhash_estimate_vs_exact), the same escalation ladder a "
+    "production run uses to keep the quadratic-cost stage sized by true "
+    "near-duplicates.",
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.registry import REGISTRY
+
+    pairs = (
+        REGISTRY["dedup_minhash_lsh_pairs"]
+        .fn(spark, sf_dir)
+        .filter(F.col("n_bands") >= EDIT_MIN_BANDS)
+        .select("doc_a", "doc_b")
+    )
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+            F.expr(
+                "CAST((levenshtein(ta, tb) * 10000) div "
+                "greatest(length(ta), length(tb), 1) AS BIGINT)"
+            ).alias("rel_bp"),
+        )
+    )

@@ -2327,3 +2327,173 @@ def mm_gif_deinterlace(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, n_rows long, perm_md5 string, restored_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# TAR (ustar) member walk — the WebDataset / checkpoint-shard container: a
+# training shard is a tar of per-sample member files, and a 100 TB media
+# pipeline streams these archives member by member. The stdlib tarfile
+# module WRITES the archive (adversarial, like the gzip/PNG stamps); the
+# walk below parses the raw 512-byte header blocks from the public ustar
+# spec (POSIX.1-1988): name, octal size/mtime fields, header checksum
+# (sum with the chksum field blanked), magic/version, data padding, and
+# the two-zero-block terminator.
+# ---------------------------------------------------------------------------
+
+
+def tar_build(members: list[tuple[str, bytes]], mtime: int) -> bytes:
+    """A real ustar archive from the stdlib writer: deterministic metadata
+    (fixed uid/gid/mode, caller's mtime), USTAR_FORMAT so the parser sees
+    pure POSIX.1-1988 blocks with no PAX extended headers."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+    ) as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = mtime
+            info.uid = info.gid = 0
+            info.uname = info.gname = "root"
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def tar_member_walk(stream: bytes) -> list[tuple[str, int, int, bytes]]:
+    """Parse a ustar archive from the raw blocks: validates magic, version,
+    the header checksum (unsigned sum with chksum blanked to spaces), octal
+    field framing, 512-byte data padding, and the terminator. Returns
+    [(name, size, mtime, payload)]; ValueError on any violation."""
+    if len(stream) % 512:
+        raise ValueError("tar stream not block-aligned")
+    out: list[tuple[str, int, int, bytes]] = []
+    pos = 0
+    while True:
+        if pos + 512 > len(stream):
+            raise ValueError("missing end-of-archive blocks")
+        hdr = stream[pos : pos + 512]
+        if hdr == b"\x00" * 512:  # first terminator block; require the second
+            if stream[pos + 512 : pos + 1024] != b"\x00" * 512:
+                raise ValueError("single zero block is not a valid terminator")
+            return out
+        if hdr[257:263] != b"ustar\x00":
+            raise ValueError(f"bad ustar magic {hdr[257:263]!r}")
+        if hdr[263:265] != b"00":
+            raise ValueError(f"bad ustar version {hdr[263:265]!r}")
+        expect = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        blanked = hdr[:148] + b" " * 8 + hdr[156:]
+        if sum(blanked) != expect:
+            raise ValueError("header checksum mismatch")
+        name = hdr[0:100].split(b"\x00")[0].decode("utf-8")
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        mtime = int(hdr[136:148].split(b"\x00")[0].strip() or b"0", 8)
+        typeflag = hdr[156:157]
+        if typeflag not in (b"0", b"\x00"):
+            raise ValueError(f"unsupported member type {typeflag!r}")
+        data_start = pos + 512
+        payload = stream[data_start : data_start + size]
+        if len(payload) != size:
+            raise ValueError("truncated member payload")
+        padded = (size + 511) // 512 * 512
+        pad = stream[data_start + size : data_start + padded]
+        if pad.strip(b"\x00"):
+            raise ValueError("nonzero bytes in member padding")
+        out.append((name, size, mtime, payload))
+        pos = data_start + padded
+
+
+@register(
+    "mm_tar_member_walk",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_members,
+           CAST(octet_length(encode(text)) + 6 + octet_length(encode(lang))
+                AS BIGINT) AS total_size,
+           CAST(doc_id AS BIGINT) AS mtime,
+           md5('doc_' || CAST(doc_id AS VARCHAR) || '.txt,'
+               || 'doc_' || CAST(doc_id AS VARCHAR) || '.meta') AS names_md5,
+           md5(hex(encode(text || 'lang=' || lang || chr(10)))) AS payload_md5
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+    tags=("multimodal", "pandas_udf", "container"),
+    doc="ustar archive walk — the WebDataset/shard container format: each "
+    "document becomes a 2-member tar (its text payload + a .meta sidecar) "
+    "written by the stdlib in pure POSIX.1-1988 ustar form, and the "
+    "operator parses the RAW 512-byte blocks back — magic/version, the "
+    "blanked-checksum header sum, octal size/mtime fields, data padding "
+    "validation, and the two-zero-block terminator, hard-failing on any "
+    "violation. The oracle re-derives member count, concatenated size, "
+    "mtime, the member-name list hash, and the md5 of the concatenated "
+    "payload bytes straight from the documents row. Scale: tar is THE "
+    "sequential shard format for training data (WebDataset, checkpoint "
+    "bundles); per-archive walking is embarrassingly parallel across "
+    "shards via mapInPandas with constant memory — and at 100 TB the "
+    "member offsets this walk computes are exactly what an index-building "
+    "pass stores so later reads can seek, not scan.",
+)
+def mm_tar_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.col("text").cast("binary").alias("payload"))
+        .filter(F.length(F.col("payload")) > 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_members": [], "total_size": [], "mtime": [],
+                "names_md5": [], "payload_md5": [],
+            }
+            for doc_id, lang, payload in zip(
+                pdf["doc_id"], pdf["lang"], pdf["payload"]
+            ):
+                text = bytes(payload)
+                meta = f"lang={lang}\n".encode()
+                archive = tar_build(
+                    [
+                        (f"doc_{int(doc_id)}.txt", text),
+                        (f"doc_{int(doc_id)}.meta", meta),
+                    ],
+                    mtime=int(doc_id),
+                )
+                members = tar_member_walk(archive)
+                if [(m[0], m[3]) for m in members] != [
+                    (f"doc_{int(doc_id)}.txt", text),
+                    (f"doc_{int(doc_id)}.meta", meta),
+                ]:
+                    raise ValueError(f"tar roundtrip mismatch for doc {doc_id}")
+                rows["doc_id"].append(int(doc_id))
+                rows["n_members"].append(len(members))
+                rows["total_size"].append(sum(m[1] for m in members))
+                rows["mtime"].append(members[0][2])
+                rows["names_md5"].append(
+                    hashlib.md5(
+                        ",".join(m[0] for m in members).encode()
+                    ).hexdigest()
+                )
+                rows["payload_md5"].append(
+                    hashlib.md5(
+                        b"".join(m[3] for m in members).hex().upper().encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_members": pd.Series(rows["n_members"], dtype="int64"),
+                    "total_size": pd.Series(rows["total_size"], dtype="int64"),
+                    "mtime": pd.Series(rows["mtime"], dtype="int64"),
+                    "names_md5": pd.Series(rows["names_md5"], dtype="object"),
+                    "payload_md5": pd.Series(rows["payload_md5"], dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, n_members long, total_size long, mtime long, "
+        "names_md5 string, payload_md5 string",
+    )

@@ -66,6 +66,7 @@ STANDING_CANARIES: tuple[str, ...] = (
 HEAVY_FIRST_EXECUTION: frozenset[str] = frozenset((
     "dedup_lsh_band_tradeoff_audit",
     "dedup_lsh_recall_audit",
+    "dedup_edit_distance_pairs",  # pays the minhash signature memo cold
     "graph_2hop_reach_hll_audit",
     "corpus_quality_dup_calibration",
     "ann_ivf_nprobe_recall_curve",
