@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flock_spark.catalog import tbl
+from flock_spark.catalog import spread, tbl
 from flock_spark.registry import register
 
 try:  # decode libs absent in this container — gate, don't fail at import
@@ -1704,11 +1704,15 @@ _FIXED_LIT = _build_huffman(
 _FIXED_DIST = _build_huffman([5] * 30)
 
 
-def inflate(data: bytes) -> bytes:
-    """Full RFC 1951 inflate: stored (BTYPE=00), fixed-Huffman (01), and
-    dynamic-Huffman (10) blocks, LZ77 length/distance back-references with
-    overlapping copies. Raises ValueError on malformed input."""
-    br = _BitReader(data)
+def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
+    """Full RFC 1951 inflate starting at byte offset `start`: stored
+    (BTYPE=00), fixed-Huffman (01), and dynamic-Huffman (10) blocks, LZ77
+    length/distance back-references with overlapping copies. Returns
+    (decoded, end_offset) where end_offset is the first byte past the final
+    block (partial trailing bits of the last byte are padding — the next
+    framing field in gzip/zlib starts at that byte boundary). Raises
+    ValueError on malformed input."""
+    br = _BitReader(data, start)
     out = bytearray()
     while True:
         bfinal = br.read(1)
@@ -1777,7 +1781,12 @@ def inflate(data: bytes) -> bytes:
         else:
             raise ValueError("reserved BTYPE=11")
         if bfinal:
-            return bytes(out)
+            return bytes(out), br.pos - (br.nbits >> 3)
+
+
+def inflate(data: bytes) -> bytes:
+    """inflate_at from offset 0, decoded bytes only."""
+    return inflate_at(data, 0)[0]
 
 
 def zlib_inflate(stream: bytes) -> bytes:
@@ -1924,23 +1933,25 @@ def gzip_member_build(name: str, mtime: int, payload: bytes) -> bytes:
     return bytes(hdr) + body + trailer
 
 
-def gzip_member_parse(stream: bytes) -> tuple[str, int, bytes]:
-    """Parse + validate one gzip member: magic/CM, FLG bit walk (FEXTRA,
-    FNAME, FCOMMENT, FHCRC), header CRC16, full inflate of the deflate body
-    via this repo's RFC 1951 decoder, CRC32 + ISIZE trailer — every check
-    with _crc32_own. Returns (fname, mtime, payload); ValueError on any
-    violation."""
-    if len(stream) < 18:
+def gzip_member_parse_at(stream: bytes, start: int) -> tuple[str, int, bytes, int]:
+    """Parse + validate one gzip member at byte offset `start`: magic/CM,
+    FLG bit walk (FEXTRA, FNAME, FCOMMENT, FHCRC), header CRC16, full
+    inflate of the deflate body via this repo's RFC 1951 decoder, CRC32 +
+    ISIZE trailer — every check with _crc32_own. Returns (fname, mtime,
+    payload, end_offset) where end_offset is the first byte after the
+    member's trailer (the next member of a concatenated stream starts
+    there); ValueError on any violation."""
+    if len(stream) - start < 18:
         raise ValueError("gzip stream too short")
-    if stream[0] != 0x1F or stream[1] != 0x8B:
+    if stream[start] != 0x1F or stream[start + 1] != 0x8B:
         raise ValueError("bad gzip magic")
-    if stream[2] != 8:
-        raise ValueError(f"unsupported CM={stream[2]}")
-    flg = stream[3]
+    if stream[start + 2] != 8:
+        raise ValueError(f"unsupported CM={stream[start + 2]}")
+    flg = stream[start + 3]
     if flg & 0xE0:
         raise ValueError("reserved FLG bits set")
-    mtime = int.from_bytes(stream[4:8], "little")
-    pos = 10
+    mtime = int.from_bytes(stream[start + 4 : start + 8], "little")
+    pos = start + 10
     if flg & 0x04:  # FEXTRA
         xlen = int.from_bytes(stream[pos : pos + 2], "little")
         pos += 2 + xlen
@@ -1953,17 +1964,43 @@ def gzip_member_parse(stream: bytes) -> tuple[str, int, bytes]:
         pos = stream.index(b"\x00", pos) + 1
     if flg & 0x02:  # FHCRC: CRC16 of everything before it
         expect = int.from_bytes(stream[pos : pos + 2], "little")
-        if _crc32_own(stream[:pos]) & 0xFFFF != expect:
+        if _crc32_own(stream[start:pos]) & 0xFFFF != expect:
             raise ValueError("header CRC16 mismatch")
         pos += 2
-    payload = inflate(stream[pos:-8])
-    crc = int.from_bytes(stream[-8:-4], "little")
-    isize = int.from_bytes(stream[-4:], "little")
+    payload, data_end = inflate_at(stream, pos)
+    if data_end + 8 > len(stream):
+        raise ValueError("truncated gzip trailer")
+    crc = int.from_bytes(stream[data_end : data_end + 4], "little")
+    isize = int.from_bytes(stream[data_end + 4 : data_end + 8], "little")
     if _crc32_own(payload) != crc:
         raise ValueError("payload CRC32 mismatch")
     if len(payload) & 0xFFFFFFFF != isize:
         raise ValueError("ISIZE mismatch")
+    return fname, mtime, payload, data_end + 8
+
+
+def gzip_member_parse(stream: bytes) -> tuple[str, int, bytes]:
+    """Single-member parse: the whole stream must be exactly one member."""
+    fname, mtime, payload, end = gzip_member_parse_at(stream, 0)
+    if end != len(stream):
+        raise ValueError(f"{len(stream) - end} trailing bytes after member")
     return fname, mtime, payload
+
+
+def gzip_multistream_walk(stream: bytes) -> list[tuple[str, int, bytes]]:
+    """Walk a CONCATENATED gzip stream (RFC 1952 §2.2 'a gzip file consists
+    of a series of members' — the WARC/Common-Crawl shape): parse members
+    back to back until the stream is exhausted. Member boundaries come from
+    the inflate end offset, the bug-prone part real WARC readers get wrong.
+    ValueError on any violation, including trailing garbage."""
+    out: list[tuple[str, int, bytes]] = []
+    pos = 0
+    while pos < len(stream):
+        fname, mtime, payload, pos = gzip_member_parse_at(stream, pos)
+        out.append((fname, mtime, payload))
+    if not out:
+        raise ValueError("empty gzip stream")
+    return out
 
 
 @register(
@@ -2031,7 +2068,7 @@ def mm_gzip_member_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         schema="doc_id long, fname string, mtime long, flg long, isize long, "
         "payload_md5 string",
@@ -2206,7 +2243,7 @@ def mm_png_chunk_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         schema="doc_id long, width long, height long, n_chunks long, "
         "idat_len long, src string, pixels_md5 string",
@@ -2492,8 +2529,280 @@ def mm_tar_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         schema="doc_id long, n_members long, total_size long, mtime long, "
         "names_md5 string, payload_md5 string",
+    )
+
+
+@register(
+    "mm_gzip_multistream_walk",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST(octet_length(encode(text)) // 3 AS BIGINT) AS isize_1,
+           CAST(octet_length(encode(text)) // 3 AS BIGINT) AS isize_2,
+           CAST(octet_length(encode(text))
+                - 2 * (octet_length(encode(text)) // 3) AS BIGINT) AS isize_3,
+           md5(hex(encode(text))) AS payload_md5
+    FROM documents
+    WHERE octet_length(encode(text)) >= 3
+    """,
+    tags=("multimodal", "pandas_udf", "codec", "container"),
+    doc="Concatenated gzip multistream walk (RFC 1952 §2.2: 'a gzip file "
+    "consists of a series of members') — the WARC/Common-Crawl layout, "
+    "where each record is its own gzip member and readers must find "
+    "member boundaries from the DEFLATE stream end, not from offsets "
+    "stored anywhere: each document's bytes split into three records, "
+    "each becomes a full member (FNAME+FHCRC header, real stdlib "
+    "compressor body, CRC32/ISIZE trailer), and the operator walks the "
+    "concatenation back with the repo's inflate_at — per-member end "
+    "offsets come from the decoder's final-block bit position rounded to "
+    "the next byte, the exact boundary logic naive readers get wrong "
+    "(reading to EOF silently swallows all but the first member). Every "
+    "trailer is validated with the repo's own CRC-32 against the stdlib "
+    "stamp; reassembled payload must equal the original. Scale: shard-"
+    "parallel via mapInPandas; at 100 TB each task streams one archive "
+    "and emits per-record rows — the first pass of every Common-Crawl "
+    "ingest this engine would run.",
+)
+def mm_gzip_multistream_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .filter(F.length(F.col("payload")) >= 3)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_members": [], "isize_1": [], "isize_2": [],
+                "isize_3": [], "payload_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                original = bytes(payload)
+                c = len(original) // 3
+                chunks = [original[:c], original[c : 2 * c], original[2 * c :]]
+                stream = b"".join(
+                    gzip_member_build(f"rec_{i}", int(doc_id) * 4 + i, ch)
+                    for i, ch in enumerate(chunks)
+                )
+                members = gzip_multistream_walk(stream)
+                if b"".join(m[2] for m in members) != original or [
+                    m[0] for m in members
+                ] != ["rec_0", "rec_1", "rec_2"]:
+                    raise ValueError(f"multistream mismatch for doc {doc_id}")
+                rows["doc_id"].append(int(doc_id))
+                rows["n_members"].append(len(members))
+                rows["isize_1"].append(len(members[0][2]))
+                rows["isize_2"].append(len(members[1][2]))
+                rows["isize_3"].append(len(members[2][2]))
+                rows["payload_md5"].append(
+                    hashlib.md5(original.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_members": pd.Series(rows["n_members"], dtype="int64"),
+                    "isize_1": pd.Series(rows["isize_1"], dtype="int64"),
+                    "isize_2": pd.Series(rows["isize_2"], dtype="int64"),
+                    "isize_3": pd.Series(rows["isize_3"], dtype="int64"),
+                    "payload_md5": pd.Series(rows["payload_md5"], dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_members long, isize_1 long, isize_2 long, "
+        "isize_3 long, payload_md5 string",
+    )
+
+
+def zip_build(entries: list[tuple[str, bytes, bool]]) -> bytes:
+    """A real ZIP archive from the stdlib writer: (name, payload, deflate?)
+    per entry, deterministic timestamps. Seekable output, so no data
+    descriptors — the layout the parser below expects."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, payload, deflate in entries:
+            info = zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+            info.compress_type = (
+                zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
+            )
+            zf.writestr(info, payload)
+    return buf.getvalue()
+
+
+def zip_central_dir_walk(stream: bytes) -> list[tuple[str, int, int, bytes]]:
+    """Walk a ZIP from the public APPNOTE structures: locate the end-of-
+    central-directory record (PK\\x05\\x06) from the tail, walk the central
+    directory (PK\\x01\\x02), cross-check each entry's local header
+    (PK\\x03\\x04), decompress (stored as-is; deflate via this repo's
+    RFC 1951 decoder), and validate the central directory's CRC-32 stamp
+    with _crc32_own. Returns [(name, method, uncomp_size, payload)];
+    ValueError on any violation."""
+    eocd = stream.rfind(b"PK\x05\x06")
+    if eocd < 0:
+        raise ValueError("no end-of-central-directory record")
+    if len(stream) - eocd < 22:
+        raise ValueError("truncated EOCD")
+    n_entries = int.from_bytes(stream[eocd + 10 : eocd + 12], "little")
+    cd_size = int.from_bytes(stream[eocd + 12 : eocd + 16], "little")
+    cd_off = int.from_bytes(stream[eocd + 16 : eocd + 20], "little")
+    if cd_off + cd_size != eocd:
+        raise ValueError("central directory does not abut EOCD")
+    out: list[tuple[str, int, int, bytes]] = []
+    pos = cd_off
+    for _ in range(n_entries):
+        if stream[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError("bad central directory signature")
+        method = int.from_bytes(stream[pos + 10 : pos + 12], "little")
+        crc = int.from_bytes(stream[pos + 16 : pos + 20], "little")
+        comp_size = int.from_bytes(stream[pos + 20 : pos + 24], "little")
+        uncomp_size = int.from_bytes(stream[pos + 24 : pos + 28], "little")
+        name_len = int.from_bytes(stream[pos + 28 : pos + 30], "little")
+        extra_len = int.from_bytes(stream[pos + 30 : pos + 32], "little")
+        comment_len = int.from_bytes(stream[pos + 32 : pos + 34], "little")
+        lho = int.from_bytes(stream[pos + 42 : pos + 46], "little")
+        name = stream[pos + 46 : pos + 46 + name_len].decode("utf-8")
+        # cross-check the local header this entry points at
+        if stream[lho : lho + 4] != b"PK\x03\x04":
+            raise ValueError(f"bad local header signature for {name}")
+        l_method = int.from_bytes(stream[lho + 8 : lho + 10], "little")
+        l_name_len = int.from_bytes(stream[lho + 26 : lho + 28], "little")
+        l_extra_len = int.from_bytes(stream[lho + 28 : lho + 30], "little")
+        l_name = stream[lho + 30 : lho + 30 + l_name_len].decode("utf-8")
+        if l_name != name or l_method != method:
+            raise ValueError(f"local/central header disagreement for {name}")
+        data_start = lho + 30 + l_name_len + l_extra_len
+        comp = stream[data_start : data_start + comp_size]
+        if len(comp) != comp_size:
+            raise ValueError(f"truncated entry data for {name}")
+        if method == 0:
+            if comp_size != uncomp_size:
+                raise ValueError(f"stored entry size mismatch for {name}")
+            payload = comp
+        elif method == 8:
+            payload = inflate(comp)
+        else:
+            raise ValueError(f"unsupported compression method {method}")
+        if len(payload) != uncomp_size:
+            raise ValueError(f"uncompressed size mismatch for {name}")
+        if _crc32_own(payload) != crc:
+            raise ValueError(f"CRC-32 mismatch for {name}")
+        out.append((name, method, uncomp_size, payload))
+        pos += 46 + name_len + extra_len + comment_len
+    if pos != eocd:
+        raise ValueError("central directory size disagrees with entry walk")
+    return out
+
+
+@register(
+    "mm_zip_central_dir_walk",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_entries,
+           CAST(octet_length(encode(text)) AS BIGINT) AS txt_size,
+           CAST(5 + octet_length(encode(source)) AS BIGINT) AS meta_size,
+           CAST(8 AS BIGINT) AS txt_method,
+           CAST(0 AS BIGINT) AS meta_method,
+           md5('doc_' || CAST(doc_id AS VARCHAR) || '.txt,'
+               || 'doc_' || CAST(doc_id AS VARCHAR) || '.meta') AS names_md5,
+           md5(hex(encode(text || 'src=' || source || chr(10))))
+             AS payload_md5
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+    tags=("multimodal", "pandas_udf", "codec", "container"),
+    doc="ZIP central-directory walk from the public APPNOTE spec — the "
+    "dataset-archive container (HF dataset bundles, model artifact zips): "
+    "each document becomes a 2-entry ZIP written by the stdlib (its text "
+    "DEFLATED by the real compressor, a .meta sidecar STORED), and the "
+    "operator walks the RAW structures back — EOCD located from the tail, "
+    "central directory entries parsed field by field, each entry's local "
+    "header cross-checked for name/method agreement (the classic zip-"
+    "confusion attack surface), deflated payloads inflated with the "
+    "repo's RFC 1951 decoder, stored sizes reconciled, and every CRC-32 "
+    "validated with the repo's own table against the stdlib's stamp. The "
+    "oracle re-derives entry counts, both sizes, both methods, the name "
+    "list hash and the concatenated payload md5 from the documents row. "
+    "Scale: archive-parallel mapInPandas; central-directory-first walking "
+    "is exactly how a 100 TB artifact scan avoids reading entry data it "
+    "will prune (the CD is a tail index — read it, push the name/size "
+    "filter down, seek only to surviving entries).",
+)
+def mm_zip_central_dir_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.col("text").cast("binary").alias("payload")
+        )
+        .filter(F.length(F.col("payload")) > 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_entries": [], "txt_size": [], "meta_size": [],
+                "txt_method": [], "meta_method": [], "names_md5": [],
+                "payload_md5": [],
+            }
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                text = bytes(payload)
+                meta = f"src={source}\n".encode()
+                archive = zip_build(
+                    [
+                        (f"doc_{int(doc_id)}.txt", text, True),
+                        (f"doc_{int(doc_id)}.meta", meta, False),
+                    ]
+                )
+                entries = zip_central_dir_walk(archive)
+                if [(e[0], e[3]) for e in entries] != [
+                    (f"doc_{int(doc_id)}.txt", text),
+                    (f"doc_{int(doc_id)}.meta", meta),
+                ]:
+                    raise ValueError(f"zip roundtrip mismatch for doc {doc_id}")
+                rows["doc_id"].append(int(doc_id))
+                rows["n_entries"].append(len(entries))
+                rows["txt_size"].append(entries[0][2])
+                rows["meta_size"].append(entries[1][2])
+                rows["txt_method"].append(entries[0][1])
+                rows["meta_method"].append(entries[1][1])
+                rows["names_md5"].append(
+                    hashlib.md5(
+                        ",".join(e[0] for e in entries).encode()
+                    ).hexdigest()
+                )
+                rows["payload_md5"].append(
+                    hashlib.md5(
+                        b"".join(e[3] for e in entries)
+                        .hex()
+                        .upper()
+                        .encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_entries": pd.Series(rows["n_entries"], dtype="int64"),
+                    "txt_size": pd.Series(rows["txt_size"], dtype="int64"),
+                    "meta_size": pd.Series(rows["meta_size"], dtype="int64"),
+                    "txt_method": pd.Series(rows["txt_method"], dtype="int64"),
+                    "meta_method": pd.Series(rows["meta_method"], dtype="int64"),
+                    "names_md5": pd.Series(rows["names_md5"], dtype="object"),
+                    "payload_md5": pd.Series(rows["payload_md5"], dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_entries long, txt_size long, meta_size long, "
+        "txt_method long, meta_method long, names_md5 string, "
+        "payload_md5 string",
     )

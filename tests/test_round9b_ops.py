@@ -575,3 +575,109 @@ def test_quota_known_apportionment_case(spark, tmp_path):
         (r[0], r[2]) for r in con.execute(_quota_sql("//")).fetchall()
     )
     assert got == {"s0": 500, "s1": 300, "s2": 200}
+
+
+# ---------------------------------------------------------------------------
+# concatenated gzip multistream + ZIP central directory
+# ---------------------------------------------------------------------------
+
+
+from flock_spark.operators.multimodal import (
+    gzip_multistream_walk,
+    inflate_at,
+    zip_build,
+    zip_central_dir_walk,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.binary(max_size=1500), min_size=1, max_size=5),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gzip_multistream_roundtrip_property(payloads, mtime0):
+    stream = b"".join(
+        gzip_member_build(f"r{i}", mtime0 + i, p) for i, p in enumerate(payloads)
+    )
+    walked = gzip_multistream_walk(stream)
+    assert [(w[0], w[2]) for w in walked] == [
+        (f"r{i}", p) for i, p in enumerate(payloads)
+    ]
+
+
+def test_gzip_multistream_stdlib_reads_our_concatenation():
+    # gzip.decompress handles multistream: the concatenation must be real
+    import gzip as _gzip
+
+    stream = gzip_member_build("a", 1, b"AA" * 40) + gzip_member_build(
+        "b", 2, b"BB" * 30
+    )
+    assert _gzip.decompress(stream) == b"AA" * 40 + b"BB" * 30
+
+
+def test_gzip_multistream_rejects_garbage_between_members():
+    stream = (
+        gzip_member_build("a", 1, b"x" * 50)
+        + b"JUNK"
+        + gzip_member_build("b", 2, b"y" * 50)
+    )
+    with pytest.raises(ValueError):
+        gzip_multistream_walk(stream)
+
+
+def test_inflate_at_reports_exact_end_offset():
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(b"some text " * 200) + co.flush()
+    decoded, end = inflate_at(body + b"\xde\xad\xbe\xef", 0)
+    assert decoded == b"some text " * 200
+    assert end == len(body)
+
+
+def test_zip_walk_roundtrip_and_methods():
+    entries = [
+        ("big.txt", b"the quick brown fox " * 100, True),
+        ("tiny.meta", b"k=v\n", False),
+    ]
+    archive = zip_build(entries)
+    walked = zip_central_dir_walk(archive)
+    assert [(w[0], w[3]) for w in walked] == [(n, p) for n, p, _ in entries]
+    assert walked[0][1] == 8 and walked[1][1] == 0  # deflate vs stored
+    # non-vacuity: the deflated entry really is smaller than its payload
+    # (find comp_size from the central directory the walk validated)
+    eocd = archive.rfind(b"PK\x05\x06")
+    cd_off = int.from_bytes(archive[eocd + 16 : eocd + 20], "little")
+    comp_size = int.from_bytes(archive[cd_off + 20 : cd_off + 24], "little")
+    assert comp_size < len(entries[0][1]) // 4
+
+
+def test_zip_walk_rejects_corruption():
+    archive = bytearray(zip_build([("a.txt", b"hello" * 100, True)]))
+    with pytest.raises(ValueError, match="end-of-central"):
+        zip_central_dir_walk(bytes(archive).replace(b"PK\x05\x06", b"PK\x05\x07"))
+    # corrupt one payload byte inside the deflate stream -> CRC or inflate
+    bad = archive.copy()
+    bad[35] ^= 0xFF
+    with pytest.raises(ValueError):
+        zip_central_dir_walk(bytes(bad))
+    # name disagreement between local and central header
+    bad = archive.copy()
+    bad[30] ^= 0x01  # local header name first byte ('a' -> '`')
+    with pytest.raises(ValueError, match="disagreement|checksum|CRC"):
+        zip_central_dir_walk(bytes(bad))
+
+
+def test_zip_walk_reads_plain_stdlib_archive():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("x/data.bin", b"\x00\x01\x02" * 500)
+        zf.writestr("y.txt", "plain text payload")
+    walked = zip_central_dir_walk(buf.getvalue())
+    assert [(w[0], w[3]) for w in walked] == [
+        ("x/data.bin", b"\x00\x01\x02" * 500),
+        ("y.txt", b"plain text payload"),
+    ]
