@@ -1287,3 +1287,111 @@ def streaming_session_state_timeout(spark: SparkSession, sf_dir: str) -> DataFra
         timeoutConf="EventTimeTimeout",
     )
     return run_to_memory(emitted, output_mode="append", cap=8)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf state protocol to the
+    JVM; the python `protobuf` package is absent in this container, so the
+    operator is implemented and import-gated rather than registered (same
+    policy as the PIL-gated image decode and the broker-gated Kafka path —
+    the registry carries only entries that can certify here)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+TWS_ORACLE = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vmax_cents
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id
+    """
+
+_TWS_DOC = ("Spark 4 transformWithStateInPandas — the successor API to "
+    "applyInPandasWithState (SPARK-46815, arbitrary stateful processing "
+    "v2): a StatefulProcessor holds one ValueState per user (running "
+    "count + running max in integer cents) in the RocksDB state store, "
+    "updates it per micro-batch in handleInputRows, and emits the updated "
+    "state — typed state handles (Value/List/MapState), timers, and TTL "
+    "replace the single tuple applyInPandasWithState allowed, which is "
+    "what the reference's state backends expose "
+    "(flock/src/state/mod.rs:63-121). Emissions are monotone per key, so "
+    "the final value per key equals the batch aggregate (oracle). Scale: "
+    "per-key state is two integers in RocksDB regardless of stream "
+    "length, partitioned by the grouping key across the cluster — the "
+    "v2 API additionally allows state TTL and initial-state bootstrap, "
+    "the production features long-running 100 TB streams need for "
+    "state-size control and replay-free restarts.")
+
+
+def streaming_tws_value_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "cnt long, vmax_cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, vmax = (
+                self._state.get() if self._state.exists() else (0, -1)
+            )
+            for pdf in rows:
+                cnt += len(pdf)
+                if len(pdf):
+                    vmax = max(vmax, int(pdf["cents"].max()))
+            self._state.update((cnt, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "cnt": [cnt],
+                    "vmax_cents": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = (
+            bounded_stream(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                "user_id",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningAgg(),
+            outputStructType="user_id long, cnt long, vmax_cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        drained = run_to_memory(out, output_mode="update", cap=8)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # emissions are monotone per key: the last (= max) is the final state
+    return drained.groupBy("user_id").agg(
+        F.max("cnt").alias("cnt"), F.max("vmax_cents").alias("vmax_cents")
+    )

@@ -681,3 +681,32 @@ def test_zip_walk_reads_plain_stdlib_archive():
         ("x/data.bin", b"\x00\x01\x02" * 500),
         ("y.txt", b"plain text payload"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful v2) — env-gated: the TWS
+# state protocol needs the python protobuf package, absent in this container
+# ---------------------------------------------------------------------------
+
+
+def test_tws_value_state_matches_batch_oracle(spark, sf_dir):
+    from flock_spark.streaming.queries import (
+        TWS_ORACLE,
+        streaming_tws_value_state,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("python protobuf missing: transformWithState cannot init")
+    import duckdb
+
+    got = {
+        r["user_id"]: (r["cnt"], r["vmax_cents"])
+        for r in streaming_tws_value_state(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    expect = {r[0]: (r[1], r[2]) for r in con.execute(TWS_ORACLE).fetchall()}
+    assert got == expect
