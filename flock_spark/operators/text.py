@@ -1122,3 +1122,142 @@ def text_langid_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang_declared, lang_pred
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern blocklist matching via Aho-Corasick (Aho & Corasick 1975):
+# the corpus-filtering primitive — screen every document against a phrase
+# blocklist in ONE pass over the text, instead of one scan per pattern.
+# ---------------------------------------------------------------------------
+
+BLOCKLIST_N = 16  # patterns: the alphabetically-first distinct corpus tokens
+
+
+def aho_corasick_build(patterns: list[str]):
+    """Build the automaton: goto trie, BFS failure links, and per-node
+    output sets (pattern indices ending at that node, merged through the
+    failure chain — the part naive trie matchers miss when one pattern is
+    a suffix of another)."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[set[int]] = [set()]
+    for idx, pat in enumerate(patterns):
+        node = 0
+        for ch in pat:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(set())
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node].add(idx)
+    fail = [0] * len(goto)
+    queue = list(goto[0].values())
+    for node in queue:  # BFS; queue grows in place
+        for ch, nxt in goto[node].items():
+            queue.append(nxt)
+            f = fail[node]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
+            out[nxt] |= out[fail[nxt]]
+    return goto, fail, out
+
+
+def aho_corasick_scan(text: str, goto, fail, out) -> set[int]:
+    """One pass over the text; returns the set of pattern indices that occur
+    as substrings."""
+    hits: set[int] = set()
+    node = 0
+    for ch in text:
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        if out[node]:
+            hits |= out[node]
+    return hits
+
+
+@register(
+    "text_blocklist_multimatch",
+    oracle=f"""
+    WITH pats AS (
+      SELECT token FROM (
+        SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS token
+        FROM documents) t
+      WHERE token != '' ORDER BY token LIMIT {BLOCKLIST_N}),
+    hits AS (
+      SELECT d.doc_id, p.token
+      FROM documents d JOIN pats p ON contains(d.text, p.token))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           md5(string_agg(token, ',' ORDER BY token)) AS hits_md5
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("text", "pandas_udf", "filter"),
+    doc=f"Phrase-blocklist screening via a REAL Aho-Corasick automaton "
+    f"(goto trie + BFS failure links + failure-merged output sets): every "
+    f"document is scanned ONCE against all {BLOCKLIST_N} patterns "
+    "simultaneously — O(text + matches) per doc — where the naive plan "
+    "runs one contains() scan per pattern. The pattern set is derived "
+    "deterministically (alphabetically-first distinct corpus tokens), and "
+    "the oracle adjudicates with per-pattern contains() on a bounded "
+    "docs x patterns join, so every hit set is exact cross-engine. "
+    "Scale: THE shape for safety/quality filtering at 100 TB — a "
+    "production blocklist is 10^4-10^6 phrases, where per-pattern scans "
+    "are simply infeasible (10^6 passes over the corpus) and the "
+    "automaton's one-pass cost is unchanged; the automaton builds once "
+    "per task from a broadcast pattern list, and matching stays inside "
+    "the Arrow batch loop with no JVM round trip per pattern.",
+)
+def text_blocklist_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pats = [
+        r[0]
+        for r in (
+            d.select(
+                F.explode(F.split(F.trim("text"), " ")).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .distinct()
+            .orderBy("token")
+            .limit(BLOCKLIST_N)
+            .collect()
+        )
+    ]  # bounded driver-side state: BLOCKLIST_N strings, like the ANN queries
+    bpats = spark.sparkContext.broadcast(pats)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        patterns = bpats.value
+        goto, fail, out = aho_corasick_build(patterns)
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "n_hits": [], "hits_md5": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hits = aho_corasick_scan(str(text), goto, fail, out)
+                if not hits:
+                    continue
+                names = sorted(patterns[i] for i in hits)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_hits"].append(len(names))
+                rows["hits_md5"].append(
+                    hashlib.md5(",".join(names).encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_hits": pd.Series(rows["n_hits"], dtype="int64"),
+                    "hits_md5": pd.Series(rows["hits_md5"], dtype="object"),
+                }
+            )
+
+    from flock_spark.catalog import spread
+
+    return spread(d).mapInPandas(
+        run, schema="doc_id long, n_hits long, hits_md5 string"
+    )

@@ -710,3 +710,52 @@ def test_tws_value_state_matches_batch_oracle(spark, sf_dir):
     )
     expect = {r[0]: (r[1], r[2]) for r in con.execute(TWS_ORACLE).fetchall()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick: automaton equals naive multi-contains, including the
+# suffix-pattern cases failure links exist for
+# ---------------------------------------------------------------------------
+
+
+from flock_spark.operators.text import aho_corasick_build, aho_corasick_scan
+
+
+def test_aho_corasick_classic_example():
+    g, f, o = aho_corasick_build(["he", "she", "his", "hers"])
+    assert aho_corasick_scan("ushers", g, f, o) == {0, 1, 3}
+    assert aho_corasick_scan("this", g, f, o) == {2}
+    assert aho_corasick_scan("xyz", g, f, o) == set()
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    st.text(alphabet="abc", max_size=200),
+)
+def test_aho_corasick_equals_naive_contains(patterns, text):
+    g, f, o = aho_corasick_build(patterns)
+    expect = {i for i, p in enumerate(patterns) if p in text}
+    assert aho_corasick_scan(text, g, f, o) == expect
+
+
+def test_aho_corasick_suffix_patterns_via_failure_links():
+    # 'c' ends inside the match of 'abc' — only the failure-merged output
+    # sets report it; a plain trie matcher misses it
+    g, f, o = aho_corasick_build(["abc", "c", "bc"])
+    assert aho_corasick_scan("xabcx", g, f, o) == {0, 1, 2}
+
+
+def test_blocklist_operator_matches_per_pattern_contains(spark, sf_dir):
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["text_blocklist_multimatch"].fn(spark, sf_dir).collect()
+    assert rows, "no blocklist hits — vacuous on this corpus"
+    # spread of hit counts proves the automaton separates docs
+    counts = sorted(r["n_hits"] for r in rows)
+    assert counts[0] >= 1 and counts[-1] <= 16
