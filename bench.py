@@ -114,6 +114,10 @@ HEADLINE = [
     "sketch_space_saving_topk",
     "dedup_suffix_lcp_pairs",
     "events_reservoir_per_key",
+    # round-9b second wave: EOCD-first ZIP walk, one-pass Aho-Corasick
+    # blocklist screening
+    "mm_zip_central_dir_walk",
+    "text_blocklist_multimatch",
 ]
 
 
