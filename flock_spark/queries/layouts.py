@@ -609,3 +609,107 @@ def scan_count_star_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(c)  # 1-row x 1-row scalar joins
     return out
+
+
+RDV_SHARDS = 8  # baseline shard count; the rebalance adds one (-> 9)
+
+
+def _rendezvous_sql(md5l) -> str:
+    """Rendezvous (highest-random-weight) assignment of every document to
+    its shard, before (8 shards) and after (9 shards) a scale-out, both
+    computed from the same per-(doc, shard) 60-bit hash. Reference parity:
+    Flock routes work over a consistent-hash ring
+    (flock/src/distributed_plan/ring.rs); HRW is the simpler assignment
+    with the same minimal-movement property, here expressed relationally
+    so the REBALANCE ITSELF is a query."""
+    h = md5l(
+        "concat('rdv:', CAST(doc_id AS STRING), ':', CAST(s AS STRING))"
+    )
+    return f"""
+    WITH shards AS (SELECT explode(sequence(0, {RDV_SHARDS})) AS s),
+    w AS (
+      SELECT d.doc_id, sh.s, {h} AS h
+      FROM documents d CROSS JOIN shards sh),
+    pick AS (
+      SELECT doc_id,
+             max_by(s, struct(h, s)) FILTER (WHERE s < {RDV_SHARDS})
+               AS shard_before,
+             max_by(s, struct(h, s)) AS shard_after
+      FROM w GROUP BY doc_id)
+    SELECT shard_after,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard_before = shard_after
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+           CAST(sum(CASE WHEN shard_before != shard_after
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+    FROM pick GROUP BY shard_after
+    """
+
+
+@register(
+    "shard_rendezvous_rebalance_audit",
+    oracle=f"""
+    WITH shards AS (SELECT unnest(generate_series(0, {RDV_SHARDS})) AS s),
+    w AS (
+      SELECT d.doc_id, sh.s,
+             {{h}} AS h
+      FROM documents d CROSS JOIN shards sh),
+    ranked AS (
+      SELECT doc_id, s, h,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY h DESC, s DESC) AS rk_all,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY CASE WHEN s < {RDV_SHARDS}
+                                              THEN 0 ELSE 1 END,
+                                         h DESC, s DESC) AS rk_old
+      FROM w),
+    pick AS (
+      SELECT a.doc_id,
+             o.s AS shard_before,
+             a.s AS shard_after
+      FROM (SELECT doc_id, s FROM ranked WHERE rk_all = 1) a
+      JOIN (SELECT doc_id, s FROM ranked
+            WHERE rk_old = 1 AND s < {RDV_SHARDS}) o USING (doc_id))
+    SELECT shard_after,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard_before = shard_after
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+           CAST(sum(CASE WHEN shard_before != shard_after
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+    FROM pick GROUP BY shard_after
+    """,
+    tags=("layout", "scale-pattern", "audit"),
+    doc=f"Rendezvous (highest-random-weight) shard rebalance audit — the "
+    "consistent-hashing math the reference runs in its routing ring "
+    "(flock/src/distributed_plan ring routing), expressed as a QUERY so "
+    "a rebalance can be planned before any byte moves: every document's "
+    f"shard is argmax over md5(doc, shard) for {RDV_SHARDS} shards and "
+    f"again for {RDV_SHARDS + 1}, and the output tabulates per-shard "
+    "stay/move-in counts. HRW's defining theorem — adding a shard moves "
+    "keys ONLY to the new shard (the old argmax survives unless the new "
+    "shard's hash beats it) — is pinned by test: n_moved_in = 0 for "
+    "every pre-existing shard, and the new shard receives ~1/(n+1) of "
+    "the keys. Scale: one explode-by-(n+1) + one map-side max_by per "
+    "doc — no shuffle of document payloads, the plan a 100 TB store "
+    "runs to cost a scale-out BEFORE committing to it. The Spark side "
+    "uses max_by(s, struct(h, s)) with a FILTER clause (one pass for "
+    "both epochs); the oracle re-derives both argmaxes with windowed "
+    "rank, deterministic tiebreak on (h, s).",
+)
+def shard_rendezvous_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.operators.hashing import spark_md5_long
+
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_rendezvous_sql(spark_md5_long))
+
+
+from flock_spark.operators.hashing import duck_md5_long as _duck_md5  # noqa: E402
+
+REGISTRY_ORACLE_H = _duck_md5(
+    "('rdv:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))"
+)
+from flock_spark.registry import REGISTRY as _REG_L  # noqa: E402
+
+_REG_L["shard_rendezvous_rebalance_audit"].oracle = _REG_L[
+    "shard_rendezvous_rebalance_audit"
+].oracle.format(h=REGISTRY_ORACLE_H)

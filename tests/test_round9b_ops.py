@@ -759,3 +759,33 @@ def test_blocklist_operator_matches_per_pattern_contains(spark, sf_dir):
     # spread of hit counts proves the automaton separates docs
     counts = sorted(r["n_hits"] for r in rows)
     assert counts[0] >= 1 and counts[-1] <= 16
+
+
+# ---------------------------------------------------------------------------
+# rendezvous rebalance: HRW's minimal-movement theorem must actually hold
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_moves_only_to_new_shard(spark, sf_dir):
+    from flock_spark.queries.layouts import RDV_SHARDS
+    from flock_spark.registry import REGISTRY
+
+    rows = {
+        r["shard_after"]: r
+        for r in REGISTRY["shard_rendezvous_rebalance_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    # every pre-existing shard received NOTHING; all movement lands on the
+    # new shard (HRW's defining property — a broken argmax breaks this)
+    for s in range(RDV_SHARDS):
+        if s in rows:
+            assert rows[s]["n_moved_in"] == 0, f"shard {s} received movers"
+            assert rows[s]["n_stayed"] == rows[s]["n_docs"]
+    assert RDV_SHARDS in rows, "new shard received nothing — vacuous"
+    new = rows[RDV_SHARDS]
+    assert new["n_moved_in"] == new["n_docs"] > 0
+    # ~1/(n+1) of keys move; allow generous binomial slack
+    total = sum(r["n_docs"] for r in rows.values())
+    frac = new["n_docs"] / total
+    assert 0.4 / (RDV_SHARDS + 1) < frac < 2.5 / (RDV_SHARDS + 1)
