@@ -789,3 +789,40 @@ def test_rendezvous_moves_only_to_new_shard(spark, sf_dir):
     total = sum(r["n_docs"] for r in rows.values())
     frac = new["n_docs"] / total
     assert 0.4 / (RDV_SHARDS + 1) < frac < 2.5 / (RDV_SHARDS + 1)
+
+
+# ---------------------------------------------------------------------------
+# KS two-sample: must equal scipy-free reference computation on raw data
+# ---------------------------------------------------------------------------
+
+
+def test_ks_two_sample_matches_direct_computation(spark, sf_dir):
+    from flock_spark.queries.analytics import KS_A, KS_B
+    from flock_spark.registry import REGISTRY
+
+    row = REGISTRY["analytics_ks_two_sample"].fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    import duckdb
+
+    vals = duckdb.sql(
+        f"""SELECT event_type, CAST(floor(value*100) AS BIGINT)
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('{KS_A}','{KS_B}') AND value IS NOT NULL"""
+    ).fetchall()
+    a = sorted(v for t, v in vals if t == KS_A)
+    b = sorted(v for t, v in vals if t == KS_B)
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    best = -1
+    for v in support:
+        ca = bisect.bisect_right(a, v)
+        cb = bisect.bisect_right(b, v)
+        best = max(best, abs(ca * len(b) - cb * len(a)))
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["ks_num"] == best
+    assert r["ks_bp"] == best * 10000 // (len(a) * len(b))
+    # non-vacuity: two same-generator samples should be CLOSE but the
+    # statistic must be strictly positive (identical CDFs would be 0)
+    assert r["ks_num"] > 0
