@@ -892,3 +892,61 @@ def _ks_sql(idiv: str) -> str:
 def analytics_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ks_sql("div"))
+
+
+def _mwu_sql(idiv: str) -> str:
+    """Exact Mann-Whitney U (rank-sum) between the same two event
+    populations as the KS audit, tie-corrected, in pure integers: with
+    per-distinct-value tie groups, doubled average ranks are
+    2*c_before + cnt + 1 (always integer), so 2*R_a and the doubled U
+    statistics are exact BIGINTs, and the AUC effect size
+    P(A>B) + P(A=B)/2 comes out in basis points by integer division."""
+    return f"""
+    WITH s AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE event_type IN ('{KS_A}', '{KS_B}') AND value IS NOT NULL),
+    n AS (SELECT sum(is_a) AS na, sum(1 - is_a) AS nb FROM s),
+    pts AS (
+      SELECT cents, sum(is_a) AS a_here, count(*) AS cnt
+      FROM s GROUP BY cents),
+    cum AS (
+      SELECT cents, a_here, cnt,
+             sum(cnt) OVER (ORDER BY cents) - cnt AS c_before
+      FROM pts),
+    r AS (  -- doubled tie-averaged rank sum of sample A
+      SELECT sum(a_here * (2 * c_before + cnt + 1)) AS r2a FROM cum)
+    SELECT CAST(n.na AS BIGINT) AS n_a,
+           CAST(n.nb AS BIGINT) AS n_b,
+           CAST(2 * n.na * n.nb + n.na * (n.na + 1) - r.r2a AS BIGINT)
+             AS u2_a,
+           CAST(r.r2a - n.na * (n.na + 1) AS BIGINT) AS u2_b,
+           CAST(((r.r2a - n.na * (n.na + 1)) * 10000)
+                {idiv} (2 * n.na * n.nb) AS BIGINT) AS auc_bp
+    FROM n, r
+    """
+
+
+@register(
+    "analytics_mann_whitney_u",
+    oracle=_mwu_sql("//"),
+    tags=("analytics", "stats", "audit", "window"),
+    doc=f"Exact tie-corrected Mann-Whitney U between the '{KS_A}' and "
+    f"'{KS_B}' value populations — the rank-sum companion to the KS sup "
+    "statistic and the workhorse of A/B evaluation: U_b doubled stays an "
+    "exact BIGINT because doubled tie-averaged ranks are 2*c_before + "
+    "cnt + 1, and the reported AUC (P(a>b) + P(a=b)/2, in basis points) "
+    "is the effect size evaluators actually read (5000 bp = "
+    "indistinguishable). u2_a + u2_b == 2*n_a*n_b by construction — "
+    "pinned by test, a broken rank pass cannot satisfy it while "
+    "matching the direct recomputation. Scale: one grouped count per "
+    "distinct value + one ordered cumulative window over the pooled "
+    "support (|distinct values|, not |events|) — same plan family as "
+    "every ordered cumulative aggregate; no per-pair comparison ever "
+    "materializes, which is what makes rank tests feasible where the "
+    "naive P(A>B) double loop is |a|x|b|.",
+)
+def analytics_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mwu_sql("div"))

@@ -826,3 +826,37 @@ def test_ks_two_sample_matches_direct_computation(spark, sf_dir):
     # non-vacuity: two same-generator samples should be CLOSE but the
     # statistic must be strictly positive (identical CDFs would be 0)
     assert r["ks_num"] > 0
+
+
+def test_mann_whitney_matches_direct_and_partitions(spark, sf_dir):
+    from flock_spark.queries.analytics import KS_A, KS_B
+    from flock_spark.registry import REGISTRY
+
+    r = REGISTRY["analytics_mann_whitney_u"].fn(spark, sf_dir).collect()[0]
+    # partition identity a broken rank pass cannot fake
+    assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
+    import duckdb
+
+    vals = duckdb.sql(
+        f"""SELECT event_type, CAST(floor(value*100) AS BIGINT)
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('{KS_A}','{KS_B}') AND value IS NOT NULL"""
+    ).fetchall()
+    a = [v for t, v in vals if t == KS_A]
+    b = [v for t, v in vals if t == KS_B]
+    # direct doubled-U via pairwise definition on a bounded subsample is
+    # O(n^2); instead recompute via sorted ranks, the textbook formula
+    pooled = sorted(av for av in a + b)
+    import bisect
+
+    r2a = 0
+    for v in a:
+        lo = bisect.bisect_left(pooled, v)
+        hi = bisect.bisect_right(pooled, v)
+        r2a += (lo + 1) + hi  # 2 * average rank
+    u2b = r2a - len(a) * (len(a) + 1)
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["u2_b"] == u2b
+    assert r["auc_bp"] == u2b * 10000 // (2 * len(a) * len(b))
+    # same-generator populations: AUC near 5000 bp but derived exactly
+    assert 4000 < r["auc_bp"] < 6000
