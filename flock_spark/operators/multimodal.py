@@ -1773,9 +1773,9 @@ def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
                     dist = _DIST_BASE[dsym] + br.read(_DIST_EXTRA[dsym])
                     if dist > len(out):
                         raise ValueError("distance beyond output window")
-                    start = len(out) - dist
+                    copy_from = len(out) - dist
                     for k in range(length):  # overlap-safe byte copy
-                        out.append(out[start + k])
+                        out.append(out[copy_from + k])
                 else:
                     raise ValueError(f"invalid literal/length symbol {sym}")
         else:
@@ -1953,15 +1953,24 @@ def gzip_member_parse_at(stream: bytes, start: int) -> tuple[str, int, bytes, in
     mtime = int.from_bytes(stream[start + 4 : start + 8], "little")
     pos = start + 10
     if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(stream):
+            raise ValueError("truncated FEXTRA length")
         xlen = int.from_bytes(stream[pos : pos + 2], "little")
         pos += 2 + xlen
+        if pos > len(stream):
+            raise ValueError("truncated FEXTRA field")
     fname = ""
     if flg & 0x08:  # FNAME, zero-terminated latin-1
-        end = stream.index(b"\x00", pos)
+        end = stream.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("truncated header field: unterminated FNAME")
         fname = stream[pos:end].decode("latin-1")
         pos = end + 1
     if flg & 0x10:  # FCOMMENT
-        pos = stream.index(b"\x00", pos) + 1
+        end = stream.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("truncated header field: unterminated FCOMMENT")
+        pos = end + 1
     if flg & 0x02:  # FHCRC: CRC16 of everything before it
         expect = int.from_bytes(stream[pos : pos + 2], "little")
         if _crc32_own(stream[start:pos]) & 0xFFFF != expect:

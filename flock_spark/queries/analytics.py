@@ -790,20 +790,17 @@ _RESERVOIR_SQL = """
 
 
 def _reservoir_sql(ts_us: str, md5l) -> str:
-    h = md5l(
-        "concat('res:', CAST(user_id AS {t}), ':', CAST(i AS {t}))".format(
-            t="STRING"
-        )
-    )
+    """Both engines' SQL comes from this one template: `md5l` is the
+    engine's 60-bit hash-expression builder (spark_md5_long /
+    duck_md5_long); the concat + CAST(... AS STRING) spelling parses
+    identically on Spark and DuckDB, like every sibling oracle."""
+    h = md5l("concat('res:', CAST(user_id AS STRING), ':', CAST(i AS STRING))")
     return _RESERVOIR_SQL.format(ts_us=ts_us, k=RES_K, h=h)
 
 
 @register(
     "events_reservoir_per_key",
-    oracle=_reservoir_sql("epoch_us(ts)", duck_md5_long).replace(
-        "concat('res:', CAST(user_id AS STRING), ':', CAST(i AS STRING))",
-        "('res:' || CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))",
-    ),
+    oracle=_reservoir_sql("epoch_us(ts)", duck_md5_long),
     tags=("corpus", "sampling", "window", "events"),
     doc=f"Per-key reservoir sample, Vitter's algorithm R with a seeded "
     f"hash as the randomness source: each user's event stream (ordered by "
@@ -900,7 +897,10 @@ def _mwu_sql(idiv: str) -> str:
     per-distinct-value tie groups, doubled average ranks are
     2*c_before + cnt + 1 (always integer), so 2*R_a and the doubled U
     statistics are exact BIGINTs, and the AUC effect size
-    P(A>B) + P(A=B)/2 comes out in basis points by integer division."""
+    P(A>B) + P(A=B)/2 comes out in basis points by integer division.
+    Column convention matches SciPy/Wikipedia: u2_a = 2*U_A =
+    2*R_A - n_a*(n_a+1) (sample A's rank-sum minus its minimum),
+    u2_b = 2*U_B, u2_a + u2_b == 2*n_a*n_b."""
     return f"""
     WITH s AS (
       SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
@@ -919,9 +919,9 @@ def _mwu_sql(idiv: str) -> str:
       SELECT sum(a_here * (2 * c_before + cnt + 1)) AS r2a FROM cum)
     SELECT CAST(n.na AS BIGINT) AS n_a,
            CAST(n.nb AS BIGINT) AS n_b,
+           CAST(r.r2a - n.na * (n.na + 1) AS BIGINT) AS u2_a,
            CAST(2 * n.na * n.nb + n.na * (n.na + 1) - r.r2a AS BIGINT)
-             AS u2_a,
-           CAST(r.r2a - n.na * (n.na + 1) AS BIGINT) AS u2_b,
+             AS u2_b,
            CAST(((r.r2a - n.na * (n.na + 1)) * 10000)
                 {idiv} (2 * n.na * n.nb) AS BIGINT) AS auc_bp
     FROM n, r
@@ -934,9 +934,10 @@ def _mwu_sql(idiv: str) -> str:
     tags=("analytics", "stats", "audit", "window"),
     doc=f"Exact tie-corrected Mann-Whitney U between the '{KS_A}' and "
     f"'{KS_B}' value populations — the rank-sum companion to the KS sup "
-    "statistic and the workhorse of A/B evaluation: U_b doubled stays an "
-    "exact BIGINT because doubled tie-averaged ranks are 2*c_before + "
-    "cnt + 1, and the reported AUC (P(a>b) + P(a=b)/2, in basis points) "
+    "statistic and the workhorse of A/B evaluation: each doubled U stays "
+    "an exact BIGINT because doubled tie-averaged ranks are 2*c_before + "
+    "cnt + 1 (u2_a = 2*U_A = 2*R_A - n_a*(n_a+1), the SciPy/Wikipedia "
+    "convention), and the reported AUC (P(a>b) + P(a=b)/2, in basis points) "
     "is the effect size evaluators actually read (5000 bp = "
     "indistinguishable). u2_a + u2_b == 2*n_a*n_b by construction — "
     "pinned by test, a broken rank pass cannot satisfy it while "

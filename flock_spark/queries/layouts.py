@@ -618,8 +618,8 @@ def _rendezvous_sql(md5l) -> str:
     """Rendezvous (highest-random-weight) assignment of every document to
     its shard, before (8 shards) and after (9 shards) a scale-out, both
     computed from the same per-(doc, shard) 60-bit hash. Reference parity:
-    Flock routes work over a consistent-hash ring
-    (flock/src/distributed_plan/ring.rs); HRW is the simpler assignment
+    Flock picks the next function to execute via consistent hashing
+    (flock/src/runtime/payload.rs:107); HRW is the simpler assignment
     with the same minimal-movement property, here expressed relationally
     so the REBALANCE ITSELF is a query."""
     h = md5l(

@@ -55,87 +55,56 @@ REGISTRY: dict[str, QuerySpec] = {}
 # `tools/sweep_sim.py --plain` at sf0.01 (pinned by tests/test_registry.py).
 # ---------------------------------------------------------------------------
 DRIVER_SLATE: tuple[str, ...] = (
-    # --- round-9 slate: the FULL-REGISTRY CLOSING slate ---
-    # Applied from the committed r9 draft (COVERAGE.md "Committed r9 slate
-    # draft") with the pool recomputed at application time per the draft's
-    # own instruction: CORRECTNESS_r08 was 50/50 green (no re-cert slots
-    # owed), pool = 44 never-driver-tested (29 pre-r8 leftovers + 15 r8
-    # additions, including the two late SQL-surface entries sql_xml_shred /
-    # sql_try_arithmetic_audit that the draft counted into its checksum but
-    # omitted from the verbatim list — VERDICT.md r8 "What's wrong" item 2).
-    # 2 canaries + 4 spare slots used as oldest-certified-first re-certs
-    # (all round-1, spanning agg/topk/window/set families) + the 44 = 50.
-    # Cheap-first; the three first-execution-heavy entries at the tail,
-    # interleaved with cheap ones so no two memo-heavy entries are adjacent;
-    # no streaming drains in this pool at all.
     "proj_arith",
     "join_inner",
-    # re-cert spares: changed-entry first (dedup_lsh_recall_audit's
-    # recall_bp gained a zero-truth guard this round — rotation policy says
-    # a changed certified entry re-certifies THE round it changed, jumping
-    # the staleness queue), then oldest-certified-first round-1 greens.
-    # Three spare slots were reclaimed by the round-9 codec additions below
-    # (new never-certified entries take slots ahead of all re-certs).
-    "dedup_lsh_recall_audit",
-    # round-9 additions: genuinely compressed payload decode x3
-    "mm_gif_lzw_decode",
-    "mm_png_inflate_stored",
-    "mm_zlib_inflate_dynamic",
-    # SQL surface x7
-    "sql_collation_ci_agg",
-    "sql_luhn_check_audit",
-    "sql_utf8_validation_audit",
-    "sql_listagg_within_group",
-    "sql_lateral_topk_per_group",
-    "sql_xml_shred",
-    "sql_try_arithmetic_audit",
-    # agg/window x4
-    "agg_filter_clause",
-    "window_percentiles_twopass",
-    "events_log2_value_histogram",
-    "events_gap_log2_histogram",
-    # scans/layout x5
-    "scan_count_star_pruned",
-    "orc_roundtrip_scan",
-    "maintenance_compaction_plan",
-    "table_profile_stats",
-    "join_shuffle_hash_hint",
-    # sketch natives x4
-    "bitmap_exact_distinct_native",
-    "theta_sketch_native_audit",
-    "approx_top_k_native_audit",
-    "datasketches_union_merge_audit",
-    # corpus x6
-    "corpus_length_band_twopass",
-    "corpus_ngram_novelty",
-    "corpus_domain_mix_rates",
-    "corpus_epoch_repeat_schedule",
-    "corpus_source_drift_chi2",
-    "corpus_quality_dup_calibration",
-    # events x4
-    "events_revenue_pareto80",
-    "events_sessionized_bounce_rate",
-    "events_velocity_range_frame",
-    "events_session_gap_sweep",
-    # text/tokenizer x3
-    "text_langid_confusion_audit",
-    "text_url_canonicalize_dedup",
-    "tokenizer_vocab_coverage_curve",
-    # table x1
-    "table_snapshot_diff_cdf",
-    # multimodal x3
-    "mm_gif_header_dims",
-    "mm_image_tile_stats",
-    "mm_resize_bilinear",
-    # similarity x2
-    "ann_radius_search",
-    "embedding_matryoshka_recall_audit",
-    # tail x5: first-execution heavies interleaved with cheap entries
-    "embedding_cosine_calibration_bins",
-    "ann_ivf_nprobe_recall_curve",
-    "dedup_lsh_band_tradeoff_audit",
-    "ivm_window_delta",
-    "graph_2hop_reach_hll_audit",
+    "agg_basic",
+    "window_running_sum",
+    "sort_limit_topk",
+    "pandas_udaf_weighted_mean",
+    "hll_sketch_portable",
+    "dedup_exact",
+    "zorder_layout_scan",
+    "text_blocklist_multimatch",
+    "dedup_suffix_lcp_pairs",
+    "mm_gzip_member_parse",
+    "mm_png_chunk_walk",
+    "mm_gif_deinterlace",
+    "mm_tar_member_walk",
+    "mm_gzip_multistream_walk",
+    "mm_zip_central_dir_walk",
+    "corpus_quota_largest_remainder",
+    "sketch_space_saving_topk",
+    "sketch_tdigest_quantile_audit",
+    "shard_rendezvous_rebalance_audit",
+    "events_reservoir_per_key",
+    "analytics_ks_two_sample",
+    "analytics_mann_whitney_u",
+    "streaming_tumbling_agg",  # heavy
+    "agg_count_distinct",
+    "agg_having",
+    "case_when",
+    "correlated_exists",
+    "date_funcs",
+    "distinct_select",
+    "filter_complex",
+    "filter_mod",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_cross",
+    "join_full_outer",
+    "join_global_max",
+    "join_range_theta",
+    "join_self_agg_max",
+    "join_semi",
+    "nexmark_q3_join_filter",
+    "nexmark_q4_avg_of_max",
+    "nexmark_q6_double_rownum",
+    "nexmark_q7_max_per_window",
+    "nexmark_q8_sellers",
+    "nexmark_q9_winning_bids",
+    "set_except",
+    "set_intersect",
+    "dedup_edit_distance_pairs",  # heavy
 )
 
 # Machine-readable certification history: registry name -> FIRST round with a
@@ -294,6 +263,31 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "table_referential_integrity_audit": 8, "table_skew_audit": 8,
     "text_hashed_linear_quality": 8, "timeseries_seasonal_baseline": 8,
     "unpivot_melt_wide": 8,
+    # round 9 (47 entries)
+    "agg_filter_clause": 9, "ann_ivf_nprobe_recall_curve": 9,
+    "ann_radius_search": 9, "approx_top_k_native_audit": 9,
+    "bitmap_exact_distinct_native": 9, "corpus_domain_mix_rates": 9,
+    "corpus_epoch_repeat_schedule": 9, "corpus_length_band_twopass": 9,
+    "corpus_ngram_novelty": 9, "corpus_quality_dup_calibration": 9,
+    "corpus_source_drift_chi2": 9, "datasketches_union_merge_audit": 9,
+    "dedup_lsh_band_tradeoff_audit": 9, "embedding_cosine_calibration_bins": 9,
+    "embedding_matryoshka_recall_audit": 9, "events_gap_log2_histogram": 9,
+    "events_log2_value_histogram": 9, "events_revenue_pareto80": 9,
+    "events_session_gap_sweep": 9, "events_sessionized_bounce_rate": 9,
+    "events_velocity_range_frame": 9, "graph_2hop_reach_hll_audit": 9,
+    "ivm_window_delta": 9, "join_shuffle_hash_hint": 9,
+    "maintenance_compaction_plan": 9, "mm_gif_header_dims": 9,
+    "mm_gif_lzw_decode": 9, "mm_image_tile_stats": 9,
+    "mm_png_inflate_stored": 9, "mm_resize_bilinear": 9,
+    "mm_zlib_inflate_dynamic": 9, "orc_roundtrip_scan": 9,
+    "scan_count_star_pruned": 9, "sql_collation_ci_agg": 9,
+    "sql_lateral_topk_per_group": 9, "sql_listagg_within_group": 9,
+    "sql_luhn_check_audit": 9, "sql_try_arithmetic_audit": 9,
+    "sql_utf8_validation_audit": 9, "sql_xml_shred": 9,
+    "table_profile_stats": 9, "table_snapshot_diff_cdf": 9,
+    "text_langid_confusion_audit": 9, "text_url_canonicalize_dedup": 9,
+    "theta_sketch_native_audit": 9, "tokenizer_vocab_coverage_curve": 9,
+    "window_percentiles_twopass": 9,
 }
 
 # Cumulative driver-certified set (derived view; kept for existing callers).

@@ -102,6 +102,22 @@ def test_gzip_rejects_corruption_at_each_layer():
         gzip_member_parse(bytes(bad))
 
 
+def test_gzip_rejects_truncated_header_fields():
+    """A malformed member must raise a clear header error, not scan past its
+    own bytes and mis-frame (ADVICE r9: bound the NUL search + FEXTRA)."""
+    member = gzip_member_build("name.txt", 5, b"x" * 40)
+    # FNAME flag is set; cut the stream inside the name, before its NUL
+    name_region_end = member.index(b"\x00", 10)
+    with pytest.raises(ValueError, match="FNAME"):
+        gzip_member_parse(member[:name_region_end])
+    # FEXTRA advancing past the end of the stream
+    hdr = bytearray(member[:10])
+    hdr[3] = 0x04  # FLG = FEXTRA only
+    bad = bytes(hdr) + (1000).to_bytes(2, "little") + b"\x00" * 4
+    with pytest.raises(ValueError, match="FEXTRA"):
+        gzip_member_parse(bad + b"\x00" * 8)  # pad past the 18-byte floor
+
+
 # ---------------------------------------------------------------------------
 # PNG container walk
 # ---------------------------------------------------------------------------
@@ -854,9 +870,9 @@ def test_mann_whitney_matches_direct_and_partitions(spark, sf_dir):
         lo = bisect.bisect_left(pooled, v)
         hi = bisect.bisect_right(pooled, v)
         r2a += (lo + 1) + hi  # 2 * average rank
-    u2b = r2a - len(a) * (len(a) + 1)
+    u2a = r2a - len(a) * (len(a) + 1)  # 2*U_A, SciPy/Wikipedia convention
     assert (r["n_a"], r["n_b"]) == (len(a), len(b))
-    assert r["u2_b"] == u2b
-    assert r["auc_bp"] == u2b * 10000 // (2 * len(a) * len(b))
+    assert r["u2_a"] == u2a
+    assert r["auc_bp"] == u2a * 10000 // (2 * len(a) * len(b))
     # same-generator populations: AUC near 5000 bp but derived exactly
     assert 4000 < r["auc_bp"] < 6000
