@@ -1261,3 +1261,109 @@ def text_blocklist_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(d).mapInPandas(
         run, schema="doc_id long, n_hits long, hits_md5 string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal / main-text extraction (jusText-shaped line filter)
+# ---------------------------------------------------------------------------
+
+BOILER_LINE_W = 8  # words per pseudo-line
+_BOILER_HEADER = "<a> home </a> <a> about </a> <a> contact </a>"
+_BOILER_FOOTER = "copyright <a> terms </a> <a> privacy </a>"
+_BOILER_SIDEBAR = "<a> login </a>"
+
+
+def _boiler_sql(words_select: str, listagg_line: str, listagg_kept: str,
+                idiv: str) -> str:
+    """One template produces both engines' SQL; the holes are the engine's
+    positional-explode spelling, its ordered string-aggregate spelling,
+    and its integer-division operator. Classification is pure integer
+    arithmetic: a line is LINK boilerplate when link tokens are at least
+    half its tokens (2*n_link >= n_tokens), LOWSTOP when it has zero
+    stopwords ('a'/'the' — jusText's stopword-density gate with the
+    threshold at the only cross-engine-exact value), KEEP otherwise."""
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, 0 AS part, '{_BOILER_HEADER}' AS ptext FROM documents
+      UNION ALL SELECT doc_id, 1, text FROM documents
+      UNION ALL SELECT doc_id, 2, '{_BOILER_FOOTER}' FROM documents
+      UNION ALL SELECT doc_id, 3, '{_BOILER_SIDEBAR}' FROM documents
+        WHERE doc_id % 2 = 1),
+    words AS ({words_select}),
+    lines AS (
+      SELECT doc_id, part, pos {idiv} {BOILER_LINE_W} AS line_no,
+             {listagg_line} AS line,
+             count(*) AS n_tokens,
+             sum(CASE WHEN word IN ('<a>', '</a>') THEN 1 ELSE 0 END)
+               AS n_link,
+             sum(CASE WHEN word IN ('a', 'the') THEN 1 ELSE 0 END) AS n_stop
+      FROM words
+      GROUP BY doc_id, part, pos {idiv} {BOILER_LINE_W}),
+    classified AS (
+      SELECT doc_id, part, line_no, line, length(line) AS n_chars,
+             CASE WHEN 2 * n_link >= n_tokens THEN 'link'
+                  WHEN n_stop = 0 THEN 'lowstop'
+                  ELSE 'keep' END AS verdict
+      FROM lines)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN verdict = 'link' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_link,
+           CAST(sum(CASE WHEN verdict = 'lowstop' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_lowstop,
+           CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce(sum(CASE WHEN verdict = 'keep' THEN n_chars END), 0)
+                AS BIGINT) AS kept_chars,
+           md5(coalesce({listagg_kept}, '')) AS kept_md5
+    FROM classified
+    GROUP BY doc_id
+    """
+
+
+_BOILER_SPARK = _boiler_sql(
+    words_select="SELECT doc_id, part, pos, word FROM pages "
+    "LATERAL VIEW posexplode(split(ptext, ' ')) t AS pos, word",
+    listagg_line="listagg(word, ' ') WITHIN GROUP (ORDER BY pos)",
+    listagg_kept="listagg(CASE WHEN verdict = 'keep' THEN line END, chr(10)) "
+    "WITHIN GROUP (ORDER BY part, line_no)",
+    idiv="div",
+)
+
+_BOILER_DUCK = _boiler_sql(
+    words_select="SELECT doc_id, part, "
+    "generate_subscripts(string_split(ptext, ' '), 1) - 1 AS pos, "
+    "unnest(string_split(ptext, ' ')) AS word FROM pages",
+    listagg_line="string_agg(word, ' ' ORDER BY pos)",
+    listagg_kept="string_agg(line, chr(10) ORDER BY part, line_no) "
+    "FILTER (WHERE verdict = 'keep')",
+    idiv="//",
+)
+
+
+@register(
+    "text_boilerplate_linefilter",
+    oracle=_BOILER_DUCK,
+    tags=("text", "corpus", "cleaning", "sql"),
+    doc="Boilerplate-removal / main-text extraction, the jusText/"
+    "trafilatura-shaped line classifier that is the first cleaning pass "
+    "of every web-corpus pipeline: each document becomes a page "
+    f"(a nav header, its text chunked into {BOILER_LINE_W}-word lines, a "
+    "footer, and for odd doc_ids a sidebar — the synthetic lines carry "
+    "real <a>-tag link tokens), then EVERY line goes through one "
+    "classifier: LINK boilerplate when link tokens make up at least half "
+    "the line (2*n_link >= n_tokens, the integer link-density gate that "
+    "kills nav/footer chrome), LOWSTOP when the line has no stopwords "
+    "(jusText's stopword-density gate — content prose keeps function "
+    "words, keyword-stuffed chrome does not), KEEP otherwise. Emits "
+    "per-document drop counts by reason, surviving char mass, and the "
+    "md5 of the kept text in document order (the actual extraction "
+    "output). Fully declarative on both engines — one posexplode + two "
+    "ordered aggregates, no UDF: at 100 TB this is a per-document "
+    "shuffle-free pipeline after the explode, the same plan family as "
+    "every tokenize-then-aggregate pass, and Catalyst keeps the whole "
+    "classification in whole-stage codegen.",
+)
+def text_boilerplate_linefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_BOILER_SPARK)

@@ -65,6 +65,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "dedup_exact",
     "zorder_layout_scan",
     "text_blocklist_multimatch",
+    "text_boilerplate_linefilter",
     "dedup_suffix_lcp_pairs",
     "mm_gzip_member_parse",
     "mm_png_chunk_walk",
@@ -72,14 +73,15 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_tar_member_walk",
     "mm_gzip_multistream_walk",
     "mm_zip_central_dir_walk",
+    "mm_warc_record_walk",
     "corpus_quota_largest_remainder",
     "sketch_space_saving_topk",
     "sketch_tdigest_quantile_audit",
     "shard_rendezvous_rebalance_audit",
     "events_reservoir_per_key",
+    "streaming_tumbling_agg",  # heavy
     "analytics_ks_two_sample",
     "analytics_mann_whitney_u",
-    "streaming_tumbling_agg",  # heavy
     "agg_count_distinct",
     "agg_having",
     "case_when",
@@ -102,8 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q7_max_per_window",
     "nexmark_q8_sellers",
     "nexmark_q9_winning_bids",
-    "set_except",
-    "set_intersect",
     "dedup_edit_distance_pairs",  # heavy
 )
 
