@@ -3045,3 +3045,515 @@ def mm_warc_record_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "response_content_length long, http_status long, body_len long, "
         "body_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): from-spec encoder + decoder.
+#
+# The decoder reads EVERYTHING from the stream — quantization tables from
+# DQT, Huffman tables rebuilt canonically from DHT's BITS/HUFFVAL, dims from
+# SOF0 — and shares no table state with the encoder; only the public zigzag
+# order constant (T.81 Figure A.6) is common, as it is spec data.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K.1 luminance quantization table (Q[0][0] = 16: a power of two, which
+# keeps the constant-block decode path exactly integer-derivable — see the
+# registry entry's oracle) and K.3.1 typical luminance Huffman tables.
+_JPEG_QTABLE = (
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+)
+_DC_BITS = (0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment per T.81 C.2: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, built by the same canonical rule but keyed
+    for the reader side."""
+    return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with T.81 byte stuffing (FF -> FF 00) and a
+    1-fill flush (F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment, unstuffing
+    FF 00 and stopping (ValueError) at any true marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy segment ran out of bytes")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("dangling FF in entropy segment")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"marker FF{nxt:02X} inside entropy segment"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _jpeg_category(v: int) -> int:
+    """T.81 F.1.2.1: the magnitude category (number of additional bits)."""
+    a = abs(v)
+    s = 0
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def jpeg_encode_ecs(blocks: list[list[int]]) -> bytes:
+    """Entropy-code zigzag-ordered quantized coefficient blocks (DC diff +
+    category bits; AC run/size with ZRL and EOB) with the Annex K tables.
+    Exposed separately so tests can drive the run-length paths directly."""
+    dc_tab = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_tab = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        diff = blk[0] - pred
+        pred = blk[0]
+        s = _jpeg_category(diff)
+        code, ln = dc_tab[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = blk[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]  # ZRL
+                w.write(code, ln)
+                run -= 16
+            s = _jpeg_category(v)
+            if s > 10:
+                raise ValueError(f"AC coefficient {v} exceeds category 10")
+            code, ln = ac_tab[(run << 4) | s]
+            w.write(code, ln)
+            w.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = ac_tab[0x00]  # EOB
+            w.write(code, ln)
+    return w.flush()
+
+
+def jpeg_decode_ecs(
+    data: bytes, pos: int, n_blocks: int,
+    dc_map: dict[tuple[int, int], int], ac_map: dict[tuple[int, int], int],
+) -> tuple[list[list[int]], int]:
+    """Decode n_blocks zigzag-ordered coefficient blocks from the entropy
+    segment starting at pos; returns (blocks, end_pos)."""
+
+    def extend(v: int, s: int) -> int:
+        return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+    r = _JpegBitReader(data, pos)
+    blocks: list[list[int]] = []
+    pred = 0
+    for _ in range(n_blocks):
+        blk = [0] * 64
+        s = r.read_symbol(dc_map)
+        diff = extend(r.read_bits(s), s) if s else 0
+        pred += diff
+        blk[0] = pred
+        k = 1
+        while k < 64:
+            rs = r.read_symbol(ac_map)
+            run, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            blk[k] = extend(r.read_bits(s), s)
+            k += 1
+        blocks.append(blk)
+    return blocks, r.pos
+
+
+def _dct_basis(np):
+    """Orthonormal 8-point DCT-II matrix C: DCT = C @ X @ C.T."""
+    C = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / 2.0) ** 0.5 if u == 0 else 1.0
+        for x in range(8):
+            C[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return C
+
+
+def jpeg_encode_baseline(grid, np) -> bytes:
+    """A complete baseline JFIF-style stream for an 8-bit grayscale image
+    whose dims are multiples of 8: SOI, DQT (Annex K luminance), SOF0
+    (1 component, no subsampling), DHT x2, SOS, entropy data, EOI."""
+    h, w = grid.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder requires multiple-of-8 dims")
+    C = _dct_basis(np)
+    import math
+
+    blocks: list[list[int]] = []
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = grid[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = C @ block @ C.T
+            # the DC of the orthonormal DCT-II is EXACTLY sum/8; computing it
+            # as such (integer sum, power-of-two divisions — all float-exact)
+            # keeps DC quantization off the .5 rounding knife edge the matmul
+            # noise would otherwise land on (Q[0]=16 makes sum/128 + 0.5 a
+            # chain of exact operations)
+            coef[0, 0] = float(int(block.sum())) / 8.0
+            zz = [
+                int(math.floor(coef[z // 8, z % 8] / _JPEG_QTABLE[i] + 0.5))
+                for i, z in enumerate(_ZIGZAG)
+            ]
+            blocks.append(zz)
+    ecs = jpeg_encode_ecs(blocks)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9"
+
+
+def jpeg_decode_baseline(data: bytes, np):
+    """Decode a baseline grayscale JPEG built from the subset above, reading
+    every table from the stream: marker walk, DQT (8-bit), DHT rebuilt
+    canonically from BITS/HUFFVAL, SOF0 dims, SOS, entropy decode, dequant,
+    dezigzag, float IDCT, level shift + round + clamp. Returns
+    (grid uint8 ndarray, n_blocks). ValueError on any violation."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI marker")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dims = None
+    while True:
+        if pos + 4 > len(data) or data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        length = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        payload = data[pos + 4 : pos + 2 + length]
+        if len(payload) != length - 2:
+            raise ValueError(f"truncated segment FF{marker:02X}")
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq_tq = payload[p]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[pq_tq & 0x0F] = list(payload[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc_th = payload[p]
+                bits = (0,) + tuple(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = tuple(payload[p + 17 : p + 17 + n])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_map(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:
+            if payload[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            hh = int.from_bytes(payload[1:3], "big")
+            ww = int.from_bytes(payload[3:5], "big")
+            if payload[5] != 1 or payload[7] != 0x11:
+                raise ValueError("only 1 non-subsampled component supported")
+            dims = (hh, ww, payload[8])  # h, w, quant table id
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(f"non-baseline frame marker FF{marker:02X}")
+        elif marker == 0xDA:
+            if payload[0] != 1:
+                raise ValueError("single-component scan expected")
+            td, ta = payload[2] >> 4, payload[2] & 0x0F
+            pos = pos + 2 + length
+            break
+        pos = pos + 2 + length
+    if dims is None:
+        raise ValueError("no SOF0 before SOS")
+    h, w, tq = dims
+    if tq not in qtables:
+        raise ValueError(f"scan references missing quant table {tq}")
+    if (0, td) not in huff or (1, ta) not in huff:
+        raise ValueError("scan references missing Huffman table")
+    n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
+    blocks, end = jpeg_decode_ecs(
+        data, pos, n_blocks, huff[(0, td)], huff[(1, ta)]
+    )
+    if data[end : end + 2] != b"\xff\xd9":
+        raise ValueError("missing EOI after entropy data")
+    q = qtables[tq]
+    C = _dct_basis(np)
+    import math
+
+    grid = np.zeros((h, w), dtype=np.uint8)
+    bw = (w + 7) // 8
+    for bi, zz in enumerate(blocks):
+        coef = np.zeros((8, 8))
+        for i, z in enumerate(_ZIGZAG):
+            coef[z // 8, z % 8] = zz[i] * q[i]
+        pix = C.T @ coef @ C
+        by, bx = (bi // bw) * 8, (bi % bw) * 8
+        for i in range(8):
+            for j in range(8):
+                grid[by + i, bx + j] = min(
+                    255, max(0, int(math.floor(pix[i, j] + 128.5)))
+                )
+    return grid, blocks
+
+
+def _jpeg_const_exprs(dialect_div: str) -> tuple[str, str]:
+    """(sum_expr, concat_expr) re-deriving the 8 constant-block decoded
+    pixel values in SQL: quantize(DC)=floor((v-128)/2+0.5) with Q[0]=16 is
+    (v+129) div 2 - 128 in exact integers, and the DC-only IDCT lands on
+    2*qDC + 128 — so decoded = 2*((v+129) div 2) - 128, provably noise-free
+    (the exact pre-round pixel is an integer, so the .5 offset never sits
+    on a floor boundary)."""
+    vals = [
+        f"(2 * ((ascii(substring(text, {k + 1}, 1)) + 129) {dialect_div} 2) - 128)"
+        for k in range(8)
+    ]
+    cat = "md5(concat_ws(','," + ",".join(
+        f" CAST({v} AS VARCHAR)" for v in vals
+    ) + "))"
+    return " + ".join(vals), cat
+
+
+_JPEG_SUM_DUCK, _JPEG_MD5_DUCK = _jpeg_const_exprs("//")
+
+
+@register(
+    "mm_jpeg_baseline_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS n_blocks,
+           CAST({_JPEG_SUM_DUCK} AS BIGINT) AS const_px_sum,
+           {_JPEG_MD5_DUCK} AS const_px_md5
+    FROM documents
+    WHERE length(text) >= 16
+    """,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="Baseline JPEG entropy decode from the ITU-T T.81 spec — the last "
+    "real-codec gap after DEFLATE/LZW: each document seeds a 32x32 "
+    "grayscale image (8 constant blocks from its first 8 chars; 8 "
+    "gradient/checkerboard pattern blocks driving nonzero ACs through "
+    "the run/size alphabet), the from-spec encoder emits a complete "
+    "SOI/DQT/SOF0/DHT/SOS stream (Annex K tables, byte stuffing, DC "
+    "prediction), and the from-spec decoder reads EVERY table back from "
+    "the stream — canonical Huffman rebuilt from DHT BITS/HUFFVAL, "
+    "quant from DQT, dims from SOF0 — then entropy-decodes, dequantizes, "
+    "dezigzags and runs the float IDCT. Certified three ways: (1) the "
+    "entropy layer is proven lossless in-UDF by re-encoding the decoded "
+    "coefficients and demanding the stream's ECS bit-for-bit; (2) the "
+    "constant-block decoded pixels follow an exact integer closed form "
+    "(quantize+IDCT of a DC-only block with Q[0]=16 reduces to "
+    "2*((v+129) div 2) - 128, never on a float rounding boundary) that "
+    "the oracle re-derives per char in SQL; (3) width/height/block count "
+    "certify the marker walk. Scale: image-parallel mapInPandas like "
+    "every codec sibling — one task per shard, no shuffle; per-object "
+    "decode is the embarrassingly parallel shape of a 100 TB image-"
+    "corpus ingest.",
+)
+def mm_jpeg_baseline_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 16)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_blocks": [],
+                "const_px_sum": [], "const_px_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chars = [ord(c) for c in str(text)[:16]]
+                grid = np.zeros((32, 32), dtype=np.uint8)
+                for k in range(8):
+                    by, bx = (k // 4) * 8, (k % 4) * 8
+                    grid[by : by + 8, bx : bx + 8] = chars[k]
+                for k in range(8, 16):
+                    by, bx = (k // 4) * 8, (k % 4) * 8
+                    c = chars[k]
+                    if k % 2 == 0:  # smooth gradient: low-frequency ACs, EOB
+                        blk = [
+                            [(c + 16 * i + 4 * j) % 256 for j in range(8)]
+                            for i in range(8)
+                        ]
+                    else:  # checkerboard: high-frequency ACs, long runs
+                        blk = [
+                            [((i + j) % 2) * c for j in range(8)]
+                            for i in range(8)
+                        ]
+                    grid[by : by + 8, bx : bx + 8] = np.array(blk, np.uint8)
+                data = jpeg_encode_baseline(grid, np)
+                dec, blocks = jpeg_decode_baseline(data, np)
+                if dec.shape != (32, 32) or len(blocks) != 16:
+                    raise ValueError(f"decode shape mismatch for doc {doc_id}")
+                sos = data.find(b"\xff\xda")
+                ecs_start = sos + 2 + int.from_bytes(
+                    data[sos + 2 : sos + 4], "big"
+                )
+                if jpeg_encode_ecs(blocks) != data[ecs_start:-2]:
+                    raise ValueError(
+                        f"entropy layer not lossless for doc {doc_id}"
+                    )
+                const_vals = [int(dec[(k // 4) * 8, (k % 4) * 8]) for k in range(8)]
+                for k in range(8):
+                    if const_vals[k] != 2 * ((chars[k] + 129) // 2) - 128:
+                        raise ValueError(
+                            f"constant-block closed form violated: doc "
+                            f"{doc_id} block {k}"
+                        )
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(dec.shape[1])
+                rows["height"].append(dec.shape[0])
+                rows["n_blocks"].append(len(blocks))
+                rows["const_px_sum"].append(sum(const_vals))
+                rows["const_px_md5"].append(
+                    hashlib.md5(
+                        ",".join(str(v) for v in const_vals).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int64"),
+                    "height": pd.Series(rows["height"], dtype="int64"),
+                    "n_blocks": pd.Series(rows["n_blocks"], dtype="int64"),
+                    "const_px_sum": pd.Series(
+                        rows["const_px_sum"], dtype="int64"
+                    ),
+                    "const_px_md5": pd.Series(
+                        rows["const_px_md5"], dtype="object"
+                    ),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, width long, height long, n_blocks long, "
+        "const_px_sum long, const_px_md5 string",
+    )

@@ -74,12 +74,13 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_gzip_multistream_walk",
     "mm_zip_central_dir_walk",
     "mm_warc_record_walk",
+    "mm_jpeg_baseline_decode",
     "corpus_quota_largest_remainder",
     "sketch_space_saving_topk",
     "sketch_tdigest_quantile_audit",
     "shard_rendezvous_rebalance_audit",
-    "events_reservoir_per_key",
     "streaming_tumbling_agg",  # heavy
+    "events_reservoir_per_key",
     "analytics_ks_two_sample",
     "analytics_mann_whitney_u",
     "agg_count_distinct",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q6_double_rownum",
     "nexmark_q7_max_per_window",
     "nexmark_q8_sellers",
-    "nexmark_q9_winning_bids",
     "dedup_edit_distance_pairs",  # heavy
 )
 

@@ -194,3 +194,137 @@ def test_boilerplate_filter_matches_python_replay(spark, sf_dir):
         assert r["n_kept"] == len(kept)
         assert r["kept_chars"] == sum(len(k) for k in kept)
         assert r["kept_md5"] == hashlib.md5("\n".join(kept).encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_entropy_layer_roundtrips_handbuilt_blocks():
+    """Drive the run/size alphabet directly: EOB, ZRL chains (62-zero run),
+    negatives, the DC prediction chain, and the category-10 edge."""
+    from flock_spark.operators.multimodal import (
+        _AC_BITS, _AC_VALS, _DC_BITS, _DC_VALS,
+        _huff_decode_map, jpeg_decode_ecs, jpeg_encode_ecs,
+    )
+
+    dc = _huff_decode_map(_DC_BITS, _DC_VALS)
+    ac = _huff_decode_map(_AC_BITS, _AC_VALS)
+    blocks = [
+        [5] + [0] * 62 + [3],            # 3 ZRLs then (14,2)
+        [-9] + [0] * 63,                  # EOB immediately, negative DC diff
+        [100, -1, 2, 0, 0, -3] + [0] * 58,
+        [0] * 64,                         # zero block: diff 0 + EOB
+        [7] + [1023, -1023] + [0] * 61,   # category-10 AC extremes
+    ]
+    ecs = jpeg_encode_ecs(blocks)
+    out, end = jpeg_decode_ecs(ecs, 0, len(blocks), dc, ac)
+    assert out == blocks
+    assert end == len(ecs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="category 10"):
+        jpeg_encode_ecs([[0] + [1024] + [0] * 62])
+
+
+def test_jpeg_full_stream_coefficient_lossless_and_pixels():
+    """Encode a rich random image; the decoder (which rebuilds all tables
+    from the stream) must recover the quantized coefficients exactly, and
+    its pixels must equal an independent numpy dequant+IDCT replay."""
+    import math
+
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        _JPEG_QTABLE, _ZIGZAG, _dct_basis,
+        jpeg_decode_baseline, jpeg_encode_baseline,
+    )
+
+    rng = np.random.RandomState(3)
+    grid = rng.randint(0, 256, (16, 24)).astype(np.uint8)
+    data = jpeg_encode_baseline(grid, np)
+    dec, blocks = jpeg_decode_baseline(data, np)
+    assert dec.shape == (16, 24)
+    assert len(blocks) == 6
+    C = _dct_basis(np)
+    bi = 0
+    for by in range(0, 16, 8):
+        for bx in range(0, 24, 8):
+            b = grid[by : by + 8, bx : bx + 8].astype(float) - 128.0
+            coef = C @ b @ C.T
+            coef[0, 0] = float(int(b.sum())) / 8.0
+            want = [
+                int(math.floor(coef[z // 8, z % 8] / _JPEG_QTABLE[i] + 0.5))
+                for i, z in enumerate(_ZIGZAG)
+            ]
+            assert blocks[bi] == want, f"block {bi} coefficients diverge"
+            cm = np.zeros((8, 8))
+            for i, z in enumerate(_ZIGZAG):
+                cm[z // 8, z % 8] = want[i] * _JPEG_QTABLE[i]
+            pix = C.T @ cm @ C
+            for i in range(8):
+                for j in range(8):
+                    assert dec[by + i, bx + j] == min(
+                        255, max(0, int(math.floor(pix[i, j] + 128.5)))
+                    )
+            bi += 1
+
+
+def test_jpeg_byte_stuffing_occurs_and_roundtrips():
+    """Find a seed whose entropy segment contains a stuffed FF 00 — proving
+    the writer emits 0xFF bytes and the reader unstuffs them."""
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        jpeg_decode_baseline, jpeg_encode_baseline,
+    )
+
+    for seed in range(64):
+        grid = (
+            np.random.RandomState(seed).randint(0, 256, (16, 16)).astype(np.uint8)
+        )
+        data = jpeg_encode_baseline(grid, np)
+        sos = data.find(b"\xff\xda")
+        ecs = data[sos + 2 + int.from_bytes(data[sos + 2 : sos + 4], "big") : -2]
+        if b"\xff\x00" in ecs:
+            jpeg_decode_baseline(data, np)  # must not raise
+            return
+    pytest.fail("no seed produced a stuffed byte in 64 tries")
+
+
+def test_jpeg_constant_block_closed_form_all_values():
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        jpeg_decode_baseline, jpeg_encode_baseline,
+    )
+
+    for v in range(0, 256, 7):
+        g = np.full((8, 8), v, dtype=np.uint8)
+        dec, _ = jpeg_decode_baseline(jpeg_encode_baseline(g, np), np)
+        expect = min(255, max(0, 2 * ((v + 129) // 2) - 128))
+        assert set(dec.flatten().tolist()) == {expect}, f"v={v}"
+
+
+def test_jpeg_decoder_rejects_malformed_streams():
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        jpeg_decode_baseline, jpeg_encode_baseline,
+    )
+
+    grid = np.full((8, 8), 99, dtype=np.uint8)
+    good = jpeg_encode_baseline(grid, np)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_baseline(b"\xff\xd9" + good[2:], np)
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_decode_baseline(good.replace(b"\xff\xc0", b"\xff\xc2", 1), np)
+    with pytest.raises(ValueError, match="EOI|entropy"):
+        jpeg_decode_baseline(good[:-4], np)  # cut into ECS + EOI
+    # a marker byte planted inside the entropy segment must be caught
+    sos = good.find(b"\xff\xda")
+    ecs_start = sos + 2 + int.from_bytes(good[sos + 2 : sos + 4], "big")
+    bad = good[:ecs_start] + b"\xff\xd4" + good[ecs_start:]
+    with pytest.raises(ValueError, match="marker FFD4|invalid Huffman"):
+        jpeg_decode_baseline(bad, np)
