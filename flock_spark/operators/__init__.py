@@ -13,3 +13,4 @@ import flock_spark.operators.incremental  # noqa: F401
 import flock_spark.operators.sketches  # noqa: F401
 import flock_spark.operators.graph  # noqa: F401
 import flock_spark.operators.geo  # noqa: F401
+import flock_spark.operators.formats  # noqa: F401

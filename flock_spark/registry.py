@@ -78,8 +78,9 @@ DRIVER_SLATE: tuple[str, ...] = (
     "corpus_quota_largest_remainder",
     "sketch_space_saving_topk",
     "sketch_tdigest_quantile_audit",
-    "shard_rendezvous_rebalance_audit",
+    "scan_parquet_footer_thrift_walk",
     "streaming_tumbling_agg",  # heavy
+    "shard_rendezvous_rebalance_audit",
     "events_reservoir_per_key",
     "analytics_ks_two_sample",
     "analytics_mann_whitney_u",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q4_avg_of_max",
     "nexmark_q6_double_rownum",
     "nexmark_q7_max_per_window",
-    "nexmark_q8_sellers",
     "dedup_edit_distance_pairs",  # heavy
 )
 
