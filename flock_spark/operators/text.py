@@ -1367,3 +1367,109 @@ _BOILER_DUCK = _boiler_sql(
 def text_boilerplate_linefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_BOILER_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Robots Exclusion Protocol (RFC 9309) longest-match classification
+# ---------------------------------------------------------------------------
+
+# The synthetic rule group the entry classifies against (prefix-only rules so
+# the longest-match tournament is exactly expressible in SQL on both
+# engines; the full wildcard matcher below handles '*'/'$' and is pinned by
+# tests against the RFC's documented examples).
+ROBOTS_RULES: tuple[tuple[str, str], ...] = (
+    ("/", "allow"),
+    ("/doc_", "allow"),
+    ("/doc_1", "disallow"),
+    ("/doc_12", "allow"),
+    ("/doc_3", "disallow"),
+    ("/doc_34", "disallow"),
+    ("/doc_7", "allow"),
+    ("/doc_7", "disallow"),  # exact duplicate: RFC tie -> allow wins
+)
+
+
+def rep_path_match(pattern: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 path matching: '*' matches any octet sequence,
+    a trailing '$' anchors the pattern at the end of the path; matching is
+    greedy left-to-right (the standard reference behavior)."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for part in parts[1:]:
+        idx = path.find(part, pos)
+        if idx < 0:
+            return False
+        pos = idx + len(part)
+    if anchored:
+        # with a trailing '*' before '$' the wildcard consumes the rest
+        return pattern.endswith("*") or pos == len(path)
+    return True
+
+
+def rep_decision(rules, path: str) -> tuple[str, str, bool]:
+    """RFC 9309 §2.2.2: the most specific (longest, by octet length) matching
+    rule wins; on a length tie the LEAST RESTRICTIVE (allow) rule wins.
+    Returns (rule, verdict, allowed); no match -> implicit allow."""
+    best = None  # (len, allow_first, rule, verdict)
+    for rule, verdict in rules:
+        if rep_path_match(rule, path):
+            key = (len(rule), 1 if verdict == "allow" else 0)
+            if best is None or key > (best[0], best[1]):
+                best = (key[0], key[1], rule, verdict)
+    if best is None:
+        return "", "allow", True
+    return best[2], best[3], best[3] == "allow"
+
+
+_ROBOTS_RULES_SQL = "\n      UNION ALL ".join(
+    f"SELECT '{r}' AS rule, '{v}' AS verdict" for r, v in ROBOTS_RULES
+)
+
+_ROBOTS_SQL = f"""
+    WITH rules AS (
+      {_ROBOTS_RULES_SQL}),
+    urls AS (
+      SELECT doc_id, concat('/doc_', CAST(doc_id AS STRING)) AS url
+      FROM documents),
+    m AS (
+      SELECT u.doc_id, u.url, r.rule, r.verdict, length(r.rule) AS rl,
+             row_number() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY length(r.rule) DESC,
+                        CASE WHEN r.verdict = 'allow' THEN 0 ELSE 1 END) AS rn
+      FROM urls u JOIN rules r
+        ON substring(u.url, 1, length(r.rule)) = r.rule)
+    SELECT doc_id, url, rule AS match_rule,
+           CAST(rl AS BIGINT) AS rule_len,
+           CAST(CASE WHEN verdict = 'allow' THEN 1 ELSE 0 END AS BIGINT)
+             AS allowed
+    FROM m WHERE rn = 1
+"""
+
+
+@register(
+    "text_robots_longest_match",
+    oracle=_ROBOTS_SQL,
+    tags=("text", "corpus", "crawl", "sql"),
+    doc="Robots Exclusion Protocol (RFC 9309) longest-match classification "
+    "— the crawl-side gate of every web-corpus pipeline, run relationally: "
+    "each document's URL plays against a rule group and the MOST SPECIFIC "
+    "(longest by octet length) matching rule decides, with allow beating "
+    "disallow on exact ties (§2.2.2, exercised by a deliberate duplicate "
+    "rule). Fully declarative and engine-shared: the rules are a literal "
+    "relation, matching is a prefix equality join, and the tournament is "
+    "one row_number window per URL — so at 100 TB the rule table "
+    "broadcasts, the URL corpus streams through the join without a "
+    "pre-shuffle, and the per-URL window sees at most |rules| rows. The "
+    "full wildcard semantics ('*'/'$', greedy octet matching) live in "
+    "rep_path_match/rep_decision, test-pinned against the RFC's examples "
+    "and replayed against this entry's verdicts.",
+)
+def text_robots_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ROBOTS_SQL)

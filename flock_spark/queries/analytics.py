@@ -951,3 +951,75 @@ def _mwu_sql(idiv: str) -> str:
 def analytics_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_mwu_sql("div"))
+
+
+def _wilcoxon_sql(idiv: str) -> str:
+    """Exact tie-corrected Wilcoxon signed-rank over per-user paired sums:
+    each user contributes one signed difference d = cents(purchase) -
+    cents(view); nonzero |d| values are ranked with tie-averaged DOUBLED
+    ranks (2*c_before + cnt + 1, always integer), giving exact BIGINT
+    doubled rank sums W2+ / W2- with the partition identity
+    W2+ + W2- = n(n+1). The reported share (W2+ over the total, basis
+    points) is the matched-pairs rank-biserial effect size mapped to
+    [0, 10000] — kept non-negative on purpose: Spark's `div` truncates
+    toward zero while DuckDB's `//` floors, so certified integer
+    divisions must never see a negative numerator."""
+    return f"""
+    WITH s AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = '{KS_A}'
+                      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+               AS a,
+             sum(CASE WHEN event_type = '{KS_B}'
+                      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+               AS b
+      FROM events
+      WHERE event_type IN ('{KS_A}', '{KS_B}') AND value IS NOT NULL
+      GROUP BY user_id),
+    d AS (SELECT user_id, a - b AS d FROM s),
+    nz AS (
+      SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+      FROM d WHERE d <> 0),
+    pts AS (SELECT ad, sum(pos) AS pos_here, count(*) AS cnt
+            FROM nz GROUP BY ad),
+    cum AS (
+      SELECT ad, pos_here, cnt,
+             sum(cnt) OVER (ORDER BY ad) - cnt AS c_before
+      FROM pts),
+    agg AS (
+      SELECT sum(pos_here * (2 * c_before + cnt + 1)) AS w2_pos,
+             sum((cnt - pos_here) * (2 * c_before + cnt + 1)) AS w2_neg,
+             sum(cnt) AS n_nz
+      FROM cum),
+    zc AS (SELECT count(*) AS n_zero FROM d WHERE d = 0)
+    SELECT CAST(agg.n_nz AS BIGINT) AS n_nonzero,
+           CAST(zc.n_zero AS BIGINT) AS n_zero,
+           CAST(agg.w2_pos AS BIGINT) AS w2_pos,
+           CAST(agg.w2_neg AS BIGINT) AS w2_neg,
+           CAST((agg.w2_pos * 10000)
+                {idiv} (agg.n_nz * (agg.n_nz + 1)) AS BIGINT)
+             AS w_pos_share_bp
+    FROM agg, zc
+    """
+
+
+@register(
+    "analytics_wilcoxon_signed_rank",
+    oracle=_wilcoxon_sql("//"),
+    tags=("analytics", "stats", "audit", "window"),
+    doc=f"Exact tie-corrected Wilcoxon signed-rank test over per-user "
+    f"paired differences (cents('{KS_A}') - cents('{KS_B}') per user) — "
+    "the PAIRED companion to the Mann-Whitney U audit and the standard "
+    "nonparametric before/after test: doubled tie-averaged ranks keep "
+    "every statistic an exact BIGINT, W2+ + W2- == n(n+1) is the "
+    "partition identity a broken rank pass cannot satisfy (test-pinned), "
+    "and the reported W2+ share in basis points is the matched-pairs "
+    "rank-biserial effect size on [0, 10000] (5000 = symmetric). Scale: "
+    "one per-user aggregate (shuffles user keys once), then a grouped "
+    "count + one ordered cumulative window over |distinct |d|| values — "
+    "the pooled-support plan family shared with the KS and MWU audits; "
+    "nothing is ever per-pair.",
+)
+def analytics_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_wilcoxon_sql("div"))

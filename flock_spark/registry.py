@@ -66,6 +66,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "zorder_layout_scan",
     "text_blocklist_multimatch",
     "text_boilerplate_linefilter",
+    "text_robots_longest_match",
     "dedup_suffix_lcp_pairs",
     "mm_gzip_member_parse",
     "mm_png_chunk_walk",
@@ -78,12 +79,13 @@ DRIVER_SLATE: tuple[str, ...] = (
     "corpus_quota_largest_remainder",
     "sketch_space_saving_topk",
     "sketch_tdigest_quantile_audit",
-    "scan_parquet_footer_thrift_walk",
     "streaming_tumbling_agg",  # heavy
+    "scan_parquet_footer_thrift_walk",
     "shard_rendezvous_rebalance_audit",
     "events_reservoir_per_key",
     "analytics_ks_two_sample",
     "analytics_mann_whitney_u",
+    "analytics_wilcoxon_signed_rank",
     "agg_count_distinct",
     "agg_having",
     "case_when",
@@ -102,8 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "join_semi",
     "nexmark_q3_join_filter",
     "nexmark_q4_avg_of_max",
-    "nexmark_q6_double_rownum",
-    "nexmark_q7_max_per_window",
     "dedup_edit_distance_pairs",  # heavy
 )
 

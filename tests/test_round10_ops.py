@@ -415,3 +415,107 @@ def test_parquet_footer_rejects_corruption():
     bad_len = content[:-8] + (2**30).to_bytes(4, "little") + b"PAR1"
     with pytest.raises(ValueError, match="footer length"):
         parquet_footer_parse(bad_len)
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank
+# ---------------------------------------------------------------------------
+
+
+def test_wilcoxon_matches_direct_replay_and_partition_identity(spark, sf_dir):
+    import duckdb
+
+    from flock_spark.queries.analytics import KS_A, KS_B
+    from flock_spark.registry import REGISTRY
+
+    r = REGISTRY["analytics_wilcoxon_signed_rank"].fn(spark, sf_dir).collect()[0]
+    n = r["n_nonzero"]
+    assert r["w2_pos"] + r["w2_neg"] == n * (n + 1)
+    # sequential textbook replay: per-user diffs, tie-averaged doubled ranks
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+                   sum(CASE WHEN event_type = '{KS_A}'
+                            THEN CAST(floor(value*100) AS BIGINT) ELSE 0 END)
+                   - sum(CASE WHEN event_type = '{KS_B}'
+                              THEN CAST(floor(value*100) AS BIGINT) ELSE 0 END)
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('{KS_A}','{KS_B}') AND value IS NOT NULL
+            GROUP BY user_id"""
+    ).fetchall()
+    diffs = [d for _, d in rows]
+    nz = sorted((abs(d), d > 0) for d in diffs if d != 0)
+    import bisect
+
+    mags = [m for m, _ in nz]
+    w2p = w2n = 0
+    for m, pos in nz:
+        lo = bisect.bisect_left(mags, m)
+        hi = bisect.bisect_right(mags, m)
+        r2 = (lo + 1) + hi  # doubled tie-averaged rank
+        if pos:
+            w2p += r2
+        else:
+            w2n += r2
+    assert (r["n_nonzero"], r["n_zero"]) == (len(nz), len(diffs) - len(nz))
+    assert (r["w2_pos"], r["w2_neg"]) == (w2p, w2n)
+    assert r["w_pos_share_bp"] == w2p * 10000 // (len(nz) * (len(nz) + 1))
+
+
+# ---------------------------------------------------------------------------
+# Robots Exclusion Protocol (RFC 9309)
+# ---------------------------------------------------------------------------
+
+
+def test_rep_path_match_rfc_examples():
+    """Matching examples from RFC 9309 §2.2.3 / the REP documentation."""
+    from flock_spark.operators.text import rep_path_match
+
+    assert rep_path_match("/", "/anything")
+    assert rep_path_match("/fish", "/fish.html")
+    assert rep_path_match("/fish", "/fishheads/yummy.html")
+    assert not rep_path_match("/fish", "/Fish.asp")  # octet-exact
+    assert rep_path_match("/fish*", "/fish/salmon.html")
+    assert rep_path_match("/*.php", "/index.php")
+    assert rep_path_match("/*.php", "/folder/any.php.file.html")
+    assert not rep_path_match("/*.php", "/index.html")
+    assert rep_path_match("/*.php$", "/folder/filename.php")
+    assert not rep_path_match("/*.php$", "/filename.php?parameters")
+    assert not rep_path_match("/*.php$", "/filename.php5")
+    assert rep_path_match("/fish*.php", "/fishheads/catfish.php?parameters")
+    assert rep_path_match("/x*$", "/x/anything")  # trailing *$ consumes rest
+    assert rep_path_match("/exact$", "/exact")
+    assert not rep_path_match("/exact$", "/exactly")
+
+
+def test_rep_decision_longest_match_and_allow_tie():
+    from flock_spark.operators.text import rep_decision
+
+    rules = [("/p", "allow"), ("/", "disallow")]
+    assert rep_decision(rules, "/page")[2] is True
+    rules = [("/folder", "allow"), ("/folder", "disallow")]
+    assert rep_decision(rules, "/folder/page")[2] is True  # tie -> allow
+    rules = [("/page", "allow"), ("/*.htm", "disallow")]
+    assert rep_decision(rules, "/page")[2] is True  # 5 > 5? no: longest tie
+    rules = [("/", "allow"), ("/admin", "disallow")]
+    assert rep_decision(rules, "/admin/db")[2] is False
+    assert rep_decision([], "/anything")[2] is True  # implicit allow
+
+
+def test_robots_entry_matches_python_decision_replay(spark, sf_dir):
+    from flock_spark.operators.text import ROBOTS_RULES, rep_decision
+    from flock_spark.registry import REGISTRY
+
+    rows = REGISTRY["text_robots_longest_match"].fn(spark, sf_dir).collect()
+    assert rows
+    seen_disallow = seen_tie = False
+    for r in rows:
+        rule, verdict, allowed = rep_decision(ROBOTS_RULES, r["url"])
+        assert r["match_rule"] == rule, r
+        assert bool(r["allowed"]) == allowed, r
+        assert r["rule_len"] == len(rule)
+        if not allowed:
+            seen_disallow = True
+        if rule == "/doc_7":
+            assert allowed  # the duplicate-rule tie resolved to allow
+            seen_tie = True
+    assert seen_disallow and seen_tie
