@@ -352,3 +352,270 @@ def scan_parquet_footer_thrift_walk(
         schema="column_id long, col_name string, num_values long, "
         "codec string, stat_min string, stat_max string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet PAGE decode: snappy + RLE/bit-packed hybrid + dictionary decode,
+# all from the public specs (google/snappy format description,
+# apache/parquet-format Encodings.md). Together with the footer walk above
+# this is a complete from-scratch read path for the testdata's column
+# layout: footer -> column chunk -> page headers (Thrift compact) ->
+# snappy-compressed pages -> definition levels -> dictionary indices ->
+# values.
+# ---------------------------------------------------------------------------
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Raw snappy block format: varint uncompressed length, then tagged
+    elements — 2-bit tag type: 00 literal (length in tag or 1-4 trailing
+    bytes), 01 copy with 11-bit offset, 10 copy with 2-byte offset,
+    11 copy with 4-byte offset. Copies may overlap their own output
+    (RLE-style), so the copy loop is byte-at-a-time on purpose."""
+    n, pos = _varint(data, 0)
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        t = tag & 3
+        if t == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > len(data):
+                raise ValueError("snappy literal past end of input")
+            out += data[pos : pos + ln]
+            pos += ln
+        else:
+            if t == 1:
+                ln = ((tag >> 2) & 7) + 4
+                off = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            elif t == 2:
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[pos : pos + 2], "little")
+                pos += 2
+            else:
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4
+            if off == 0 or off > len(out):
+                raise ValueError("snappy copy offset out of range")
+            src = len(out) - off
+            for k in range(ln):
+                out.append(out[src + k])
+    if len(out) != n:
+        raise ValueError(
+            f"snappy output length {len(out)} != declared {n}"
+        )
+    return bytes(out)
+
+
+def rle_bp_decode(
+    data: bytes, pos: int, bit_width: int, n: int
+) -> tuple[list[int], int]:
+    """Parquet RLE/bit-packed hybrid: varint header, LSB 1 -> bit-packed
+    ((header>>1) groups of 8 values, LSB-first within bytes), LSB 0 -> RLE
+    run ((header>>1) copies of a fixed-width little-endian value)."""
+    out: list[int] = []
+    wb = (bit_width + 7) // 8
+    while len(out) < n:
+        header, pos = _varint(data, pos)
+        if header & 1:
+            cnt = (header >> 1) * 8
+            nbytes = cnt * bit_width // 8
+            if pos + nbytes > len(data):
+                raise ValueError("bit-packed run past end of buffer")
+            acc = int.from_bytes(data[pos : pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << bit_width) - 1
+            out.extend((acc >> (i * bit_width)) & mask for i in range(cnt))
+        else:
+            cnt = header >> 1
+            if cnt == 0:
+                raise ValueError("zero-length RLE run")
+            v = int.from_bytes(data[pos : pos + wb], "little")
+            pos += wb
+            out.extend([v] * cnt)
+    return out[:n], pos
+
+
+def _plain_decode(raw: bytes, phys: str, n: int) -> list:
+    """PLAIN encoding for the physical types the testdata uses."""
+    import struct as _s
+
+    if phys == "INT64":
+        return list(_s.unpack_from(f"<{n}q", raw, 0))
+    if phys == "INT32":
+        return list(_s.unpack_from(f"<{n}i", raw, 0))
+    if phys == "BYTE_ARRAY":
+        out = []
+        pos = 0
+        for _ in range(n):
+            ln = int.from_bytes(raw[pos : pos + 4], "little")
+            pos += 4
+            out.append(raw[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        return out
+    raise ValueError(f"PLAIN decode unsupported for {phys}")
+
+
+def parquet_column_read(content: bytes, col_index: int) -> list:
+    """Read one column of a single-row-group parquet file end to end from
+    the raw bytes: footer -> chunk offsets -> page walk (dictionary page if
+    present, then data pages until the chunk's num_values are consumed),
+    per page: Thrift compact PageHeader, snappy (or uncompressed) payload,
+    definition levels (optional fields), RLE_DICTIONARY or PLAIN values.
+    Returns the column as a Python list with None for nulls."""
+    if content[:4] != b"PAR1" or content[-4:] != b"PAR1":
+        raise ValueError("missing PAR1 magic")
+    flen = int.from_bytes(content[-8:-4], "little")
+    meta, _ = thrift_read_struct(content[len(content) - 8 - flen : -8], 0)
+    schema_leaves = (meta.get(2) or [])[1:]
+    groups = meta.get(4) or []
+    if len(groups) != 1:
+        raise ValueError("reader supports single-row-group files")
+    chunk = groups[0][1][col_index]
+    md = chunk[3]
+    phys = _PHYS.get(md.get(1), "?")
+    codec = md.get(4)
+    if codec not in (0, 1):
+        raise ValueError(f"unsupported codec {_CODEC.get(codec, codec)}")
+    n_total = md.get(5)
+    optional = schema_leaves[col_index].get(3) == 1
+    pos = md.get(11, md.get(9))  # dictionary page first when present
+    dictionary: list | None = None
+    values: list = []
+    while len(values) < n_total:
+        ph, body = thrift_read_struct(content, pos)
+        comp_size = ph[3]
+        raw = content[body : body + comp_size]
+        if codec == 1:
+            raw = snappy_decompress(raw)
+        if len(raw) != ph[2]:
+            raise ValueError("page uncompressed size mismatch")
+        if ph[1] == 2:  # DICTIONARY_PAGE
+            dph = ph.get(7) or {}
+            dictionary = _plain_decode(raw, phys, dph.get(1))
+        elif ph[1] == 0:  # DATA_PAGE v1
+            dph = ph.get(5) or {}
+            n_vals = dph.get(1)
+            enc = dph.get(2)
+            p = 0
+            if optional:
+                dl_len = int.from_bytes(raw[:4], "little")
+                p = 4
+                dls, _ = rle_bp_decode(raw, p, 1, n_vals)
+                p += dl_len
+            else:
+                dls = [1] * n_vals
+            n_present = sum(dls)
+            if enc == 8:  # RLE_DICTIONARY
+                if dictionary is None:
+                    raise ValueError("dictionary-encoded page before dictionary")
+                bw = raw[p]
+                p += 1
+                idx, _ = rle_bp_decode(raw, p, bw, n_present)
+                if any(i >= len(dictionary) for i in idx):
+                    raise ValueError("dictionary index out of range")
+                present = [dictionary[i] for i in idx]
+            elif enc == 0:  # PLAIN (dictionary-overflow fallback)
+                present = _plain_decode(raw[p:], phys, n_present)
+            else:
+                raise ValueError(f"unsupported data page encoding {enc}")
+            it = iter(present)
+            values.extend(next(it) if d else None for d in dls)
+        else:
+            raise ValueError(f"unexpected page type {ph[1]}")
+        pos = body + comp_size
+    if len(values) != n_total:
+        raise ValueError("page walk produced wrong value count")
+    return values
+
+
+@register(
+    "scan_parquet_page_decode",
+    oracle="""
+    SELECT 'doc_id' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(min(doc_id) AS BIGINT) AS min_v,
+           CAST(max(doc_id) AS BIGINT) AS max_v,
+           CAST(sum(doc_id) AS BIGINT) AS sum_v,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS values_md5
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT),
+           md5(string_agg(CAST(n_chars AS VARCHAR), ',' ORDER BY doc_id))
+    FROM documents
+    """,
+    tags=("scan", "formats", "codec", "pandas_udf"),
+    doc="Complete from-scratch parquet COLUMN read of the real testdata "
+    "bytes — the layer below scan_parquet_footer_thrift_walk: footer -> "
+    "chunk offsets -> per-page Thrift compact PageHeaders -> from-spec "
+    "SNAPPY decompression (tagged literal/copy format with overlap-safe "
+    "copies) -> definition levels -> RLE/bit-packed hybrid dictionary "
+    "indices -> values (PLAIN dictionary-overflow fallback supported). "
+    "The decoded doc_id and n_chars columns are certified VALUE BY VALUE: "
+    "count, null count, min/max/sum, and the md5 of the full column in "
+    "file order, each re-derived by the oracle from the documents view "
+    "(file order is doc_id order, which the md5 would expose if it ever "
+    "stopped being true). Scale: this is the per-file inner loop of any "
+    "custom columnar reader — one task per file via binaryFile, "
+    "dictionary + pages stream through O(page) memory, no shuffle; Spark "
+    "itself subsumes this path in production, and the entry proves the "
+    "engine understands every byte of the format it trusts.",
+)
+def scan_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/documents.parquet")
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "col_name": [], "n_values": [], "n_nulls": [], "min_v": [],
+                "max_v": [], "sum_v": [], "values_md5": [],
+            }
+            for content in pdf["content"]:
+                content = bytes(content)
+                info = parquet_footer_parse(content)
+                names = [n for n, _ in info["schema"]]
+                for col in ("doc_id", "n_chars"):
+                    vals = parquet_column_read(content, names.index(col))
+                    present = [v for v in vals if v is not None]
+                    rows["col_name"].append(col)
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(len(vals) - len(present))
+                    rows["min_v"].append(min(present))
+                    rows["max_v"].append(max(present))
+                    rows["sum_v"].append(sum(present))
+                    rows["values_md5"].append(
+                        hashlib.md5(
+                            ",".join(str(v) for v in present).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "col_name": pd.Series(rows["col_name"], dtype="object"),
+                    "n_values": pd.Series(rows["n_values"], dtype="int64"),
+                    "n_nulls": pd.Series(rows["n_nulls"], dtype="int64"),
+                    "min_v": pd.Series(rows["min_v"], dtype="int64"),
+                    "max_v": pd.Series(rows["max_v"], dtype="int64"),
+                    "sum_v": pd.Series(rows["sum_v"], dtype="int64"),
+                    "values_md5": pd.Series(rows["values_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="col_name string, n_values long, n_nulls long, min_v long, "
+        "max_v long, sum_v long, values_md5 string",
+    )

@@ -81,6 +81,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "sketch_tdigest_quantile_audit",
     "streaming_tumbling_agg",  # heavy
     "scan_parquet_footer_thrift_walk",
+    "scan_parquet_page_decode",
     "shard_rendezvous_rebalance_audit",
     "events_reservoir_per_key",
     "analytics_ks_two_sample",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "join_self_agg_max",
     "join_semi",
     "nexmark_q3_join_filter",
-    "nexmark_q4_avg_of_max",
     "dedup_edit_distance_pairs",  # heavy
 )
 

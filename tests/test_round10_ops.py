@@ -519,3 +519,65 @@ def test_robots_entry_matches_python_decision_replay(spark, sf_dir):
             assert allowed  # the duplicate-rule tie resolved to allow
             seen_tie = True
     assert seen_disallow and seen_tie
+
+
+# ---------------------------------------------------------------------------
+# Snappy + parquet page decode
+# ---------------------------------------------------------------------------
+
+
+def test_snappy_decompress_hand_built_streams():
+    """Hand-assembled snappy elements from the public format description:
+    short literal, long literal (1-byte length), 11-bit-offset copy,
+    2-byte-offset copy, and an overlapping RLE-style copy."""
+    from flock_spark.operators.formats import snappy_decompress
+
+    # literal "abc" -> tag (3-1)<<2 | 00
+    assert snappy_decompress(bytes([3, (2 << 2), 97, 98, 99])) == b"abc"
+    # 70-byte literal: tag 60<<2, one length byte 69
+    body = bytes(range(70))
+    assert snappy_decompress(bytes([70, (60 << 2), 69]) + body) == body
+    # "ab" + copy1(len 4, off 2) -> "ababab"
+    s = bytes([6, (1 << 2), 97, 98, 0b000_000_01, 2])
+    assert snappy_decompress(s) == b"ababab"
+    # copy2: "x" + 8 copies of it via offset 1 (overlapping run)
+    s = bytes([9, (0 << 2), 120, ((8 - 1) << 2) | 2, 1, 0])
+    assert snappy_decompress(s) == b"x" * 9
+    with pytest.raises(ValueError, match="offset"):
+        snappy_decompress(bytes([5, (0 << 2), 97, 0b000_000_01, 9]))
+    with pytest.raises(ValueError, match="length"):
+        snappy_decompress(bytes([9, (2 << 2), 97, 98, 99]))
+
+
+def test_rle_bp_hybrid_decoder():
+    from flock_spark.operators.formats import rle_bp_decode
+
+    # RLE run: header 500<<1, width 1 byte, value 7
+    vals, _ = rle_bp_decode(bytes([0xE8, 0x07, 0x07]), 0, 3, 500)
+    assert vals == [7] * 500
+    # bit-packed: 1 group of 8 3-bit values 0..7 packed LSB-first
+    packed = 0
+    for i, v in enumerate(range(8)):
+        packed |= v << (3 * i)
+    buf = bytes([0x03]) + packed.to_bytes(3, "little")
+    vals, _ = rle_bp_decode(buf, 0, 3, 8)
+    assert vals == list(range(8))
+
+
+def test_parquet_column_read_matches_duckdb_all_columns(sf_dir):
+    """Decode EVERY column of the real file — INT64 and BYTE_ARRAY,
+    dictionary pages, definition levels — and demand cell-exact equality
+    with DuckDB's own reader in file order."""
+    import duckdb
+
+    from flock_spark.operators.formats import parquet_column_read
+
+    path = f"{sf_dir}/documents.parquet"
+    content = open(path, "rb").read()
+    expected = duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars FROM '{path}'"
+    ).fetchall()
+    cols = list(zip(*expected))
+    for i, name in enumerate(["doc_id", "text", "lang", "source", "n_chars"]):
+        mine = parquet_column_read(content, i)
+        assert mine == list(cols[i]), f"column {name} diverges"
