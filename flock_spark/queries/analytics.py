@@ -1023,3 +1023,79 @@ def _wilcoxon_sql(idiv: str) -> str:
 def analytics_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_wilcoxon_sql("div"))
+
+
+FRIEDMAN_K = 5  # the five event types form the related samples
+
+
+def _friedman_sql(idiv: str) -> str:
+    """Exact tie-corrected Friedman test across the five event types as
+    k related samples blocked by user: within each user the per-type cents
+    totals are ranked with tie-averaged DOUBLED ranks (2*(rank-1) +
+    |ties| + 1, always integer), per-type doubled rank sums are exact
+    BIGINTs with the identity sum_t R2_t == n*k*(k+1), and the Friedman
+    statistic is emitted in exact milli-units from the doubled-rank form
+    Q = (3*sum R2_t^2 - 3*n^2*k*(k+1)^2) / (n*k*(k+1)) — the numerator is
+    non-negative by Cauchy-Schwarz, so Spark `div` and DuckDB `//` agree."""
+    k = FRIEDMAN_K
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_type,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY user_id, event_type),
+    elig AS (SELECT user_id FROM s GROUP BY user_id HAVING count(*) = {k}),
+    r AS (
+      SELECT s.user_id, s.event_type,
+             2 * (rank() OVER (PARTITION BY s.user_id ORDER BY s.cents) - 1)
+               + count(*) OVER (PARTITION BY s.user_id, s.cents) + 1 AS r2
+      FROM s JOIN elig ON s.user_id = elig.user_id),
+    t AS (SELECT event_type, sum(r2) AS r2_sum FROM r GROUP BY event_type),
+    agg AS (
+      SELECT sum(r2_sum) AS tot, sum(r2_sum * r2_sum) AS sq FROM t),
+    pv AS (
+      SELECT
+        max(CASE WHEN event_type = 'click' THEN r2_sum END) AS r2_click,
+        max(CASE WHEN event_type = 'error' THEN r2_sum END) AS r2_error,
+        max(CASE WHEN event_type = 'purchase' THEN r2_sum END) AS r2_purchase,
+        max(CASE WHEN event_type = 'signup' THEN r2_sum END) AS r2_signup,
+        max(CASE WHEN event_type = 'view' THEN r2_sum END) AS r2_view
+      FROM t),
+    n AS (SELECT count(*) AS nu FROM elig)
+    SELECT CAST(n.nu AS BIGINT) AS n_users,
+           CAST({k} AS BIGINT) AS k_types,
+           CAST(agg.tot AS BIGINT) AS r2_total,
+           CAST(pv.r2_click AS BIGINT) AS r2_click,
+           CAST(pv.r2_error AS BIGINT) AS r2_error,
+           CAST(pv.r2_purchase AS BIGINT) AS r2_purchase,
+           CAST(pv.r2_signup AS BIGINT) AS r2_signup,
+           CAST(pv.r2_view AS BIGINT) AS r2_view,
+           CAST((3 * agg.sq - 3 * n.nu * n.nu * {k} * {(k + 1) ** 2}) * 1000
+                {idiv} (n.nu * {k} * {k + 1}) AS BIGINT) AS q_milli
+    FROM n, agg, pv
+    """
+
+
+@register(
+    "analytics_friedman_test",
+    oracle=_friedman_sql("//"),
+    tags=("analytics", "stats", "audit", "window"),
+    doc="Exact tie-corrected Friedman test — the k-related-samples member "
+    "completing the nonparametric family (KS and Mann-Whitney for two "
+    "independent samples, Wilcoxon for two paired): each user is a block, "
+    "the five event types' cents totals are ranked WITHIN the block with "
+    "tie-averaged doubled ranks, and the statistic comes out in exact "
+    "milli-units from pure BIGINT arithmetic (numerator non-negative by "
+    "Cauchy-Schwarz, keeping Spark div and DuckDB // in agreement). "
+    "sum_t R2_t == n*k*(k+1) is the partition identity a broken "
+    "within-block rank pass cannot satisfy (test-pinned, alongside a "
+    "sequential scipy-style replay). This is the 'does ANY variant "
+    "differ' gate run before pairwise rank tests in k-arm experiments. "
+    "Scale: one (user,type)-keyed aggregate, one k-row-per-user window "
+    "pass, then a k-row reduction — ranks never leave the user's "
+    "partition, nothing is pairwise.",
+)
+def analytics_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_friedman_sql("div"))

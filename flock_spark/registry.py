@@ -71,6 +71,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_gzip_member_parse",
     "mm_png_chunk_walk",
     "mm_gif_deinterlace",
+    "streaming_tumbling_agg",  # heavy
     "mm_tar_member_walk",
     "mm_gzip_multistream_walk",
     "mm_zip_central_dir_walk",
@@ -79,7 +80,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "corpus_quota_largest_remainder",
     "sketch_space_saving_topk",
     "sketch_tdigest_quantile_audit",
-    "streaming_tumbling_agg",  # heavy
     "scan_parquet_footer_thrift_walk",
     "scan_parquet_page_decode",
     "shard_rendezvous_rebalance_audit",
@@ -88,6 +88,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "analytics_mann_whitney_u",
     "analytics_wilcoxon_signed_rank",
     "agg_count_distinct",
+    "dedup_edit_distance_pairs",  # heavy
     "agg_having",
     "case_when",
     "correlated_exists",
@@ -103,8 +104,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "join_range_theta",
     "join_self_agg_max",
     "join_semi",
-    "nexmark_q3_join_filter",
-    "dedup_edit_distance_pairs",  # heavy
+    "analytics_friedman_test",  # heavy
 )
 
 # Machine-readable certification history: registry name -> FIRST round with a

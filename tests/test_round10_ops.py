@@ -581,3 +581,52 @@ def test_parquet_column_read_matches_duckdb_all_columns(sf_dir):
     for i, name in enumerate(["doc_id", "text", "lang", "source", "n_chars"]):
         mine = parquet_column_read(content, i)
         assert mine == list(cols[i]), f"column {name} diverges"
+
+
+# ---------------------------------------------------------------------------
+# Friedman test
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_matches_sequential_replay(spark, sf_dir):
+    import duckdb
+
+    from flock_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    r = REGISTRY["analytics_friedman_test"].fn(spark, sf_dir).collect()[0]
+    k = r["k_types"]
+    assert k == 5
+    # partition identity: within-block doubled ranks always sum to k(k+1)
+    assert r["r2_total"] == r["n_users"] * k * (k + 1)
+    assert r["r2_total"] == sum(
+        r[f"r2_{t}"] for t in ("click", "error", "purchase", "signup", "view")
+    )
+    # textbook replay: rank each user's per-type cents, tie-averaged
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type,
+                   sum(CAST(floor(value*100) AS BIGINT))
+            FROM '{sf_dir}/events.parquet'
+            WHERE value IS NOT NULL GROUP BY user_id, event_type"""
+    ).fetchall()
+    by_user: dict = {}
+    for u, t, c in rows:
+        by_user.setdefault(u, {})[t] = c
+    r2 = {t: 0 for t in ("click", "error", "purchase", "signup", "view")}
+    n = 0
+    for u, d in by_user.items():
+        if len(d) != 5:
+            continue
+        n += 1
+        vals = sorted(d.values())
+        for t, c in d.items():
+            lo = vals.index(c)
+            hi = len(vals) - vals[::-1].index(c)
+            r2[t] += (lo + 1) + hi  # doubled tie-averaged rank
+    assert r["n_users"] == n
+    for t, s in r2.items():
+        assert r[f"r2_{t}"] == s, t
+    sq = sum(s * s for s in r2.values())
+    q_milli = (3 * sq - 3 * n * n * 5 * 36) * 1000 // (n * 5 * 6)
+    assert r["q_milli"] == q_milli
+    assert r["q_milli"] >= 0

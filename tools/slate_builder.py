@@ -65,6 +65,7 @@ STANDING_CANARIES: tuple[str, ...] = (
 # state-store setup). Never slate two of these adjacent.
 HEAVY_FIRST_EXECUTION: frozenset[str] = frozenset((
     "dedup_lsh_band_tradeoff_audit",
+    "analytics_friedman_test",  # ~9-12 s cold: six sequential scalar stages
     "dedup_lsh_recall_audit",
     "dedup_edit_distance_pairs",  # pays the minhash signature memo cold
     "graph_2hop_reach_hll_audit",
