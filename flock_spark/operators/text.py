@@ -1437,18 +1437,21 @@ _ROBOTS_SQL = f"""
       SELECT doc_id, concat('/doc_', CAST(doc_id AS STRING)) AS url
       FROM documents),
     m AS (
-      SELECT u.doc_id, u.url, r.rule, r.verdict, length(r.rule) AS rl,
-             row_number() OVER (
-               PARTITION BY u.doc_id
-               ORDER BY length(r.rule) DESC,
-                        CASE WHEN r.verdict = 'allow' THEN 0 ELSE 1 END) AS rn
+      SELECT u.doc_id, u.url, r.rule, r.verdict,
+             -- tournament key: longest rule wins, allow beats disallow on
+             -- ties (two distinct same-length prefixes cannot both match
+             -- one URL, so ties only occur on identical rule text and the
+             -- allow bit fully breaks them)
+             length(r.rule) * 2
+               + CASE WHEN r.verdict = 'allow' THEN 1 ELSE 0 END AS k
       FROM urls u JOIN rules r
         ON substring(u.url, 1, length(r.rule)) = r.rule)
-    SELECT doc_id, url, rule AS match_rule,
-           CAST(rl AS BIGINT) AS rule_len,
-           CAST(CASE WHEN verdict = 'allow' THEN 1 ELSE 0 END AS BIGINT)
-             AS allowed
-    FROM m WHERE rn = 1
+    SELECT doc_id, url,
+           max_by(rule, k) AS match_rule,
+           CAST(length(max_by(rule, k)) AS BIGINT) AS rule_len,
+           CAST(max(k) % 2 AS BIGINT) AS allowed
+    FROM m
+    GROUP BY doc_id, url
 """
 
 
