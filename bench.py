@@ -118,6 +118,13 @@ HEADLINE = [
     # blocklist screening
     "mm_zip_central_dir_walk",
     "text_blocklist_multimatch",
+    # round-10 additions: WARC record walk (the Common-Crawl ingest shape),
+    # declarative jusText-style boilerplate removal, baseline JPEG entropy
+    # decode, from-spec parquet page read (snappy + RLE/bit-packed dict)
+    "mm_warc_record_walk",
+    "text_boilerplate_linefilter",
+    "mm_jpeg_baseline_decode",
+    "scan_parquet_page_decode",
 ]
 
 
