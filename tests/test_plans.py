@@ -889,3 +889,56 @@ def test_space_saving_merge_joins_on_bounded_summaries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the exact-count path must keep map-side partial aggregation
     assert "partial_count" in plan or "Partial" in plan
+
+
+def test_round10_codec_walks_are_shuffle_free_single_scan(spark, sf_dir):
+    # WARC walk and JPEG decode inherit the codec family's scale claim:
+    # one scan feeding mapInPandas, no hash exchange anywhere (only the
+    # RoundRobin spread), decode embarrassingly parallel per object
+    for name in ("mm_warc_record_walk", "mm_jpeg_baseline_decode"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "hashpartitioning" not in plan, name
+        assert "MapInPandas" in plan, name
+        assert plan.count("Scan parquet") == 1, name
+
+
+def test_parquet_format_walks_single_binary_scan_no_shuffle(spark, sf_dir):
+    # footer/page walks read raw file bytes once; nothing shuffles — the
+    # 100 TB shape is one task per file reading the tail/pages it needs
+    for name in ("scan_parquet_footer_thrift_walk", "scan_parquet_page_decode"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "hashpartitioning" not in plan, name
+        assert "MapInPandas" in plan, name
+        assert "binaryFile" in plan or "Scan binaryFile" in plan, name
+
+
+def test_boilerplate_filter_is_pure_jvm_sql(spark, sf_dir):
+    # the extraction pipeline's scale claim: zero Python, explode + two
+    # keyed aggregates, scan pruned to the two referenced columns
+    plan = plan_of(spark, sf_dir, "text_boilerplate_linefilter")
+    assert "Python" not in plan  # no UDF of any kind
+    assert "Generate" in plan    # the posexplode
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_robots_match_broadcasts_rules_and_partial_aggregates(spark, sf_dir):
+    # rule relation broadcasts (corpus never shuffles for the join) and the
+    # longest-match tournament partial-aggregates map-side: the exchange
+    # carries one row per URL, not one row per matching rule
+    plan = plan_of(spark, sf_dir, "text_robots_longest_match")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BuildRight" in plan
+    assert plan.count("SortAggregate") >= 2 or "partial" in plan.lower()
+    assert "ReadSchema: struct<doc_id:bigint>" in plan  # only doc_id read
+
+
+def test_rank_statistics_aggregate_before_global_window(spark, sf_dir):
+    # the nonparametric family's scale claim: the ordered cumulative window
+    # runs over the pooled SUPPORT (grouped first), never raw events — a
+    # hash aggregate must sit below every unpartitioned window
+    for name in ("analytics_wilcoxon_signed_rank", "analytics_friedman_test"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "HashAggregate" in plan, name
+        assert "ReadSchema: struct<event_type:string,user_id" in plan or (
+            "user_id" in plan and "value" in plan
+        ), name
