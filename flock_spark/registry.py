@@ -77,6 +77,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_zip_central_dir_walk",
     "mm_warc_record_walk",
     "mm_jpeg_baseline_decode",
+    "mm_http_chunked_decode",
     "corpus_quota_largest_remainder",
     "sketch_space_saving_topk",
     "sketch_tdigest_quantile_audit",
@@ -87,8 +88,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "analytics_ks_two_sample",
     "analytics_mann_whitney_u",
     "analytics_wilcoxon_signed_rank",
-    "agg_count_distinct",
     "dedup_edit_distance_pairs",  # heavy
+    "agg_count_distinct",
     "agg_having",
     "case_when",
     "correlated_exists",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "join_global_max",
     "join_range_theta",
     "join_self_agg_max",
-    "join_semi",
     "analytics_friedman_test",  # heavy
 )
 

@@ -630,3 +630,59 @@ def test_friedman_matches_sequential_replay(spark, sf_dir):
     q_milli = (3 * sq - 3 * n * n * 5 * 36) * 1000 // (n * 5 * 6)
     assert r["q_milli"] == q_milli
     assert r["q_milli"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# HTTP chunked transfer coding
+# ---------------------------------------------------------------------------
+
+
+def test_http_chunked_roundtrip_and_hand_typed_stream():
+    from flock_spark.operators.multimodal import (
+        http_chunked_build,
+        http_chunked_decode,
+    )
+
+    body = bytes(range(256)) * 3
+    coded = http_chunked_build(body)
+    out, n, trailers = http_chunked_decode(coded)
+    assert out == body
+    assert n == (len(body) + 99) // 100
+    import hashlib
+
+    assert trailers["x-body-md5"] == hashlib.md5(body).hexdigest()
+    # hand-typed stream straight from the RFC 9112 grammar (wikipedia-style
+    # example): sizes in hex, an ignored extension, trailers absent
+    rec = (
+        b"4\r\nWiki\r\n"
+        b"7;ext=\"quoted\"\r\npedia i\r\n"
+        b"B\r\nn \r\nchunks.\r\n"
+        b"0\r\n"
+        b"\r\n"
+    )
+    out, n, trailers = http_chunked_decode(rec)
+    assert out == b"Wikipedia in \r\nchunks."
+    assert n == 3 and trailers == {}
+
+
+def test_http_chunked_rejects_framing_violations():
+    from flock_spark.operators.multimodal import (
+        http_chunked_build,
+        http_chunked_decode,
+    )
+
+    good = http_chunked_build(b"x" * 150)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        http_chunked_decode(good[:80])
+    with pytest.raises(ValueError, match="bad chunk size"):
+        http_chunked_decode(b"zz\r\nabc\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="missing CRLF"):
+        http_chunked_decode(b"3\r\nabcXX0\r\n\r\n")
+    with pytest.raises(ValueError, match="unterminated trailer|unterminated chunk"):
+        http_chunked_decode(b"3\r\nabc\r\n0\r\n")  # no trailer terminator
+    with pytest.raises(ValueError, match="after chunked body end"):
+        http_chunked_decode(good + b"junk")
+    # exact-multiple body: the 0-chunk must still terminate cleanly
+    exact = http_chunked_build(b"y" * 200)
+    out, n, _ = http_chunked_decode(exact)
+    assert out == b"y" * 200 and n == 2
