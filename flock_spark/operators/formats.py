@@ -462,29 +462,16 @@ def _plain_decode(raw: bytes, phys: str, n: int) -> list:
     raise ValueError(f"PLAIN decode unsupported for {phys}")
 
 
-def parquet_column_read(content: bytes, col_index: int) -> list:
-    """Read one column of a single-row-group parquet file end to end from
-    the raw bytes: footer -> chunk offsets -> page walk (dictionary page if
-    present, then data pages until the chunk's num_values are consumed),
-    per page: Thrift compact PageHeader, snappy (or uncompressed) payload,
-    definition levels (optional fields), RLE_DICTIONARY or PLAIN values.
-    Returns the column as a Python list with None for nulls."""
-    if content[:4] != b"PAR1" or content[-4:] != b"PAR1":
-        raise ValueError("missing PAR1 magic")
-    flen = int.from_bytes(content[-8:-4], "little")
-    meta, _ = thrift_read_struct(content[len(content) - 8 - flen : -8], 0)
-    schema_leaves = (meta.get(2) or [])[1:]
-    groups = meta.get(4) or []
-    if len(groups) != 1:
-        raise ValueError("reader supports single-row-group files")
-    chunk = groups[0][1][col_index]
-    md = chunk[3]
-    phys = _PHYS.get(md.get(1), "?")
+def _read_column_chunk(
+    content: bytes, md: dict, phys: str, optional: bool
+) -> list:
+    """Walk one column chunk's pages (dictionary page if present, then data
+    pages until the chunk's num_values are consumed). Returns the chunk's
+    values with None for nulls."""
     codec = md.get(4)
     if codec not in (0, 1):
         raise ValueError(f"unsupported codec {_CODEC.get(codec, codec)}")
     n_total = md.get(5)
-    optional = schema_leaves[col_index].get(3) == 1
     pos = md.get(11, md.get(9))  # dictionary page first when present
     dictionary: list | None = None
     values: list = []
@@ -512,7 +499,7 @@ def parquet_column_read(content: bytes, col_index: int) -> list:
             else:
                 dls = [1] * n_vals
             n_present = sum(dls)
-            if enc == 8:  # RLE_DICTIONARY
+            if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
                 if dictionary is None:
                     raise ValueError("dictionary-encoded page before dictionary")
                 bw = raw[p]
@@ -521,7 +508,7 @@ def parquet_column_read(content: bytes, col_index: int) -> list:
                 if any(i >= len(dictionary) for i in idx):
                     raise ValueError("dictionary index out of range")
                 present = [dictionary[i] for i in idx]
-            elif enc == 0:  # PLAIN (dictionary-overflow fallback)
+            elif enc == 0:  # PLAIN (or dictionary-overflow fallback)
                 present = _plain_decode(raw[p:], phys, n_present)
             else:
                 raise ValueError(f"unsupported data page encoding {enc}")
@@ -532,6 +519,33 @@ def parquet_column_read(content: bytes, col_index: int) -> list:
         pos = body + comp_size
     if len(values) != n_total:
         raise ValueError("page walk produced wrong value count")
+    return values
+
+
+def parquet_column_read(content: bytes, col_index: int) -> list:
+    """Read one column of a parquet file end to end from the raw bytes:
+    footer -> per-row-group chunk offsets -> page walk per chunk
+    (Thrift compact PageHeader, snappy or uncompressed payload, definition
+    levels for optional fields, PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY
+    values). Returns the column in file order as a Python list with None
+    for nulls; multi-row-group files concatenate chunk values in row-group
+    order, which IS file order."""
+    if content[:4] != b"PAR1" or content[-4:] != b"PAR1":
+        raise ValueError("missing PAR1 magic")
+    flen = int.from_bytes(content[-8:-4], "little")
+    meta, _ = thrift_read_struct(content[len(content) - 8 - flen : -8], 0)
+    schema_leaves = (meta.get(2) or [])[1:]
+    groups = meta.get(4) or []
+    if not groups:
+        raise ValueError("file has no row groups")
+    phys = _PHYS.get(schema_leaves[col_index].get(1), "?")
+    optional = schema_leaves[col_index].get(3) == 1
+    values: list = []
+    for rg in groups:
+        md = rg[1][col_index][3]
+        values.extend(_read_column_chunk(content, md, phys, optional))
+    if len(values) != meta.get(3):
+        raise ValueError("column walk disagrees with FileMetaData num_rows")
     return values
 
 

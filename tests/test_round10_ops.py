@@ -686,3 +686,33 @@ def test_http_chunked_rejects_framing_violations():
     exact = http_chunked_build(b"y" * 200)
     out, n, _ = http_chunked_decode(exact)
     assert out == b"y" * 200 and n == 2
+
+
+def test_parquet_column_read_multi_rowgroup_nulls_and_plain(tmp_path):
+    """Harden the reader against layouts the testdata doesn't exercise:
+    multiple row groups, nulls (definition level 0), dictionary DISABLED
+    (pure PLAIN data pages), and uncompressed pages — all written by
+    pyarrow, the independent writer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flock_spark.operators.formats import parquet_column_read
+
+    ids = list(range(100))
+    vals = [None if i % 7 == 0 else i * 3 for i in ids]
+    names = [None if i % 11 == 0 else f"n{i}" for i in ids]
+    table = pa.table(
+        {"id": pa.array(ids, pa.int64()),
+         "v": pa.array(vals, pa.int64()),
+         "name": pa.array(names, pa.string())}
+    )
+    for use_dict, comp in ((False, "snappy"), (True, "none"), (False, "none")):
+        path = tmp_path / f"f_{use_dict}_{comp}.parquet"
+        pq.write_table(
+            table, path, row_group_size=30, use_dictionary=use_dict,
+            compression=comp,
+        )
+        content = path.read_bytes()
+        assert parquet_column_read(content, 0) == ids, (use_dict, comp)
+        assert parquet_column_read(content, 1) == vals, (use_dict, comp)
+        assert parquet_column_read(content, 2) == names, (use_dict, comp)
