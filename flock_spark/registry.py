@@ -78,6 +78,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_warc_record_walk",
     "mm_jpeg_baseline_decode",
     "mm_http_chunked_decode",
+    "mm_wet_conversion_roundtrip",
     "corpus_quota_largest_remainder",
     "sketch_space_saving_topk",
     "sketch_tdigest_quantile_audit",
@@ -87,8 +88,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "events_reservoir_per_key",
     "analytics_ks_two_sample",
     "analytics_mann_whitney_u",
-    "analytics_wilcoxon_signed_rank",
     "dedup_edit_distance_pairs",  # heavy
+    "analytics_wilcoxon_signed_rank",
     "agg_count_distinct",
     "agg_having",
     "case_when",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "join_full_outer",
     "join_global_max",
     "join_range_theta",
-    "join_self_agg_max",
     "analytics_friedman_test",  # heavy
 )
 

@@ -716,3 +716,41 @@ def test_parquet_column_read_multi_rowgroup_nulls_and_plain(tmp_path):
         assert parquet_column_read(content, 0) == ids, (use_dict, comp)
         assert parquet_column_read(content, 1) == vals, (use_dict, comp)
         assert parquet_column_read(content, 2) == names, (use_dict, comp)
+
+
+def test_http_response_parse_any_both_framings():
+    from flock_spark.operators.multimodal import (
+        http_chunked_build,
+        http_response_parse_any,
+    )
+
+    body = b"framed either way"
+    cl = (
+        b"HTTP/1.1 200 OK\r\nContent-Length: 17\r\n\r\n" + body
+    )
+    assert http_response_parse_any(cl)[2] == body
+    ch = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + http_chunked_build(body)
+    )
+    assert http_response_parse_any(ch)[2] == body
+    with pytest.raises(ValueError, match="framing"):
+        http_response_parse_any(b"HTTP/1.1 200 OK\r\nX: y\r\n\r\nbody")
+    # corrupted trailer digest must be caught
+    bad = ch.replace(b"X-Body-MD5: ", b"X-Body-MD5: 0", 1)
+    with pytest.raises(ValueError, match="digest"):
+        http_response_parse_any(bad)
+
+
+def test_wet_conversion_roundtrip_entry(spark, sf_dir):
+    from flock_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["mm_wet_conversion_roundtrip"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:20]:
+        # the WET record length formula: 216 fixed octets + digit widths
+        assert r["wet_record_len"] == (
+            216 + len(str(r["doc_id"])) + len(str(r["body_len"])) + r["body_len"]
+        )
+        assert r["n_chunks"] == (r["body_len"] + 99) // 100
