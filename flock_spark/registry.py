@@ -67,11 +67,11 @@ DRIVER_SLATE: tuple[str, ...] = (
     "text_blocklist_multimatch",
     "text_boilerplate_linefilter",
     "text_robots_longest_match",
+    "streaming_tumbling_agg",  # heavy
     "dedup_suffix_lcp_pairs",
     "mm_gzip_member_parse",
     "mm_png_chunk_walk",
     "mm_gif_deinterlace",
-    "streaming_tumbling_agg",  # heavy
     "mm_tar_member_walk",
     "mm_gzip_multistream_walk",
     "mm_zip_central_dir_walk",
@@ -80,6 +80,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_http_chunked_decode",
     "mm_wet_conversion_roundtrip",
     "corpus_quota_largest_remainder",
+    "dedup_edit_distance_pairs",  # heavy
     "sketch_space_saving_topk",
     "sketch_tdigest_quantile_audit",
     "scan_parquet_footer_thrift_walk",
@@ -88,11 +89,11 @@ DRIVER_SLATE: tuple[str, ...] = (
     "events_reservoir_per_key",
     "analytics_ks_two_sample",
     "analytics_mann_whitney_u",
-    "dedup_edit_distance_pairs",  # heavy
     "analytics_wilcoxon_signed_rank",
     "agg_count_distinct",
     "agg_having",
     "case_when",
+    "analytics_friedman_test",  # heavy
     "correlated_exists",
     "date_funcs",
     "distinct_select",
@@ -103,8 +104,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "join_cross",
     "join_full_outer",
     "join_global_max",
-    "join_range_theta",
-    "analytics_friedman_test",  # heavy
+    "streaming_warc_ingest_decode",  # heavy
 )
 
 # Machine-readable certification history: registry name -> FIRST round with a

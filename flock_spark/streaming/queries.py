@@ -1395,3 +1395,97 @@ def streaming_tws_value_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("user_id").agg(
         F.max("cnt").alias("cnt"), F.max("vmax_cents").alias("vmax_cents")
     )
+
+
+@register(
+    "streaming_warc_ingest_decode",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(3 * count(*) AS BIGINT) AS n_records_total,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+             AS body_bytes_total,
+           CAST(sum((('0x' || substring(md5(hex(encode(text))), 1, 15))
+                     ::BIGINT) % 2147483647) AS BIGINT) AS digest_mod_sum
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+    tags=("streaming", "multimodal", "codec", "pandas_udf"),
+    doc="The crawl-ingest chain as a STREAM — 'tail the archive bucket': "
+    "documents arrive through a bounded file stream (the config-only swap "
+    "from a kafka/kinesis reader, like every streaming twin), each "
+    "micro-batch builds + walks real .warc.gz captures in mapInPandas "
+    "over the stream (per-record gzip members, ISO 28500 framing, HTTP "
+    "split — the same from-spec machinery as mm_warc_record_walk), and a "
+    "running aggregate accumulates docs, records, body bytes and a "
+    "portable per-doc digest folded mod 2^31-1 so the sum stays an exact "
+    "BIGINT at any corpus size. Drained to completion the stream must "
+    "equal the batch oracle exactly — the streaming-equals-batch "
+    "discipline every twin in this repo follows. Scale: decode "
+    "parallelism is per-file-per-trigger; the only stateful operator is "
+    "a 1-row running aggregate, so state does not grow with the corpus.",
+)
+def streaming_warc_ingest_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flock_spark.operators.multimodal import (
+        gzip_multistream_walk,
+        http_response_parse,
+        warc_gz_build,
+        warc_record_parse,
+    )
+
+    docs = (
+        bounded_stream(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .filter(F.length(F.col("payload")) > 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_records": [], "body_len": [], "body_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(payload)
+                did = int(doc_id)
+                uri = f"http://example.com/doc_{did}"
+                archive = warc_gz_build(did, uri, body)
+                parsed = [
+                    warc_record_parse(m[2])
+                    for m in gzip_multistream_walk(archive)
+                ]
+                status, _h, got = http_response_parse(parsed[2][1])
+                if status != 200 or got != body:
+                    raise ValueError(f"stream extraction mismatch for {did}")
+                rows["doc_id"].append(did)
+                rows["n_records"].append(len(parsed))
+                rows["body_len"].append(len(got))
+                rows["body_md5"].append(
+                    hashlib.md5(got.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_records": pd.Series(rows["n_records"], dtype="int64"),
+                    "body_len": pd.Series(rows["body_len"], dtype="int64"),
+                    "body_md5": pd.Series(rows["body_md5"], dtype="object"),
+                }
+            )
+
+    decoded = docs.mapInPandas(
+        run, schema="doc_id long, n_records long, body_len long, body_md5 string"
+    )
+    agg = decoded.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_records").alias("n_records_total"),
+        F.sum("body_len").alias("body_bytes_total"),
+        F.sum(
+            F.expr(
+                "CAST(conv(substring(body_md5, 1, 15), 16, 10) AS BIGINT)"
+                " % 2147483647"
+            )
+        ).alias("digest_mod_sum"),
+    )
+    return run_to_memory(agg, output_mode="complete")
