@@ -64,36 +64,9 @@ DRIVER_SLATE: tuple[str, ...] = (
     "hll_sketch_portable",
     "dedup_exact",
     "zorder_layout_scan",
-    "text_blocklist_multimatch",
-    "text_boilerplate_linefilter",
-    "text_robots_longest_match",
-    "streaming_tumbling_agg",  # heavy
-    "dedup_suffix_lcp_pairs",
-    "mm_gzip_member_parse",
-    "mm_png_chunk_walk",
-    "mm_gif_deinterlace",
-    "mm_tar_member_walk",
-    "mm_gzip_multistream_walk",
-    "mm_zip_central_dir_walk",
-    "mm_warc_record_walk",
-    "mm_jpeg_baseline_decode",
-    "mm_http_chunked_decode",
-    "mm_wet_conversion_roundtrip",
-    "corpus_quota_largest_remainder",
-    "dedup_edit_distance_pairs",  # heavy
-    "sketch_space_saving_topk",
-    "sketch_tdigest_quantile_audit",
-    "scan_parquet_footer_thrift_walk",
-    "scan_parquet_page_decode",
-    "shard_rendezvous_rebalance_audit",
-    "events_reservoir_per_key",
-    "analytics_ks_two_sample",
-    "analytics_mann_whitney_u",
-    "analytics_wilcoxon_signed_rank",
     "agg_count_distinct",
     "agg_having",
     "case_when",
-    "analytics_friedman_test",  # heavy
     "correlated_exists",
     "date_funcs",
     "distinct_select",
@@ -104,7 +77,34 @@ DRIVER_SLATE: tuple[str, ...] = (
     "join_cross",
     "join_full_outer",
     "join_global_max",
-    "streaming_warc_ingest_decode",  # heavy
+    "join_range_theta",
+    "join_self_agg_max",
+    "join_semi",
+    "nexmark_q3_join_filter",
+    "nexmark_q4_avg_of_max",
+    "nexmark_q6_double_rownum",
+    "nexmark_q7_max_per_window",
+    "nexmark_q8_sellers",
+    "nexmark_q9_winning_bids",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "sort_multi_col",
+    "string_funcs",
+    "subquery_in",
+    "subquery_scalar",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "window_first_last",
+    "window_frame_moving_avg",
+    "window_lag_lead",
+    "window_percentiles",
+    "window_rank_dense",
+    "window_rownum_topk",
+    "streaming_tumbling_agg",  # heavy
 )
 
 # Machine-readable certification history: registry name -> FIRST round with a
@@ -288,7 +288,23 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "text_langid_confusion_audit": 9, "text_url_canonicalize_dedup": 9,
     "theta_sketch_native_audit": 9, "tokenizer_vocab_coverage_curve": 9,
     "window_percentiles_twopass": 9,
+    # round 10 (27 entries)
+    "analytics_friedman_test": 10, "analytics_ks_two_sample": 10,
+    "analytics_mann_whitney_u": 10, "analytics_wilcoxon_signed_rank": 10,
+    "corpus_quota_largest_remainder": 10, "dedup_edit_distance_pairs": 10,
+    "dedup_suffix_lcp_pairs": 10, "events_reservoir_per_key": 10,
+    "mm_gif_deinterlace": 10, "mm_gzip_member_parse": 10,
+    "mm_gzip_multistream_walk": 10, "mm_http_chunked_decode": 10,
+    "mm_jpeg_baseline_decode": 10, "mm_png_chunk_walk": 10,
+    "mm_tar_member_walk": 10, "mm_warc_record_walk": 10,
+    "mm_wet_conversion_roundtrip": 10, "mm_zip_central_dir_walk": 10,
+    "scan_parquet_footer_thrift_walk": 10, "scan_parquet_page_decode": 10,
+    "shard_rendezvous_rebalance_audit": 10, "sketch_space_saving_topk": 10,
+    "sketch_tdigest_quantile_audit": 10, "streaming_warc_ingest_decode": 10,
+    "text_blocklist_multimatch": 10, "text_boilerplate_linefilter": 10,
+    "text_robots_longest_match": 10,
 }
+
 
 # Cumulative driver-certified set (derived view; kept for existing callers).
 CERTIFIED_GREEN: frozenset[str] = frozenset(CERTIFIED_ROUNDS)
