@@ -3427,7 +3427,8 @@ def _jpeg_const_exprs(dialect_div: str) -> tuple[str, str]:
     (the exact pre-round pixel is an integer, so the .5 offset never sits
     on a floor boundary)."""
     vals = [
-        f"(2 * ((ascii(substring(text, {k + 1}, 1)) + 129) {dialect_div} 2) - 128)"
+        f"(2 * (((ascii(substring(text, {k + 1}, 1)) % 256) + 129)"
+        f" {dialect_div} 2) - 128)"
         for k in range(8)
     ]
     cat = "md5(concat_ws(','," + ",".join(
@@ -3489,7 +3490,11 @@ def mm_jpeg_baseline_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "const_px_sum": [], "const_px_md5": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                chars = [ord(c) for c in str(text)[:16]]
+                # % 256: non-ASCII codepoints overflow uint8 (NumPy 2
+                # raises; NumPy 1 silently wraps while the oracle's
+                # ascii() keeps the full codepoint) — wrap explicitly and
+                # mirror the same % 256 in the oracle
+                chars = [ord(c) % 256 for c in str(text)[:16]]
                 grid = np.zeros((32, 32), dtype=np.uint8)
                 for k in range(8):
                     by, bx = (k // 4) * 8, (k % 4) * 8
@@ -3800,6 +3805,15 @@ def mm_wet_conversion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 body = bytes(payload)
                 did = int(doc_id)
+                if did >= 10**8:
+                    # {did:08d} stops zero-padding at 9 digits, growing the
+                    # WARC-Record-ID/WARC-Refers-To headers past the 216
+                    # fixed octets the oracle hardcodes — fail loudly
+                    # instead of silently breaking wet_record_len parity
+                    raise ValueError(
+                        f"doc_id {did} >= 10^8 breaks the fixed-width "
+                        "record-id assumption of the wet_record_len oracle"
+                    )
                 uri = f"http://example.com/doc_{did}"
                 chunked = http_chunked_build(body)
                 http = (

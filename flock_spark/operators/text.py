@@ -1400,15 +1400,24 @@ def rep_path_match(pattern: str, path: str) -> bool:
     if not path.startswith(parts[0]):
         return False
     pos = len(parts[0])
-    for part in parts[1:]:
+    if len(parts) == 1:
+        # no '*' at all: anchored means exact octet-length equality
+        return pos == len(path) if anchored else True
+    # middle segments: greedy leftmost is optimal (it minimizes consumed
+    # octets, leaving maximum room for everything to the right)
+    for part in parts[1:-1]:
         idx = path.find(part, pos)
         if idx < 0:
             return False
         pos = idx + len(part)
+    last = parts[-1]
     if anchored:
-        # with a trailing '*' before '$' the wildcard consumes the rest
-        return pattern.endswith("*") or pos == len(path)
-    return True
+        # the final literal segment must sit at the very END of the path
+        # (matching it leftmost false-negatives when it also occurs
+        # earlier, e.g. '/a*b$' vs '/aXbYb'); with a trailing '*' before
+        # '$' last == '' and the wildcard consumes the rest.
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return path.find(last, pos) >= 0
 
 
 def rep_decision(rules, path: str) -> tuple[str, str, bool]:
@@ -1466,9 +1475,10 @@ _ROBOTS_SQL = f"""
     "disallow on exact ties (§2.2.2, exercised by a deliberate duplicate "
     "rule). Fully declarative and engine-shared: the rules are a literal "
     "relation, matching is a prefix equality join, and the tournament is "
-    "one row_number window per URL — so at 100 TB the rule table "
-    "broadcasts, the URL corpus streams through the join without a "
-    "pre-shuffle, and the per-URL window sees at most |rules| rows. The "
+    "a max_by group-by — map-side partial aggregation reduces each URL to "
+    "one row BEFORE the exchange (plan-pinned) — so at 100 TB the rule "
+    "table broadcasts, the URL corpus streams through the join without a "
+    "pre-shuffle, and the shuffle carries one row per URL. The "
     "full wildcard semantics ('*'/'$', greedy octet matching) live in "
     "rep_path_match/rep_decision, test-pinned against the RFC's examples "
     "and replayed against this entry's verdicts.",

@@ -485,6 +485,15 @@ def test_rep_path_match_rfc_examples():
     assert rep_path_match("/x*$", "/x/anything")  # trailing *$ consumes rest
     assert rep_path_match("/exact$", "/exact")
     assert not rep_path_match("/exact$", "/exactly")
+    # anchored patterns whose final literal segment ALSO occurs earlier in
+    # the path: the matcher must anchor the last segment at the END, not
+    # commit to its leftmost occurrence (r10 advisory)
+    assert rep_path_match("/a*b$", "/aXbYb")
+    assert rep_path_match("/*.php$", "/a.php.php")
+    assert rep_path_match("/a*bc*c$", "/abcc")
+    assert not rep_path_match("/a*b*b$", "/ab")  # needs two disjoint b's
+    assert rep_path_match("/a*b*b$", "/abb")
+    assert not rep_path_match("/a*bb$", "/aXbYb")  # end is 'Yb', not 'bb'
 
 
 def test_rep_decision_longest_match_and_allow_tie():
