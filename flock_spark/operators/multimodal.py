@@ -3047,6 +3047,157 @@ def mm_warc_record_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WARC_N_SHARDS = 8
+
+
+def _stage_warc_corpus(sf_dir: str) -> str:
+    """Materialize the documents table as a sharded on-disk .warc.gz corpus
+    (once per sf_dir): WARC_N_SHARDS files, shard = doc_id % N, docs in
+    doc_id order within a shard, each capture the 3-record per-record-gzip
+    layout of warc_gz_build. Reads the parquet directly with pyarrow so the
+    staged bytes are produced by a code path independent of the Spark scan
+    the entry is certified against."""
+    from flock_spark.staging import stage_once
+
+    def write_corpus(tmp: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        pairs = sorted(
+            zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        )
+        shards: list[list[bytes]] = [[] for _ in range(WARC_N_SHARDS)]
+        for doc_id, text in pairs:
+            body = (text or "").encode("utf-8")
+            if not body:
+                continue
+            uri = f"http://example.com/doc_{doc_id}"
+            shards[doc_id % WARC_N_SHARDS].append(
+                warc_gz_build(int(doc_id), uri, body)
+            )
+        import os
+
+        for s, chunks in enumerate(shards):
+            with open(
+                os.path.join(tmp, f"shard-{s:05d}.warc.gz"), "wb"
+            ) as fh:
+                fh.write(b"".join(chunks))
+
+    return stage_once(f"warc_corpus_{sf_dir}", "v1-8shard-3rec", write_corpus)
+
+
+@register(
+    "mm_warc_file_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(doc_id % {WARC_N_SHARDS} AS BIGINT) AS shard,
+           CAST(3 AS BIGINT) AS n_records,
+           'http://example.com/doc_' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+           CAST(200 AS BIGINT) AS http_status,
+           CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+           md5(hex(encode(text))) AS body_md5
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+    tags=("multimodal", "pandas_udf", "codec", "container", "staged"),
+    doc="FILE-TRUE WARC ingestion — closes the gap mm_warc_record_walk "
+    "left: that entry builds its archive inside the UDF; this one reads "
+    "REAL on-disk .warc.gz shard files it did not build in the same "
+    "process stage. The documents table is staged ONCE per sf_dir as "
+    f"{WARC_N_SHARDS} shard files (shard = doc_id % {WARC_N_SHARDS}, "
+    "pyarrow-read parquet -> per-record-gzip captures, the Common-Crawl "
+    "layout), then the entry walks the actual file bytes exactly as a "
+    "crawl ingest would: binaryFile scan -> per-file gzip multistream "
+    "walk -> ISO 28500 record parse (Content-Length octet framing) -> "
+    "HTTP/1.1 response split -> per-document row, validating that each "
+    "capture's doc id (parsed back from its WARC-Target-URI) lands in "
+    "the shard file its name promises. The oracle re-derives shard, "
+    "record count, URI, status, body length and body md5 from the "
+    "documents rows — so a staging bug, a walk bug, or a shard-routing "
+    "bug all surface as hash mismatches. Scale: one task per shard file "
+    "via binaryFile, records stream through O(record) memory, no "
+    "shuffle — the first pass of a 100 TB Common-Crawl ingest, now "
+    "exercised from disk like production. Parity with the reference's "
+    "file-source ingestion (flock/src/datasource mod) re-expressed as "
+    "a Spark binaryFile scan.",
+)
+def mm_warc_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    path = _stage_warc_corpus(sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/*.warc.gz")
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "shard": [], "n_records": [],
+                "target_uri": [], "http_status": [], "body_len": [],
+                "body_md5": [],
+            }
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                m = _re.search(r"shard-(\d+)\.warc\.gz$", str(fpath))
+                if not m:
+                    raise ValueError(f"unexpected shard file name: {fpath}")
+                shard = int(m.group(1))
+                members = gzip_multistream_walk(bytes(content))
+                parsed = [warc_record_parse(mm[2]) for mm in members]
+                if len(parsed) % 3:
+                    raise ValueError(
+                        f"shard {shard}: {len(parsed)} records, not 3/capture"
+                    )
+                for i in range(0, len(parsed), 3):
+                    cap = parsed[i : i + 3]
+                    types = [f["warc-type"] for f, _ in cap]
+                    if types != ["warcinfo", "request", "response"]:
+                        raise ValueError(f"capture type walk mismatch: {types}")
+                    resp_fields, resp_block = cap[2]
+                    uri = resp_fields["warc-target-uri"]
+                    um = _re.search(r"/doc_(\d+)$", uri)
+                    if not um:
+                        raise ValueError(f"unparseable target URI: {uri}")
+                    doc_id = int(um.group(1))
+                    if doc_id % WARC_N_SHARDS != shard:
+                        raise ValueError(
+                            f"doc {doc_id} found in wrong shard {shard}"
+                        )
+                    status, _hh, body = http_response_parse(resp_block)
+                    rows["doc_id"].append(doc_id)
+                    rows["shard"].append(shard)
+                    rows["n_records"].append(len(cap))
+                    rows["target_uri"].append(uri)
+                    rows["http_status"].append(status)
+                    rows["body_len"].append(len(body))
+                    rows["body_md5"].append(
+                        hashlib.md5(body.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "shard": pd.Series(rows["shard"], dtype="int64"),
+                    "n_records": pd.Series(rows["n_records"], dtype="int64"),
+                    "target_uri": pd.Series(rows["target_uri"], dtype="object"),
+                    "http_status": pd.Series(
+                        rows["http_status"], dtype="int64"
+                    ),
+                    "body_len": pd.Series(rows["body_len"], dtype="int64"),
+                    "body_md5": pd.Series(rows["body_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="doc_id long, shard long, n_records long, target_uri string, "
+        "http_status long, body_len long, body_md5 string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81): from-spec encoder + decoder.
 #

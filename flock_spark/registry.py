@@ -64,6 +64,11 @@ DRIVER_SLATE: tuple[str, ...] = (
     "hll_sketch_portable",
     "dedup_exact",
     "zorder_layout_scan",
+    "text_robots_wildcard_match",
+    "mm_warc_file_ingest",
+    "mm_jpeg_baseline_decode",
+    "mm_wet_conversion_roundtrip",
+    "text_robots_longest_match",
     "agg_count_distinct",
     "agg_having",
     "case_when",
@@ -99,11 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "tpch_q4",
     "tpch_q5",
     "window_first_last",
-    "window_frame_moving_avg",
-    "window_lag_lead",
-    "window_percentiles",
-    "window_rank_dense",
-    "window_rownum_topk",
     "streaming_tumbling_agg",  # heavy
 )
 

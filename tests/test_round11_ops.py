@@ -1,0 +1,149 @@
+"""Round-11 additions: file-true WARC ingestion, wildcard robots rules as
+data, and the LIKE-lowering that carries RFC 9309 '*'/'$' semantics into the
+relational path."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# rep_like_pattern: RFC 9309 pattern -> SQL LIKE lowering
+# ---------------------------------------------------------------------------
+
+
+def test_rep_like_pattern_lowering():
+    from flock_spark.operators.text import rep_like_pattern
+
+    assert rep_like_pattern("/fish") == "/fish%"
+    assert rep_like_pattern("/fish*") == "/fish%%"
+    assert rep_like_pattern("/*.php$") == "/%.php"
+    assert rep_like_pattern("/x*$") == "/x%"
+    assert rep_like_pattern("/exact$") == "/exact"
+    # LIKE metacharacters in the literal part must be escaped
+    assert rep_like_pattern("/doc_1") == "/doc!_1%"
+    assert rep_like_pattern("/a%b$") == "/a!%b"
+    assert rep_like_pattern("/a!b") == "/a!!b%"
+
+
+def test_rep_like_pattern_agrees_with_rep_path_match(spark):
+    """The LIKE lowering and the Python matcher must agree verdict-for-
+    verdict over a pattern x path grid that exercises '*', '$', both, and
+    the metachar-escape path (URLs contain '_', a LIKE metachar)."""
+    from pyspark.sql import functions as F
+
+    from flock_spark.operators.text import rep_like_pattern, rep_path_match
+
+    patterns = [
+        "/", "/doc_", "/doc_1", "/doc_*1", "/doc_*1$", "/doc_1*", "/a*b$",
+        "/*.php$", "/*.php", "/doc_2*7$", "/doc_44*$", "/exact$", "/a*b*b$",
+    ]
+    paths = [
+        "/doc_1", "/doc_12", "/doc_21", "/doc_217", "/doc_44", "/doc_441",
+        "/a.php.php", "/aXbYb", "/abb", "/ab", "/exact", "/exactly",
+        "/index.php", "/doc_7", "/doc_107",
+    ]
+    rows = [(p, q) for p in patterns for q in paths]
+    # build the LIKE patterns driver-side (they are literals in the real
+    # entry too) and evaluate via one SQL projection
+    lowered = [(p, q, rep_like_pattern(p)) for p, q in rows]
+    df = spark.createDataFrame(
+        lowered, "pattern string, path string, like_pat string"
+    )
+    for r in df.select(
+        "pattern",
+        "path",
+        F.expr("path LIKE like_pat ESCAPE '!'").alias("m"),
+    ).collect():
+        assert bool(r["m"]) == rep_path_match(r["pattern"], r["path"]), (
+            r["pattern"],
+            r["path"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# text_robots_wildcard_match: wildcard rules decide real verdicts
+# ---------------------------------------------------------------------------
+
+
+def test_robots_wildcard_entry_replay(spark, sf_dir):
+    """Every verdict the relational entry emits must equal the Python
+    rep_decision replay over the same rule set, and the slate of winners
+    must include at least one '*' rule and one '$' rule (the point of the
+    entry: wildcard rules deciding real verdicts, not just test-pinned)."""
+    from flock_spark.operators.text import ROBOTS_WILD_RULES, rep_decision
+    from flock_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["text_robots_wildcard_match"].fn(spark, sf_dir).collect()
+    assert rows
+    seen_star = seen_anchor = seen_disallow = False
+    for r in rows:
+        rule, verdict, allowed = rep_decision(ROBOTS_WILD_RULES, r["url"])
+        assert r["match_rule"] == rule, (r, rule)
+        assert bool(r["allowed"]) == allowed, (r, verdict)
+        core = rule[:-1] if rule.endswith("$") else rule
+        assert r["rule_len"] == len(core), (r, rule)
+        if "*" in rule:
+            seen_star = True
+        if rule.endswith("$"):
+            seen_anchor = True
+        if not allowed:
+            seen_disallow = True
+    assert seen_star and seen_anchor and seen_disallow
+
+
+# ---------------------------------------------------------------------------
+# mm_warc_file_ingest: file-true WARC ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_warc_corpus_staged_files_are_real_gzip(sf_dir):
+    """The staged corpus must be real on-disk .warc.gz shards readable by
+    the STDLIB gzip module (cross-implementation check: our members were
+    written by gzip_member_build, stdlib must accept them), with every
+    record routed to the shard its doc_id promises."""
+    from flock_spark.operators.multimodal import (
+        WARC_N_SHARDS,
+        _stage_warc_corpus,
+    )
+
+    path = _stage_warc_corpus(sf_dir)
+    files = sorted(os.listdir(path))
+    assert files == [
+        f"shard-{s:05d}.warc.gz" for s in range(WARC_N_SHARDS)
+    ]
+    total_caps = 0
+    for s, name in enumerate(files):
+        raw = gzip.decompress(open(os.path.join(path, name), "rb").read())
+        # stdlib concatenates all members; captures are 3 records each and
+        # every response's URI doc id must belong to this shard
+        recs = raw.count(b"WARC/1.0\r\n")
+        assert recs % 3 == 0
+        total_caps += recs // 3
+        for ln in raw.split(b"\r\n"):
+            if ln.startswith(b"WARC-Target-URI:"):
+                did = int(ln.rsplit(b"_", 1)[1])
+                assert did % WARC_N_SHARDS == s
+    assert total_caps > 0
+
+
+def test_warc_file_ingest_rejects_corrupt_shard(spark, sf_dir, tmp_path):
+    """A truncated record inside a shard must fail loudly (Content-Length
+    framing), not silently skip — corrupt-input behavior is part of the
+    ingest contract."""
+    from flock_spark.operators.multimodal import (
+        gzip_member_build,
+        gzip_multistream_walk,
+        warc_record_build,
+        warc_record_parse,
+    )
+
+    rec = warc_record_build("response", "<urn:uuid:1>", b"hello")
+    member = gzip_member_build("", 1, rec[:-3])  # chop the terminator
+    walked = gzip_multistream_walk(member)
+    with pytest.raises(ValueError):
+        warc_record_parse(walked[0][2])
