@@ -462,6 +462,16 @@ def _plain_decode(raw: bytes, phys: str, n: int) -> list:
     raise ValueError(f"PLAIN decode unsupported for {phys}")
 
 
+def _gzip_page_decompress(raw: bytes) -> bytes:
+    """Parquet GZIP codec: each page payload is one complete RFC 1952 gzip
+    stream. Decoded by the repo's from-spec path — header FLG walk, RFC
+    1951 inflate (stored/fixed/dynamic Huffman), CRC32 + ISIZE trailer
+    checks — not zlib (multimodal.gzip_member_parse)."""
+    from flock_spark.operators.multimodal import gzip_member_parse
+
+    return gzip_member_parse(raw)[2]
+
+
 def _read_column_chunk(
     content: bytes, md: dict, phys: str, optional: bool
 ) -> list:
@@ -469,7 +479,7 @@ def _read_column_chunk(
     pages until the chunk's num_values are consumed). Returns the chunk's
     values with None for nulls."""
     codec = md.get(4)
-    if codec not in (0, 1):
+    if codec not in (0, 1, 2):
         raise ValueError(f"unsupported codec {_CODEC.get(codec, codec)}")
     n_total = md.get(5)
     pos = md.get(11, md.get(9))  # dictionary page first when present
@@ -481,6 +491,8 @@ def _read_column_chunk(
         raw = content[body : body + comp_size]
         if codec == 1:
             raw = snappy_decompress(raw)
+        elif codec == 2:
+            raw = _gzip_page_decompress(raw)
         if len(raw) != ph[2]:
             raise ValueError("page uncompressed size mismatch")
         if ph[1] == 2:  # DICTIONARY_PAGE
@@ -602,6 +614,136 @@ def scan_parquet_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 content = bytes(content)
                 info = parquet_footer_parse(content)
                 names = [n for n, _ in info["schema"]]
+                for col in ("doc_id", "n_chars"):
+                    vals = parquet_column_read(content, names.index(col))
+                    present = [v for v in vals if v is not None]
+                    rows["col_name"].append(col)
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(len(vals) - len(present))
+                    rows["min_v"].append(min(present))
+                    rows["max_v"].append(max(present))
+                    rows["sum_v"].append(sum(present))
+                    rows["values_md5"].append(
+                        hashlib.md5(
+                            ",".join(str(v) for v in present).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "col_name": pd.Series(rows["col_name"], dtype="object"),
+                    "n_values": pd.Series(rows["n_values"], dtype="int64"),
+                    "n_nulls": pd.Series(rows["n_nulls"], dtype="int64"),
+                    "min_v": pd.Series(rows["min_v"], dtype="int64"),
+                    "max_v": pd.Series(rows["max_v"], dtype="int64"),
+                    "sum_v": pd.Series(rows["sum_v"], dtype="int64"),
+                    "values_md5": pd.Series(rows["values_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="col_name string, n_values long, n_nulls long, min_v long, "
+        "max_v long, sum_v long, values_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# GZIP-compressed page path: the wild-corpus variant of the page decode
+# ---------------------------------------------------------------------------
+
+
+def _stage_parquet_gzip(sf_dir: str) -> str:
+    """Materialize (once per sf_dir) a GZIP-page parquet fixture: the
+    documents table's doc_id/n_chars columns, doc_id-sorted, written by
+    pyarrow with compression='gzip', a small data-page size (multiple
+    pages per chunk) and a bounded row-group size (multiple row groups) —
+    the layout shape of real-world archival parquet."""
+    from flock_spark.staging import stage_once
+
+    def write_fixture(tmp: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).sort_by("doc_id")
+        pq.write_table(
+            t,
+            os.path.join(tmp, "documents_gzip.parquet"),
+            compression="gzip",
+            data_page_size=2048,
+            row_group_size=max(64, t.num_rows // 4),
+            data_page_version="1.0",
+        )
+
+    return stage_once(f"parquet_gzip_{sf_dir}", "v1-gzip-dp2048-rg4", write_fixture)
+
+
+@register(
+    "scan_parquet_gzip_page_decode",
+    oracle="""
+    SELECT 'doc_id' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(min(doc_id) AS BIGINT) AS min_v,
+           CAST(max(doc_id) AS BIGINT) AS max_v,
+           CAST(sum(doc_id) AS BIGINT) AS sum_v,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS values_md5
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT),
+           md5(string_agg(CAST(n_chars AS VARCHAR), ',' ORDER BY doc_id))
+    FROM documents
+    """,
+    tags=("scan", "formats", "codec", "pandas_udf", "staged"),
+    doc="From-scratch parquet COLUMN read over GZIP-COMPRESSED pages — the "
+    "wild-corpus variant of scan_parquet_page_decode (real archival "
+    "parquet is routinely GZIP/ZSTD-paged): the documents doc_id/n_chars "
+    "columns are staged once per sf_dir as a pyarrow-written gzip-page "
+    "file (small data pages -> several pages per chunk, bounded row "
+    "groups -> several chunks), and the entry walks the REAL staged "
+    "bytes: footer Thrift walk -> per-page Thrift PageHeaders -> each "
+    "page payload a complete RFC 1952 gzip stream decoded by the repo's "
+    "own header walk + RFC 1951 inflate (stored/fixed/dynamic Huffman) "
+    "with CRC32 + ISIZE trailer checks — composing the round-9 DEFLATE "
+    "decoder with the round-10 parquet reader, zero zlib in the path. "
+    "Columns are certified VALUE BY VALUE (count/min/max/sum + md5 of "
+    "the full column in file order) against the documents view, which "
+    "also proves the staged file's row order. Scale: identical to the "
+    "snappy-page entry — one task per file via binaryFile, O(page) "
+    "memory, no shuffle.",
+)
+def scan_parquet_gzip_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_parquet_gzip(sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/documents_gzip.parquet")
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "col_name": [], "n_values": [], "n_nulls": [], "min_v": [],
+                "max_v": [], "sum_v": [], "values_md5": [],
+            }
+            for content in pdf["content"]:
+                content = bytes(content)
+                info = parquet_footer_parse(content)
+                names = [n for n, _ in info["schema"]]
+                # certify the fixture really is gzip-paged, not silently
+                # uncompressed: every chunk must declare codec 2
+                codecs = {
+                    c["codec"]
+                    for rg in info["row_groups"]
+                    for c in rg["columns"]
+                }
+                if codecs != {"GZIP"}:
+                    raise ValueError(f"fixture not gzip-paged: {codecs}")
                 for col in ("doc_id", "n_chars"):
                     vals = parquet_column_read(content, names.index(col))
                     present = [v for v in vals if v is not None]

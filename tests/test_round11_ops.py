@@ -147,3 +147,54 @@ def test_warc_file_ingest_rejects_corrupt_shard(spark, sf_dir, tmp_path):
     walked = gzip_multistream_walk(member)
     with pytest.raises(ValueError):
         warc_record_parse(walked[0][2])
+
+
+# ---------------------------------------------------------------------------
+# scan_parquet_gzip_page_decode: GZIP-compressed page path
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_gzip_fixture_is_gzip_paged_multigroup(sf_dir):
+    from flock_spark.operators.formats import (
+        _stage_parquet_gzip,
+        parquet_footer_parse,
+    )
+
+    path = _stage_parquet_gzip(sf_dir)
+    content = open(os.path.join(path, "documents_gzip.parquet"), "rb").read()
+    info = parquet_footer_parse(content)
+    assert len(info["row_groups"]) >= 2  # multiple chunks per column
+    codecs = {c["codec"] for rg in info["row_groups"] for c in rg["columns"]}
+    assert codecs == {"GZIP"}
+
+
+def test_parquet_gzip_column_read_matches_pyarrow(sf_dir):
+    """The from-spec reader's decoded values over GZIP pages must equal
+    pyarrow's read of the same staged file, value by value."""
+    import pyarrow.parquet as pq
+
+    from flock_spark.operators.formats import (
+        _stage_parquet_gzip,
+        parquet_column_read,
+        parquet_footer_parse,
+    )
+
+    path = _stage_parquet_gzip(sf_dir)
+    fpath = os.path.join(path, "documents_gzip.parquet")
+    content = open(fpath, "rb").read()
+    names = [n for n, _ in parquet_footer_parse(content)["schema"]]
+    t = pq.read_table(fpath)
+    for col in ("doc_id", "n_chars"):
+        ours = parquet_column_read(content, names.index(col))
+        theirs = t.column(col).to_pylist()
+        assert ours == theirs, col
+
+
+def test_gzip_page_decompress_rejects_corrupt_crc():
+    from flock_spark.operators.formats import _gzip_page_decompress
+    from flock_spark.operators.multimodal import gzip_member_build
+
+    member = bytearray(gzip_member_build("", 0, b"payload bytes"))
+    member[-5] ^= 0xFF  # flip a CRC32 byte in the trailer
+    with pytest.raises(ValueError):
+        _gzip_page_decompress(bytes(member))
