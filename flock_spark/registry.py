@@ -66,6 +66,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "zorder_layout_scan",
     "text_robots_wildcard_match",
     "mm_warc_file_ingest",
+    "mm_jpeg_progressive_decode",
     "scan_parquet_gzip_page_decode",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "tpch_q2",
     "tpch_q3",
     "tpch_q4",
-    "tpch_q5",
     "streaming_tumbling_agg",  # heavy
 )
 

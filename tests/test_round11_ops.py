@@ -198,3 +198,135 @@ def test_gzip_page_decompress_rejects_corrupt_crc():
     member[-5] ^= 0xFF  # flip a CRC32 byte in the trailer
     with pytest.raises(ValueError):
         _gzip_page_decompress(bytes(member))
+
+
+# ---------------------------------------------------------------------------
+# mm_jpeg_progressive_decode: T.81 Annex G spectral selection
+# ---------------------------------------------------------------------------
+
+
+def _prog_ac_map():
+    from flock_spark.operators.multimodal import (
+        _huff_decode_map,
+        _PROG_AC_BITS,
+        _PROG_AC_VALS,
+    )
+
+    return _huff_decode_map(_PROG_AC_BITS, _PROG_AC_VALS)
+
+
+def test_jpeg_progressive_stream_structure():
+    """SOF2 frame, three SOS segments, custom AC table present."""
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        _jpeg_seed_grid,
+        jpeg_encode_progressive,
+    )
+
+    data = jpeg_encode_progressive(
+        _jpeg_seed_grid([ord(c) for c in "progressive-jpeg"], np), np
+    )
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") == 3
+
+
+def test_jpeg_progressive_eobn_run_spans_blocks():
+    """40 blocks with all-zero AC bands must code each AC scan as ONE EOBn
+    symbol with extension bits (2 octets), not 40 EOB0s — and decode back
+    exactly."""
+    from flock_spark.operators.multimodal import (
+        _jpeg_decode_ac_band,
+        _JpegBitReader,
+        jpeg_encode_progressive_scans,
+    )
+
+    blocks = [[d] + [0] * 63 for d in range(40)]
+    scans = jpeg_encode_progressive_scans(blocks)
+    assert [s[:2] for s in scans] == [(0, 0), (1, 5), (6, 63)]
+    assert len(scans[1][2]) == 2 and len(scans[2][2]) == 2  # EOB5 + 8 bits
+    ac_map = _prog_ac_map()
+    coefs = [[b[0]] + [0] * 63 for b in blocks]
+    for _, (ss, se, ecs) in zip((1, 2), scans[1:]):
+        _jpeg_decode_ac_band(_JpegBitReader(ecs, 0), coefs, ss, se, ac_map)
+    assert coefs == blocks
+
+
+def test_jpeg_progressive_zrl_and_negative_coefs_roundtrip():
+    from flock_spark.operators.multimodal import (
+        _jpeg_decode_ac_band,
+        _JpegBitReader,
+        jpeg_encode_progressive_scans,
+    )
+
+    blk = [0] * 64
+    blk[1], blk[40], blk[63] = 2, -3, -1  # ZRL runs inside band 6-63
+    blocks = [blk, [0] * 64, list(blk)]
+    scans = jpeg_encode_progressive_scans(blocks)
+    ac_map = _prog_ac_map()
+    coefs = [[b[0]] + [0] * 63 for b in blocks]
+    for ss, se, ecs in scans[1:]:
+        _jpeg_decode_ac_band(_JpegBitReader(ecs, 0), coefs, ss, se, ac_map)
+    assert coefs == blocks
+
+
+def test_jpeg_progressive_rejects_successive_approximation():
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        _jpeg_seed_grid,
+        jpeg_decode_progressive,
+        jpeg_encode_progressive,
+    )
+
+    data = bytearray(
+        jpeg_encode_progressive(
+            _jpeg_seed_grid([65] * 16, np), np
+        )
+    )
+    sos = data.find(b"\xff\xda")
+    data[sos + 4 + 5] = 0x01  # Ah/Al byte of the first scan -> Al=1
+    with pytest.raises(ValueError, match="successive"):
+        jpeg_decode_progressive(bytes(data), np)
+
+
+def test_jpeg_progressive_rejects_double_coded_band_and_baseline_frame():
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        _jpeg_seed_grid,
+        jpeg_decode_baseline,
+        jpeg_decode_progressive,
+        jpeg_encode_baseline,
+        jpeg_encode_progressive,
+    )
+
+    grid = _jpeg_seed_grid([66] * 16, np)
+    prog = jpeg_encode_progressive(grid, np)
+    base = jpeg_encode_baseline(grid, np)
+    with pytest.raises(ValueError, match="non-progressive"):
+        jpeg_decode_progressive(base, np)
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_decode_baseline(prog, np)
+
+
+def test_jpeg_progressive_equals_baseline_pixels():
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        _jpeg_seed_grid,
+        jpeg_decode_baseline,
+        jpeg_decode_progressive,
+        jpeg_encode_baseline,
+        jpeg_encode_progressive,
+    )
+
+    for seed in ("All work and no p", "0123456789abcdef", "\x00" * 16):
+        chars = [ord(c) % 256 for c in seed[:16]]
+        grid = _jpeg_seed_grid(chars, np)
+        pd_, pb, ns = jpeg_decode_progressive(
+            jpeg_encode_progressive(grid, np), np
+        )
+        bd, bb = jpeg_decode_baseline(jpeg_encode_baseline(grid, np), np)
+        assert ns == 3 and pb == bb and (pd_ == bd).all()
