@@ -65,6 +65,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "dedup_exact",
     "zorder_layout_scan",
     "text_robots_wildcard_match",
+    "mm_png_filter_suite_decode",
     "mm_warc_file_ingest",
     "mm_jpeg_progressive_decode",
     "scan_parquet_gzip_page_decode",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
-    "tpch_q4",
     "streaming_tumbling_agg",  # heavy
 )
 

@@ -330,3 +330,68 @@ def test_jpeg_progressive_equals_baseline_pixels():
         )
         bd, bb = jpeg_decode_baseline(jpeg_encode_baseline(grid, np), np)
         assert ns == 3 and pb == bb and (pd_ == bd).all()
+
+
+# ---------------------------------------------------------------------------
+# mm_png_filter_suite_decode: Average + Paeth filters
+# ---------------------------------------------------------------------------
+
+
+def test_paeth_predictor_tie_break_order():
+    from flock_spark.operators.multimodal import _paeth
+
+    # PNG spec §9.4: nearest of a/b/c to p = a+b-c; ties break left, up,
+    # up-left
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 20, 15) == 15  # pa=5 pb=5 pc=0 -> up-left
+    assert _paeth(10, 20, 10) == 20  # pb=0 -> up
+    assert _paeth(5, 200, 100) == 100  # pc=5 smallest -> up-left
+    assert _paeth(10, 10, 4) == 10  # pa==pb tie -> left
+    assert _paeth(0, 9, 3) == 9  # pb==pc==3 tie -> up beats up-left
+
+
+def test_png_full_filter_roundtrip_all_types():
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        png_filter_rows_full,
+        png_unfilter_rows_full,
+    )
+
+    rng = [((y * 31 + x * 17 + (x * y) % 7) % 256) for y in range(10) for x in range(8)]
+    grid = np.array(rng, dtype=np.uint8).reshape(10, 8)
+    raw = png_filter_rows_full(grid, np)
+    # row y carries filter type y % 5 — all five appear
+    assert [raw[y * 9] for y in range(10)] == [y % 5 for y in range(10)]
+    recon = png_unfilter_rows_full(raw, 8, np)
+    assert (recon == grid).all()
+
+
+def test_png_unfilter_rejects_unknown_type():
+    import numpy as np
+
+    from flock_spark.operators.multimodal import png_unfilter_rows_full
+
+    raw = bytes([7]) + bytes(8)
+    with pytest.raises(ValueError, match="unknown filter type"):
+        png_unfilter_rows_full(raw, 8, np)
+
+
+def test_png_average_floor_semantics():
+    """Average filter uses floor((left+up)/2) on the RECONSTRUCTED
+    neighbors — an off-by-rounding here corrupts every later pixel."""
+    import numpy as np
+
+    from flock_spark.operators.multimodal import (
+        png_filter_rows_full,
+        png_unfilter_rows_full,
+    )
+
+    # 5 rows so row 3 (Average) and row 4 (Paeth) both execute, with odd
+    # sums to force the floor
+    grid = np.array(
+        [[255, 1, 3], [2, 254, 5], [7, 11, 13], [253, 17, 19], [23, 29, 251]],
+        dtype=np.uint8,
+    )
+    recon = png_unfilter_rows_full(png_filter_rows_full(grid, np), 3, np)
+    assert (recon == grid).all()
