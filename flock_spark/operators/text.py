@@ -1600,3 +1600,96 @@ _ROBOTS_WILD_SQL = f"""
 def text_robots_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_ROBOTS_WILD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CDX / SURT crawl-index canonicalization (Common-Crawl index dedup shape)
+# ---------------------------------------------------------------------------
+
+_SURT_SPARK_SQL = """
+    WITH caps AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'www'
+                  WHEN doc_id % 3 = 1 THEN 'en' ELSE 'img' END AS sub,
+             concat('example', CAST(doc_id % 5 AS STRING), '.com') AS dom,
+             concat('/doc/', CAST(doc_id % 40 AS STRING)) AS path,
+             concat('b=', CAST(doc_id % 4 AS STRING),
+                    '&utm_source=', CAST(doc_id % 2 AS STRING),
+                    '&a=', CAST(doc_id % 3 AS STRING)) AS query,
+             20250000000000 + doc_id AS ts,
+             md5(hex(CAST(text AS BINARY))) AS digest
+      FROM documents),
+    canon AS (
+      SELECT ts, digest,
+             concat(
+               array_join(reverse(split(
+                 CASE WHEN sub = 'www' THEN dom
+                      ELSE concat(sub, '.', dom) END, '[.]')), ','),
+               ')', path, '?',
+               array_join(array_sort(filter(split(query, '&'),
+                 x -> x NOT LIKE 'utm!_%' ESCAPE '!')), '&')
+             ) AS surt_key
+      FROM caps)
+    SELECT surt_key,
+           CAST(count(*) AS BIGINT) AS n_captures,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_digests,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM canon GROUP BY surt_key
+"""
+
+@register(
+    "text_cdx_surt_dedup",
+    oracle="""
+    WITH caps AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'www'
+                  WHEN doc_id % 3 = 1 THEN 'en' ELSE 'img' END AS sub,
+             concat('example', CAST(doc_id % 5 AS VARCHAR), '.com') AS dom,
+             concat('/doc/', CAST(doc_id % 40 AS VARCHAR)) AS path,
+             concat('b=', CAST(doc_id % 4 AS VARCHAR),
+                    '&utm_source=', CAST(doc_id % 2 AS VARCHAR),
+                    '&a=', CAST(doc_id % 3 AS VARCHAR)) AS query,
+             20250000000000 + doc_id AS ts,
+             md5(hex(encode(text))) AS digest
+      FROM documents),
+    canon AS (
+      SELECT ts, digest,
+             concat(
+               array_to_string(list_reverse(string_split(
+                 CASE WHEN sub = 'www' THEN dom
+                      ELSE concat(sub, '.', dom) END, '.')), ','),
+               ')', path, '?',
+               array_to_string(list_sort(list_filter(string_split(query, '&'),
+                 x -> x NOT LIKE 'utm!_%' ESCAPE '!')), '&')
+             ) AS surt_key
+      FROM caps)
+    SELECT surt_key,
+           CAST(count(*) AS BIGINT) AS n_captures,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_digests,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM canon GROUP BY surt_key
+    """,
+    tags=("text", "corpus", "crawl", "sql"),
+    doc="CDX-style crawl-index canonicalization and dedup — the index "
+    "layer of every web archive (Common-Crawl's cdx files, Heritrix/"
+    "OpenWayback SURT keys): each document becomes a capture with a raw "
+    "URL (rotating subdomain, 5 domains, 40 paths, tracking-polluted "
+    "query) and the entry computes the SURT key RELATIONALLY — host "
+    "labels reversed comma-joined (sort-friendly: one domain's captures "
+    "become one contiguous key range, THE property that lets a 100 TB "
+    "index binary-search by prefix), a leading 'www' label dropped, "
+    "utm_* tracking params stripped, remaining query params sorted — "
+    "then groups captures by key: capture count, distinct content "
+    "digests (unchanged-page detection), first/last timestamp. Engine-"
+    "shared logic in two dialects (split/reverse/array_join + lambda "
+    "filter on Spark; string_split/list_reverse/list_sort/list_filter "
+    "on DuckDB); all intermediate arrays collapse to strings before "
+    "output. Scale: pure-JVM string/array functions, one hash "
+    "aggregation on the canonical key with map-side partials — the "
+    "same plan family as every keyed rollup; no UDF, no explode.",
+)
+def text_cdx_surt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SURT_SPARK_SQL)

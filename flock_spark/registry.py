@@ -65,6 +65,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "dedup_exact",
     "zorder_layout_scan",
     "text_robots_wildcard_match",
+    "text_cdx_surt_dedup",
     "mm_png_filter_suite_decode",
     "mm_warc_file_ingest",
     "mm_jpeg_progressive_decode",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "subquery_scalar",
     "tpch_q1",
     "tpch_q2",
-    "tpch_q3",
     "streaming_tumbling_agg",  # heavy
 )
 

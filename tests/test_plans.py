@@ -942,3 +942,30 @@ def test_rank_statistics_aggregate_before_global_window(spark, sf_dir):
         assert "ReadSchema: struct<event_type:string,user_id" in plan or (
             "user_id" in plan and "value" in plan
         ), name
+
+
+def test_round11_new_entries_plan_shapes(spark, sf_dir):
+    # wildcard robots: rule relation broadcasts, LIKE-join never shuffles
+    # the corpus, tournament partial-aggregates map-side (one row per URL
+    # crosses the exchange), scan pruned to doc_id
+    plan = plan_of(spark, sf_dir, "text_robots_wildcard_match")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert plan.count("SortAggregate") >= 2 or "partial" in plan.lower()
+    # SURT index: pure-JVM (no Python), single hash aggregation on the
+    # canonical key with map-side partials, no explode
+    plan = plan_of(spark, sf_dir, "text_cdx_surt_dedup")
+    assert "Python" not in plan and "Generate" not in plan
+    assert "HashAggregate" in plan
+    # file-true ingests + progressive JPEG + gzip-page decode: one binary
+    # scan feeding mapInPandas, no hash exchange
+    for name in ("mm_warc_file_ingest", "scan_parquet_gzip_page_decode"):
+        p = plan_of(spark, sf_dir, name)
+        assert "hashpartitioning" not in p, name
+        assert "MapInPandas" in p, name
+        assert "binaryFile" in p or "Scan binaryFile" in p, name
+    for name in ("mm_jpeg_progressive_decode", "mm_png_filter_suite_decode"):
+        p = plan_of(spark, sf_dir, name)
+        assert "hashpartitioning" not in p, name
+        assert "MapInPandas" in p, name
+        assert p.count("Scan parquet") == 1, name

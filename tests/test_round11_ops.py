@@ -395,3 +395,32 @@ def test_png_average_floor_semantics():
     )
     recon = png_unfilter_rows_full(png_filter_rows_full(grid, np), 3, np)
     assert (recon == grid).all()
+
+
+# ---------------------------------------------------------------------------
+# text_cdx_surt_dedup: SURT canonicalization properties
+# ---------------------------------------------------------------------------
+
+
+def test_surt_keys_sort_friendly_and_canonical(spark, sf_dir):
+    from flock_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["text_cdx_surt_dedup"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        key = r["surt_key"]
+        # host reversed: every key starts at the TLD -> one domain's
+        # captures form one contiguous prefix range
+        assert key.startswith("com,example"), key
+        # 'www' dropped, other subdomains kept after the domain labels
+        assert ",www)" not in key
+        # tracking params stripped, kept params sorted
+        q = key.split("?", 1)[1]
+        assert "utm_" not in q
+        parts = q.split("&")
+        assert parts == sorted(parts) and len(parts) == 2
+        assert r["first_ts"] <= r["last_ts"]
+        assert 1 <= r["n_unique_digests"] <= r["n_captures"]
+    # the dedup is real: fewer keys than documents, some key has >1 capture
+    assert any(r["n_captures"] > 1 for r in rows)
