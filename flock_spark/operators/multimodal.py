@@ -1798,6 +1798,199 @@ def mm_png_filter_suite_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LZ4 block format (public spec, lz4.github.io/lz4/lz4_Block_format) — the
+# third real compression family after DEFLATE and SNAPPY, and the raw-block
+# codec parquet calls LZ4_RAW. Token nibbles, 255-extension length bytes,
+# 2-byte little-endian offsets, overlap-legal match copies, and the spec's
+# end-of-block rules (final sequence literal-only; last 5 octets literals;
+# no match starting within the last 12 octets).
+# ---------------------------------------------------------------------------
+
+
+def lz4_block_decompress(data: bytes) -> bytes:
+    """Decode one raw LZ4 block: per sequence a token (high nibble literal
+    count, low nibble matchlen-4, 15 -> 255-extension bytes), the literals,
+    then a 2-byte LE offset and the match copy (offsets may overlap the
+    bytes being written — the RLE trick). The final sequence carries only
+    literals. ValueError on any framing violation."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    if n == 0:
+        raise ValueError("empty LZ4 block")
+    while pos < n:
+        token = data[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("truncated literal length extension")
+                b = data[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise ValueError("literal run past end of block")
+        out += data[pos : pos + lit]
+        pos += lit
+        if pos == n:
+            break  # last sequence: literals only, no match
+        if pos + 2 > n:
+            raise ValueError("truncated match offset")
+        off = data[pos] | (data[pos + 1] << 8)
+        pos += 2
+        if off == 0 or off > len(out):
+            raise ValueError("match offset out of range")
+        ml = (token & 0x0F) + 4
+        if token & 0x0F == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("truncated match length extension")
+                b = data[pos]
+                pos += 1
+                ml += b
+                if b != 255:
+                    break
+        src = len(out) - off
+        for k in range(ml):  # byte-at-a-time: overlap copies must self-feed
+            out.append(out[src + k])
+    return bytes(out)
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """A greedy from-spec LZ4 block encoder (4-byte hash table, most-recent
+    position wins) honoring the end-of-block rules: blocks shorter than 13
+    octets are all literals, the last 5 octets are always literals, no
+    match starts within the last 12. Output decodes with ANY conformant
+    decoder — the roundtrip entry proves it against lz4_block_decompress
+    and the parquet entry proves the reverse direction against the real
+    pyarrow compressor."""
+    n = len(data)
+    out = bytearray()
+
+    def emit(lit_start: int, lit_end: int, off: int = 0, ml: int = 0) -> None:
+        lit = lit_end - lit_start
+        tok_lit = 15 if lit >= 15 else lit
+        tok_ml = 0 if ml == 0 else (15 if ml - 4 >= 15 else ml - 4)
+        out.append((tok_lit << 4) | tok_ml)
+        if lit >= 15:
+            rem = lit - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(data[lit_start:lit_end])
+        if ml:
+            out.append(off & 0xFF)
+            out.append(off >> 8)
+            if ml - 4 >= 15:
+                rem = ml - 4 - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    if n < 13:
+        emit(0, n)
+        return bytes(out)
+    table: dict[bytes, int] = {}
+    i = 0
+    anchor = 0
+    limit = n - 12
+    while i < limit:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 0xFFFF:
+            ml = 4
+            maxml = (n - 5) - i
+            while ml < maxml and data[j + ml] == data[i + ml]:
+                ml += 1
+            emit(anchor, i, i - j, ml)
+            i += ml
+            anchor = i
+            continue
+        i += 1
+    emit(anchor, n)
+    return bytes(out)
+
+
+@register(
+    "mm_lz4_block_roundtrip",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE octet_length(encode(text)) > 0),
+    samples AS (
+      SELECT doc_id, unnest(generate_series(1, n)) AS i FROM img),
+    sums AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bytes,
+             CAST(sum(('0x' || substring(i2.hx, s.i * 2 - 1, 2))::BIGINT)
+                  AS BIGINT) AS byte_sum
+      FROM samples s JOIN img i2 USING (doc_id) GROUP BY s.doc_id)
+    SELECT sums.doc_id, sums.n_bytes, sums.byte_sum,
+           md5(img.hx) AS decoded_md5
+    FROM sums JOIN img ON sums.doc_id = img.doc_id
+    """,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="LZ4 block codec from the public block-format spec — the third "
+    "real compression family (after DEFLATE and SNAPPY) and the raw "
+    "block parquet's LZ4_RAW codec wraps: each document's bytes go "
+    "through the from-spec greedy encoder (4-byte hash table, "
+    "most-recent match, end-of-block rules: final sequence literal-only, "
+    "last 5 octets literals, no match inside the last 12) and back "
+    "through the from-spec decoder (token nibbles, 255-extension length "
+    "bytes, little-endian offsets, overlap-legal self-feeding match "
+    "copies). The oracle re-derives byte count, byte sum and md5 of the "
+    "decoded bytes straight from hex(encode(text)) — any length-"
+    "extension, offset, or overlap-copy bug mismatches. The reverse "
+    "direction (our decoder vs the REAL pyarrow LZ4 compressor) is "
+    "certified by scan_parquet_lz4_page_decode. Scale: per-object "
+    "mapInPandas, single scan, no shuffle — the codec plan family.",
+)
+def mm_lz4_block_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .filter(F.length(F.col("payload")) > 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                comp = lz4_block_compress(b)
+                dec = lz4_block_decompress(comp)
+                if dec != b:
+                    raise ValueError(f"LZ4 roundtrip mismatch for doc {doc_id}")
+                out_doc.append(int(doc_id))
+                out_n.append(len(dec))
+                out_sum.append(sum(dec))
+                out_md5.append(
+                    hashlib.md5(dec.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full RFC 1951 inflate: stored + fixed-Huffman + dynamic-Huffman blocks with
 # LZ77 back-references — a complete DEFLATE decoder from the public spec,
 # exercised against REAL compressed output (the stdlib zlib COMPRESSOR is

@@ -67,9 +67,11 @@ DRIVER_SLATE: tuple[str, ...] = (
     "text_robots_wildcard_match",
     "text_cdx_surt_dedup",
     "mm_png_filter_suite_decode",
+    "mm_lz4_block_roundtrip",
     "mm_warc_file_ingest",
     "mm_jpeg_progressive_decode",
     "scan_parquet_gzip_page_decode",
+    "scan_parquet_lz4_page_decode",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
@@ -102,8 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "string_funcs",
     "subquery_in",
     "subquery_scalar",
-    "tpch_q1",
-    "tpch_q2",
     "streaming_tumbling_agg",  # heavy
 )
 

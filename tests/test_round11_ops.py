@@ -424,3 +424,76 @@ def test_surt_keys_sort_friendly_and_canonical(spark, sf_dir):
         assert 1 <= r["n_unique_digests"] <= r["n_captures"]
     # the dedup is real: fewer keys than documents, some key has >1 capture
     assert any(r["n_captures"] > 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block codec + LZ4_RAW parquet pages
+# ---------------------------------------------------------------------------
+
+
+def test_lz4_roundtrip_properties():
+    import random
+
+    from flock_spark.operators.multimodal import (
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    random.seed(11)
+    cases = [
+        b"a", b"x" * 12, b"x" * 13, b"a" * 5000,  # sub-13 all-literal rule
+        b"abcabcabcabc tail", bytes(range(256)) * 4,
+        bytes(random.randrange(256) for _ in range(4000)),  # incompressible
+        (b"pat!" * 2000)[:6789],  # 255-extension match lengths
+        b"L" * 300 + bytes(random.randrange(256) for _ in range(300)),
+    ]
+    for c in cases:
+        comp = lz4_block_compress(c)
+        assert lz4_block_decompress(comp) == c, len(c)
+    # overlap copy (offset 1 RLE trick) must self-feed byte-at-a-time
+    assert lz4_block_decompress(lz4_block_compress(b"z" * 1000)) == b"z" * 1000
+
+
+def test_lz4_decoder_rejects_framing_violations():
+    from flock_spark.operators.multimodal import lz4_block_decompress
+
+    with pytest.raises(ValueError, match="empty"):
+        lz4_block_decompress(b"")
+    # offset 0 is illegal
+    with pytest.raises(ValueError, match="offset"):
+        lz4_block_decompress(bytes([0x10, ord("a"), 0x00, 0x00]))
+    # offset beyond produced output
+    with pytest.raises(ValueError, match="offset"):
+        lz4_block_decompress(bytes([0x10, ord("a"), 0x05, 0x00]))
+    # literal run past end of block
+    with pytest.raises(ValueError, match="literal"):
+        lz4_block_decompress(bytes([0x50, ord("a")]))
+    # truncated length extension
+    with pytest.raises(ValueError, match="extension"):
+        lz4_block_decompress(bytes([0xF0]))
+
+
+def test_parquet_lz4_fixture_decodes_real_pyarrow_output(sf_dir):
+    """Cross-implementation: pages compressed by pyarrow's C++ lz4 must
+    decode through OUR from-spec block decoder to pyarrow's own values."""
+    import pyarrow.parquet as pq
+
+    from flock_spark.operators.formats import (
+        _stage_parquet_codec,
+        parquet_column_read,
+        parquet_footer_parse,
+    )
+
+    path = _stage_parquet_codec(sf_dir, "lz4")
+    fpath = os.path.join(path, "documents_lz4.parquet")
+    content = open(fpath, "rb").read()
+    info = parquet_footer_parse(content)
+    assert {
+        c["codec"] for rg in info["row_groups"] for c in rg["columns"]
+    } == {"LZ4_RAW"}
+    names = [n for n, _ in info["schema"]]
+    t = pq.read_table(fpath)
+    for col in ("doc_id", "n_chars"):
+        assert parquet_column_read(content, names.index(col)) == t.column(
+            col
+        ).to_pylist(), col
