@@ -79,6 +79,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "agg_having",
     "case_when",
     "correlated_exists",
+    "streaming_tumbling_agg",  # heavy
     "date_funcs",
     "distinct_select",
     "filter_complex",
@@ -103,8 +104,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "sort_multi_col",
     "string_funcs",
     "subquery_in",
-    "subquery_scalar",
-    "streaming_tumbling_agg",  # heavy
+    "streaming_warc_file_ingest",  # heavy
 )
 
 # Machine-readable certification history: registry name -> FIRST round with a
