@@ -1693,3 +1693,144 @@ _SURT_SPARK_SQL = """
 def text_cdx_surt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SURT_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Unigram min-cost subword segmentation (SentencePiece's Viterbi shape)
+# ---------------------------------------------------------------------------
+
+# Integer piece costs: 3-char units are cheapest, single chars (always
+# in-vocab: byte fallback) most expensive. Greedy longest-match is NOT
+# optimal under these costs ('xated': greedy x|ate|d = 15, optimal
+# x|at|ed = 14), which is exactly what separates this entry from
+# tokenizer_wordpiece_greedy.
+UNIGRAM_COSTS = {3: 3, 2: 4, 1: 6}
+UNIGRAM_TOP_WORDS = 200
+
+
+def _unigram_viterbi(word: str) -> tuple[int, int, str]:
+    """Min-total-cost segmentation over the shared subword vocab by
+    right-to-left DP; ties resolve to the LARGEST step at the earliest
+    position (the lexicographically-largest step-digit string among
+    min-cost segmentations — the rule the oracle replays). Returns
+    (min_cost, n_pieces, pieces)."""
+    n = len(word)
+    best = [0] * (n + 1)
+    choice = [0] * n
+    for i in range(n - 1, -1, -1):
+        cands = [(UNIGRAM_COSTS[1] + best[i + 1], 1)]
+        if word[i : i + 2] in WP_VOCAB_2 and i + 2 <= n:
+            cands.append((UNIGRAM_COSTS[2] + best[i + 2], 2))
+        if word[i : i + 3] in WP_VOCAB_3 and i + 3 <= n:
+            cands.append((UNIGRAM_COSTS[3] + best[i + 3], 3))
+        c = min(c for c, _ in cands)
+        best[i] = c
+        choice[i] = max(s for cc, s in cands if cc == c)
+    pieces: list[str] = []
+    pos = 0
+    while pos < n:
+        pieces.append(word[pos : pos + choice[pos]])
+        pos += choice[pos]
+    return best[0], len(pieces), "|".join(pieces)
+
+
+@register(
+    "tokenizer_unigram_viterbi",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT word, cnt FROM (
+        SELECT lower(w) AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+              FROM documents) t
+        WHERE regexp_full_match(lower(w), '{WP_WORD_RE}')
+        GROUP BY lower(w)
+        ORDER BY cnt DESC, word
+        LIMIT {UNIGRAM_TOP_WORDS}) s
+    ),
+    seg AS (
+      -- enumerate EVERY legal segmentation (branch on 1/2/3-char pieces)
+      SELECT word, cnt, CAST(1 AS BIGINT) AS pos,
+             CAST('' AS VARCHAR) AS pieces, CAST('' AS VARCHAR) AS steps,
+             CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS n_pieces
+      FROM words
+      UNION ALL
+      SELECT word, cnt, pos + stp AS pos,
+             pieces || '|' || substring(word, CAST(pos AS INT), CAST(stp AS INT)),
+             steps || CAST(stp AS VARCHAR),
+             cost + CASE stp WHEN 3 THEN {UNIGRAM_COSTS[3]}
+                             WHEN 2 THEN {UNIGRAM_COSTS[2]}
+                             ELSE {UNIGRAM_COSTS[1]} END,
+             n_pieces + 1
+      FROM (
+        SELECT word, cnt, pos, pieces, steps, cost, n_pieces,
+               unnest(list_filter([1, 2, 3], stp ->
+                 pos + stp <= length(word) + 1 AND (
+                   stp = 1
+                   OR (stp = 2 AND substring(word, CAST(pos AS INT), 2)
+                         IN ({_WP_V2_SQL}))
+                   OR (stp = 3 AND substring(word, CAST(pos AS INT), 3)
+                         IN ({_WP_V3_SQL}))))) AS stp
+        FROM seg WHERE pos <= length(word)) b
+    ),
+    complete AS (
+      SELECT word, cnt, cost, n_pieces, substring(pieces, 2) AS pieces, steps,
+             row_number() OVER (PARTITION BY word
+                                ORDER BY cost ASC, steps DESC) AS rk
+      FROM seg WHERE pos = length(word) + 1
+    )
+    SELECT word, cnt, CAST(cost AS BIGINT) AS min_cost,
+           CAST(n_pieces AS BIGINT) AS n_pieces, pieces
+    FROM complete WHERE rk = 1
+    """,
+    tags=("text", "tokenizer", "pandas_udf"),
+    doc="Unigram-LM subword segmentation (the SentencePiece inference "
+    "shape): each frequent word is segmented by VITERBI dynamic "
+    "programming to the GLOBAL minimum total piece cost over the shared "
+    "vocab (3-char units cost 3, 2-char 4, single-char fallback 6), "
+    "with ties resolving to the largest step at the earliest position. "
+    "Greedy longest-match is provably suboptimal under these costs, so "
+    "this certifies a genuinely different algorithm than "
+    "tokenizer_wordpiece_greedy. The oracle is the strongest "
+    "differential form in the repo: a recursive CTE ENUMERATES every "
+    "legal segmentation of every word (branching on in-vocab 1/2/3-char "
+    "pieces), then picks the optimum per word with the same tie-break — "
+    "an O(len) imperative DP certified against an exhaustive-search "
+    "respecification. At 100 TB inference distributes perfectly: vocab "
+    "+ costs broadcast, the corpus streams once through a vectorized "
+    "pandas batch, per-word cost O(len); the frequency LIMIT bounds the "
+    "certified sample, not the plan shape.",
+)
+def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .filter(F.col("word").rlike(f"^{WP_WORD_RE}$"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(UNIGRAM_TOP_WORDS)
+    )
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            segs = [_unigram_viterbi(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "cnt": pdf["cnt"],
+                    "min_cost": pd.Series([s[0] for s in segs], dtype="int64"),
+                    "n_pieces": pd.Series([s[1] for s in segs], dtype="int64"),
+                    "pieces": [s[2] for s in segs],
+                }
+            )
+
+    return words.mapInPandas(
+        tokenize,
+        schema="word string, cnt long, min_cost long, n_pieces long, "
+        "pieces string",
+    )

@@ -66,6 +66,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "zorder_layout_scan",
     "text_robots_wildcard_match",
     "text_cdx_surt_dedup",
+    "tokenizer_unigram_viterbi",
     "mm_png_filter_suite_decode",
     "mm_lz4_block_roundtrip",
     "mm_warc_file_ingest",
@@ -78,8 +79,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "agg_count_distinct",
     "agg_having",
     "case_when",
-    "correlated_exists",
     "streaming_tumbling_agg",  # heavy
+    "correlated_exists",
     "date_funcs",
     "distinct_select",
     "filter_complex",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "set_union_all",
     "sort_multi_col",
     "string_funcs",
-    "subquery_in",
     "streaming_warc_file_ingest",  # heavy
 )
 

@@ -497,3 +497,57 @@ def test_parquet_lz4_fixture_decodes_real_pyarrow_output(sf_dir):
         assert parquet_column_read(content, names.index(col)) == t.column(
             col
         ).to_pylist(), col
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_unigram_viterbi: global optimum vs greedy
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_viterbi_beats_greedy_where_it_should():
+    from flock_spark.operators.text import (
+        UNIGRAM_COSTS,
+        _unigram_viterbi,
+        _wp_greedy,
+    )
+
+    # 'xated': greedy takes x|ate|d (6+3+6=15); the optimum is x|at|ed
+    # (6+4+4=14) — the case that separates the two algorithms
+    cost, n, pieces = _unigram_viterbi("xated")
+    assert (cost, pieces) == (14, "x|at|ed")
+    g_n, g_pieces = _wp_greedy("xated")
+    assert g_pieces == "x|ate|d"
+    # brute-force cross-check on a word sample: Viterbi cost must equal
+    # the exhaustive minimum, and the tie-break must be largest-step-first
+    from itertools import product
+
+    from flock_spark.operators.text import WP_VOCAB_2, WP_VOCAB_3
+
+    def all_segs(word):
+        def rec(pos):
+            if pos == len(word):
+                yield [], 0, ""
+                return
+            for stp, cst in ((3, UNIGRAM_COSTS[3]), (2, UNIGRAM_COSTS[2]),
+                             (1, UNIGRAM_COSTS[1])):
+                piece = word[pos : pos + stp]
+                if len(piece) != stp:
+                    continue
+                if stp == 3 and piece not in WP_VOCAB_3:
+                    continue
+                if stp == 2 and piece not in WP_VOCAB_2:
+                    continue
+                for rest, rcost, rsteps in rec(pos + stp):
+                    yield [piece] + rest, cst + rcost, str(stp) + rsteps
+        return list(rec(0))
+
+    for word in ("xated", "atent", "theater", "ingestion", "alteration",
+                 "zzzz", "anding"):
+        segs = all_segs(word)
+        best = min(s[1] for s in segs)
+        # among min-cost segmentations the DP picks the lexicographically
+        # LARGEST step string (largest step earliest)
+        want = max((s for s in segs if s[1] == best), key=lambda s: s[2])
+        cost, n, pieces = _unigram_viterbi(word)
+        assert cost == best, word
+        assert pieces == "|".join(want[0]), word
