@@ -125,6 +125,15 @@ HEADLINE = [
     "text_boilerplate_linefilter",
     "mm_jpeg_baseline_decode",
     "scan_parquet_page_decode",
+    # round-11 additions: file-true WARC ingest over on-disk shards,
+    # wildcard robots matching as data, CDX/SURT index dedup, LZ4_RAW
+    # parquet pages through the from-spec LZ4 decoder, unigram Viterbi
+    # segmentation
+    "mm_warc_file_ingest",
+    "text_robots_wildcard_match",
+    "text_cdx_surt_dedup",
+    "scan_parquet_lz4_page_decode",
+    "tokenizer_unigram_viterbi",
 ]
 
 
