@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flock_spark.catalog import tbl
+from flock_spark.catalog import spread, tbl
 from flock_spark.registry import register
 
 # stopword markers per language, matched as ' word ' inside ' ' || text || ' '
@@ -1833,4 +1833,227 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenize,
         schema="word string, cnt long, min_cost long, n_pieces long, "
         "pieces string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Punycode (RFC 3492) — internationalized hostname labels, the encoding
+# under every xn-- label SURT/robots/CDX keys meet on a real crawl.
+# ---------------------------------------------------------------------------
+
+_PUNY_BASE, _PUNY_TMIN, _PUNY_TMAX = 36, 1, 26
+_PUNY_SKEW, _PUNY_DAMP = 38, 700
+_PUNY_INITIAL_BIAS, _PUNY_INITIAL_N = 72, 128
+
+
+def _puny_adapt(delta: int, numpoints: int, firsttime: bool) -> int:
+    """RFC 3492 §6.1 bias adaptation."""
+    delta = delta // _PUNY_DAMP if firsttime else delta // 2
+    delta += delta // numpoints
+    k = 0
+    while delta > ((_PUNY_BASE - _PUNY_TMIN) * _PUNY_TMAX) // 2:
+        delta //= _PUNY_BASE - _PUNY_TMIN
+        k += _PUNY_BASE
+    return k + (((_PUNY_BASE - _PUNY_TMIN + 1) * delta) // (delta + _PUNY_SKEW))
+
+
+def _puny_digit_char(d: int) -> str:
+    return chr(ord("a") + d) if d < 26 else chr(ord("0") + d - 26)
+
+
+def _puny_char_digit(c: str) -> int:
+    if "a" <= c <= "z":
+        return ord(c) - ord("a")
+    if "0" <= c <= "9":
+        return ord(c) - ord("0") + 26
+    if "A" <= c <= "Z":
+        return ord(c) - ord("A")
+    raise ValueError(f"invalid punycode digit {c!r}")
+
+
+def punycode_encode(s: str) -> str:
+    """RFC 3492 §6.3 encoding: basic code points copied (plus the '-'
+    delimiter when any exist), non-basic code points inserted in
+    (codepoint, position) order as generalized-variable-length integers
+    with adaptive bias."""
+    basic = [c for c in s if ord(c) < 0x80]
+    out = basic[:]
+    h = b = len(basic)
+    if basic:
+        out.append("-")
+    n, delta, bias = _PUNY_INITIAL_N, 0, _PUNY_INITIAL_BIAS
+    while h < len(s):
+        m = min(ord(c) for c in s if ord(c) >= n)
+        delta += (m - n) * (h + 1)
+        n = m
+        for c in s:
+            cp = ord(c)
+            if cp < n:
+                delta += 1
+            elif cp == n:
+                q = delta
+                k = _PUNY_BASE
+                while True:
+                    t = (
+                        _PUNY_TMIN if k <= bias
+                        else (_PUNY_TMAX if k >= bias + _PUNY_TMAX
+                              else k - bias)
+                    )
+                    if q < t:
+                        break
+                    out.append(_puny_digit_char(t + (q - t) % (_PUNY_BASE - t)))
+                    q = (q - t) // (_PUNY_BASE - t)
+                    k += _PUNY_BASE
+                out.append(_puny_digit_char(q))
+                bias = _puny_adapt(delta, h + 1, h == b)
+                delta = 0
+                h += 1
+        delta += 1
+        n += 1
+    return "".join(out)
+
+
+def punycode_decode(s: str) -> str:
+    """RFC 3492 §6.2 decoding: the inverse insertion walk. ValueError on
+    any malformed digit or overflow-shaped input."""
+    pos = s.rfind("-")
+    out = list(s[:pos]) if pos > 0 else []
+    for c in out:
+        if ord(c) >= 0x80:
+            raise ValueError("non-basic code point in basic section")
+    enc = s[pos + 1 :] if pos >= 0 else s
+    i, n, bias = 0, _PUNY_INITIAL_N, _PUNY_INITIAL_BIAS
+    p = 0
+    while p < len(enc):
+        oldi = i
+        w = 1
+        k = _PUNY_BASE
+        while True:
+            if p >= len(enc):
+                raise ValueError("truncated punycode variable-length integer")
+            d = _puny_char_digit(enc[p])
+            p += 1
+            i += d * w
+            t = (
+                _PUNY_TMIN if k <= bias
+                else (_PUNY_TMAX if k >= bias + _PUNY_TMAX else k - bias)
+            )
+            if d < t:
+                break
+            w *= _PUNY_BASE - t
+            k += _PUNY_BASE
+        bias = _puny_adapt(i - oldi, len(out) + 1, oldi == 0)
+        n += i // (len(out) + 1)
+        i %= len(out) + 1
+        out.insert(i, chr(n))
+        i += 1
+    return "".join(out)
+
+
+PUNY_LABEL_LEN = 12
+
+_PUNY_CP_EXPRS = [
+    (
+        f"(97 + (ascii(substring(text, {k + 1}, 1)) % 256) % 26)"
+        if k % 2 == 0
+        else f"(19968 + ascii(substring(text, {k + 1}, 1)) % 256)"
+    )
+    for k in range(PUNY_LABEL_LEN)
+]
+_PUNY_SUM_SQL = " + ".join(_PUNY_CP_EXPRS)
+_PUNY_MD5_SQL = "md5(concat_ws(','," + ",".join(
+    f" CAST({e} AS VARCHAR)" for e in _PUNY_CP_EXPRS
+) + "))"
+
+
+@register(
+    "text_punycode_idna_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({PUNY_LABEL_LEN // 2} AS BIGINT) AS n_basic,
+           CAST({PUNY_LABEL_LEN // 2} AS BIGINT) AS n_encoded,
+           CAST({_PUNY_SUM_SQL} AS BIGINT) AS decoded_cp_sum,
+           {_PUNY_MD5_SQL} AS decoded_cp_md5
+    FROM documents
+    WHERE length(text) >= {PUNY_LABEL_LEN}
+    """,
+    tags=("text", "corpus", "crawl", "codec", "pandas_udf"),
+    doc="Punycode (RFC 3492) encode + decode from the spec — the bootstring "
+    "transform under every internationalized 'xn--' hostname label a real "
+    "crawl's SURT/robots/CDX layer must normalize: each document seeds a "
+    f"{PUNY_LABEL_LEN}-char label alternating ASCII letters (basic code "
+    "points, copied verbatim before the '-' delimiter) and CJK code "
+    "points (inserted as generalized variable-length integers with "
+    "adaptive bias — §6.1 adapt, §6.3 insertion order). Certified three "
+    "ways in-UDF: our encoder's output equals the STDLIB punycode "
+    "codec's byte-for-byte (independent RFC implementation), our decoder "
+    "inverts both, and the oracle re-derives every decoded code point "
+    "per char in SQL (sum + md5 of the comma-joined code point list). "
+    "Scale: per-label string transform in a vectorized pandas batch — "
+    "embarrassingly parallel, the hostname-normalization step of a "
+    "100 TB URL pipeline.",
+)
+def text_punycode_idna_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= PUNY_LABEL_LEN)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_basic": [], "n_encoded": [],
+                "decoded_cp_sum": [], "decoded_cp_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cs = [ord(c) % 256 for c in str(text)[:PUNY_LABEL_LEN]]
+                label = "".join(
+                    chr(97 + c % 26) if k % 2 == 0 else chr(19968 + c)
+                    for k, c in enumerate(cs)
+                )
+                enc = punycode_encode(label)
+                ref = label.encode("punycode").decode("ascii")
+                if enc != ref:
+                    raise ValueError(
+                        f"encoder disagrees with stdlib for doc {doc_id}: "
+                        f"{enc!r} != {ref!r}"
+                    )
+                dec = punycode_decode(enc)
+                if dec != label:
+                    raise ValueError(f"roundtrip mismatch for doc {doc_id}")
+                cps = [ord(c) for c in dec]
+                rows["doc_id"].append(int(doc_id))
+                rows["n_basic"].append(sum(1 for c in dec if ord(c) < 128))
+                rows["n_encoded"].append(sum(1 for c in dec if ord(c) >= 128))
+                rows["decoded_cp_sum"].append(sum(cps))
+                rows["decoded_cp_md5"].append(
+                    hashlib.md5(
+                        ",".join(str(v) for v in cps).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_basic": pd.Series(rows["n_basic"], dtype="int64"),
+                    "n_encoded": pd.Series(rows["n_encoded"], dtype="int64"),
+                    "decoded_cp_sum": pd.Series(
+                        rows["decoded_cp_sum"], dtype="int64"
+                    ),
+                    "decoded_cp_md5": pd.Series(
+                        rows["decoded_cp_md5"], dtype="object"
+                    ),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_basic long, n_encoded long, "
+        "decoded_cp_sum long, decoded_cp_md5 string",
     )

@@ -551,3 +551,64 @@ def test_unigram_viterbi_beats_greedy_where_it_should():
         cost, n, pieces = _unigram_viterbi(word)
         assert cost == best, word
         assert pieces == "|".join(want[0]), word
+
+
+# ---------------------------------------------------------------------------
+# Punycode (RFC 3492)
+# ---------------------------------------------------------------------------
+
+
+def test_punycode_rfc_sample_strings():
+    """RFC 3492 §7.1 sample strings (the CJK and mixed-case samples) plus
+    stdlib cross-validation on every case."""
+    from flock_spark.operators.text import punycode_decode, punycode_encode
+
+    cjk = "".join(
+        chr(c)
+        for c in (0x4ED6, 0x4EEC, 0x4E3A, 0x4EC0, 0x4E48, 0x4E0D, 0x8BF4,
+                  0x4E2D, 0x6587)
+    )
+    cases = {
+        "ü": "tda",
+        "bücher": "bcher-kva",
+        cjk: "ihqwcrb4cv8a8dqg056pqjye",
+        "MajiでKoiする5秒前": "MajiKoi5-783gue6qz075azm5e",
+    }
+    for s, want in cases.items():
+        got = punycode_encode(s)
+        assert got == want, (s, got)
+        assert got == s.encode("punycode").decode("ascii")
+        assert punycode_decode(got) == s
+    # pure-ASCII label: everything basic, one trailing delimiter section
+    assert punycode_encode("abc") == "abc-"
+    assert punycode_decode("abc-") == "abc"
+
+
+def test_punycode_decode_rejects_malformed():
+    from flock_spark.operators.text import punycode_decode
+
+    with pytest.raises(ValueError):
+        punycode_decode("abc-!")  # invalid digit
+    with pytest.raises(ValueError):
+        punycode_decode("tda" + "9" * 1)  # truncated VLI tail is fine? no:
+    # a dangling high-digit sequence with no terminating low digit
+    with pytest.raises(ValueError):
+        punycode_decode("zzzz")
+
+
+def test_punycode_fuzz_roundtrip_vs_stdlib():
+    import random
+
+    from flock_spark.operators.text import punycode_decode, punycode_encode
+
+    random.seed(13)
+    ranges = ((97, 123), (0x4E00, 0x4F00), (0x3B1, 0x3C9))
+    for _ in range(200):
+        n = random.randrange(1, 20)
+        s = "".join(
+            chr(random.randrange(*ranges[random.randrange(3)]))
+            for _ in range(n)
+        )
+        enc = punycode_encode(s)
+        assert enc == s.encode("punycode").decode("ascii"), s
+        assert punycode_decode(enc) == s, s
