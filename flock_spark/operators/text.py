@@ -2057,3 +2057,189 @@ def text_punycode_idna_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_basic long, n_encoded long, "
         "decoded_cp_sum long, decoded_cp_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt FILE parsing (RFC 9309 §2.1-2.2): lines -> groups -> the group
+# that governs a given crawler — the layer ABOVE the path matchers.
+# ---------------------------------------------------------------------------
+
+ROBOTS_CRAWLER = "flockbot"
+
+# Line-level fixture: 50 synthetic hosts; even hosts carry a specific
+# flockbot group (consecutive UA lines sharing it), odd hosts only the '*'
+# group — so agent selection (exact beats wildcard) decides differently per
+# host. Comments, blank lines, mixed-case directives and unknown directives
+# all appear and must be handled by the PARSER, not the fixture.
+_ROBOTS_FILE_EVEN = (
+    "# robots.txt for host {h}\n"
+    "User-Agent: FlockBot\n"
+    "User-agent: crawler{h}\n"
+    "Disallow: /private{h}  # secret\n"
+    "Allow: /private{h}/pub\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /tmp{h}\n"
+    "Crawl-delay: 5\n"
+    "Mystery: ignored\n"
+    "\n"
+    "User-agent: otherbot\n"
+    "Disallow: /\n"
+)
+_ROBOTS_FILE_ODD = (
+    "# robots.txt for host {h}\n"
+    "User-agent: *\n"
+    "Allow: /open{h}\n"
+    "Disallow: /tmp{h}\n"
+    "Unknown-directive: x\n"
+    "\n"
+    "User-agent: otherbot\n"
+    "Disallow: /\n"
+)
+
+
+def _robots_parse_sql(
+    unnest_lines: str, strpos: str, instr_ws: str, str_type: str
+) -> str:
+    """The engine-shared robots.txt parse, parameterized only by how each
+    dialect explodes a string into (line_no, line) rows. Grouping: a
+    user-agent line STARTS a new group unless the previous line was also a
+    user-agent line (RFC 9309 §2.1: consecutive UA lines share the group);
+    rules attach to the current group; the crawler's group is the exact
+    agent match if any host group names it, else the '*' group."""
+    return f"""
+    WITH hosts AS (
+      SELECT DISTINCT doc_id % 50 AS h FROM documents),
+    files AS (
+      SELECT h,
+             CASE WHEN h % 2 = 0
+               THEN {_robots_tpl_sql("_ROBOTS_FILE_EVEN", str_type)}
+               ELSE {_robots_tpl_sql("_ROBOTS_FILE_ODD", str_type)}
+             END AS txt
+      FROM hosts),
+    lines AS ({unnest_lines}),
+    cleaned AS (
+      SELECT h, line_no,
+             trim(regexp_replace(line, '#.*$', '')) AS clean
+      FROM lines),
+    classified AS (
+      SELECT h, line_no, clean,
+             CASE WHEN clean = '' THEN ''
+                  ELSE lower(trim(substring(clean, 1, {strpos} - 1))) END
+               AS directive,
+             CASE WHEN clean = '' THEN ''
+                  ELSE trim(substring(clean, {strpos} + 1)) END AS value
+      FROM cleaned),
+    flagged AS (
+      SELECT h, line_no, directive, value,
+             CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+      FROM classified),
+    lagged AS (
+      SELECT h, line_no, directive, value, is_ua,
+             CASE WHEN is_ua = 1 AND COALESCE(LAG(is_ua) OVER (
+                    PARTITION BY h ORDER BY line_no), 0) = 0
+                  THEN 1 ELSE 0 END AS starts_group
+      FROM flagged),
+    grouped AS (
+      SELECT h, line_no, directive, value, is_ua,
+             SUM(starts_group)
+               OVER (PARTITION BY h ORDER BY line_no) AS grp
+      FROM lagged),
+    agents AS (
+      SELECT h, grp, lower(value) AS agent
+      FROM grouped WHERE is_ua = 1),
+    chosen AS (
+      SELECT h,
+             COALESCE(MIN(CASE WHEN agent = '{ROBOTS_CRAWLER}' THEN grp END),
+                      MIN(CASE WHEN agent = '*' THEN grp END)) AS grp,
+             CASE WHEN MAX(CASE WHEN agent = '{ROBOTS_CRAWLER}' THEN 1
+                           ELSE 0 END) = 1
+                  THEN '{ROBOTS_CRAWLER}' ELSE '*' END AS matched_agent
+      FROM agents GROUP BY h),
+    rules AS (
+      SELECT g.h, g.grp, g.line_no, g.directive, g.value
+      FROM grouped g
+      WHERE g.directive IN ('allow', 'disallow')),
+    picked AS (
+      SELECT c.h, c.matched_agent, r.line_no,
+             r.directive || ' ' || r.value AS rule
+      FROM chosen c JOIN rules r ON r.h = c.h AND r.grp = c.grp)
+    SELECT h AS host,
+           matched_agent,
+           CAST(SUM(CASE WHEN rule LIKE 'allow %' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_allow,
+           CAST(SUM(CASE WHEN rule LIKE 'disallow %' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disallow,
+           md5({instr_ws}) AS rules_md5
+    FROM picked
+    GROUP BY h, matched_agent
+    """
+
+
+def _robots_tpl_sql(which: str, str_type: str) -> str:
+    """Lower one of the two file templates to a SQL concat over the host
+    column (identical text on both engines)."""
+    tpl = _ROBOTS_FILE_EVEN if which == "_ROBOTS_FILE_EVEN" else _ROBOTS_FILE_ODD
+    parts: list[str] = []
+    for seg in tpl.split("{h}"):
+        if parts:
+            parts.append(f"CAST(h AS {str_type})")
+        if seg:
+            parts.append("'" + seg.replace("\n", "' || chr(10) || '") + "'")
+    # collapse '' || chains the split may have produced
+    return "(" + " || ".join(p for p in parts if p != "''") + ")"
+
+
+_ROBOTS_PARSE_SPARK = _robots_parse_sql(
+    unnest_lines=(
+        "SELECT h, pos + 1 AS line_no, line FROM files "
+        "LATERAL VIEW posexplode(split(txt, '\\n')) t AS pos, line"
+    ),
+    strpos="instr(clean, ':')",
+    str_type="STRING",
+    instr_ws=(
+        "concat_ws('|', sort_array(collect_list("
+        "concat(lpad(CAST(line_no AS STRING), 4, '0'), ' ', rule))))"
+    ),
+)
+
+_ROBOTS_PARSE_DUCK = _robots_parse_sql(
+    unnest_lines=(
+        "SELECT h, i AS line_no, string_split(txt, chr(10))[i] AS line "
+        "FROM files, unnest(generate_series(1, "
+        "len(string_split(txt, chr(10))))) AS s(i)"
+    ),
+    strpos="strpos(clean, ':')",
+    str_type="VARCHAR",
+    instr_ws=(
+        "string_agg(lpad(CAST(line_no AS VARCHAR), 4, '0') || ' ' || rule, "
+        "'|' ORDER BY line_no)"
+    ),
+)
+
+
+@register(
+    "text_robots_file_parse",
+    oracle=_ROBOTS_PARSE_DUCK,
+    tags=("text", "corpus", "crawl", "sql"),
+    doc="robots.txt FILE parsing (RFC 9309 §2.1-2.2) — the layer above the "
+    "path matchers (text_robots_longest_match / _wildcard_match): 50 "
+    "synthetic per-host files carrying comments, blank lines, mixed-case "
+    "directives, unknown directives (crawl-delay, mystery lines) and — "
+    "on even hosts — a specific crawler group opened by CONSECUTIVE "
+    "user-agent lines that share it (the §2.1 grouping rule naive "
+    "line-parsers break). The parse is fully relational on both "
+    "engines: comment stripping is a regexp_replace, directive/value "
+    "split on the first colon, group assignment is a running SUM over a "
+    "LAG flag (a UA line starts a group only when the previous line was "
+    "not UA), agent selection picks the exact '" + ROBOTS_CRAWLER + "' "
+    "group when one exists else the '*' group, and the governed rule "
+    "list is md5'd in line order. Even hosts must resolve to the exact "
+    "group, odd hosts to the wildcard group — both paths decided by "
+    "data. Scale: per-host parsing is one window pass partitioned by "
+    "host — a million robots.txt files parse as one shuffle on host, "
+    "the same plan family as any keyed sessionization.",
+)
+def text_robots_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ROBOTS_PARSE_SPARK)

@@ -68,6 +68,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "text_cdx_surt_dedup",
     "tokenizer_unigram_viterbi",
     "text_punycode_idna_roundtrip",
+    "text_robots_file_parse",
     "mm_png_filter_suite_decode",
     "mm_lz4_block_roundtrip",
     "mm_warc_file_ingest",
@@ -78,8 +79,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "agg_count_distinct",
-    "agg_having",
     "streaming_tumbling_agg",  # heavy
+    "agg_having",
     "case_when",
     "correlated_exists",
     "date_funcs",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "set_except",
     "set_intersect",
     "set_union_all",
-    "sort_multi_col",
     "streaming_warc_file_ingest",  # heavy
 )
 

@@ -612,3 +612,32 @@ def test_punycode_fuzz_roundtrip_vs_stdlib():
         enc = punycode_encode(s)
         assert enc == s.encode("punycode").decode("ascii"), s
         assert punycode_decode(enc) == s, s
+
+
+# ---------------------------------------------------------------------------
+# text_robots_file_parse: group extraction from robots.txt files
+# ---------------------------------------------------------------------------
+
+
+def test_robots_file_parse_group_selection(spark, sf_dir):
+    from flock_spark.operators.text import ROBOTS_CRAWLER
+    from flock_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = {
+        r["host"]: r
+        for r in REGISTRY["text_robots_file_parse"].fn(spark, sf_dir).collect()
+    }
+    assert len(rows) == 50
+    for h, r in rows.items():
+        if h % 2 == 0:
+            # even hosts: the exact crawler group (opened by consecutive
+            # UA lines) wins over '*' — 1 allow + 1 disallow
+            assert r["matched_agent"] == ROBOTS_CRAWLER, r
+            assert (r["n_allow"], r["n_disallow"]) == (1, 1), r
+        else:
+            # odd hosts: no exact group -> the '*' group; its crawl-delay
+            # and unknown directives are ignored, leaving 1 allow + 1
+            # disallow
+            assert r["matched_agent"] == "*", r
+            assert (r["n_allow"], r["n_disallow"]) == (1, 1), r
