@@ -2243,3 +2243,109 @@ _ROBOTS_PARSE_DUCK = _robots_parse_sql(
 def text_robots_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_ROBOTS_PARSE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier politeness scheduling: the step after robots + CDX dedup
+# ---------------------------------------------------------------------------
+
+FRONTIER_HOSTS = 16
+FRONTIER_SLOT_MS = 250  # per-host politeness interval
+
+
+@register(
+    "crawl_frontier_politeness_schedule",
+    oracle=f"""
+    WITH frontier AS (
+      SELECT doc_id,
+             doc_id % {FRONTIER_HOSTS} AS host,
+             concat('/doc_', CAST(doc_id AS VARCHAR)) AS path,
+             -- priority: shorter docs first (cheap fetches), doc_id ties
+             n_chars AS cost
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, host, path, cost,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY cost, doc_id) AS wave
+      FROM frontier),
+    scheduled AS (
+      SELECT doc_id, host, path, wave,
+             CAST((wave - 1) * {FRONTIER_SLOT_MS} AS BIGINT) AS fetch_at_ms,
+             row_number() OVER (ORDER BY wave, host, doc_id) AS global_seq
+      FROM ranked)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(max(wave) AS BIGINT) AS n_waves,
+           CAST(max(fetch_at_ms) AS BIGINT) AS makespan_ms,
+           CAST(sum(global_seq) AS BIGINT) AS seq_sum,
+           md5(string_agg(concat(lpad(CAST(wave AS VARCHAR), 8, '0'), ':',
+                                 lpad(CAST(doc_id AS VARCHAR), 12, '0'), ':',
+                                 path), '|'
+               ORDER BY wave, doc_id)) AS order_md5
+    FROM scheduled
+    GROUP BY host
+    """,
+    tags=("text", "corpus", "crawl", "sql"),
+    doc="Crawl-frontier politeness scheduling — the step downstream of "
+    "text_robots_file_parse and text_cdx_surt_dedup in a real crawler: "
+    "frontier URLs are ranked per host (cheapest fetch first, stable "
+    "doc_id tie-break), each host's k-th URL is assigned to wave k with "
+    f"a {FRONTIER_SLOT_MS} ms per-host politeness slot (host-parallel, "
+    "host-serial — the invariant every polite crawler must hold), and a "
+    "global round-robin sequence interleaves waves across hosts. Emits "
+    "per-host queue depth, wave count, makespan, the global-sequence "
+    "checksum and the md5 of the exact per-host fetch order. Fully "
+    "declarative: two window passes (one keyed, one global) and a keyed "
+    "rollup. Scale: the per-host ranking is the classic "
+    "shuffle-on-host + in-partition sort; the single global sequence "
+    "window is the only global order — at 100 TB you'd range-partition "
+    "it by wave, which is exactly how the plan already orders (wave "
+    "first), so the scale path is a config swap, not a rewrite.",
+)
+def crawl_frontier_politeness_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    frontier = d.select(
+        "doc_id",
+        (F.col("doc_id") % FRONTIER_HOSTS).alias("host"),
+        F.concat(F.lit("/doc_"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("n_chars").alias("cost"),
+    )
+    ranked = frontier.withColumn(
+        "wave",
+        F.row_number().over(
+            W.partitionBy("host").orderBy("cost", "doc_id")
+        ),
+    )
+    scheduled = ranked.withColumn(
+        "fetch_at_ms",
+        ((F.col("wave") - 1) * FRONTIER_SLOT_MS).cast("long"),
+    ).withColumn(
+        "global_seq",
+        F.row_number().over(W.orderBy("wave", "host", "doc_id")),
+    )
+    return scheduled.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.max("wave").cast("long").alias("n_waves"),
+        F.max("fetch_at_ms").cast("long").alias("makespan_ms"),
+        F.sum("global_seq").cast("long").alias("seq_sum"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lpad(F.col("wave").cast("string"), 8, "0"),
+                            F.lit(":"),
+                            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+                            F.lit(":"),
+                            F.col("path"),
+                        )
+                    )
+                ),
+            ).cast("binary")
+        ).alias("order_md5"),
+    )

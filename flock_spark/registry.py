@@ -69,6 +69,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "tokenizer_unigram_viterbi",
     "text_punycode_idna_roundtrip",
     "text_robots_file_parse",
+    "crawl_frontier_politeness_schedule",
     "mm_png_filter_suite_decode",
     "mm_lz4_block_roundtrip",
     "mm_warc_file_ingest",
@@ -78,8 +79,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
-    "agg_count_distinct",
     "streaming_tumbling_agg",  # heavy
+    "agg_count_distinct",
     "agg_having",
     "case_when",
     "correlated_exists",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q9_winning_bids",
     "set_except",
     "set_intersect",
-    "set_union_all",
     "streaming_warc_file_ingest",  # heavy
 )
 
