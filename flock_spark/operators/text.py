@@ -2349,3 +2349,96 @@ def crawl_frontier_politeness_schedule(
             ).cast("binary")
         ).alias("order_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML walk (sitemaps.org protocol): crawl discovery's other half
+# ---------------------------------------------------------------------------
+
+SITEMAP_HOSTS = 25
+
+_SITEMAP_SPARK = f"""
+    WITH entries AS (
+      SELECT doc_id % {SITEMAP_HOSTS} AS host,
+             concat('<url><loc>http://h', CAST(doc_id % {SITEMAP_HOSTS} AS STRING),
+                    '.example.com/doc_', CAST(doc_id AS STRING),
+                    '</loc><lastmod>2025-06-',
+                    lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0'),
+                    '</lastmod><priority>0.', CAST(doc_id % 10 AS STRING),
+                    '</priority></url>') AS url_xml
+      FROM documents),
+    sitemaps AS (
+      SELECT host,
+             concat('<urlset>',
+                    concat_ws('', sort_array(collect_list(url_xml))),
+                    '</urlset>') AS xml
+      FROM entries GROUP BY host),
+    parsed AS (
+      SELECT host,
+             xpath(xml, '/urlset/url/loc/text()') AS locs,
+             xpath(xml, '/urlset/url/priority/text()') AS prs,
+             xpath(xml, '/urlset/url/lastmod/text()') AS mods
+      FROM sitemaps)
+    SELECT host,
+           CAST(size(locs) AS BIGINT) AS n_urls,
+           md5(array_join(sort_array(locs), '|')) AS loc_md5,
+           CAST(aggregate(prs, 0L,
+                (acc, x) -> acc + CAST(substring(x, 3, 1) AS BIGINT))
+                AS BIGINT) AS pr_decisum,
+           array_max(mods) AS lastmod_max
+    FROM parsed
+"""
+
+@register(
+    "crawl_sitemap_xml_walk",
+    oracle=f"""
+    WITH entries AS (
+      SELECT doc_id % {SITEMAP_HOSTS} AS host,
+             concat('<url><loc>http://h', CAST(doc_id % {SITEMAP_HOSTS} AS VARCHAR),
+                    '.example.com/doc_', CAST(doc_id AS VARCHAR),
+                    '</loc><lastmod>2025-06-',
+                    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+                    '</lastmod><priority>0.', CAST(doc_id % 10 AS VARCHAR),
+                    '</priority></url>') AS url_xml
+      FROM documents),
+    sitemaps AS (
+      SELECT host,
+             '<urlset>' || string_agg(url_xml, '' ORDER BY url_xml)
+               || '</urlset>' AS xml
+      FROM entries GROUP BY host),
+    parsed AS (
+      SELECT host,
+             regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs,
+             regexp_extract_all(xml, '<priority>0\\.([0-9])</priority>', 1)
+               AS prs,
+             regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1) AS mods
+      FROM sitemaps)
+    SELECT host,
+           CAST(len(locs) AS BIGINT) AS n_urls,
+           md5(array_to_string(list_sort(locs), '|')) AS loc_md5,
+           CAST(list_sum(list_transform(prs, x -> CAST(x AS BIGINT)))
+                AS BIGINT) AS pr_decisum,
+           list_aggregate(mods, 'max') AS lastmod_max
+    FROM parsed
+    """,
+    tags=("text", "corpus", "crawl", "sql", "xml"),
+    doc="Sitemap XML walk (the sitemaps.org protocol) — crawl discovery's "
+    "other half next to robots.txt: each host's documents aggregate "
+    "into a real <urlset> sitemap (loc, lastmod, priority per url), "
+    "and the entry PARSES the XML back — Spark through its native "
+    "xpath() functions (real XML path evaluation over the document "
+    "tree), the oracle through anchored regexp extraction — then "
+    "certifies per host the url count, the md5 of the sorted loc list, "
+    "the integer deci-priority mass and the latest lastmod. Two "
+    "genuinely different XML readers (a path evaluator vs a pattern "
+    "extractor) agreeing on every host is the cross-form check; the "
+    "fixture exercises multi-element urls, zero-padded dates and "
+    "single-digit priorities. Scale: per-host XML assembly and parse "
+    "is one shuffle on host + per-row string functions — sitemap files "
+    "cap at 50k urls by spec, so per-host XML stays MB-sized at any "
+    "corpus scale; a 100 TB crawl parses millions of sitemaps "
+    "embarrassingly parallel.",
+)
+def crawl_sitemap_xml_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SITEMAP_SPARK)

@@ -70,6 +70,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "text_punycode_idna_roundtrip",
     "text_robots_file_parse",
     "crawl_frontier_politeness_schedule",
+    "crawl_sitemap_xml_walk",
     "mm_png_filter_suite_decode",
     "mm_lz4_block_roundtrip",
     "mm_warc_file_ingest",
@@ -78,8 +79,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_parquet_lz4_page_decode",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
-    "text_robots_longest_match",
     "streaming_tumbling_agg",  # heavy
+    "text_robots_longest_match",
     "agg_count_distinct",
     "agg_having",
     "case_when",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q8_sellers",
     "nexmark_q9_winning_bids",
     "set_except",
-    "set_intersect",
     "streaming_warc_file_ingest",  # heavy
 )
 
