@@ -71,6 +71,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "text_robots_file_parse",
     "crawl_frontier_politeness_schedule",
     "crawl_sitemap_xml_walk",
+    "crawl_url_resolve_rfc3986",
     "mm_png_filter_suite_decode",
     "mm_lz4_block_roundtrip",
     "mm_warc_file_ingest",
@@ -78,8 +79,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_parquet_gzip_page_decode",
     "scan_parquet_lz4_page_decode",
     "mm_jpeg_baseline_decode",
-    "mm_wet_conversion_roundtrip",
     "streaming_tumbling_agg",  # heavy
+    "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "agg_count_distinct",
     "agg_having",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q7_max_per_window",
     "nexmark_q8_sellers",
     "nexmark_q9_winning_bids",
-    "set_except",
     "streaming_warc_file_ingest",  # heavy
 )
 

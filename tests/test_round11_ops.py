@@ -641,3 +641,65 @@ def test_robots_file_parse_group_selection(spark, sf_dir):
             # disallow
             assert r["matched_agent"] == "*", r
             assert (r["n_allow"], r["n_disallow"]) == (1, 1), r
+
+
+# ---------------------------------------------------------------------------
+# crawl_url_resolve_rfc3986: three-way agreement
+# ---------------------------------------------------------------------------
+
+
+def test_rfc3986_remove_dot_segments_spec_examples():
+    from flock_spark.operators.text import rfc3986_remove_dot_segments as rds
+
+    # RFC 3986 §5.2.4 worked examples
+    assert rds("/a/b/c/./../../g") == "/a/g"
+    assert rds("mid/content=5/../6") == "mid/6"
+    # boundary behavior
+    assert rds("/../a") == "/a"  # '..' at root is consumed
+    assert rds("/a/b/..") == "/a/"
+    assert rds("/a/b/.") == "/a/b/"
+    assert rds("/a//b") == "/a//b"  # empty segments survive
+
+
+def test_url_resolution_three_way_agreement(spark, sf_dir):
+    """Entry output == from-spec Python resolver == stdlib urljoin for
+    every document and every reference shape."""
+    from urllib.parse import urljoin
+
+    from flock_spark.operators.text import rfc3986_resolve
+    from flock_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["crawl_url_resolve_rfc3986"].fn(spark, sf_dir).collect()
+    assert rows
+    kinds_seen = set()
+    refs = {
+        0: lambda d: f"../up{d % 9}.html",
+        1: lambda d: "./here.html",
+        2: lambda d: f"rel/child.html?q={d % 4}",
+        3: lambda d: f"/abs/../root{d % 9}.html",
+        4: lambda d: f"../../x/../y{d % 9}.html",
+        5: lambda d: f"//other{d % 4}.example.org/p/./q.html",
+    }
+    for r in rows:
+        d = r["doc_id"]
+        base = (
+            f"http://h{d % 7}.example.com/a{d % 3}/b{d % 5}/c/page.html"
+        )
+        ref = refs[r["kind"]](d)
+        want = rfc3986_resolve(base, ref)
+        assert r["resolved"] == want, (base, ref, r["resolved"], want)
+        if r["kind"] != 5:
+            assert r["resolved"] == urljoin(base, ref), (base, ref)
+        else:
+            # stdlib urljoin deviates from RFC 3986 §5.2.2 on network-path
+            # references: it skips remove_dot_segments when the ref carries
+            # its own authority ('//h/p/./q' keeps the '.'), while the RFC
+            # requires T.path = remove_dot_segments(R.path) there too. The
+            # entry follows the RFC; pin both facts.
+            assert r["resolved"] == "http://other%d.example.org/p/q.html" % (
+                d % 4
+            )
+            assert urljoin(base, ref).endswith("/p/./q.html")
+        kinds_seen.add(r["kind"])
+    assert kinds_seen == set(range(6))
