@@ -969,3 +969,36 @@ def test_round11_new_entries_plan_shapes(spark, sf_dir):
         assert "hashpartitioning" not in p, name
         assert "MapInPandas" in p, name
         assert p.count("Scan parquet") == 1, name
+
+
+def test_round11_second_wave_plan_shapes(spark, sf_dir):
+    # LZ4 entries: codec family plan — binary single scan / parquet single
+    # scan feeding mapInPandas, no hash exchange
+    p = plan_of(spark, sf_dir, "scan_parquet_lz4_page_decode")
+    assert "hashpartitioning" not in p and "MapInPandas" in p
+    p = plan_of(spark, sf_dir, "mm_lz4_block_roundtrip")
+    assert "MapInPandas" in p and p.count("Scan parquet") == 1
+    # punycode: same per-object decode family
+    p = plan_of(spark, sf_dir, "text_punycode_idna_roundtrip")
+    assert "MapInPandas" in p and "hashpartitioning" not in p
+    # robots file parse: pure JVM — windows over host partitions, no Python
+    p = plan_of(spark, sf_dir, "text_robots_file_parse")
+    assert "Python" not in p and "Window" in p
+    # frontier schedule: keyed window + one global window + keyed rollup,
+    # no Python anywhere
+    p = plan_of(spark, sf_dir, "crawl_frontier_politeness_schedule")
+    assert "Python" not in p and p.count("Window") >= 2
+    assert "HashAggregate" in p
+    # sitemap: xpath evaluates JVM-side (no Python UDF), one aggregation
+    # keyed on host
+    p = plan_of(spark, sf_dir, "crawl_sitemap_xml_walk")
+    assert "Python" not in p and "xpath" in p.lower()
+    # url resolve: the remove_dot_segments fold is a single JVM expression
+    # — no Python, no recursion operators, no join
+    p = plan_of(spark, sf_dir, "crawl_url_resolve_rfc3986")
+    assert "Python" not in p and "aggregate(" in p
+    assert "Join" not in p
+    # unigram viterbi: pandas fold over the bounded word sample only — the
+    # corpus aggregates JVM-side before Python sees anything
+    p = plan_of(spark, sf_dir, "tokenizer_unigram_viterbi")
+    assert "MapInPandas" in p and "TakeOrderedAndProject" in p
