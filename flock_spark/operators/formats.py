@@ -876,3 +876,210 @@ def scan_parquet_lz4_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="col_name string, n_values long, n_nulls long, min_v long, "
         "max_v long, sum_v long, values_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# RFC 4180 CSV: a from-spec byte parser over a staged file whose fields
+# embed every hazard (commas, doubled quotes, CRLF inside quotes).
+# ---------------------------------------------------------------------------
+
+
+def csv_rfc4180_parse(data: bytes) -> list[list[str]]:
+    """Parse RFC 4180 CSV bytes with the explicit state machine: quoted
+    fields may contain commas, CRLFs and doubled quotes; a quote inside an
+    unquoted field or a bare quote inside a quoted field (not doubled, not
+    terminal) is a framing error. Returns rows of unescaped fields;
+    ValueError on any violation."""
+    rows: list[list[str]] = []
+    field = bytearray()
+    row: list[str] = []
+    i, n = 0, len(data)
+    in_quotes = False
+    field_was_quoted = False
+
+    def end_field() -> None:
+        nonlocal field, field_was_quoted
+        row.append(field.decode("utf-8"))
+        field = bytearray()
+        field_was_quoted = False
+
+    while i < n:
+        b = data[i]
+        if in_quotes:
+            if b == 0x22:  # '"'
+                if i + 1 < n and data[i + 1] == 0x22:
+                    field.append(0x22)
+                    i += 2
+                    continue
+                in_quotes = False
+                i += 1
+                if i < n and data[i] not in (0x2C, 0x0D, 0x0A):
+                    raise ValueError(
+                        f"garbage after closing quote at offset {i}"
+                    )
+                continue
+            field.append(b)
+            i += 1
+            continue
+        if b == 0x22:
+            if field or field_was_quoted:
+                raise ValueError(f"quote inside unquoted field at offset {i}")
+            in_quotes = True
+            field_was_quoted = True
+            i += 1
+            continue
+        if b == 0x2C:  # ','
+            end_field()
+            i += 1
+            continue
+        if b == 0x0D:  # CR: must be CRLF
+            if i + 1 >= n or data[i + 1] != 0x0A:
+                raise ValueError(f"bare CR at offset {i}")
+            end_field()
+            rows.append(row)
+            row = []
+            i += 2
+            continue
+        if b == 0x0A:  # tolerate bare LF line ends (common in the wild)
+            end_field()
+            rows.append(row)
+            row = []
+            i += 1
+            continue
+        field.append(b)
+        i += 1
+    if in_quotes:
+        raise ValueError("EOF inside quoted field")
+    if field or row:
+        end_field()
+        rows.append(row)
+    return rows
+
+
+def csv_rfc4180_write_field(s: str) -> str:
+    """Quote a field iff it needs it; double embedded quotes (RFC 4180)."""
+    if any(c in s for c in (",", '"', "\r", "\n")):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+CSV_TRICKY_PREFIX = 'a,"b"\r\n'  # comma + quotes + CRLF, all inside ONE field
+CSV_SNIPPET_LEN = 20
+
+
+def _stage_csv_rfc4180(sf_dir: str) -> str:
+    """Stage (once per sf_dir) a hazard-dense RFC 4180 file: one row per
+    document — doc_id, a tricky field embedding commas/doubled quotes/CRLF
+    plus the document's first chars, and n_chars — written by OUR writer
+    (the parser under test never sees the writer's state)."""
+    from flock_spark.staging import stage_once
+
+    def write_fixture(tmp: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        ).sort_by("doc_id")
+        out = []
+        for did, text, nch in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        ):
+            tricky = CSV_TRICKY_PREFIX + (text or "")[:CSV_SNIPPET_LEN]
+            out.append(
+                ",".join(
+                    (
+                        str(did),
+                        csv_rfc4180_write_field(tricky),
+                        str(nch),
+                    )
+                )
+                + "\r\n"
+            )
+        with open(os.path.join(tmp, "docs.csv"), "wb") as fh:
+            fh.write("".join(out).encode("utf-8"))
+
+    return stage_once(f"csv4180_{sf_dir}", "v1-tricky-crlf", write_fixture)
+
+
+@register(
+    "scan_csv_rfc4180_parse",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_fields,
+           CAST(octet_length(encode('{CSV_TRICKY_PREFIX.replace(chr(13) + chr(10), "' || chr(13) || chr(10) || '")}'
+                || substring(text, 1, {CSV_SNIPPET_LEN}))) AS BIGINT)
+             AS tricky_len,
+           md5(hex(encode('{CSV_TRICKY_PREFIX.replace(chr(13) + chr(10), "' || chr(13) || chr(10) || '")}'
+                || substring(text, 1, {CSV_SNIPPET_LEN})))) AS tricky_md5,
+           CAST(n_chars AS BIGINT) AS n_chars_field
+    FROM documents
+    """,
+    tags=("scan", "formats", "codec", "pandas_udf", "staged"),
+    doc="RFC 4180 CSV parsing from the spec — the format every data "
+    "EXCHANGE still runs on, parsed by an explicit state machine over "
+    "the staged file's raw bytes (binaryFile scan): quoted fields "
+    "containing commas, DOUBLED quotes and embedded CRLF — every row's "
+    "middle field carries all three hazards plus the document's text "
+    "prefix — with framing violations (garbage after a closing quote, "
+    "bare CR, quote inside an unquoted field, EOF inside quotes) "
+    "rejected loudly. The oracle re-derives each parsed field's byte "
+    "length and md5 from the documents view, so a dequoting or "
+    "row-splitting bug mismatches; the test suite additionally parses "
+    "the SAME staged file with Spark's own multiLine CSV reader and "
+    "DuckDB's read_csv and demands three-way row agreement. Scale: "
+    "RFC 4180's embedded newlines make naive line-splitting WRONG — "
+    "which is exactly why Spark's multiLine mode gives up input "
+    "splitting; the from-spec machine documents the cost: quoted CSV "
+    "parses one task per file (like here), so at 100 TB you shard by "
+    "FILES, never by lines.",
+)
+def scan_csv_rfc4180_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_csv_rfc4180(sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/docs.csv")
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "n_fields": [], "tricky_len": [],
+                "tricky_md5": [], "n_chars_field": [],
+            }
+            for content in pdf["content"]:
+                for rec in csv_rfc4180_parse(bytes(content)):
+                    if len(rec) != 3:
+                        raise ValueError(f"row has {len(rec)} fields, not 3")
+                    tricky = rec[1]
+                    if not tricky.startswith(CSV_TRICKY_PREFIX):
+                        raise ValueError("dequoting lost the hazard prefix")
+                    tb = tricky.encode("utf-8")
+                    rows["doc_id"].append(int(rec[0]))
+                    rows["n_fields"].append(len(rec))
+                    rows["tricky_len"].append(len(tb))
+                    rows["tricky_md5"].append(
+                        hashlib.md5(tb.hex().upper().encode()).hexdigest()
+                    )
+                    rows["n_chars_field"].append(int(rec[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_fields": pd.Series(rows["n_fields"], dtype="int64"),
+                    "tricky_len": pd.Series(rows["tricky_len"], dtype="int64"),
+                    "tricky_md5": pd.Series(rows["tricky_md5"], dtype="object"),
+                    "n_chars_field": pd.Series(
+                        rows["n_chars_field"], dtype="int64"
+                    ),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="doc_id long, n_fields long, tricky_len long, "
+        "tricky_md5 string, n_chars_field long",
+    )

@@ -78,8 +78,9 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_jpeg_progressive_decode",
     "scan_parquet_gzip_page_decode",
     "scan_parquet_lz4_page_decode",
-    "mm_jpeg_baseline_decode",
+    "scan_csv_rfc4180_parse",
     "streaming_tumbling_agg",  # heavy
+    "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "agg_count_distinct",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q6_double_rownum",
     "nexmark_q7_max_per_window",
     "nexmark_q8_sellers",
-    "nexmark_q9_winning_bids",
     "streaming_warc_file_ingest",  # heavy
 )
 

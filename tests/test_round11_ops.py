@@ -703,3 +703,75 @@ def test_url_resolution_three_way_agreement(spark, sf_dir):
             assert urljoin(base, ref).endswith("/p/./q.html")
         kinds_seen.add(r["kind"])
     assert kinds_seen == set(range(6))
+
+
+# ---------------------------------------------------------------------------
+# scan_csv_rfc4180_parse: from-spec CSV state machine
+# ---------------------------------------------------------------------------
+
+
+def test_csv_rfc4180_parser_hazards_and_rejections():
+    from flock_spark.operators.formats import csv_rfc4180_parse
+
+    # doubled quotes, embedded comma and CRLF inside one quoted field
+    data = b'1,"a,""b""\r\nc",2\r\n3,plain,4\r\n'
+    rows = csv_rfc4180_parse(data)
+    assert rows == [["1", 'a,"b"\r\nc', "2"], ["3", "plain", "4"]]
+    # bare-LF line ends tolerated; trailing row without newline kept
+    assert csv_rfc4180_parse(b"a,b\nc,d") == [["a", "b"], ["c", "d"]]
+    # empty quoted field, empty unquoted field
+    assert csv_rfc4180_parse(b'"",x,\r\n') == [["", "x", ""]]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="garbage after closing quote"):
+        csv_rfc4180_parse(b'"a"b,c\r\n')
+    with _pt.raises(ValueError, match="quote inside unquoted"):
+        csv_rfc4180_parse(b'ab"c,d\r\n')
+    with _pt.raises(ValueError, match="bare CR"):
+        csv_rfc4180_parse(b"a\rb\r\n")
+    with _pt.raises(ValueError, match="EOF inside quoted"):
+        csv_rfc4180_parse(b'"abc')
+
+
+def test_csv_rfc4180_three_way_reader_agreement(spark, sf_dir):
+    """Our parser, Spark's multiLine CSV reader and DuckDB's read_csv must
+    agree row-for-row on the same staged hazard-dense file."""
+    import duckdb
+
+    from flock_spark.operators.formats import (
+        _stage_csv_rfc4180,
+        csv_rfc4180_parse,
+    )
+
+    path = _stage_csv_rfc4180(sf_dir)
+    fpath = os.path.join(path, "docs.csv")
+    ours = csv_rfc4180_parse(open(fpath, "rb").read())
+    # escape='"' selects RFC 4180 quote-doubling (Spark's default escape
+    # is backslash, which misparses '""' and splits on the quoted CRLF)
+    spark_rows = (
+        spark.read.option("multiLine", True)
+        .option("header", False)
+        .option("escape", '"')
+        .csv(f"file://{fpath}")
+        .collect()
+    )
+    # univocity (Spark's CSV parser) NORMALIZES line separators inside
+    # quoted fields to '\n'; our parser and DuckDB keep the raw CRLF
+    # octets. Compare on the normalized form and pin that the raw forms
+    # really differed (the quirk is real, not hypothetical).
+    assert any("\r\n" in r[1] for r in ours)
+    assert all("\r" not in r["_c1"] for r in spark_rows)
+    got_spark = sorted(
+        (int(r["_c0"]), r["_c1"], int(r["_c2"])) for r in spark_rows
+    )
+    duck_rows = duckdb.sql(
+        f"SELECT * FROM read_csv('{fpath}', header=false, "
+        "columns={'a':'BIGINT','b':'VARCHAR','c':'BIGINT'})"
+    ).fetchall()
+    got_ours = sorted(
+        (int(a), b.replace("\r\n", "\n"), int(c)) for a, b, c in ours
+    )
+    got_duck = sorted(
+        (a, b.replace("\r\n", "\n"), c) for a, b, c in duck_rows
+    )
+    assert got_ours == got_spark == got_duck
