@@ -76,10 +76,11 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_lz4_block_roundtrip",
     "mm_warc_file_ingest",
     "mm_jpeg_progressive_decode",
+    "sketch_roaring_bitmap_ops",
     "scan_parquet_gzip_page_decode",
     "scan_parquet_lz4_page_decode",
-    "scan_csv_rfc4180_parse",
     "streaming_tumbling_agg",  # heavy
+    "scan_csv_rfc4180_parse",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q4_avg_of_max",
     "nexmark_q6_double_rownum",
     "nexmark_q7_max_per_window",
-    "nexmark_q8_sellers",
     "streaming_warc_file_ingest",  # heavy
 )
 

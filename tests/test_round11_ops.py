@@ -775,3 +775,49 @@ def test_csv_rfc4180_three_way_reader_agreement(spark, sf_dir):
         (a, b.replace("\r\n", "\n"), c) for a, b, c in duck_rows
     )
     assert got_ours == got_spark == got_duck
+
+
+# ---------------------------------------------------------------------------
+# sketch_roaring_bitmap_ops: container types and typed algebra
+# ---------------------------------------------------------------------------
+
+
+def test_roaring_type_decision_boundaries():
+    from flock_spark.operators.sketches import roaring_container_type
+
+    # one run of n values: 6 bytes beats 2*card once card >= 4
+    assert roaring_container_type(3, 1) == ("array", 6)
+    assert roaring_container_type(4, 1) == ("run", 6)
+    # all-singleton runs never win
+    assert roaring_container_type(100, 100) == ("array", 200)
+    # dense: one giant run beats the bitmap
+    assert roaring_container_type(60000, 1) == ("run", 6)
+    # dense, fragmented: bitmap wins once runs and array are both bigger
+    assert roaring_container_type(5000, 4000) == ("bitmap", 8192)
+    assert roaring_container_type(4096, 4096) == ("array", 8192)
+    assert roaring_container_type(4097, 4097) == ("bitmap", 8192)
+
+
+def test_roaring_typed_algebra_all_pairs():
+    import random
+
+    from flock_spark.operators.sketches import RoaringContainer
+
+    random.seed(17)
+    # shapes that force each native type
+    dense_run = list(range(100, 9000))                      # run
+    sparse = sorted(random.sample(range(65536), 900))       # array
+    fragmented = sorted(random.sample(range(65536), 9000))  # bitmap
+    shapes = {"run": dense_run, "array": sparse, "bitmap": fragmented}
+    for na, la in shapes.items():
+        ca = RoaringContainer(la)
+        assert ca.ctype == na, (na, ca.ctype)
+        assert ca.to_sorted() == la, na  # native roundtrip
+        for nb, lb in shapes.items():
+            cb = RoaringContainer(lb)
+            assert ca.op(cb, union=False) == sorted(set(la) & set(lb)), (
+                na, nb, "and",
+            )
+            assert ca.op(cb, union=True) == sorted(set(la) | set(lb)), (
+                na, nb, "or",
+            )
