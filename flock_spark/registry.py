@@ -81,79 +81,72 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_parquet_lz4_page_decode",
     "streaming_tumbling_agg",  # heavy
     "scan_csv_rfc4180_parse",
-    "mm_jpeg_baseline_decode",
-    "mm_wet_conversion_roundtrip",
-    "text_robots_longest_match",
-    "agg_count_distinct",
-    "agg_having",
-    "case_when",
-    "correlated_exists",
-    "date_funcs",
-    "distinct_select",
-    "filter_complex",
-    "filter_mod",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_cross",
-    "join_full_outer",
-    "join_global_max",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "cube_agg",
+    "join_left_outer",
     "join_range_theta",
     "join_self_agg_max",
     "join_semi",
+    "math_funcs",
+    "nexmark_gen_bid",
+    "nexmark_gen_person_auction",
+    "nexmark_q1_currency",
     "nexmark_q3_join_filter",
     "nexmark_q4_avg_of_max",
     "nexmark_q6_double_rownum",
     "nexmark_q7_max_per_window",
+    "nexmark_q8_sellers",
+    "nexmark_q9_winning_bids",
+    "pivot_agg",
+    "rollup_agg",
+    "set_intersect",
+    "set_union_all",
     "streaming_warc_file_ingest",  # heavy
 )
 
-# Machine-readable certification history: registry name -> FIRST round with a
-# green driver row (rows+schema+hash all matching in CORRECTNESS_r{N}.json),
-# never red in any later round. Reconstructed mechanically from the committed
+# Machine-readable certification history: registry name -> MOST RECENT round
+# with a green driver row (rows+schema+hash all matching in
+# CORRECTNESS_r{N}.json), never red in any later round. Re-certification
+# refreshes the round, which is what drives the stale-first rotation. Reconstructed mechanically from the committed
 # CORRECTNESS_r01..r08 artifacts (tools/slate_builder.py --rebuild-history
 # re-derives and verifies this block). This is the staleness order that the
 # post-closure rotation policy (COVERAGE.md "Post-closure rotation policy")
 # sorts by: oldest-certified entries re-certify first.
 CERTIFIED_ROUNDS: dict[str, int] = {
-    # round 1 (43 entries)
-    "agg_count_distinct": 1, "agg_having": 1, "case_when": 1,
-    "correlated_exists": 1, "date_funcs": 1, "distinct_select": 1,
-    "filter_complex": 1, "filter_mod": 1, "join_anti": 1,
-    "join_broadcast_dim": 1, "join_cross": 1, "join_full_outer": 1,
-    "join_global_max": 1, "join_inner": 1, "join_range_theta": 1,
-    "join_self_agg_max": 1, "join_semi": 1, "nexmark_q3_join_filter": 1,
-    "nexmark_q4_avg_of_max": 1, "nexmark_q6_double_rownum": 1,
-    "nexmark_q7_max_per_window": 1, "nexmark_q8_sellers": 1,
-    "nexmark_q9_winning_bids": 1, "proj_arith": 1, "set_except": 1,
-    "set_intersect": 1, "set_union_all": 1, "sort_limit_topk": 1,
-    "sort_multi_col": 1, "string_funcs": 1, "subquery_in": 1,
-    "subquery_scalar": 1, "tpch_q1": 1, "tpch_q2": 1, "tpch_q3": 1,
-    "tpch_q4": 1, "tpch_q5": 1, "window_first_last": 1,
-    "window_frame_moving_avg": 1, "window_lag_lead": 1,
-    "window_percentiles": 1, "window_rank_dense": 1, "window_rownum_topk": 1,
-    # round 2 (12 entries)
-    "agg_basic": 2, "cube_agg": 2, "join_left_outer": 2, "math_funcs": 2,
+    # round 1 (4 entries)
+    "tpch_q2": 1, "tpch_q3": 1, "tpch_q4": 1, "tpch_q5": 1,
+    # round 2 (29 entries)
+    "cube_agg": 2, "join_left_outer": 2, "join_range_theta": 2,
+    "join_self_agg_max": 2, "join_semi": 2, "math_funcs": 2,
     "nexmark_gen_bid": 2, "nexmark_gen_person_auction": 2,
-    "nexmark_q1_currency": 2, "pivot_agg": 2, "rollup_agg": 2,
-    "sort_global_range": 2, "window_range_frame_sum": 2,
-    "window_running_sum": 2,
+    "nexmark_q1_currency": 2, "nexmark_q3_join_filter": 2,
+    "nexmark_q4_avg_of_max": 2, "nexmark_q6_double_rownum": 2,
+    "nexmark_q7_max_per_window": 2, "nexmark_q8_sellers": 2,
+    "nexmark_q9_winning_bids": 2, "pivot_agg": 2, "rollup_agg": 2,
+    "set_intersect": 2, "set_union_all": 2, "sort_global_range": 2,
+    "sort_multi_col": 2, "string_funcs": 2, "subquery_in": 2,
+    "window_first_last": 2, "window_frame_moving_avg": 2, "window_lag_lead": 2,
+    "window_percentiles": 2, "window_range_frame_sum": 2,
+    "window_rank_dense": 2,
     # round 3 (36 entries)
     "ann_ivf_topk": 3, "ann_topk_bruteforce": 3, "asof_join_window": 3,
     "bloom_membership_probe": 3, "cdc_upsert_latest": 3,
     "corpus_decontaminate": 3, "dedup_clusters": 3,
     "dedup_minhash_lsh_pairs": 3, "dedup_simhash_pairs": 3,
     "doc_chunk_fixed_tokens": 3, "graph_pagerank_two_iter": 3,
-    "hll_sketch_portable": 3, "json_wire_corrupt_tolerant": 3,
-    "kmeans_two_iterations": 3, "mm_audio_window_energy": 3,
-    "mm_meta_extract": 3, "nexmark_native_q4": 3, "nexmark_native_q6": 3,
-    "nexmark_native_q9": 3, "nexmark_q2_mod_filter": 3,
-    "nexmark_q5_hot_items": 3, "pandas_udaf_weighted_mean": 3,
-    "scd2_validity_join": 3, "side_input_csv_join": 3,
-    "streaming_dedup_ingest": 3, "streaming_hopping_agg": 3,
-    "streaming_proctime_agg": 3, "streaming_q5_foreachbatch": 3,
-    "streaming_session_native": 3, "streaming_stream_stream_join": 3,
-    "streaming_tumbling_agg": 3, "text_token_stats_bpe": 3, "tpch_q18": 3,
-    "tpch_q21": 3, "tpch_q9": 3, "ysb_campaign_counts": 3,
+    "json_wire_corrupt_tolerant": 3, "kmeans_two_iterations": 3,
+    "mm_audio_window_energy": 3, "mm_meta_extract": 3, "nexmark_native_q4": 3,
+    "nexmark_native_q6": 3, "nexmark_native_q9": 3, "nexmark_q2_mod_filter": 3,
+    "nexmark_q5_hot_items": 3, "scd2_validity_join": 3,
+    "side_input_csv_join": 3, "streaming_dedup_ingest": 3,
+    "streaming_hopping_agg": 3, "streaming_proctime_agg": 3,
+    "streaming_q5_foreachbatch": 3, "streaming_session_native": 3,
+    "streaming_stream_stream_join": 3, "subquery_scalar": 3,
+    "text_token_stats_bpe": 3, "tpch_q1": 3, "tpch_q18": 3, "tpch_q21": 3,
+    "tpch_q9": 3, "window_rownum_topk": 3, "ysb_campaign_counts": 3,
     # round 4 (44 entries)
     "agg_salted_two_stage": 4, "ann_pq_adc_topk": 4, "arrow_grouped_minmax": 4,
     "asof_join_pandas": 4, "bloom_filter_portable": 4,
@@ -167,18 +160,18 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "nexmark_q0_passthrough": 4, "nexmark_q10_date_format": 4,
     "nexmark_q11_session_bids": 4, "nexmark_q12_proctime_tumble": 4,
     "nexmark_q13_side_input": 4, "partitioned_write_prune_scan": 4,
-    "queue_sink_exactly_once": 4, "rollup_reuse_daily": 4,
+    "queue_sink_exactly_once": 4, "rollup_reuse_daily": 4, "set_except": 4,
     "streaming_cdc_upsert_foreachbatch": 4, "streaming_elementwise_filter": 4,
     "streaming_kafka_wire_decode": 4, "streaming_nexmark_native_q3": 4,
     "streaming_nexmark_q1": 4, "streaming_scd2_enrich": 4,
     "streaming_session_foreachbatch": 4, "text_oov_rate": 4,
     "timeseries_gapfill_locf": 4, "tpch_q10": 4, "tpch_q22": 4, "tpch_q6": 4,
-    "tpch_q7": 4, "tpch_q8": 4, "zorder_layout_scan": 4,
-    # round 5 (47 entries)
+    "tpch_q7": 4, "tpch_q8": 4,
+    # round 5 (46 entries)
     "ann_ivf_recall_audit": 5, "approx_count_distinct_hll": 5,
     "cdc_snapshot_asof": 5, "cms_merge_shards": 5,
     "corpus_cross_source_dup_matrix": 5, "corpus_lang_quality_buckets": 5,
-    "corpus_lm_score_proxy": 5, "corpus_quality_resample": 5, "dedup_exact": 5,
+    "corpus_lm_score_proxy": 5, "corpus_quality_resample": 5,
     "dedup_jaccard_threshold_curve": 5, "dedup_minhash_signatures": 5,
     "events_pattern_3step": 5, "events_transition_matrix": 5,
     "graph_kcore_peel": 5, "hdr_quantile_merge_shards": 5,
@@ -214,7 +207,7 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "text_fingerprint": 6, "text_langid": 6, "text_pii_redact": 6,
     "text_quality_score": 6, "text_rake_keywords": 6,
     "text_tfidf_topk_terms": 6, "text_token_stats": 6,
-    # round 7 (48 entries)
+    # round 7 (47 entries)
     "agg_collect_sorted": 7, "agg_mode_deterministic": 7,
     "agg_spearman_rank_corr": 7, "anomaly_mad_flags": 7,
     "asof_join_nearest": 7, "asof_join_tolerance": 7,
@@ -223,21 +216,20 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "corpus_ngram_diversity": 7, "csv_corrupt_tolerant_read": 7,
     "dedup_chunk_shared": 7, "dedup_containment_pairs": 7,
     "dedup_incremental_new_batch": 7, "dedup_keep_best_quality": 7,
-    "dedup_lsh_recall_audit": 7, "doc_chunk_content_defined": 7,
-    "embedding_label_centroids": 7, "embedding_normalize_quantize": 7,
-    "events_ab_test_zstat": 7, "events_watermark_lateness_audit": 7,
-    "graph_modularity_audit": 7, "hll_intersect_estimate": 7,
-    "ivm_agg_delta": 7, "ivm_distinct_delta": 7, "join_interval_overlap": 7,
-    "join_null_safe_eq": 7, "mm_dedup_clusters": 7, "mm_header_dims": 7,
-    "mm_phash_near_dup": 7, "mm_scene_cut_detect": 7, "pipe_syntax_funnel": 7,
-    "pipeline_quality_dedup_stats": 7, "privacy_t_closeness": 7,
-    "recursive_cte_hierarchy": 7, "stagger_window_agg": 7,
-    "streaming_dedup_within_watermark": 7, "streaming_pattern_kleene": 7,
-    "streaming_q13_side_input": 7, "streaming_stagger_window": 7,
-    "table_snapshot_drift": 7, "text_inverted_index": 7,
-    "tokenizer_bpe_apply": 7, "tokenizer_wordpiece_greedy": 7,
-    "udtf_table_arg_sessionize": 7, "variant_json_shred": 7,
-    "window_nth_cume": 7,
+    "doc_chunk_content_defined": 7, "embedding_label_centroids": 7,
+    "embedding_normalize_quantize": 7, "events_ab_test_zstat": 7,
+    "events_watermark_lateness_audit": 7, "graph_modularity_audit": 7,
+    "hll_intersect_estimate": 7, "ivm_agg_delta": 7, "ivm_distinct_delta": 7,
+    "join_interval_overlap": 7, "join_null_safe_eq": 7, "mm_dedup_clusters": 7,
+    "mm_header_dims": 7, "mm_phash_near_dup": 7, "mm_scene_cut_detect": 7,
+    "pipe_syntax_funnel": 7, "pipeline_quality_dedup_stats": 7,
+    "privacy_t_closeness": 7, "recursive_cte_hierarchy": 7,
+    "stagger_window_agg": 7, "streaming_dedup_within_watermark": 7,
+    "streaming_pattern_kleene": 7, "streaming_q13_side_input": 7,
+    "streaming_stagger_window": 7, "table_snapshot_drift": 7,
+    "text_inverted_index": 7, "tokenizer_bpe_apply": 7,
+    "tokenizer_wordpiece_greedy": 7, "udtf_table_arg_sessionize": 7,
+    "variant_json_shred": 7, "window_nth_cume": 7,
     # round 8 (48 entries)
     "agg_approx_percentile_audit": 8, "analytics_ols_trend": 8,
     "analytics_pareto_frontier": 8, "anomaly_zscore_flags": 8,
@@ -263,14 +255,15 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "table_referential_integrity_audit": 8, "table_skew_audit": 8,
     "text_hashed_linear_quality": 8, "timeseries_seasonal_baseline": 8,
     "unpivot_melt_wide": 8,
-    # round 9 (47 entries)
+    # round 9 (48 entries)
     "agg_filter_clause": 9, "ann_ivf_nprobe_recall_curve": 9,
     "ann_radius_search": 9, "approx_top_k_native_audit": 9,
     "bitmap_exact_distinct_native": 9, "corpus_domain_mix_rates": 9,
     "corpus_epoch_repeat_schedule": 9, "corpus_length_band_twopass": 9,
     "corpus_ngram_novelty": 9, "corpus_quality_dup_calibration": 9,
     "corpus_source_drift_chi2": 9, "datasketches_union_merge_audit": 9,
-    "dedup_lsh_band_tradeoff_audit": 9, "embedding_cosine_calibration_bins": 9,
+    "dedup_lsh_band_tradeoff_audit": 9, "dedup_lsh_recall_audit": 9,
+    "embedding_cosine_calibration_bins": 9,
     "embedding_matryoshka_recall_audit": 9, "events_gap_log2_histogram": 9,
     "events_log2_value_histogram": 9, "events_revenue_pareto80": 9,
     "events_session_gap_sweep": 9, "events_sessionized_bounce_rate": 9,
@@ -288,22 +281,31 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "text_langid_confusion_audit": 9, "text_url_canonicalize_dedup": 9,
     "theta_sketch_native_audit": 9, "tokenizer_vocab_coverage_curve": 9,
     "window_percentiles_twopass": 9,
-    # round 10 (27 entries)
+    # round 10 (50 entries)
+    "agg_basic": 10, "agg_count_distinct": 10, "agg_having": 10,
     "analytics_friedman_test": 10, "analytics_ks_two_sample": 10,
     "analytics_mann_whitney_u": 10, "analytics_wilcoxon_signed_rank": 10,
-    "corpus_quota_largest_remainder": 10, "dedup_edit_distance_pairs": 10,
-    "dedup_suffix_lcp_pairs": 10, "events_reservoir_per_key": 10,
-    "mm_gif_deinterlace": 10, "mm_gzip_member_parse": 10,
+    "case_when": 10, "corpus_quota_largest_remainder": 10,
+    "correlated_exists": 10, "date_funcs": 10, "dedup_edit_distance_pairs": 10,
+    "dedup_exact": 10, "dedup_suffix_lcp_pairs": 10, "distinct_select": 10,
+    "events_reservoir_per_key": 10, "filter_complex": 10, "filter_mod": 10,
+    "hll_sketch_portable": 10, "join_anti": 10, "join_broadcast_dim": 10,
+    "join_cross": 10, "join_full_outer": 10, "join_global_max": 10,
+    "join_inner": 10, "mm_gif_deinterlace": 10, "mm_gzip_member_parse": 10,
     "mm_gzip_multistream_walk": 10, "mm_http_chunked_decode": 10,
     "mm_jpeg_baseline_decode": 10, "mm_png_chunk_walk": 10,
     "mm_tar_member_walk": 10, "mm_warc_record_walk": 10,
     "mm_wet_conversion_roundtrip": 10, "mm_zip_central_dir_walk": 10,
+    "pandas_udaf_weighted_mean": 10, "proj_arith": 10,
     "scan_parquet_footer_thrift_walk": 10, "scan_parquet_page_decode": 10,
     "shard_rendezvous_rebalance_audit": 10, "sketch_space_saving_topk": 10,
-    "sketch_tdigest_quantile_audit": 10, "streaming_warc_ingest_decode": 10,
+    "sketch_tdigest_quantile_audit": 10, "sort_limit_topk": 10,
+    "streaming_tumbling_agg": 10, "streaming_warc_ingest_decode": 10,
     "text_blocklist_multimatch": 10, "text_boilerplate_linefilter": 10,
-    "text_robots_longest_match": 10,
+    "text_robots_longest_match": 10, "window_running_sum": 10,
+    "zorder_layout_scan": 10,
 }
+
 
 
 # Cumulative driver-certified set (derived view; kept for existing callers).

@@ -69,8 +69,9 @@ def test_slate_is_fresh_and_certified_ledger_valid():
 def test_certified_rounds_history_matches_artifacts():
     """CERTIFIED_ROUNDS is the machine-readable certification history the
     rotation policy sorts by. Re-derive it from the committed
-    CORRECTNESS_r*.json artifacts: first fully-green round per entry, and
-    no entry red in any round after its certification round."""
+    CORRECTNESS_r*.json artifacts: MOST RECENT fully-green round per entry
+    (a re-cert refreshes the staleness clock), and no entry red in any
+    round after its certification round."""
     import glob
     import json
     import os
@@ -89,7 +90,7 @@ def test_certified_rounds_history_matches_artifacts():
                 and row.get("hash_match")
             )
             if green:
-                derived.setdefault(name, rn)
+                derived[name] = max(rn, derived.get(name, rn))
             else:
                 assert name not in derived or derived[name] >= rn, (
                     f"{name} went red in round {rn} after certifying in "

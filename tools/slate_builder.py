@@ -82,8 +82,12 @@ def _is_heavy(name: str) -> bool:
 
 
 def rebuild_history() -> dict[str, int]:
-    """First fully-green round per entry across CORRECTNESS_r*.json; raises
-    if any entry went red after certifying (it must be dropped by hand)."""
+    """MOST RECENT fully-green round per entry across CORRECTNESS_r*.json
+    (a re-certification refreshes the entry's staleness clock — with
+    first-green semantics the same oldest entries would win the stale
+    queue every round forever and the rest would never re-certify,
+    breaking the rotation policy's ~7-round cadence). Raises if any entry
+    went red after certifying (it must be dropped by hand)."""
     derived: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
     if not files:
@@ -97,7 +101,7 @@ def rebuild_history() -> dict[str, int]:
                 and row.get("hash_match")
             )
             if green:
-                derived.setdefault(name, rn)
+                derived[name] = max(rn, derived.get(name, rn))
             elif name in derived and derived[name] < rn:
                 raise ValueError(
                     f"{name} red in round {rn} after certifying in round "
