@@ -4791,3 +4791,159 @@ def mm_wet_conversion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_src_records long, n_chunks long, "
         "body_len long, wet_record_len long, body_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Quoted-printable (RFC 2045 §6.7): the MIME transfer coding mail/news
+# corpora arrive in; WET-style text extraction must undo it.
+# ---------------------------------------------------------------------------
+
+QP_MAX_LINE = 76
+
+
+def qp_encode(data: bytes) -> bytes:
+    """RFC 2045 §6.7 encoder: printable US-ASCII (33-126 except '=')
+    literal; space/tab literal except line-final (then =20/=09); all else
+    =XX uppercase hex; soft breaks '=\\r\\n' keep encoded lines within 76
+    octets including the '='."""
+    out = bytearray()
+    line = 0
+
+    def soft_break() -> None:
+        nonlocal line
+        out.extend(b"=\r\n")
+        line = 0
+
+    n = len(data)
+    for i, b in enumerate(data):
+        if 33 <= b <= 126 and b != 0x3D:
+            tok = bytes([b])
+        elif b in (0x20, 0x09):
+            # literal unless it would end the encoded output / a line
+            nxt_is_break = i + 1 == n
+            tok = bytes([b]) if not nxt_is_break else f"={b:02X}".encode()
+        else:
+            tok = f"={b:02X}".encode()
+        if line + len(tok) > QP_MAX_LINE - 1:  # leave room for a soft '='
+            soft_break()
+        out.extend(tok)
+        line += len(tok)
+    return bytes(out)
+
+
+def qp_decode(data: bytes) -> bytes:
+    """RFC 2045 §6.7 decoder: '=\\r\\n' soft breaks vanish, '=XX' decodes
+    (uppercase hex per spec; lowercase tolerated as the RFC recommends for
+    robustness), anything else passes through. ValueError on a truncated
+    or non-hex escape."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0x3D:
+            out.append(b)
+            i += 1
+            continue
+        if i + 2 < n and data[i + 1 : i + 3] == b"\r\n":
+            i += 3  # soft break
+            continue
+        if i + 1 < n and data[i + 1] == 0x0A:
+            i += 2  # bare-LF soft break (stdlib quopri emits these)
+            continue
+        if i + 2 >= n:
+            raise ValueError("truncated quoted-printable escape")
+        hx = data[i + 1 : i + 3]
+        try:
+            out.append(int(hx.decode("ascii"), 16))
+        except ValueError as exc:
+            raise ValueError(f"bad quoted-printable escape ={hx!r}") from exc
+        i += 3
+    return bytes(out)
+
+
+@register(
+    "mm_quoted_printable_roundtrip",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE octet_length(encode(text)) > 0),
+    samples AS (
+      SELECT doc_id, unnest(generate_series(1, n)) AS i FROM img),
+    sums AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bytes,
+             CAST(sum(('0x' || substring(i2.hx, s.i * 2 - 1, 2))::BIGINT)
+                  AS BIGINT) AS byte_sum
+      FROM samples s JOIN img i2 USING (doc_id) GROUP BY s.doc_id)
+    SELECT sums.doc_id, sums.n_bytes, sums.byte_sum,
+           md5(img.hx) AS decoded_md5
+    FROM sums JOIN img ON sums.doc_id = img.doc_id
+    """,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="Quoted-printable (RFC 2045 §6.7) encode + decode from the spec — "
+    "the MIME transfer coding mail/news/mbox corpora arrive in, and the "
+    "de-framing a text-extraction pipeline must run before such bodies "
+    "are usable: literal printables, =XX uppercase-hex escapes, "
+    "line-final whitespace protection, soft line breaks keeping every "
+    "encoded line within 76 octets. Certified three ways in-UDF: our "
+    "decode inverts our encode byte-for-byte, our decode ALSO inverts "
+    "the STDLIB quopri encoder's output (independent implementation of "
+    "the same RFC), and stdlib quopri decodes OUR encoder's output back "
+    "to the source — then the oracle re-derives byte count, byte sum "
+    "and md5 of the decoded bytes straight from hex(encode(text)). The "
+    "76-octet line-length invariant is asserted per document. Scale: "
+    "per-object transform in mapInPandas, single scan, no shuffle — "
+    "the codec plan family.",
+)
+def mm_quoted_printable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .filter(F.length(F.col("payload")) > 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import quopri as _quopri
+
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                enc = qp_encode(b)
+                for ln in enc.split(b"\r\n"):
+                    if len(ln) > QP_MAX_LINE:
+                        raise ValueError(
+                            f"encoded line exceeds {QP_MAX_LINE} octets"
+                        )
+                dec = qp_decode(enc)
+                if dec != b:
+                    raise ValueError(f"QP roundtrip mismatch for doc {doc_id}")
+                if qp_decode(_quopri.encodestring(b)) != b:
+                    raise ValueError(
+                        f"our decoder rejects stdlib QP for doc {doc_id}"
+                    )
+                if _quopri.decodestring(enc) != b:
+                    raise ValueError(
+                        f"stdlib rejects our QP encoding for doc {doc_id}"
+                    )
+                out_doc.append(int(doc_id))
+                out_n.append(len(dec))
+                out_sum.append(sum(dec))
+                out_md5.append(
+                    hashlib.md5(dec.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
+    )

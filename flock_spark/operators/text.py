@@ -2658,3 +2658,115 @@ _URL_RESOLVE_DUCK = _url_resolve_sql(
 def crawl_url_resolve_rfc3986(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_URL_RESOLVE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# HTML link extraction + resolution: the step between fetch and frontier
+# ---------------------------------------------------------------------------
+
+
+def _link_extract_sql(
+    str_type: str, extract_all: str, explode_hrefs: str, agg_md5: str
+) -> str:
+    """Engine-shared link pipeline: per-document HTML with four href
+    shapes (absolute, root-relative, dot-free relative, protocol-relative)
+    plus a deliberate duplicate; regex extraction; resolution by reference
+    class; internal/external split against the page host; dedup +
+    order-insensitive digest."""
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+             concat('http://h', CAST(doc_id % 7 AS {str_type}),
+                    '.example.com') AS origin,
+             concat('/a', CAST(doc_id % 3 AS {str_type}),
+                    '/b', CAST(doc_id % 5 AS {str_type}), '/c/') AS basedir,
+             concat(
+               '<html><body><nav>',
+               '<a href="http://ext', CAST(doc_id % 4 AS {str_type}),
+               '.example.net/x', CAST(doc_id % 9 AS {str_type}), '">e</a>',
+               '<a href="/r/doc_', CAST(doc_id AS {str_type}), '.html">r</a>',
+               '</nav><p>body text</p>',
+               '<a href="sub/child_', CAST(doc_id % 9 AS {str_type}),
+               '.html">c</a>',
+               '<a href="//cdn', CAST(doc_id % 4 AS {str_type}),
+               '.example.org/lib_', CAST(doc_id % 9 AS {str_type}),
+               '.js">l</a>',
+               '<a href="/r/doc_', CAST(doc_id AS {str_type}),
+               '.html">dup</a>',
+               '</body></html>') AS html
+      FROM documents),
+    hrefs AS (
+      SELECT doc_id, origin, basedir,
+             {extract_all} AS href_list
+      FROM pages),
+    links AS (
+      SELECT doc_id, origin, basedir, href
+      FROM ({explode_hrefs}) x),
+    resolved AS (
+      SELECT doc_id, origin,
+             CASE WHEN href LIKE 'http://%' THEN href
+                  WHEN href LIKE '//%' THEN concat('http:', href)
+                  WHEN href LIKE '/%' THEN concat(origin, href)
+                  ELSE concat(origin, basedir, href) END AS url
+      FROM links),
+    classified AS (
+      SELECT DISTINCT doc_id, url,
+             CASE WHEN url LIKE concat(origin, '/%') THEN 1 ELSE 0 END
+               AS internal
+      FROM resolved),
+    raw_counts AS (
+      SELECT doc_id, count(*) AS n_raw FROM resolved GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(max(r.n_raw) AS BIGINT) AS n_raw,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c.internal) AS BIGINT) AS n_internal,
+           CAST(sum(1 - c.internal) AS BIGINT) AS n_external,
+           md5({agg_md5}) AS links_md5
+    FROM classified c JOIN raw_counts r ON r.doc_id = c.doc_id
+    GROUP BY c.doc_id
+    """
+
+
+_LINKS_SPARK = _link_extract_sql(
+    str_type="STRING",
+    extract_all="regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)",
+    explode_hrefs=(
+        "SELECT doc_id, origin, basedir, explode(href_list) AS href "
+        "FROM hrefs"
+    ),
+    agg_md5="concat_ws('|', array_sort(collect_list(c.url)))",
+)
+
+_LINKS_DUCK = _link_extract_sql(
+    str_type="VARCHAR",
+    extract_all="regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)",
+    explode_hrefs=(
+        "SELECT doc_id, origin, basedir, unnest(href_list) AS href "
+        "FROM hrefs"
+    ),
+    agg_md5="string_agg(c.url, '|' ORDER BY c.url)",
+)
+
+
+@register(
+    "crawl_link_extract_resolve",
+    oracle=_LINKS_DUCK,
+    tags=("text", "corpus", "crawl", "sql"),
+    doc="HTML link extraction + resolution — the step between fetch and "
+    "frontier in every crawler: per-document HTML carrying all four "
+    "href reference classes (absolute, root-relative, dot-free "
+    "relative, protocol-relative) plus a deliberate duplicate; hrefs "
+    "come out with one anchored regexp extraction, each resolves by "
+    "its class against the page origin/base directory (dot-segment "
+    "references are certified separately by crawl_url_resolve_rfc3986 "
+    "— composition, not duplication), duplicates collapse, and each "
+    "document reports raw/distinct/internal/external link counts plus "
+    "the md5 of its sorted resolved outlink set — the exact input the "
+    "frontier scheduler and the host graph consume. Fully declarative "
+    "in both dialects. Scale: per-document regex + string functions, "
+    "one explode bounded by links-per-page, one keyed aggregation — "
+    "linear in corpus bytes, the same plan family as tokenization.",
+)
+def crawl_link_extract_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_LINKS_SPARK)

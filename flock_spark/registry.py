@@ -72,14 +72,16 @@ DRIVER_SLATE: tuple[str, ...] = (
     "crawl_frontier_politeness_schedule",
     "crawl_sitemap_xml_walk",
     "crawl_url_resolve_rfc3986",
+    "crawl_link_extract_resolve",
     "mm_png_filter_suite_decode",
     "mm_lz4_block_roundtrip",
     "mm_warc_file_ingest",
     "mm_jpeg_progressive_decode",
+    "mm_quoted_printable_roundtrip",
     "sketch_roaring_bitmap_ops",
+    "streaming_tumbling_agg",  # heavy
     "scan_parquet_gzip_page_decode",
     "scan_parquet_lz4_page_decode",
-    "streaming_tumbling_agg",  # heavy
     "scan_csv_rfc4180_parse",
     "tpch_q2",
     "tpch_q3",
@@ -102,8 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q9_winning_bids",
     "pivot_agg",
     "rollup_agg",
-    "set_intersect",
-    "set_union_all",
     "streaming_warc_file_ingest",  # heavy
 )
 

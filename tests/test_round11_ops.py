@@ -821,3 +821,48 @@ def test_roaring_typed_algebra_all_pairs():
             assert ca.op(cb, union=True) == sorted(set(la) | set(lb)), (
                 na, nb, "or",
             )
+
+
+# ---------------------------------------------------------------------------
+# mm_quoted_printable_roundtrip + crawl_link_extract_resolve
+# ---------------------------------------------------------------------------
+
+
+def test_qp_codec_spec_behaviors():
+    from flock_spark.operators.multimodal import (
+        QP_MAX_LINE,
+        qp_decode,
+        qp_encode,
+    )
+
+    # '=' always escapes; control bytes escape; printables pass through
+    assert qp_encode(b"a=b") == b"a=3Db"
+    assert qp_decode(b"a=3Db") == b"a=b"
+    # line-final space must be protected
+    assert qp_encode(b"x ").endswith(b"=20")
+    # soft breaks keep lines within 76 octets and vanish on decode
+    blob = bytes(range(256)) * 3
+    enc = qp_encode(blob)
+    assert all(len(ln) <= QP_MAX_LINE for ln in enc.split(b"\r\n"))
+    assert qp_decode(enc) == blob
+    # stdlib cross: both soft-break conventions decode
+    import quopri
+
+    assert qp_decode(quopri.encodestring(blob)) == blob
+    assert quopri.decodestring(enc) == blob
+    with pytest.raises(ValueError, match="truncated"):
+        qp_decode(b"abc=4")
+    with pytest.raises(ValueError, match="bad quoted-printable"):
+        qp_decode(b"abc=ZZ")
+
+
+def test_link_extract_resolve_counts(spark, sf_dir):
+    from flock_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["crawl_link_extract_resolve"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 5 raw anchors, the duplicate collapses, 2 internal + 2 external
+        assert r["n_raw"] == 5 and r["n_distinct"] == 4, r
+        assert r["n_internal"] == 2 and r["n_external"] == 2, r
