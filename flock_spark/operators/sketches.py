@@ -1939,8 +1939,6 @@ _ROARING_ORACLE = "\n    UNION ALL".join(
     "moves more than one bucket's 8 KB per side.",
 )
 def sketch_roaring_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator  # noqa: F401
-
     import pandas as pd
     from pyspark.sql import functions as F
 
