@@ -64,68 +64,60 @@ DRIVER_SLATE: tuple[str, ...] = (
     "hll_sketch_portable",
     "dedup_exact",
     "zorder_layout_scan",
-    "text_robots_wildcard_match",
-    "text_cdx_surt_dedup",
-    "tokenizer_unigram_viterbi",
-    "text_punycode_idna_roundtrip",
-    "text_robots_file_parse",
-    "crawl_frontier_politeness_schedule",
-    "crawl_sitemap_xml_walk",
-    "crawl_url_resolve_rfc3986",
-    "crawl_link_extract_resolve",
-    "mm_png_filter_suite_decode",
-    "mm_lz4_block_roundtrip",
-    "mm_warc_file_ingest",
-    "mm_jpeg_progressive_decode",
-    "mm_quoted_printable_roundtrip",
-    "sketch_roaring_bitmap_ops",
+    "mm_jpeg_baseline_decode",
+    "mm_wet_conversion_roundtrip",
+    "text_robots_longest_match",
     "streaming_tumbling_agg",  # heavy
-    "scan_parquet_gzip_page_decode",
-    "scan_parquet_lz4_page_decode",
-    "scan_csv_rfc4180_parse",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "cube_agg",
-    "join_left_outer",
-    "join_range_theta",
-    "join_self_agg_max",
-    "join_semi",
-    "math_funcs",
-    "nexmark_gen_bid",
-    "nexmark_gen_person_auction",
-    "nexmark_q1_currency",
-    "nexmark_q3_join_filter",
-    "nexmark_q4_avg_of_max",
-    "nexmark_q6_double_rownum",
-    "nexmark_q7_max_per_window",
-    "nexmark_q8_sellers",
-    "nexmark_q9_winning_bids",
-    "pivot_agg",
-    "rollup_agg",
-    "streaming_warc_file_ingest",  # heavy
+    "set_intersect",
+    "set_union_all",
+    "sort_global_range",
+    "sort_multi_col",
+    "string_funcs",
+    "subquery_in",
+    "window_first_last",
+    "window_frame_moving_avg",
+    "window_lag_lead",
+    "window_percentiles",
+    "window_range_frame_sum",
+    "window_rank_dense",
+    "streaming_dedup_ingest",  # heavy
+    "ann_ivf_topk",
+    "ann_topk_bruteforce",
+    "asof_join_window",
+    "bloom_membership_probe",
+    "cdc_upsert_latest",
+    "corpus_decontaminate",
+    "dedup_clusters",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "doc_chunk_fixed_tokens",
+    "graph_pagerank_two_iter",
+    "json_wire_corrupt_tolerant",
+    "streaming_hopping_agg",  # heavy
+    "kmeans_two_iterations",
+    "mm_audio_window_energy",
+    "mm_meta_extract",
+    "nexmark_native_q4",
+    "nexmark_native_q6",
+    "nexmark_native_q9",
+    "nexmark_q2_mod_filter",
+    "nexmark_q5_hot_items",
+    "scd2_validity_join",
+    "side_input_csv_join",
+    "streaming_proctime_agg",  # heavy
 )
 
 # Machine-readable certification history: registry name -> MOST RECENT round
 # with a green driver row (rows+schema+hash all matching in
 # CORRECTNESS_r{N}.json), never red in any later round. Re-certification
-# refreshes the round, which is what drives the stale-first rotation. Reconstructed mechanically from the committed
-# CORRECTNESS_r01..r08 artifacts (tools/slate_builder.py --rebuild-history
-# re-derives and verifies this block). This is the staleness order that the
+# refreshes the round, which is what drives the stale-first rotation.
+# Reconstructed mechanically from ALL committed CORRECTNESS_r*.json artifacts
+# (tools/slate_builder.py --print-history re-derives and --verify-history
+# checks this block). This is the staleness order that the
 # post-closure rotation policy (COVERAGE.md "Post-closure rotation policy")
 # sorts by: oldest-certified entries re-certify first.
 CERTIFIED_ROUNDS: dict[str, int] = {
-    # round 1 (4 entries)
-    "tpch_q2": 1, "tpch_q3": 1, "tpch_q4": 1, "tpch_q5": 1,
-    # round 2 (29 entries)
-    "cube_agg": 2, "join_left_outer": 2, "join_range_theta": 2,
-    "join_self_agg_max": 2, "join_semi": 2, "math_funcs": 2,
-    "nexmark_gen_bid": 2, "nexmark_gen_person_auction": 2,
-    "nexmark_q1_currency": 2, "nexmark_q3_join_filter": 2,
-    "nexmark_q4_avg_of_max": 2, "nexmark_q6_double_rownum": 2,
-    "nexmark_q7_max_per_window": 2, "nexmark_q8_sellers": 2,
-    "nexmark_q9_winning_bids": 2, "pivot_agg": 2, "rollup_agg": 2,
+    # round 2 (12 entries)
     "set_intersect": 2, "set_union_all": 2, "sort_global_range": 2,
     "sort_multi_col": 2, "string_funcs": 2, "subquery_in": 2,
     "window_first_last": 2, "window_frame_moving_avg": 2, "window_lag_lead": 2,
@@ -281,29 +273,48 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "text_langid_confusion_audit": 9, "text_url_canonicalize_dedup": 9,
     "theta_sketch_native_audit": 9, "tokenizer_vocab_coverage_curve": 9,
     "window_percentiles_twopass": 9,
-    # round 10 (50 entries)
-    "agg_basic": 10, "agg_count_distinct": 10, "agg_having": 10,
-    "analytics_friedman_test": 10, "analytics_ks_two_sample": 10,
-    "analytics_mann_whitney_u": 10, "analytics_wilcoxon_signed_rank": 10,
-    "case_when": 10, "corpus_quota_largest_remainder": 10,
-    "correlated_exists": 10, "date_funcs": 10, "dedup_edit_distance_pairs": 10,
-    "dedup_exact": 10, "dedup_suffix_lcp_pairs": 10, "distinct_select": 10,
+    # round 10 (40 entries)
+    "agg_count_distinct": 10, "agg_having": 10, "analytics_friedman_test": 10,
+    "analytics_ks_two_sample": 10, "analytics_mann_whitney_u": 10,
+    "analytics_wilcoxon_signed_rank": 10, "case_when": 10,
+    "corpus_quota_largest_remainder": 10, "correlated_exists": 10,
+    "date_funcs": 10, "dedup_edit_distance_pairs": 10,
+    "dedup_suffix_lcp_pairs": 10, "distinct_select": 10,
     "events_reservoir_per_key": 10, "filter_complex": 10, "filter_mod": 10,
-    "hll_sketch_portable": 10, "join_anti": 10, "join_broadcast_dim": 10,
-    "join_cross": 10, "join_full_outer": 10, "join_global_max": 10,
-    "join_inner": 10, "mm_gif_deinterlace": 10, "mm_gzip_member_parse": 10,
-    "mm_gzip_multistream_walk": 10, "mm_http_chunked_decode": 10,
-    "mm_jpeg_baseline_decode": 10, "mm_png_chunk_walk": 10,
-    "mm_tar_member_walk": 10, "mm_warc_record_walk": 10,
-    "mm_wet_conversion_roundtrip": 10, "mm_zip_central_dir_walk": 10,
-    "pandas_udaf_weighted_mean": 10, "proj_arith": 10,
-    "scan_parquet_footer_thrift_walk": 10, "scan_parquet_page_decode": 10,
-    "shard_rendezvous_rebalance_audit": 10, "sketch_space_saving_topk": 10,
-    "sketch_tdigest_quantile_audit": 10, "sort_limit_topk": 10,
-    "streaming_tumbling_agg": 10, "streaming_warc_ingest_decode": 10,
-    "text_blocklist_multimatch": 10, "text_boilerplate_linefilter": 10,
-    "text_robots_longest_match": 10, "window_running_sum": 10,
-    "zorder_layout_scan": 10,
+    "join_anti": 10, "join_broadcast_dim": 10, "join_cross": 10,
+    "join_full_outer": 10, "join_global_max": 10, "mm_gif_deinterlace": 10,
+    "mm_gzip_member_parse": 10, "mm_gzip_multistream_walk": 10,
+    "mm_http_chunked_decode": 10, "mm_jpeg_baseline_decode": 10,
+    "mm_png_chunk_walk": 10, "mm_tar_member_walk": 10,
+    "mm_warc_record_walk": 10, "mm_wet_conversion_roundtrip": 10,
+    "mm_zip_central_dir_walk": 10, "scan_parquet_footer_thrift_walk": 10,
+    "scan_parquet_page_decode": 10, "shard_rendezvous_rebalance_audit": 10,
+    "sketch_space_saving_topk": 10, "sketch_tdigest_quantile_audit": 10,
+    "streaming_warc_ingest_decode": 10, "text_blocklist_multimatch": 10,
+    "text_boilerplate_linefilter": 10, "text_robots_longest_match": 10,
+    # round 11 (50 entries)
+    "agg_basic": 11, "crawl_frontier_politeness_schedule": 11,
+    "crawl_link_extract_resolve": 11, "crawl_sitemap_xml_walk": 11,
+    "crawl_url_resolve_rfc3986": 11, "cube_agg": 11, "dedup_exact": 11,
+    "hll_sketch_portable": 11, "join_inner": 11, "join_left_outer": 11,
+    "join_range_theta": 11, "join_self_agg_max": 11, "join_semi": 11,
+    "math_funcs": 11, "mm_jpeg_progressive_decode": 11,
+    "mm_lz4_block_roundtrip": 11, "mm_png_filter_suite_decode": 11,
+    "mm_quoted_printable_roundtrip": 11, "mm_warc_file_ingest": 11,
+    "nexmark_gen_bid": 11, "nexmark_gen_person_auction": 11,
+    "nexmark_q1_currency": 11, "nexmark_q3_join_filter": 11,
+    "nexmark_q4_avg_of_max": 11, "nexmark_q6_double_rownum": 11,
+    "nexmark_q7_max_per_window": 11, "nexmark_q8_sellers": 11,
+    "nexmark_q9_winning_bids": 11, "pandas_udaf_weighted_mean": 11,
+    "pivot_agg": 11, "proj_arith": 11, "rollup_agg": 11,
+    "scan_csv_rfc4180_parse": 11, "scan_parquet_gzip_page_decode": 11,
+    "scan_parquet_lz4_page_decode": 11, "sketch_roaring_bitmap_ops": 11,
+    "sort_limit_topk": 11, "streaming_tumbling_agg": 11,
+    "streaming_warc_file_ingest": 11, "text_cdx_surt_dedup": 11,
+    "text_punycode_idna_roundtrip": 11, "text_robots_file_parse": 11,
+    "text_robots_wildcard_match": 11, "tokenizer_unigram_viterbi": 11,
+    "tpch_q2": 11, "tpch_q3": 11, "tpch_q4": 11, "tpch_q5": 11,
+    "window_running_sum": 11, "zorder_layout_scan": 11,
 }
 
 

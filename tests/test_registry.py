@@ -80,9 +80,17 @@ def test_certified_rounds_history_matches_artifacts():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     assert files, "no CORRECTNESS artifacts found"
+    # The driver drops round N's artifact AFTER round close, i.e. after the
+    # ledger was last regenerated — artifacts newer than the committed
+    # ledger's horizon are the NEXT round's fold input, not evidence the
+    # committed dict is wrong. Ignore them here; the round-open fold
+    # (slate_builder --print-history) picks them up.
+    ledger_max = max(CERTIFIED_ROUNDS.values())
     derived: dict[str, int] = {}
     for f in files:
         rn = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if rn > ledger_max:
+            continue
         for name, row in json.load(open(f)).items():
             green = (
                 row.get("rows_match")
@@ -96,10 +104,9 @@ def test_certified_rounds_history_matches_artifacts():
                     f"{name} went red in round {rn} after certifying in "
                     f"round {derived[name]} — drop it from CERTIFIED_ROUNDS"
                 )
-    # the committed dict must contain everything derivable from artifacts
-    # present at commit time; newer artifacts may add entries not yet folded
-    # in (the ledger is regenerated at round close), so check containment of
-    # the committed dict in the derived one, with identical round numbers.
+    # Within the ledger's horizon the committed dict must match the
+    # derivation exactly — every certified entry present, with the same
+    # latest-green round.
     for name, rn in CERTIFIED_ROUNDS.items():
         assert name in derived, f"{name} certified in no artifact"
         assert derived[name] == rn, (

@@ -60,6 +60,23 @@ STANDING_CANARIES: tuple[str, ...] = (
     "zorder_layout_scan",       # layout / scan-pruning family
 )
 
+# Rule (b) debt: entries whose fingerprint-change trigger was CONSUMED
+# without a re-cert — the committed baseline was regenerated in the same
+# round the entry changed, but the entry never entered that round's graded
+# slate, so --changed stopped flagging it while its newest green row
+# predates the change. Each name maps to the round whose change it still
+# owes evidence for; build_slate() jumps these ahead of staleness re-certs
+# until CERTIFIED_ROUNDS records a green row >= that round, after which the
+# entry drops out of this dict's effect automatically (delete it then).
+FORCED_RECERTS: dict[str, int] = {
+    # round 11 changed these (JPEG seed ord(c)%256, WET doc_id>=1e8 guard,
+    # anchored robots matcher) and regenerated entry_fingerprints.json, but
+    # the committed r11 slate omitted all three (ADVICE r11).
+    "mm_jpeg_baseline_decode": 11,
+    "mm_wet_conversion_roundtrip": 11,
+    "text_robots_longest_match": 11,
+}
+
 # Entries whose FIRST execution in a cold-per-entry session is known heavy
 # (memoized signatures / IVF assignment / big DuckDB CTE oracles / streaming
 # state-store setup). Never slate two of these adjacent.
@@ -81,19 +98,26 @@ def _is_heavy(name: str) -> bool:
     return name in HEAVY_FIRST_EXECUTION or name.startswith("streaming_")
 
 
-def rebuild_history() -> dict[str, int]:
+def rebuild_history(max_round: int | None = None) -> dict[str, int]:
     """MOST RECENT fully-green round per entry across CORRECTNESS_r*.json
     (a re-certification refreshes the entry's staleness clock — with
     first-green semantics the same oldest entries would win the stale
     queue every round forever and the rest would never re-certify,
     breaking the rotation policy's ~7-round cadence). Raises if any entry
-    went red after certifying (it must be dropped by hand)."""
+    went red after certifying (it must be dropped by hand).
+
+    ``max_round`` caps the derivation horizon: the driver drops round N's
+    artifact after round close, so tests comparing against the committed
+    ledger pass ``max(CERTIFIED_ROUNDS.values())`` to ignore the not-yet-
+    folded artifact. The round-open fold uses the uncapped default."""
     derived: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
     if not files:
         raise FileNotFoundError("no CORRECTNESS_r*.json artifacts in repo root")
     for f in files:
         rn = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if max_round is not None and rn > max_round:
+            continue
         for name, row in json.load(open(f)).items():
             green = (
                 row.get("rows_match")
@@ -139,6 +163,19 @@ def changed_entries() -> list[str]:
     return sorted(n for n, fp in live.items() if baseline.get(n) != fp)
 
 
+def forced_recerts() -> list[str]:
+    """FORCED_RECERTS entries still owing a post-change green row (their
+    latest certified round predates the round whose change they owe)."""
+    from flock_spark.registry import CERTIFIED_ROUNDS, REGISTRY, _load_all
+
+    _load_all()
+    return [
+        n for n, owed in sorted(FORCED_RECERTS.items())
+        if n in REGISTRY and CERTIFIED_ROUNDS.get(n, 0) < owed
+        and n not in STANDING_CANARIES
+    ]
+
+
 def build_slate(slots: int = 50) -> list[str]:
     """Next-round slate per rules (a)-(d), heavies spread non-adjacent."""
     from flock_spark.registry import CERTIFIED_ROUNDS, REGISTRY, _load_all
@@ -148,6 +185,7 @@ def build_slate(slots: int = 50) -> list[str]:
     changed = [
         n for n in changed_entries() if n in CERTIFIED_ROUNDS and n not in STANDING_CANARIES
     ]
+    changed = changed + [n for n in forced_recerts() if n not in changed]
     taken = set(STANDING_CANARIES) | set(never) | set(changed)
     stale = sorted(
         (n for n in CERTIFIED_ROUNDS if n not in taken),
