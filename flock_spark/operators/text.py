@@ -2509,13 +2509,16 @@ def rfc3986_resolve(base: str, ref: str) -> str:
 
 
 def _url_resolve_sql(
-    strpos: str, str_type: str, elem: str, arrlen: str
+    strpos: str, str_type: str, elem: str, arrlen: str, last_elem: str
 ) -> str:
     """Engine-shared relational replay of §5.2: base/ref fixtures from
     doc_id, authority + merged-path derivation with regexes, then
     remove_dot_segments as a RECURSIVE segment walk — '..' pops the tail
     segment of the accumulated output, '.' is a no-op, anything else
-    appends. Parameterized by dialect string-position/element-access."""
+    appends; per §5.2.4 a path ENDING in '.' or '..' keeps its trailing
+    slash ('/a/b/..' resolves to '/a/', not '/a'), handled by a final
+    last-segment check. Parameterized by dialect string-position/
+    element-access."""
     return f"""
     WITH RECURSIVE refs AS (
       SELECT doc_id,
@@ -2523,7 +2526,7 @@ def _url_resolve_sql(
                     '.example.com/a', CAST(doc_id % 3 AS {str_type}),
                     '/b', CAST(doc_id % 5 AS {str_type}),
                     '/c/page.html') AS base,
-             CASE doc_id % 6
+             CASE doc_id % 8
                WHEN 0 THEN concat('../up', CAST(doc_id % 9 AS {str_type}),
                                   '.html')
                WHEN 1 THEN './here.html'
@@ -2533,10 +2536,12 @@ def _url_resolve_sql(
                                   CAST(doc_id % 9 AS {str_type}), '.html')
                WHEN 4 THEN concat('../../x/../y',
                                   CAST(doc_id % 9 AS {str_type}), '.html')
-               ELSE concat('//other', CAST(doc_id % 4 AS {str_type}),
+               WHEN 5 THEN concat('//other', CAST(doc_id % 4 AS {str_type}),
                            '.example.org/p/./q.html')
+               WHEN 6 THEN '..'
+               ELSE concat('d', CAST(doc_id % 9 AS {str_type}), '/.')
              END AS ref,
-             CAST(doc_id % 6 AS BIGINT) AS kind
+             CAST(doc_id % 8 AS BIGINT) AS kind
       FROM documents),
     pieces AS (
       SELECT doc_id, kind, ref,
@@ -2579,12 +2584,17 @@ def _url_resolve_sql(
                   ELSE concat(w.acc, '/', {elem}) END
       FROM walk w JOIN segged s ON s.doc_id = w.doc_id
       WHERE w.i < s.n),
+    fixedw AS (
+      SELECT s.doc_id, s.kind, s.authority, s.query,
+             CASE WHEN {last_elem} IN ('.', '..')
+                  THEN concat(w.acc, '/') ELSE w.acc END AS acc
+      FROM walk w JOIN segged s ON s.doc_id = w.doc_id AND w.i = s.n),
     resolved AS (
-      SELECT s.doc_id, s.kind,
-             concat('http://', s.authority,
-                    CASE WHEN w.acc = '' THEN '/' ELSE w.acc END,
-                    s.query) AS resolved
-      FROM walk w JOIN segged s ON s.doc_id = w.doc_id AND w.i = s.n)
+      SELECT doc_id, kind,
+             concat('http://', authority,
+                    CASE WHEN acc = '' THEN '/' ELSE acc END,
+                    query) AS resolved
+      FROM fixedw)
     SELECT doc_id, kind, resolved FROM resolved
     """
 
@@ -2600,6 +2610,7 @@ def _url_resolve_spark_sql() -> str:
         str_type="STRING",
         elem="element_at(s.parts, CAST(w.i + 1 AS INT))",
         arrlen="CAST(size(split(path_nq, '/')) AS BIGINT)",
+        last_elem="element_at(s.parts, CAST(s.n AS INT))",
     )
     prefix = base[: base.index("    segged AS (")]
     prefix = prefix.replace("WITH RECURSIVE refs AS (", "WITH refs AS (")
@@ -2619,7 +2630,10 @@ def _url_resolve_spark_sql() -> str:
                      CASE WHEN acc = '' THEN ''
                           ELSE regexp_replace(acc, '/[^/]*$', '') END
                    WHEN seg = '.' THEN acc
-                   ELSE concat(acc, '/', seg) END) AS acc
+                   ELSE concat(acc, '/', seg) END,
+                 acc -> CASE
+                   WHEN element_at(split(path_nq, '/'), -1) IN ('.', '..')
+                   THEN concat(acc, '/') ELSE acc END) AS acc
         FROM split_q) t)
     SELECT doc_id, kind, resolved FROM resolved
     """
@@ -2632,6 +2646,7 @@ _URL_RESOLVE_DUCK = _url_resolve_sql(
     str_type="VARCHAR",
     elem="s.parts[CAST(w.i + 1 AS INT)]",
     arrlen="CAST(len(split(path_nq, '/')) AS BIGINT)",
+    last_elem="s.parts[CAST(s.n AS INT)]",
 )
 
 
@@ -2641,11 +2656,12 @@ _URL_RESOLVE_DUCK = _url_resolve_sql(
     tags=("text", "corpus", "crawl", "sql", "pandas_udf"),
     doc="RFC 3986 reference resolution (§5.2) — the URL algebra a crawler "
     "runs on every extracted link before robots/CDX/frontier keys can "
-    "join: six reference shapes per document (dot-dot climbs, same-dir, "
+    "join: eight reference shapes per document (dot-dot climbs, same-dir, "
     "relative child with query, absolute path with an embedded '..', a "
-    "double climb with an interior pop, and a network-path '//host' "
-    "reference that swaps the authority) resolve against a derived base "
-    "URL. BOTH engines run the same declarative replay — §5.2.3 path "
+    "double climb with an interior pop, a network-path '//host' "
+    "reference that swaps the authority, and two TRAILING dot-segment "
+    "shapes — a bare '..' and a 'dir/.' — that must keep the §5.2.4 "
+    "trailing slash) resolve against a derived base URL. BOTH engines run the same declarative replay — §5.2.3 path "
     "merge by regex, then §5.2.4 remove_dot_segments as a RECURSIVE "
     "segment walk where '..' pops the accumulated tail and '.' is a "
     "no-op — while the test suite replays every resolved URL against "

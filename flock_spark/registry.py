@@ -64,13 +64,14 @@ DRIVER_SLATE: tuple[str, ...] = (
     "hll_sketch_portable",
     "dedup_exact",
     "zorder_layout_scan",
+    "crawl_url_resolve_rfc3986",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
-    "streaming_tumbling_agg",  # heavy
     "set_intersect",
     "set_union_all",
     "sort_global_range",
+    "streaming_tumbling_agg",  # heavy
     "sort_multi_col",
     "string_funcs",
     "subquery_in",
@@ -80,7 +81,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_percentiles",
     "window_range_frame_sum",
     "window_rank_dense",
-    "streaming_dedup_ingest",  # heavy
     "ann_ivf_topk",
     "ann_topk_bruteforce",
     "asof_join_window",
@@ -88,12 +88,12 @@ DRIVER_SLATE: tuple[str, ...] = (
     "cdc_upsert_latest",
     "corpus_decontaminate",
     "dedup_clusters",
+    "streaming_dedup_ingest",  # heavy
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "doc_chunk_fixed_tokens",
     "graph_pagerank_two_iter",
     "json_wire_corrupt_tolerant",
-    "streaming_hopping_agg",  # heavy
     "kmeans_two_iterations",
     "mm_audio_window_energy",
     "mm_meta_extract",
@@ -104,7 +104,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q5_hot_items",
     "scd2_validity_join",
     "side_input_csv_join",
-    "streaming_proctime_agg",  # heavy
+    "streaming_hopping_agg",  # heavy
 )
 
 # Machine-readable certification history: registry name -> MOST RECENT round

@@ -680,6 +680,11 @@ def test_url_resolution_three_way_agreement(spark, sf_dir):
         3: lambda d: f"/abs/../root{d % 9}.html",
         4: lambda d: f"../../x/../y{d % 9}.html",
         5: lambda d: f"//other{d % 4}.example.org/p/./q.html",
+        # trailing dot-segment shapes: §5.2.4 keeps the trailing slash
+        # ('/a/b/c/..' -> '/a/b/', not '/a/b') — regression fixtures for
+        # the ADVICE r11 finding that both engines dropped it in lockstep
+        6: lambda d: "..",
+        7: lambda d: f"d{d % 9}/.",
     }
     for r in rows:
         d = r["doc_id"]
@@ -702,7 +707,9 @@ def test_url_resolution_three_way_agreement(spark, sf_dir):
             )
             assert urljoin(base, ref).endswith("/p/./q.html")
         kinds_seen.add(r["kind"])
-    assert kinds_seen == set(range(6))
+        if r["kind"] in (6, 7):
+            assert r["resolved"].endswith("/"), (base, ref, r["resolved"])
+    assert kinds_seen == set(range(8))
 
 
 # ---------------------------------------------------------------------------
