@@ -479,7 +479,7 @@ def _read_column_chunk(
     pages until the chunk's num_values are consumed). Returns the chunk's
     values with None for nulls."""
     codec = md.get(4)
-    if codec not in (0, 1, 2, 7):
+    if codec not in (0, 1, 2, 6, 7):
         raise ValueError(f"unsupported codec {_CODEC.get(codec, codec)}")
     n_total = md.get(5)
     pos = md.get(11, md.get(9))  # dictionary page first when present
@@ -493,6 +493,10 @@ def _read_column_chunk(
             raw = snappy_decompress(raw)
         elif codec == 2:
             raw = _gzip_page_decompress(raw)
+        elif codec == 6:  # ZSTD: the page payload is one complete frame
+            from flock_spark.operators.zstd_codec import zstd_frame_decompress
+
+            raw = zstd_frame_decompress(raw)
         elif codec == 7:  # LZ4_RAW: the page payload is one raw LZ4 block
             from flock_spark.operators.multimodal import lz4_block_decompress
 
@@ -1082,4 +1086,97 @@ def scan_csv_rfc4180_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, n_fields long, tricky_len long, "
         "tricky_md5 string, n_chars_field long",
+    )
+
+
+@register(
+    "scan_parquet_zstd_page_decode",
+    oracle="""
+    SELECT 'doc_id' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(min(doc_id) AS BIGINT) AS min_v,
+           CAST(max(doc_id) AS BIGINT) AS max_v,
+           CAST(sum(doc_id) AS BIGINT) AS sum_v,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS values_md5
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT),
+           md5(string_agg(CAST(n_chars AS VARCHAR), ',' ORDER BY doc_id))
+    FROM documents
+    """,
+    tags=("scan", "formats", "codec", "pandas_udf", "staged"),
+    doc="From-scratch parquet COLUMN read over ZSTD pages — the modern "
+    "archival default page codec and the FOURTH page codec after SNAPPY, "
+    "GZIP and LZ4_RAW; also the cross-implementation certification of "
+    "the repo's RFC 8878 decoder in the reverse direction from "
+    "mm_zstd_frame_roundtrip: the staged fixture is compressed by the "
+    "REAL pyarrow (libzstd) encoder and every page payload is one "
+    "complete zstd frame decoded by zstd_codec.zstd_frame_decompress "
+    "(frame header walk, Huffman/FSE literals, sequence execution), so "
+    "any divergence between our reading of the RFC and the reference "
+    "implementation's writing of it mismatches here. Columns certified "
+    "VALUE BY VALUE (count/min/max/sum + md5 of the full column in file "
+    "order) against the documents view. Scale: one task per file via "
+    "binaryFile, O(page) memory, no shuffle — the codec-sibling plan "
+    "family.",
+)
+def scan_parquet_zstd_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_parquet_codec(sf_dir, "zstd")
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/documents_zstd.parquet")
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "col_name": [], "n_values": [], "n_nulls": [], "min_v": [],
+                "max_v": [], "sum_v": [], "values_md5": [],
+            }
+            for content in pdf["content"]:
+                content = bytes(content)
+                info = parquet_footer_parse(content)
+                names = [n for n, _ in info["schema"]]
+                codecs = {
+                    c["codec"]
+                    for rg in info["row_groups"]
+                    for c in rg["columns"]
+                }
+                if codecs != {"ZSTD"}:
+                    raise ValueError(f"fixture not zstd-paged: {codecs}")
+                for col in ("doc_id", "n_chars"):
+                    vals = parquet_column_read(content, names.index(col))
+                    present = [v for v in vals if v is not None]
+                    rows["col_name"].append(col)
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(len(vals) - len(present))
+                    rows["min_v"].append(min(present))
+                    rows["max_v"].append(max(present))
+                    rows["sum_v"].append(sum(present))
+                    rows["values_md5"].append(
+                        hashlib.md5(
+                            ",".join(str(v) for v in present).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "col_name": pd.Series(rows["col_name"], dtype="object"),
+                    "n_values": pd.Series(rows["n_values"], dtype="int64"),
+                    "n_nulls": pd.Series(rows["n_nulls"], dtype="int64"),
+                    "min_v": pd.Series(rows["min_v"], dtype="int64"),
+                    "max_v": pd.Series(rows["max_v"], dtype="int64"),
+                    "sum_v": pd.Series(rows["sum_v"], dtype="int64"),
+                    "values_md5": pd.Series(rows["values_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="col_name string, n_values long, n_nulls long, min_v long, "
+        "max_v long, sum_v long, values_md5 string",
     )

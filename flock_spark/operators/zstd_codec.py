@@ -1,0 +1,841 @@
+"""From-spec Zstandard (RFC 8878) frame decoder — the reference's DEFAULT
+payload wire encoding (/root/reference/flock/src/encoding.rs:46-53 makes
+``Encoding::Zstd`` the default and round-trips it at encoding.rs:161; the
+decompress path is encoding.rs:72,92). This module implements the full
+decode side of the format from the public RFC alone: frame header walk,
+block loop (Raw / RLE / Compressed), literals section (Raw / RLE /
+Huffman-compressed / Treeless with 1- or 4-stream layouts), Huffman tree
+descriptions (direct 4-bit weights AND the FSE-compressed two-state form),
+FSE table construction + distribution parsing, the interleaved
+LL/OF/ML sequence bitstream with the three-slot repeat-offset history, and
+sequence execution over the frame-wide window. XXH64 (the frame checksum
+hash) is implemented from its public spec as well.
+
+NOTHING here wraps a library codec: the only external compressor that
+appears anywhere in the certification path is the REAL pyarrow (libzstd)
+ENCODER, whose output this decoder must read back byte-exactly — the same
+cross-implementation shape as the LZ4 entry (multimodal.py) and the
+GZIP/inflate entry. Every multi-byte integer is little-endian; FSE/Huffman
+bitstreams are read backward from a 1-bit sentinel exactly as specified.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import spread, tbl
+from flock_spark.registry import register
+
+ZSTD_MAGIC = 0xFD2FB528
+SKIPPABLE_MAGIC_MIN = 0x184D2A50
+SKIPPABLE_MAGIC_MAX = 0x184D2A5F
+
+# Format-path counters (non-vacuity evidence: the tests decode the fixture
+# corpus and assert every interesting branch actually fired — a corpus that
+# silently stopped producing e.g. FSE-compressed weights or treeless
+# literals would fail loudly instead of shrinking coverage).
+STATS: dict[str, int] = {}
+
+
+def _hit(key: str) -> None:
+    STATS[key] = STATS.get(key, 0) + 1
+
+# --------------------------------------------------------------------------
+# XXH64 from the public xxHash spec (the frame-checksum hash; also Spark's
+# xxhash64() with seed 42, which the tests use as a JVM cross-check).
+# --------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 of ``data`` with the given seed, per the public spec: four
+    parallel 8-byte lanes with rotl-31 rounds while >= 32 bytes remain,
+    lane merge (or the short-input seed formula), length add, then the
+    8/4/1-byte tail rounds and the final avalanche."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        lane = (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h ^ lane, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# --------------------------------------------------------------------------
+# Bitstreams. Backward: read from a 1-bit sentinel at the top toward bit 0,
+# multi-bit reads returning the top-first bits as one integer (the FSE /
+# Huffman convention). Forward: little-endian from bit 0 upward (the FSE
+# distribution-header convention).
+# --------------------------------------------------------------------------
+
+
+class _BackBits:
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("backward bitstream missing sentinel bit")
+        self.val = int.from_bytes(data, "little")
+        self.pos = self.val.bit_length() - 1  # bits below the sentinel
+
+    def read(self, n: int) -> int:
+        """Read n bits (zero-padded past the start, per the Huffman tail
+        convention); self.pos may go negative — callers police it."""
+        self.pos -= n
+        if n == 0:
+            return 0
+        if self.pos >= 0:
+            return (self.val >> self.pos) & ((1 << n) - 1)
+        return (self.val << -self.pos) & ((1 << n) - 1)
+
+
+class _FwdBits:
+    def __init__(self, data: bytes, pos_bytes: int):
+        self.data = data
+        self.bit = pos_bytes * 8
+
+    def read(self, n: int) -> int:
+        end = (self.bit + n + 7) // 8
+        if end > len(self.data):
+            raise ValueError("forward bitstream overrun")
+        chunk = int.from_bytes(self.data[self.bit // 8 : end], "little")
+        out = (chunk >> (self.bit % 8)) & ((1 << n) - 1)
+        self.bit += n
+        return out
+
+    def rewind(self, n: int) -> None:
+        self.bit -= n
+
+    def align_byte(self) -> int:
+        self.bit = (self.bit + 7) // 8 * 8
+        return self.bit // 8
+
+
+# --------------------------------------------------------------------------
+# FSE: distribution parsing and decode-table construction (RFC 8878 §4.1).
+# --------------------------------------------------------------------------
+
+
+def fse_read_distribution(
+    data: bytes, pos: int, max_accuracy: int, max_symbols: int
+) -> tuple[int, list[int], int]:
+    """Parse one FSE distribution header starting at byte ``pos``:
+    4-bit accuracy (+5), then variable-width probabilities with the
+    small-value encoding and 2-bit zero-repeat flags, byte-aligned at the
+    end. Returns (accuracy_log, probs, next_byte_pos); probs may contain
+    -1 for 'less than one' symbols."""
+    br = _FwdBits(data, pos)
+    accuracy_log = br.read(4) + 5
+    if accuracy_log > max_accuracy:
+        raise ValueError(f"FSE accuracy {accuracy_log} > max {max_accuracy}")
+    remaining = (1 << accuracy_log) + 1
+    probs: list[int] = []
+    while remaining > 1:
+        if len(probs) >= max_symbols:
+            raise ValueError("FSE distribution has too many symbols")
+        bits = remaining.bit_length()
+        val = br.read(bits)
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        if (val & lower_mask) < threshold:
+            br.rewind(1)
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        prob = val - 1
+        probs.append(prob)
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0:
+            while True:
+                rep = br.read(2)
+                probs.extend([0] * rep)
+                if len(probs) > max_symbols:
+                    raise ValueError("FSE zero-repeat past symbol limit")
+                if rep != 3:
+                    break
+    if remaining != 1:
+        raise ValueError("FSE distribution does not sum to table size")
+    return accuracy_log, probs, br.align_byte()
+
+
+def fse_build_table(
+    probs: list[int], accuracy_log: int
+) -> list[tuple[int, int, int]]:
+    """Build the FSE decode table (size 2^accuracy_log) from normalized
+    probabilities: 'less than one' symbols take the highest cells with
+    full-reload transitions; positive symbols spread with the
+    (5/8·size + 3) step; per cell (symbol, nb_bits, base) where the next
+    state = base + read(nb_bits)."""
+    size = 1 << accuracy_log
+    symbols = [0] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    position = 0
+    for s, p in enumerate(probs):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            symbols[position] = s
+            position = (position + step) & mask
+            while position > high:
+                position = (position + step) & mask
+    if position != 0:
+        raise ValueError("FSE spread did not return to position 0")
+    counter = [p if p > 0 else 1 for p in probs]
+    table: list[tuple[int, int, int]] = []
+    for cell in range(size):
+        s = symbols[cell]
+        nxt = counter[s]
+        counter[s] += 1
+        nb = accuracy_log - (nxt.bit_length() - 1)
+        table.append((s, nb, (nxt << nb) - size))
+    return table
+
+
+# Predefined sequence distributions (RFC 8878 §3.1.1.3.2.2).
+_LL_DEFAULT = (6, [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2,
+                   2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1])
+_ML_DEFAULT = (6, [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1])
+_OF_DEFAULT = (5, [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, -1, -1, -1, -1, -1])
+
+# Sequence code baselines/extra-bits (RFC 8878 §3.1.1.3.2.1.1).
+_LL_BASE = tuple(range(16)) + (16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128,
+                               256, 512, 1024, 2048, 4096, 8192, 16384,
+                               32768, 65536)
+_LL_XBITS = (0,) * 16 + (1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12,
+                         13, 14, 15, 16)
+_ML_BASE = tuple(range(3, 35)) + (35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99,
+                                  131, 259, 515, 1027, 2051, 4099, 8195,
+                                  16387, 32771, 65539)
+_ML_XBITS = (0,) * 32 + (1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11,
+                         12, 13, 14, 15, 16)
+
+
+# --------------------------------------------------------------------------
+# Huffman: tree descriptions and literal decoding (RFC 8878 §4.2).
+# --------------------------------------------------------------------------
+
+
+def huf_read_weights(data: bytes, pos: int) -> tuple[list[int], int]:
+    """Read a Huffman tree description at ``pos``: header byte >= 128 means
+    (header-127) direct 4-bit weights (two per byte, high nibble first);
+    < 128 means `header` bytes of FSE-compressed weights decoded with two
+    alternating states over a backward bitstream. Returns (weights for
+    symbols 0..n-1 — the last symbol's weight stays implicit — and the
+    next byte position)."""
+    hdr = data[pos]
+    pos += 1
+    if hdr >= 128:
+        _hit("huf_weights_direct")
+        n = hdr - 127
+        nbytes = (n + 1) // 2
+        raw = data[pos : pos + nbytes]
+        if len(raw) < nbytes:
+            raise ValueError("truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        return weights, pos + nbytes
+    _hit("huf_weights_fse")
+    comp = data[pos : pos + hdr]
+    if len(comp) < hdr:
+        raise ValueError("truncated FSE-compressed Huffman weights")
+    accuracy_log, probs, tpos = fse_read_distribution(comp, 0, 6, 256)
+    table = fse_build_table(probs, accuracy_log)
+    bs = _BackBits(comp[tpos:])
+    s1 = bs.read(accuracy_log)
+    s2 = bs.read(accuracy_log)
+    if bs.pos < 0:
+        raise ValueError("Huffman weight stream shorter than two states")
+    weights = []
+    while True:
+        if len(weights) > 255:
+            raise ValueError("more than 255 Huffman weights")
+        sym, nb, base = table[s1]
+        weights.append(sym)
+        if bs.pos < nb:
+            weights.append(table[s2][0])
+            break
+        s1 = base + bs.read(nb)
+        sym, nb, base = table[s2]
+        weights.append(sym)
+        if bs.pos < nb:
+            weights.append(table[s1][0])
+            break
+        s2 = base + bs.read(nb)
+    return weights, pos + hdr
+
+
+def huf_build_table(weights: list[int]) -> tuple[list[tuple[int, int]], int]:
+    """Complete the implicit last weight and build the flat decode table:
+    entry i of 2^max_bits maps the next max_bits (peeked) stream bits to
+    (symbol, code_length). Codes are canonical in zstd order — longest
+    codes (lowest weights) take the numerically lowest values, natural
+    symbol order within a weight class."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("Huffman weights are all zero")
+    max_bits = total.bit_length()
+    leftover = (1 << max_bits) - total
+    if leftover & (leftover - 1):
+        raise ValueError("Huffman weights leave a non-power-of-2 remainder")
+    weights = weights + [leftover.bit_length()]
+    if max_bits > 11:
+        raise ValueError("Huffman code length over the 11-bit limit")
+    coded = [(max_bits + 1 - w, s) for s, w in enumerate(weights) if w > 0]
+    coded.sort(key=lambda t: (-t[0], t[1]))
+    table: list[tuple[int, int]] = [(-1, 0)] * (1 << max_bits)
+    code = 0
+    prev_bits = coded[0][0]
+    for nbits, sym in coded:
+        if nbits < prev_bits:
+            code >>= prev_bits - nbits
+            prev_bits = nbits
+        start = code << (max_bits - nbits)
+        for i in range(start, start + (1 << (max_bits - nbits))):
+            table[i] = (sym, nbits)
+        code += 1
+    if code != (1 << prev_bits):
+        raise ValueError("Huffman code space not exactly filled")
+    return table, max_bits
+
+
+def _huf_decode_stream(
+    data: bytes, table: list[tuple[int, int]], max_bits: int, count: int
+) -> bytes:
+    bs = _BackBits(data)
+    out = bytearray()
+    for _ in range(count):
+        idx = bs.read(max_bits)
+        bs.pos += max_bits  # peeked
+        sym, nbits = table[idx]
+        if sym < 0:
+            raise ValueError("invalid Huffman code")
+        bs.pos -= nbits
+        out.append(sym)
+    if bs.pos != 0:
+        raise ValueError("Huffman literal stream not fully consumed")
+    return bytes(out)
+
+
+def _decode_literals(
+    block: bytes, prev_table: tuple | None
+) -> tuple[bytes, int, tuple | None]:
+    """Decode the literals section at the start of a compressed block.
+    Returns (literals, bytes_consumed, huffman_table_for_reuse)."""
+    b0 = block[0]
+    ltype = b0 & 3
+    size_format = (b0 >> 2) & 3
+    _hit(f"lit_type_{ltype}")
+    if ltype in (0, 1):  # Raw / RLE
+        if size_format in (0, 2):
+            regen = b0 >> 3
+            hlen = 1
+        elif size_format == 1:
+            regen = (b0 >> 4) | (block[1] << 4)
+            hlen = 2
+        else:
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hlen = 3
+        if ltype == 0:
+            lit = block[hlen : hlen + regen]
+            if len(lit) < regen:
+                raise ValueError("raw literals past block end")
+            return bytes(lit), hlen + regen, prev_table
+        return bytes([block[hlen]]) * regen, hlen + 1, prev_table
+    # Compressed (2) / Treeless (3)
+    if size_format == 0:
+        regen = (b0 >> 4) | ((block[1] & 0x3F) << 4)
+        comp = (block[1] >> 6) | (block[2] << 2)
+        hlen, streams = 3, 1
+    elif size_format == 1:
+        regen = (b0 >> 4) | ((block[1] & 0x3F) << 4)
+        comp = (block[1] >> 6) | (block[2] << 2)
+        hlen, streams = 3, 4
+    elif size_format == 2:
+        regen = (b0 >> 4) | (block[1] << 4) | ((block[2] & 3) << 12)
+        comp = (block[2] >> 2) | (block[3] << 6)
+        hlen, streams = 4, 4
+    else:
+        regen = (b0 >> 4) | (block[1] << 4) | ((block[2] & 0x3F) << 12)
+        comp = (block[2] >> 6) | (block[3] << 2) | (block[4] << 10)
+        hlen, streams = 5, 4
+    _hit(f"lit_streams_{streams}")
+    section = block[hlen : hlen + comp]
+    if len(section) < comp:
+        raise ValueError("compressed literals past block end")
+    pos = 0
+    if ltype == 2:
+        weights, wend = huf_read_weights(block, hlen)
+        table, max_bits = huf_build_table(weights)
+        pos = wend - hlen  # weights were counted inside Compressed_Size
+        huf = (table, max_bits)
+    else:
+        if prev_table is None:
+            raise ValueError("treeless literals with no previous table")
+        huf = prev_table
+        table, max_bits = huf
+    body = section[pos:]
+    if streams == 1:
+        lits = _huf_decode_stream(body, table, max_bits, regen)
+    else:
+        if len(body) < 6:
+            raise ValueError("4-stream literals missing jump table")
+        s1 = int.from_bytes(body[0:2], "little")
+        s2 = int.from_bytes(body[2:4], "little")
+        s3 = int.from_bytes(body[4:6], "little")
+        starts = [6, 6 + s1, 6 + s1 + s2, 6 + s1 + s2 + s3]
+        ends = starts[1:] + [len(body)]
+        if starts[3] > len(body):
+            raise ValueError("literal stream sizes exceed section")
+        per = (regen + 3) // 4
+        counts = [per, per, per, regen - 3 * per]
+        if counts[3] < 0:
+            raise ValueError("negative 4th literal stream size")
+        parts = [
+            _huf_decode_stream(body[s:e], table, max_bits, c)
+            for s, e, c in zip(starts, ends, counts)
+        ]
+        lits = b"".join(parts)
+    if len(lits) != regen:
+        raise ValueError("literal regeneration size mismatch")
+    return lits, hlen + comp, huf
+
+
+# --------------------------------------------------------------------------
+# Sequences (RFC 8878 §3.1.1.3.2): table modes, interleaved bitstream,
+# repeat-offset resolution, and execution against the frame window.
+# --------------------------------------------------------------------------
+
+
+def _seq_table(
+    block: bytes, pos: int, mode: int, default: tuple, max_sym: int,
+    max_log: int, prev: list | None, what: str
+) -> tuple[list[tuple[int, int, int]], int, int]:
+    """Resolve one sequence-table slot per its 2-bit mode. Returns
+    (table, accuracy_log, next_pos)."""
+    _hit(f"seq_{what.lower()}_mode_{mode}")
+    if mode == 0:  # Predefined
+        al, probs = default
+        return fse_build_table(probs, al), al, pos
+    if mode == 1:  # RLE: single symbol, zero-bit state machine
+        sym = block[pos]
+        if sym > max_sym:
+            raise ValueError(f"{what} RLE symbol {sym} out of range")
+        return [(sym, 0, 0)], 0, pos + 1
+    if mode == 2:  # FSE_Compressed
+        al, probs, npos = fse_read_distribution(block, pos, max_log, max_sym + 1)
+        if len(probs) - 1 > max_sym:
+            raise ValueError(f"{what} FSE table has out-of-range symbols")
+        return fse_build_table(probs, al), al, npos
+    if prev is None:  # Repeat
+        raise ValueError(f"{what} repeat mode with no previous table")
+    return prev[0], prev[1], pos
+
+
+def zstd_frame_decompress(data: bytes) -> bytes:
+    """Decode a complete zstd payload (one or more frames, skippable frames
+    allowed) and return the concatenated content. Verifies the declared
+    Frame_Content_Size and, when present, the XXH64 content checksum.
+    Raises ValueError on any framing violation."""
+    out_all = bytearray()
+    pos = 0
+    if len(data) < 4:
+        raise ValueError("input shorter than a frame magic")
+    while pos < len(data):
+        magic = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
+            fsize = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4 + fsize
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ValueError(f"bad zstd magic {magic:#x}")
+        out, pos = _decode_one_frame(data, pos)
+        out_all += out
+    if pos != len(data):
+        raise ValueError("trailing bytes after final frame")
+    return bytes(out_all)
+
+
+def _decode_one_frame(data: bytes, pos: int) -> tuple[bytes, int]:
+    fhd = data[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ValueError("reserved frame-header bit set")
+    single_segment = bool(fhd & 0x20)
+    has_checksum = bool(fhd & 0x04)
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    fcs_flag = fhd >> 6
+    if not single_segment:
+        wd = data[pos]
+        pos += 1
+        exp = 10 + (wd >> 3)
+        window = (1 << exp) + ((1 << exp) >> 3) * (wd & 7)
+    else:
+        window = None
+    pos += did_size  # dictionary id (unused: raw-content frames only)
+    fcs = None
+    if fcs_flag == 0:
+        if single_segment:
+            fcs = data[pos]
+            pos += 1
+    else:
+        nb = (0, 2, 4, 8)[fcs_flag]
+        fcs = int.from_bytes(data[pos : pos + nb], "little")
+        if fcs_flag == 1:
+            fcs += 256
+        pos += nb
+    if single_segment:
+        window = fcs
+    out = bytearray()
+    rep = [1, 4, 8]  # frame-initial repeat offsets
+    prev_huf: tuple | None = None
+    prev_tables: dict[str, list | None] = {"ll": None, "of": None, "ml": None}
+    while True:
+        bh = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        _hit(f"block_type_{btype}")
+        if btype == 0:  # Raw
+            out += data[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE
+            out += bytes([data[pos]]) * bsize
+            pos += 1
+        elif btype == 2:  # Compressed
+            block = data[pos : pos + bsize]
+            if len(block) < bsize:
+                raise ValueError("truncated compressed block")
+            pos += bsize
+            prev_huf = _decode_block(block, out, rep, prev_huf, prev_tables)
+        else:
+            raise ValueError("reserved block type")
+        if last:
+            break
+    if fcs is not None and len(out) != fcs:
+        raise ValueError(
+            f"frame content size mismatch: declared {fcs}, got {len(out)}"
+        )
+    if window is not None and len(out) > 0:
+        pass  # window only bounds offsets, checked during execution
+    if has_checksum:
+        _hit("frame_checksum")
+        want = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        got = xxh64(bytes(out)) & 0xFFFFFFFF
+        if got != want:
+            raise ValueError("frame content checksum mismatch")
+    return bytes(out), pos
+
+
+def _decode_block(
+    block: bytes, out: bytearray, rep: list[int], prev_huf: tuple | None,
+    prev_tables: dict,
+) -> tuple | None:
+    literals, pos, huf = _decode_literals(block, prev_huf)
+    # Number_of_Sequences
+    b0 = block[pos]
+    pos += 1
+    if b0 < 128:
+        nseq = b0
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) | block[pos]
+        pos += 1
+    else:
+        nseq = int.from_bytes(block[pos : pos + 2], "little") + 0x7F00
+        pos += 2
+    if nseq == 0:
+        _hit("seq_none")
+        if pos != len(block):
+            raise ValueError("bytes after empty sequence section")
+        out += literals
+        return huf
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("reserved sequence-mode bits set")
+    ll_tab, ll_log, pos = _seq_table(
+        block, pos, (modes >> 6) & 3, _LL_DEFAULT, 35, 9,
+        prev_tables["ll"], "LL")
+    of_tab, of_log, pos = _seq_table(
+        block, pos, (modes >> 4) & 3, _OF_DEFAULT, 31, 8,
+        prev_tables["of"], "OF")
+    ml_tab, ml_log, pos = _seq_table(
+        block, pos, (modes >> 2) & 3, _ML_DEFAULT, 52, 9,
+        prev_tables["ml"], "ML")
+    prev_tables["ll"] = [ll_tab, ll_log]
+    prev_tables["of"] = [of_tab, of_log]
+    prev_tables["ml"] = [ml_tab, ml_log]
+    bs = _BackBits(block[pos:])
+    ll_state = bs.read(ll_log)
+    of_state = bs.read(of_log)
+    ml_state = bs.read(ml_log)
+    if bs.pos < 0:
+        raise ValueError("sequence stream shorter than initial states")
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_tab[of_state][0]
+        if of_code > 31:
+            raise ValueError("offset code out of range")
+        of_value = (1 << of_code) + bs.read(of_code)
+        ml_code = ml_tab[ml_state][0]
+        ml = _ML_BASE[ml_code] + bs.read(_ML_XBITS[ml_code])
+        ll_code = ll_tab[ll_state][0]
+        ll = _LL_BASE[ll_code] + bs.read(_LL_XBITS[ll_code])
+        if bs.pos < 0:
+            raise ValueError("sequence bitstream underrun")
+        # repeat-offset resolution (RFC 8878 §3.1.1.3.2.1.1)
+        _hit("ofs_direct" if of_value > 3 else f"ofs_rep_{of_value}_ll0_{int(ll == 0)}")
+        if of_value > 3:
+            offset = of_value - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = of_value - 1 if ll != 0 else of_value
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:  # ll == 0 and of_value == 3: rep[0] - 1
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("repeat offset underflow")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        # execute: literals copy then match copy (self-feed legal)
+        out += literals[lit_pos : lit_pos + ll]
+        if lit_pos + ll > len(literals):
+            raise ValueError("sequence literals past literal buffer")
+        lit_pos += ll
+        if offset > len(out):
+            raise ValueError("match offset beyond window start")
+        src = len(out) - offset
+        if offset >= ml:
+            out += out[src : src + ml]
+        else:
+            for k in range(ml):
+                out.append(out[src + k])
+        if i < nseq - 1:
+            ll_state = ll_tab[ll_state][2] + bs.read(ll_tab[ll_state][1])
+            ml_state = ml_tab[ml_state][2] + bs.read(ml_tab[ml_state][1])
+            of_state = of_tab[of_state][2] + bs.read(of_tab[of_state][1])
+            if bs.pos < 0:
+                raise ValueError("sequence state update underrun")
+    if bs.pos != 0:
+        raise ValueError("sequence bitstream not fully consumed")
+    out += literals[lit_pos:]
+    return huf
+
+
+# --------------------------------------------------------------------------
+# Registry entry: the reference's default wire encoding, certified against
+# the REAL libzstd encoder output at five payload shapes x three levels.
+# --------------------------------------------------------------------------
+
+# Payload derivation shared by both engines (dialect-neutral SQL): five
+# shapes spanning the encoder's format choices — plain text (~300 B,
+# single-stream Huffman), 12x repeat (~3.6 KB, 4-stream + FSE sequence
+# tables), a 200x repeated 9-char stem (repeat-offset chains), a 6-char
+# stub (raw-literals block), and a 7x repeat (mid-size).
+_PAYLOAD_CASE = """
+      CASE doc_id % 5
+        WHEN 0 THEN text
+        WHEN 1 THEN repeat(text, 12)
+        WHEN 2 THEN repeat(substring(text, 1, 9), 200)
+        WHEN 3 THEN substring(text, 1, 6)
+        ELSE repeat(text, 7)
+      END
+"""
+
+# The oracle never materializes the repeated payloads byte-by-byte: byte
+# sums distribute over repetition (byte_sum(repeat(x, k)) = k*byte_sum(x))
+# and hex distributes over byte concatenation (hex(repeat(x, k)) =
+# repeat(hex(x), k)), so the per-byte unnest runs over the BASE strings
+# only (text, its 9-char stem, its 6-char stub) and each variant's
+# n_bytes/byte_sum/md5 are derived arithmetically.
+_ZSTD_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             hex(encode(text)) AS hxf,
+             hex(encode(substring(text, 1, 9))) AS hx9,
+             hex(encode(substring(text, 1, 6))) AS hx6,
+             octet_length(encode(text)) AS nf,
+             octet_length(encode(substring(text, 1, 9))) AS n9,
+             octet_length(encode(substring(text, 1, 6))) AS n6
+      FROM documents
+      WHERE text IS NOT NULL),
+    sf AS (
+      SELECT b.doc_id,
+             CAST(sum(('0x' || substring(b.hxf, s.i * 2 - 1, 2))::BIGINT)
+                  AS BIGINT) AS s
+      FROM (SELECT doc_id, unnest(generate_series(1, nf)) AS i FROM base) s
+      JOIN base b USING (doc_id) GROUP BY b.doc_id),
+    s9 AS (
+      SELECT b.doc_id,
+             CAST(sum(('0x' || substring(b.hx9, s.i * 2 - 1, 2))::BIGINT)
+                  AS BIGINT) AS s
+      FROM (SELECT doc_id, unnest(generate_series(1, n9)) AS i FROM base) s
+      JOIN base b USING (doc_id) GROUP BY b.doc_id),
+    s6 AS (
+      SELECT b.doc_id,
+             CAST(sum(('0x' || substring(b.hx6, s.i * 2 - 1, 2))::BIGINT)
+                  AS BIGINT) AS s
+      FROM (SELECT doc_id, unnest(generate_series(1, n6)) AS i FROM base) s
+      JOIN base b USING (doc_id) GROUP BY b.doc_id)
+    SELECT b.doc_id,
+           CAST(CASE b.doc_id % 5
+             WHEN 0 THEN b.nf WHEN 1 THEN 12 * b.nf WHEN 2 THEN 200 * b.n9
+             WHEN 3 THEN b.n6 ELSE 7 * b.nf END AS BIGINT) AS n_bytes,
+           CAST(CASE b.doc_id % 5
+             WHEN 0 THEN sf.s WHEN 1 THEN 12 * sf.s WHEN 2 THEN 200 * s9.s
+             WHEN 3 THEN s6.s ELSE 7 * sf.s END AS BIGINT) AS byte_sum,
+           md5(CASE b.doc_id % 5
+             WHEN 0 THEN b.hxf WHEN 1 THEN repeat(b.hxf, 12)
+             WHEN 2 THEN repeat(b.hx9, 200) WHEN 3 THEN b.hx6
+             ELSE repeat(b.hxf, 7) END) AS decoded_md5
+    FROM base b
+    JOIN sf USING (doc_id) JOIN s9 USING (doc_id) JOIN s6 USING (doc_id)
+"""
+
+
+@register(
+    "mm_zstd_frame_roundtrip",
+    oracle=_ZSTD_ORACLE,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="Zstandard frame decode from RFC 8878 alone — the reference's "
+    "DEFAULT payload wire encoding (flock/src/encoding.rs:46-53 defaults "
+    "Encoding::Zstd; decompress at encoding.rs:72,92) and the last of its "
+    "three wire codecs after LZ4 and Snappy. Five payload shapes per "
+    "document (plain text, 12x repeat, 200x repeated stem, 6-char stub, "
+    "7x repeat) are compressed by the REAL libzstd encoder (pyarrow) at "
+    "level 1/3/12 by doc_id, then decoded entirely by this repo's "
+    "from-spec walk: frame header, block loop, Raw/RLE/Huffman/Treeless "
+    "literals (1- and 4-stream), direct + FSE-compressed tree "
+    "descriptions, predefined/RLE/FSE/repeat sequence tables, the "
+    "interleaved LL/OF/ML backward bitstream, three-slot repeat-offset "
+    "history, and XXH64 (from ITS spec) for checksummed frames. Any "
+    "disagreement with the reference implementation's writing of the "
+    "format raises; the oracle re-derives byte count, byte sum and md5 "
+    "of the decoded bytes from the same payload derivation. Scale: "
+    "per-object mapInPandas, single scan, no shuffle — the codec plan "
+    "family.",
+)
+def mm_zstd_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id", f"cast(({_PAYLOAD_CASE}) as binary) AS payload"
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        codecs = {lvl: pa.Codec("zstd", compression_level=lvl)
+                  for lvl in (1, 3, 12)}
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                lvl = (1, 3, 12)[int(doc_id) % 3]
+                comp = bytes(codecs[lvl].compress(b))
+                dec = zstd_frame_decompress(comp)
+                if dec != b:
+                    raise ValueError(
+                        f"zstd roundtrip mismatch for doc {doc_id} lvl {lvl}"
+                    )
+                out_doc.append(int(doc_id))
+                out_n.append(len(dec))
+                out_sum.append(sum(dec))
+                out_md5.append(
+                    hashlib.md5(dec.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
+    )

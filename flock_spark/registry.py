@@ -64,6 +64,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "hll_sketch_portable",
     "dedup_exact",
     "zorder_layout_scan",
+    "scan_parquet_zstd_page_decode",
+    "mm_zstd_frame_roundtrip",
     "crawl_url_resolve_rfc3986",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
@@ -71,7 +73,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "set_intersect",
     "set_union_all",
     "sort_global_range",
-    "streaming_tumbling_agg",  # heavy
     "sort_multi_col",
     "string_funcs",
     "subquery_in",
@@ -88,7 +89,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "cdc_upsert_latest",
     "corpus_decontaminate",
     "dedup_clusters",
-    "streaming_dedup_ingest",  # heavy
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "doc_chunk_fixed_tokens",
@@ -104,7 +104,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q5_hot_items",
     "scd2_validity_join",
     "side_input_csv_join",
-    "streaming_hopping_agg",  # heavy
+    "streaming_tumbling_agg",  # heavy
 )
 
 # Machine-readable certification history: registry name -> MOST RECENT round

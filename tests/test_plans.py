@@ -1002,3 +1002,15 @@ def test_round11_second_wave_plan_shapes(spark, sf_dir):
     # corpus aggregates JVM-side before Python sees anything
     p = plan_of(spark, sf_dir, "tokenizer_unigram_viterbi")
     assert "MapInPandas" in p and "TakeOrderedAndProject" in p
+
+
+def test_round12_zstd_plan_shapes(spark, sf_dir):
+    # zstd roundtrip: codec family plan — one parquet scan feeding
+    # mapInPandas, no hash exchange anywhere (per-object decode)
+    p = plan_of(spark, sf_dir, "mm_zstd_frame_roundtrip")
+    assert "MapInPandas" in p and "hashpartitioning" not in p
+    assert p.count("Scan parquet") == 1
+    # zstd-paged parquet walk: one binary scan per staged file, no shuffle
+    p = plan_of(spark, sf_dir, "scan_parquet_zstd_page_decode")
+    assert "hashpartitioning" not in p and "MapInPandas" in p
+    assert "binaryFile" in p or "Scan binaryFile" in p
