@@ -1,0 +1,449 @@
+"""From-spec Arrow IPC STREAM reader — the reference's inter-function wire
+format: every payload the reference ships between cloud functions is an
+Arrow Flight IPC stream (/root/reference/flock/src/runtime/payload.rs:119-128
+builds flight data; transmute.rs:161-192 reassembles record batches from
+it). Spark subsumes the transport itself, so the from-scratch value here is
+the FORMAT layer: walking the actual bytes — encapsulated message envelopes,
+flatbuffers metadata (parsed by a minimal from-spec flatbuffers walker, no
+`flatbuffers` library anywhere), Schema/DictionaryBatch/RecordBatch headers,
+FieldNode/Buffer descriptors, validity bitmaps, offset+data buffers and
+dictionary index resolution — and certifying the decoded VALUES against the
+engine that wrote them.
+
+Public specifications implemented here: the flatbuffers binary format
+(google/flatbuffers internals documentation) and the Arrow columnar IPC
+format (arrow/format/Message.fbs, Schema.fbs; the 'IPC Streaming Format'
+section of the Arrow columnar spec). The fixture bytes are written ONCE by
+the REAL pyarrow IPC writer — the decode path never touches pyarrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from flock_spark.registry import register
+from flock_spark.staging import stage_once
+
+# ---------------------------------------------------------------------------
+# Minimal flatbuffers walker (from the public binary-format description):
+# tables hold a signed soffset to their vtable; the vtable lists per-field
+# uint16 offsets into the table (0 = field absent / default).
+# ---------------------------------------------------------------------------
+
+
+class FBTable:
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        soffset = struct.unpack_from("<i", buf, pos)[0]
+        self.vt = pos - soffset
+        self.vt_size = struct.unpack_from("<H", buf, self.vt)[0]
+
+    def _field_off(self, fid: int) -> int:
+        """Byte offset of field ``fid`` inside the table, 0 if absent."""
+        slot = 4 + 2 * fid
+        if slot >= self.vt_size:
+            return 0
+        return struct.unpack_from("<H", buf := self.buf, self.vt + slot)[0]  # noqa: F841
+
+    def scalar(self, fid: int, fmt: str, default):
+        off = self._field_off(fid)
+        if off == 0:
+            return default
+        return struct.unpack_from(f"<{fmt}", self.buf, self.pos + off)[0]
+
+    def _indirect(self, fid: int) -> int | None:
+        off = self._field_off(fid)
+        if off == 0:
+            return None
+        p = self.pos + off
+        return p + struct.unpack_from("<I", self.buf, p)[0]
+
+    def string(self, fid: int) -> str | None:
+        p = self._indirect(fid)
+        if p is None:
+            return None
+        n = struct.unpack_from("<I", self.buf, p)[0]
+        return self.buf[p + 4 : p + 4 + n].decode("utf-8")
+
+    def table(self, fid: int) -> "FBTable | None":
+        p = self._indirect(fid)
+        return None if p is None else FBTable(self.buf, p)
+
+    def vector_tables(self, fid: int) -> list["FBTable"]:
+        p = self._indirect(fid)
+        if p is None:
+            return []
+        n = struct.unpack_from("<I", self.buf, p)[0]
+        out = []
+        for i in range(n):
+            q = p + 4 + 4 * i
+            out.append(FBTable(self.buf, q + struct.unpack_from("<I", self.buf, q)[0]))
+        return out
+
+    def vector_structs(self, fid: int, size: int) -> list[int]:
+        """Positions of ``size``-byte inline structs."""
+        p = self._indirect(fid)
+        if p is None:
+            return []
+        n = struct.unpack_from("<I", self.buf, p)[0]
+        return [p + 4 + size * i for i in range(n)]
+
+
+def fb_root(buf: bytes) -> FBTable:
+    return FBTable(buf, struct.unpack_from("<I", buf, 0)[0])
+
+
+# Arrow enum values (Message.fbs / Schema.fbs — public .fbs schemas).
+_HDR_SCHEMA, _HDR_DICT, _HDR_BATCH = 1, 2, 3
+_T_INT, _T_FLOAT, _T_UTF8, _T_BOOL = 2, 3, 5, 6
+
+
+def _parse_field(f: FBTable) -> dict:
+    ttype = f.scalar(2, "B", 0)
+    tt = f.table(3)
+    if ttype == _T_INT:
+        bw = tt.scalar(0, "i", 0)
+        signed = bool(tt.scalar(1, "?", False))
+        typ = f"int{bw}" if signed else f"uint{bw}"
+    elif ttype == _T_FLOAT:
+        typ = {0: "float16", 1: "float32", 2: "float64"}[tt.scalar(0, "h", 0)]
+    elif ttype == _T_UTF8:
+        typ = "utf8"
+    elif ttype == _T_BOOL:
+        typ = "bool"
+    else:
+        raise ValueError(f"unsupported Arrow type id {ttype}")
+    field = {
+        "name": f.string(0),
+        "nullable": bool(f.scalar(1, "?", False)),
+        "type": typ,
+        "dict_id": None,
+        "index_type": None,
+    }
+    enc = f.table(4)  # DictionaryEncoding
+    if enc is not None:
+        field["dict_id"] = enc.scalar(0, "q", 0)
+        it = enc.table(1)  # index Int table
+        bw = 32 if it is None else it.scalar(0, "i", 32)
+        if not (it is None or it.scalar(1, "?", True)):
+            raise ValueError("unsigned dictionary indices not supported")
+        field["index_type"] = f"int{bw}"
+    if f.vector_tables(5):
+        raise ValueError("nested fields not supported")
+    return field
+
+
+def _bitmap_get(buf: bytes, i: int) -> bool:
+    return bool(buf[i >> 3] & (1 << (i & 7)))
+
+
+_INT_FMT = {"int8": "b", "int16": "h", "int32": "i", "int64": "q",
+            "uint8": "B", "uint16": "H", "uint32": "I", "uint64": "Q"}
+
+
+def _decode_column(
+    typ: str, body: bytes, n: int, null_count: int, bufs: list[tuple[int, int]]
+) -> tuple[list, list[tuple[int, int]]]:
+    """Decode one column's values from the body using (and consuming) its
+    buffers: validity + data for fixed-width/bool, validity + offsets +
+    data for utf8. Returns (values, remaining_buffers)."""
+    voff, vlen = bufs[0]
+    validity = body[voff : voff + vlen]
+
+    def is_valid(i: int) -> bool:
+        if null_count == 0 or vlen == 0:
+            return True
+        return _bitmap_get(validity, i)
+
+    if typ in _INT_FMT or typ in ("float32", "float64"):
+        fmt = _INT_FMT.get(typ) or {"float32": "f", "float64": "d"}[typ]
+        width = struct.calcsize(fmt)
+        doff, dlen = bufs[1]
+        if dlen < n * width:
+            raise ValueError(f"{typ} data buffer too small")
+        vals = struct.unpack_from(f"<{n}{fmt}", body, doff)
+        return [v if is_valid(i) else None for i, v in enumerate(vals)], bufs[2:]
+    if typ == "bool":
+        doff, dlen = bufs[1]
+        data = body[doff : doff + dlen]
+        return (
+            [_bitmap_get(data, i) if is_valid(i) else None for i in range(n)],
+            bufs[2:],
+        )
+    if typ == "utf8":
+        ooff, olen = bufs[1]
+        if olen < 4 * (n + 1):
+            raise ValueError("utf8 offsets buffer too small")
+        offs = struct.unpack_from(f"<{n + 1}i", body, ooff)
+        doff, _dlen = bufs[2]
+        out = []
+        for i in range(n):
+            if not is_valid(i):
+                out.append(None)
+                continue
+            if offs[i + 1] < offs[i]:
+                raise ValueError("utf8 offsets not monotone")
+            out.append(body[doff + offs[i] : doff + offs[i + 1]].decode("utf-8"))
+        return out, bufs[3:]
+    raise ValueError(f"unsupported column type {typ}")
+
+
+def arrow_ipc_stream_read(data: bytes) -> tuple[list[dict], dict[str, list]]:
+    """Walk a complete Arrow IPC stream: Schema message, dictionary
+    batches, record batches, end-of-stream marker. Returns (fields,
+    columns name->values in stream order) with dictionary-encoded columns
+    resolved through their DictionaryBatch payloads. ValueError on any
+    framing violation."""
+    pos = 0
+    fields: list[dict] | None = None
+    dictionaries: dict[int, list] = {}
+    columns: dict[str, list] = {}
+    saw_eos = False
+    while pos < len(data):
+        cont = struct.unpack_from("<I", data, pos)[0]
+        if cont != 0xFFFFFFFF:
+            raise ValueError(f"missing continuation marker at {pos}")
+        msize = struct.unpack_from("<i", data, pos + 4)[0]
+        pos += 8
+        if msize == 0:
+            saw_eos = True
+            break
+        meta = data[pos : pos + msize]
+        if len(meta) < msize:
+            raise ValueError("truncated message metadata")
+        pos += msize
+        msg = fb_root(meta)
+        htype = msg.scalar(1, "B", 0)
+        body_len = msg.scalar(3, "q", 0)
+        body = data[pos : pos + body_len]
+        if len(body) < body_len:
+            raise ValueError("truncated message body")
+        pos += body_len
+        if pos % 8:  # bodies are 8-byte padded in the stream
+            pos += 8 - pos % 8
+        if htype == _HDR_SCHEMA:
+            if fields is not None:
+                raise ValueError("second Schema message in stream")
+            fields = [_parse_field(f) for f in msg.table(2).vector_tables(1)]
+            columns = {f["name"]: [] for f in fields}
+        elif htype == _HDR_DICT:
+            if fields is None:
+                raise ValueError("DictionaryBatch before Schema")
+            dic = msg.table(2)
+            did = dic.scalar(0, "q", 0)
+            if dic.scalar(2, "?", False):
+                raise ValueError("delta dictionaries not supported")
+            rb = dic.table(1)
+            src = next(f for f in fields if f["dict_id"] == did)
+            vals = _decode_record_batch(rb, body, [src["type"]])
+            dictionaries[did] = vals[0]
+        elif htype == _HDR_BATCH:
+            if fields is None:
+                raise ValueError("RecordBatch before Schema")
+            types = [
+                f["index_type"] if f["dict_id"] is not None else f["type"]
+                for f in fields
+            ]
+            cols = _decode_record_batch(msg.table(2), body, types)
+            for f, vals in zip(fields, cols):
+                if f["dict_id"] is not None:
+                    d = dictionaries.get(f["dict_id"])
+                    if d is None:
+                        raise ValueError("record batch before its dictionary")
+                    vals = [None if i is None else d[i] for i in vals]
+                columns[f["name"]].extend(vals)
+        else:
+            raise ValueError(f"unsupported message header type {htype}")
+    if fields is None:
+        raise ValueError("stream carried no Schema message")
+    if not saw_eos:
+        raise ValueError("stream missing end-of-stream marker")
+    return fields, columns
+
+
+def _decode_record_batch(
+    rb: FBTable, body: bytes, types: list[str]
+) -> list[list]:
+    length = rb.scalar(0, "q", 0)
+    if rb.table(3) is not None:
+        raise ValueError("compressed IPC bodies not supported")
+    nodes = rb.vector_structs(1, 16)
+    bufs_pos = rb.vector_structs(2, 16)
+    bufs = [struct.unpack_from("<qq", rb.buf, p) for p in bufs_pos]
+    if len(nodes) != len(types):
+        raise ValueError(
+            f"record batch has {len(nodes)} nodes, schema has {len(types)}"
+        )
+    out = []
+    remaining = bufs
+    for node_pos, typ in zip(nodes, types):
+        n, null_count = struct.unpack_from("<qq", rb.buf, node_pos)
+        if n != length:
+            raise ValueError("field node length disagrees with batch length")
+        vals, remaining = _decode_column(typ, body, n, null_count, remaining)
+        out.append(vals)
+    if remaining:
+        raise ValueError(f"{len(remaining)} unconsumed buffers in batch")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Staged fixture + registry entry
+# ---------------------------------------------------------------------------
+
+
+def _stage_arrows(sf_dir: str) -> str:
+    """Write (once per sf_dir) the documents table as a REAL pyarrow IPC
+    stream: doc_id int64, n_chars_gap int64 nullable (every 7th doc null —
+    exercises validity bitmaps), text utf8, source dictionary-encoded
+    (exercises DictionaryBatch resolution); several record batches."""
+
+    def write_fixture(tmp: str) -> None:
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.ipc as ipc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "n_chars", "text", "source"],
+        ).sort_by("doc_id")
+        mask = pa.array(t["doc_id"].to_numpy() % 7 == 0)
+        gap = pc.if_else(mask, pa.nulls(t.num_rows, pa.int64()), t["n_chars"])
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_gap": gap,
+                "text": t["text"],
+                "source": t["source"].combine_chunks().dictionary_encode(),
+            }
+        )
+        with ipc.new_stream(
+            os.path.join(tmp, "documents.arrows"), out.schema
+        ) as w:
+            for batch in out.to_batches(max_chunksize=max(64, t.num_rows // 6)):
+                w.write_batch(batch)
+
+    return stage_once(f"arrow_ipc_{sf_dir}", "v1-dict-gap7-b6", write_fixture)
+
+
+@register(
+    "scan_arrow_ipc_stream_walk",
+    oracle="""
+    SELECT 'doc_id' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(sum(doc_id) AS BIGINT) AS sum_v,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS values_md5
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars_gap', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END)
+                AS BIGINT),
+           md5(string_agg(
+             CASE WHEN doc_id % 7 = 0 THEN 'null'
+                  ELSE CAST(n_chars AS VARCHAR) END, ',' ORDER BY doc_id))
+    FROM documents
+    UNION ALL
+    SELECT 'text', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(sum(octet_length(encode(text))) AS BIGINT),
+           md5(string_agg(md5(text), ',' ORDER BY doc_id))
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(sum(octet_length(encode(source))) AS BIGINT),
+           md5(string_agg(md5(source), ',' ORDER BY doc_id))
+    FROM documents
+    """,
+    tags=("scan", "formats", "wire", "pandas_udf", "staged"),
+    doc="From-spec Arrow IPC STREAM walk — the reference's actual "
+    "function-to-function wire format (payload.rs:119-128 ships record "
+    "batches as Arrow Flight IPC; transmute.rs:161-192 reassembles "
+    "them): the documents table is staged ONCE as a real pyarrow "
+    ".arrows stream (multiple record batches, a nullable column with "
+    "every-7th-row gaps, a dictionary-encoded source column) and the "
+    "entry decodes the staged BYTES it did not write: encapsulated "
+    "message envelopes (continuation marker, metadata size, 8-byte "
+    "body padding, end-of-stream), flatbuffers metadata via a minimal "
+    "from-spec vtable walker (no flatbuffers library), Schema field/"
+    "type parsing, DictionaryBatch index resolution, FieldNode/Buffer "
+    "descriptors, validity bitmaps, int64/utf8 buffer decode. Every "
+    "column is certified VALUE BY VALUE: counts, null counts, sums "
+    "(byte-length sums for strings) and the md5 over the full column "
+    "in stream order, re-derived by the oracle from the documents "
+    "view — nulls, dictionary round-trips and string boundaries all "
+    "hash-checked. Scale: one task per file via binaryFile, O(batch) "
+    "memory, no shuffle — at 100 TB this is the per-object inner loop "
+    "of any Arrow-native ingest (Flight, IPC files, IPC-framed queue "
+    "payloads).",
+)
+def scan_arrow_ipc_stream_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_arrows(sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/documents.arrows")
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "col_name": [], "n_values": [], "n_nulls": [],
+                "sum_v": [], "values_md5": [],
+            }
+            for content in pdf["content"]:
+                fields, cols = arrow_ipc_stream_read(bytes(content))
+                # certify the fixture shape: the dictionary column must
+                # really be dictionary-encoded, the gap column nullable
+                by_name = {f["name"]: f for f in fields}
+                if by_name["source"]["dict_id"] is None:
+                    raise ValueError("source column lost its dictionary")
+                for col in ("doc_id", "n_chars_gap", "text", "source"):
+                    vals = cols[col]
+                    nulls = sum(1 for v in vals if v is None)
+                    if col in ("text", "source"):
+                        sv = sum(
+                            len(v.encode()) for v in vals if v is not None
+                        )
+                        joined = ",".join(
+                            "null" if v is None
+                            else hashlib.md5(v.encode()).hexdigest()
+                            for v in vals
+                        )
+                    else:
+                        sv = sum(v for v in vals if v is not None)
+                        joined = ",".join(
+                            "null" if v is None else str(v) for v in vals
+                        )
+                    rows["col_name"].append(col)
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(nulls)
+                    rows["sum_v"].append(sv)
+                    rows["values_md5"].append(
+                        hashlib.md5(joined.encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "col_name": pd.Series(rows["col_name"], dtype="object"),
+                    "n_values": pd.Series(rows["n_values"], dtype="int64"),
+                    "n_nulls": pd.Series(rows["n_nulls"], dtype="int64"),
+                    "sum_v": pd.Series(rows["sum_v"], dtype="int64"),
+                    "values_md5": pd.Series(rows["values_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="col_name string, n_values long, n_nulls long, "
+        "sum_v long, values_md5 string",
+    )

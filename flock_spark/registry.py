@@ -66,6 +66,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "zorder_layout_scan",
     "scan_parquet_zstd_page_decode",
     "mm_zstd_frame_roundtrip",
+    "scan_arrow_ipc_stream_walk",
     "crawl_url_resolve_rfc3986",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_q2_mod_filter",
     "nexmark_q5_hot_items",
     "scd2_validity_join",
-    "side_input_csv_join",
     "streaming_tumbling_agg",  # heavy
 )
 

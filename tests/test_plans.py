@@ -1014,3 +1014,11 @@ def test_round12_zstd_plan_shapes(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_parquet_zstd_page_decode")
     assert "hashpartitioning" not in p and "MapInPandas" in p
     assert "binaryFile" in p or "Scan binaryFile" in p
+
+
+def test_arrow_ipc_walk_single_binary_scan_no_shuffle(spark, sf_dir):
+    # wire-format family plan: one binary scan of the staged .arrows
+    # stream feeding mapInPandas, no exchange anywhere
+    p = plan_of(spark, sf_dir, "scan_arrow_ipc_stream_walk")
+    assert "hashpartitioning" not in p and "MapInPandas" in p
+    assert "binaryFile" in p or "Scan binaryFile" in p

@@ -261,3 +261,76 @@ def test_zstd_parquet_fixture_is_really_zstd_paged(spark, sf_dir):
     assert codecs == {"ZSTD"}
     # several pages per chunk (data_page_size=2048 in the staging writer)
     assert len(info["row_groups"]) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC stream walk: from-spec flatbuffers + IPC framing
+# ---------------------------------------------------------------------------
+
+
+def _ipc_bytes(table) -> bytes:
+    import io
+
+    import pyarrow.ipc as ipc
+
+    sink = io.BytesIO()
+    with ipc.new_stream(sink, table.schema) as w:
+        for b in table.to_batches(max_chunksize=max(1, table.num_rows // 3)):
+            w.write_batch(b)
+    return sink.getvalue()
+
+
+def test_arrow_ipc_reads_all_supported_types_with_nulls():
+    import pyarrow as pa
+
+    from flock_spark.operators.arrow_ipc import arrow_ipc_stream_read
+
+    t = pa.table(
+        {
+            "i64": pa.array([1, None, -3, 2**62, 5], pa.int64()),
+            "i32": pa.array([7, 8, None, -1, 0], pa.int32()),
+            "f64": pa.array([1.5, None, -2.25, 0.0, 3.0], pa.float64()),
+            "s": pa.array(["a", "", None, "héllo", "zz"], pa.utf8()),
+            "b": pa.array([True, False, None, True, False], pa.bool_()),
+            "d": pa.array(["x", "y", "x", None, "y"]).dictionary_encode(),
+        }
+    )
+    fields, cols = arrow_ipc_stream_read(_ipc_bytes(t))
+    assert [f["name"] for f in fields] == ["i64", "i32", "f64", "s", "b", "d"]
+    assert cols["i64"] == [1, None, -3, 2**62, 5]
+    assert cols["i32"] == [7, 8, None, -1, 0]
+    assert cols["f64"] == [1.5, None, -2.25, 0.0, 3.0]
+    assert cols["s"] == ["a", "", None, "héllo", "zz"]
+    assert cols["b"] == [True, False, None, True, False]
+    assert cols["d"] == ["x", "y", "x", None, "y"]
+    # the dictionary column really went through a DictionaryBatch
+    assert next(f for f in fields if f["name"] == "d")["dict_id"] is not None
+
+
+def test_arrow_ipc_framing_violations_raise():
+    import pyarrow as pa
+
+    from flock_spark.operators.arrow_ipc import arrow_ipc_stream_read
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    raw = _ipc_bytes(t)
+    with pytest.raises(ValueError, match="continuation"):
+        arrow_ipc_stream_read(b"\x00\x00\x00\x00" + raw[4:])
+    with pytest.raises(ValueError, match="end-of-stream|truncated|continuation"):
+        arrow_ipc_stream_read(raw[:-8])  # EOS marker cut off
+    with pytest.raises(ValueError):
+        arrow_ipc_stream_read(raw[: len(raw) // 2])
+    # unsupported type must raise loudly, not decode garbage
+    t2 = pa.table({"ts": pa.array([1, 2], pa.timestamp("us"))})
+    with pytest.raises(ValueError, match="unsupported Arrow type"):
+        arrow_ipc_stream_read(_ipc_bytes(t2))
+
+
+def test_arrow_ipc_entry_stream_really_has_gaps_and_dictionary(spark, sf_dir):
+    rows = {r["col_name"]: r
+            for r in REGISTRY["scan_arrow_ipc_stream_walk"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"doc_id", "n_chars_gap", "text", "source"}
+    # every 7th doc_id is null in the gap column — nulls really exist
+    assert rows["n_chars_gap"]["n_nulls"] > 0
+    assert rows["doc_id"]["n_nulls"] == 0
+    assert rows["doc_id"]["n_values"] == rows["text"]["n_values"]
