@@ -713,3 +713,72 @@ from flock_spark.registry import REGISTRY as _REG_L  # noqa: E402
 _REG_L["shard_rendezvous_rebalance_audit"].oracle = _REG_L[
     "shard_rendezvous_rebalance_audit"
 ].oracle.format(h=REGISTRY_ORACLE_H)
+
+
+# ---------------------------------------------------------------------------
+# Arena window-completeness audit: the reference's fragment-reassembly
+# semantics as a plannable query
+# ---------------------------------------------------------------------------
+
+# Engine-shared SQL: payload fragments derived deterministically from
+# orders (window_id = key mod 97; per-window declared size seq_len in 2..8;
+# seq_num in 1..seq_len with retransmissions; arrival order = o_orderkey).
+_ARENA_AUDIT_SQL = """
+    WITH frags AS (
+      SELECT o_orderkey AS arrival_pos,
+             o_orderkey % 97 AS window_id,
+             (o_orderkey % 97) % 7 + 2 AS seq_len,
+             1 + ((o_orderkey * 13) % ((o_orderkey % 97) % 7 + 2))
+               AS seq_num
+      FROM orders
+      -- every 11th window loses its final fragment in flight: those
+      -- windows must stay NOT-ready with a NULL ready_epoch forever
+      WHERE NOT (o_orderkey % 97 % 11 = 0
+                 AND 1 + ((o_orderkey * 13) % ((o_orderkey % 97) % 7 + 2))
+                     = (o_orderkey % 97) % 7 + 2)),
+    firsts AS (
+      SELECT window_id, seq_len, seq_num,
+             CAST(min(arrival_pos) AS BIGINT) AS first_pos,
+             CAST(count(*) AS BIGINT) AS n_dup_arrivals
+      FROM frags GROUP BY window_id, seq_len, seq_num)
+    SELECT window_id,
+           CAST(seq_len AS BIGINT) AS seq_len,
+           CAST(sum(n_dup_arrivals) AS BIGINT) AS n_arrivals,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(n_dup_arrivals) - count(*) AS BIGINT) AS n_processed,
+           CAST(CASE WHEN count(*) = seq_len THEN 1 ELSE 0 END AS BIGINT)
+             AS is_complete,
+           CASE WHEN count(*) = seq_len THEN max(first_pos)
+                ELSE CAST(NULL AS BIGINT) END AS ready_epoch
+    FROM firsts GROUP BY window_id, seq_len
+"""
+
+
+@register(
+    "arena_window_completeness_audit",
+    oracle=_ARENA_AUDIT_SQL,
+    tags=("layout", "scale-pattern", "audit", "sql"),
+    doc="The reference arena's fragment-reassembly semantics "
+    "(flock/src/runtime/arena/mod.rs:192-232: each (qid, shuffle) window "
+    "declares size = seq_len; arriving payloads carry seq_num; a bitmap "
+    "dedupes retransmissions — an already-set seq_num returns Processed "
+    "— and the window fires Ready exactly when the count of DISTINCT "
+    "fragments reaches seq_len; is_complete at mod.rs:177-181) expressed "
+    "as a plannable relational audit in the same spirit as "
+    "shard_rendezvous_rebalance_audit: fragments derive deterministically "
+    "from orders (97 windows, declared sizes 2..8, seq_nums 1..seq_len "
+    "with natural retransmissions), and the audit reports per window the "
+    "declared size, total arrivals, distinct fragments, Processed "
+    "(duplicate) count, completeness, and the exact READY EPOCH — the "
+    "arrival position of the last first-occurrence fragment, i.e. the "
+    "moment the reference would fire the window — NULL while fragments "
+    "are missing. Scale: two keyed two-phase aggregations (fragment "
+    "first-arrival, then window rollup), no Python, no window functions, "
+    "no self-joins; at 100 TB the shuffle carries one row per distinct "
+    "(window, fragment), never the payload bodies.",
+)
+def arena_window_completeness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ARENA_AUDIT_SQL)

@@ -67,6 +67,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_parquet_zstd_page_decode",
     "mm_zstd_frame_roundtrip",
     "scan_arrow_ipc_stream_walk",
+    "arena_window_completeness_audit",
     "crawl_url_resolve_rfc3986",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
@@ -103,7 +104,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_native_q9",
     "nexmark_q2_mod_filter",
     "nexmark_q5_hot_items",
-    "scd2_validity_join",
     "streaming_tumbling_agg",  # heavy
 )
 

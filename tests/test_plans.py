@@ -1022,3 +1022,12 @@ def test_arrow_ipc_walk_single_binary_scan_no_shuffle(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_arrow_ipc_stream_walk")
     assert "hashpartitioning" not in p and "MapInPandas" in p
     assert "binaryFile" in p or "Scan binaryFile" in p
+
+
+def test_arena_audit_pure_jvm_two_phase(spark, sf_dir):
+    # arena completeness audit: zero Python, two keyed aggregations with
+    # map-side partials, scan pruned to the one key column
+    p = plan_of(spark, sf_dir, "arena_window_completeness_audit")
+    assert "Python" not in p
+    assert "HashAggregate" in p
+    assert "ReadSchema: struct<o_orderkey:bigint>" in p

@@ -334,3 +334,59 @@ def test_arrow_ipc_entry_stream_really_has_gaps_and_dictionary(spark, sf_dir):
     assert rows["n_chars_gap"]["n_nulls"] > 0
     assert rows["doc_id"]["n_nulls"] == 0
     assert rows["doc_id"]["n_values"] == rows["text"]["n_values"]
+
+
+# ---------------------------------------------------------------------------
+# Arena window-completeness audit: replay the reference's collect() protocol
+# ---------------------------------------------------------------------------
+
+
+def test_arena_audit_matches_bitmap_replay(spark, sf_dir):
+    """Replay the reference arena's collect() semantics imperatively
+    (bitmap per window, Processed on duplicate seq_num, Ready exactly when
+    distinct fragments reach seq_len — arena/mod.rs:192-232) over the same
+    derived fragment stream and check the relational audit row by row."""
+    rows = REGISTRY["arena_window_completeness_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    frags = duckdb.connect().execute(
+        f"""SELECT o_orderkey, o_orderkey % 97,
+                   (o_orderkey % 97) % 7 + 2,
+                   1 + ((o_orderkey * 13) % ((o_orderkey % 97) % 7 + 2))
+            FROM '{sf_dir}/orders.parquet'
+            WHERE NOT (o_orderkey % 97 % 11 = 0
+                 AND 1 + ((o_orderkey * 13) % ((o_orderkey % 97) % 7 + 2))
+                     = (o_orderkey % 97) % 7 + 2)
+            ORDER BY o_orderkey"""
+    ).fetchall()
+    state: dict[int, dict] = {}
+    for pos, wid, slen, snum in frags:
+        w = state.setdefault(wid, {"seq_len": slen, "bitmap": set(),
+                                   "arrivals": 0, "processed": 0,
+                                   "ready_epoch": None})
+        w["arrivals"] += 1
+        if snum in w["bitmap"]:
+            w["processed"] += 1  # HashAggregateStatus::Processed
+            continue
+        w["bitmap"].add(snum)
+        if len(w["bitmap"]) == w["seq_len"] and w["ready_epoch"] is None:
+            w["ready_epoch"] = pos  # HashAggregateStatus::Ready fires here
+    assert len(rows) == len(state)
+    complete = incomplete = dup_windows = 0
+    for r in rows:
+        w = state[r["window_id"]]
+        assert r["seq_len"] == w["seq_len"], r
+        assert r["n_arrivals"] == w["arrivals"], r
+        assert r["n_distinct"] == len(w["bitmap"]), r
+        assert r["n_processed"] == w["processed"], r
+        assert r["is_complete"] == (1 if w["ready_epoch"] is not None else 0), r
+        assert r["ready_epoch"] == w["ready_epoch"], r
+        complete += r["is_complete"]
+        incomplete += 1 - r["is_complete"]
+        dup_windows += 1 if r["n_processed"] > 0 else 0
+    # non-vacuity: the fixture must exercise completion, waiting AND
+    # retransmission — a degenerate all-complete stream proves nothing
+    assert complete > 0
+    assert incomplete > 0  # the lost-fragment windows wait forever
+    assert dup_windows > 0
