@@ -1031,3 +1031,23 @@ def test_arena_audit_pure_jvm_two_phase(spark, sf_dir):
     assert "Python" not in p
     assert "HashAggregate" in p
     assert "ReadSchema: struct<o_orderkey:bigint>" in p
+
+
+def test_crawl_chain_single_python_stage_broadcast_rules(spark, sf_dir):
+    # the chain's composition proof: ONE Python stage (the WARC ingest) —
+    # materialized once via cache and REUSED by all four downstream
+    # consumers (the plan prints the cached MapInPandas subtree at each
+    # InMemoryTableScan site, but it executes once); every downstream
+    # stage pure JVM; the robots rule relation broadcasts; one per-host
+    # window
+    p = plan_of(spark, sf_dir, "crawl_chain_end_to_end")
+    assert "InMemoryTableScan" in p  # the ingest is cached, not re-run
+    # every MapInPandas print is the one cached ingest subtree — each
+    # occurrence sits under an InMemoryRelation, so consumers == scans
+    assert p.count("MapInPandas") == p.count("InMemoryRelation")
+    # no other Python operator exists anywhere in the chain
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Window" in p
+    assert "Scan binaryFile" in p or "binaryFile" in p

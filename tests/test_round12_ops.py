@@ -390,3 +390,28 @@ def test_arena_audit_matches_bitmap_replay(spark, sf_dir):
     assert complete > 0
     assert incomplete > 0  # the lost-fragment windows wait forever
     assert dup_windows > 0
+
+
+# ---------------------------------------------------------------------------
+# End-to-end crawl chain: composition non-vacuity
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_chain_exercises_every_stage(spark, sf_dir):
+    rows = REGISTRY["crawl_chain_end_to_end"].fn(spark, sf_dir).collect()
+    assert len(rows) == 7  # one row per host h0..h6
+    hosts = {r["host"] for r in rows}
+    assert hosts == {f"http://h{i}.example.com" for i in range(7)}
+    for r in rows:
+        # ingest flowed through: pages with real body bytes
+        assert r["n_pages"] > 0 and r["sum_body_len"] > 0
+        # the duplicate href collapsed somewhere: raw internal > candidates
+        assert r["n_internal_raw"] > r["n_candidates"]
+        # robots stage made BOTH kinds of decision on this host
+        assert r["n_allowed"] > 0 and r["n_denied"] > 0
+        assert r["n_candidates"] == r["n_allowed"] + r["n_denied"]
+        # scheduler packed allowed URLs into waves with the 250ms slot
+        assert r["n_waves"] == r["n_allowed"]
+        assert r["makespan_ms"] == (r["n_waves"] - 1) * 250
+        # external links existed and were excluded from the frontier
+        assert r["n_links_raw"] > r["n_internal_raw"]

@@ -81,6 +81,7 @@ FORCED_RECERTS: dict[str, int] = {
 # (memoized signatures / IVF assignment / big DuckDB CTE oracles / streaming
 # state-store setup). Never slate two of these adjacent.
 HEAVY_FIRST_EXECUTION: frozenset[str] = frozenset((
+    "crawl_chain_end_to_end",  # WARC shard walk + 5-stage chain, ~9 s cold
     "dedup_lsh_band_tradeoff_audit",
     "analytics_friedman_test",  # ~9-12 s cold: six sequential scalar stages
     "dedup_lsh_recall_audit",
