@@ -134,6 +134,15 @@ HEADLINE = [
     "text_cdx_surt_dedup",
     "scan_parquet_lz4_page_decode",
     "tokenizer_unigram_viterbi",
+    # round-12 additions: from-spec zstd frame decode (the modern default
+    # codec) both standalone and as parquet pages, from-spec Arrow IPC
+    # stream walk, the arena completeness audit, and the composed
+    # end-to-end crawl-discovery chain
+    "mm_zstd_frame_roundtrip",
+    "scan_parquet_zstd_page_decode",
+    "scan_arrow_ipc_stream_walk",
+    "arena_window_completeness_audit",
+    "crawl_chain_end_to_end",
 ]
 
 
