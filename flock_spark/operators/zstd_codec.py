@@ -839,3 +839,282 @@ def mm_zstd_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
     )
+
+
+# --------------------------------------------------------------------------
+# From-spec ENCODER — the reverse direction: frames this code writes must
+# decode byte-exactly in the REAL libzstd (the LZ4 entry's certification
+# pattern, now for the reference's default encoding). Minimal-but-conformant
+# strategy: RLE block for constant payloads, greedy hash-4 match finder,
+# raw-literals sections, sequences under the PREDEFINED FSE tables (written
+# by a real FSE encoder built by inverting the decode tables), raw block
+# fallback when matching does not pay.
+# --------------------------------------------------------------------------
+
+
+def _fse_build_encoder(
+    default: tuple,
+) -> tuple[dict[int, dict[int, tuple[int, int, int]]], list[int], int]:
+    """Invert the decode table: enc[symbol][next_decode_state] ->
+    (state_cell, nb_bits, bits). The decoder at cell c emits symbol[c] and
+    moves to base_c + read(nb_c); the [base, base+2^nb) ranges of a
+    symbol's cells partition the state space, so the backward-running
+    encoder's choice is unique. Also returns, per symbol, one arbitrary
+    cell (for the chain's final symbol, whose state is read directly)."""
+    al, probs = default
+    table = fse_build_table(probs, al)
+    enc: dict[int, dict[int, tuple[int, int, int]]] = {}
+    anchor: dict[int, int] = {}
+    for cell, (sym, nb, base) in enumerate(table):
+        anchor.setdefault(sym, cell)
+        tgt = enc.setdefault(sym, {})
+        for nxt in range(base, base + (1 << nb)):
+            tgt[nxt] = (cell, nb, nxt - base)
+    anchors = [anchor.get(s, -1) for s in range(len(probs))]
+    return enc, anchors, al
+
+
+_LL_ENC = _fse_build_encoder(_LL_DEFAULT)
+_ML_ENC = _fse_build_encoder(_ML_DEFAULT)
+_OF_ENC = _fse_build_encoder(_OF_DEFAULT)
+
+
+def _code_of(v: int, base: tuple, xbits: tuple) -> tuple[int, int, int]:
+    """(code, extra_bits, extra_value) for a literals/match length."""
+    # baselines are ascending: binary search by scan (tables are tiny)
+    lo = 0
+    for i in range(len(base) - 1, -1, -1):
+        if v >= base[i]:
+            lo = i
+            break
+    return lo, xbits[lo], v - base[lo]
+
+
+def _fse_state_chain(
+    codes: list[int], enc_pack: tuple
+) -> tuple[int, list[tuple[int, int]]]:
+    """Run one FSE channel backwards over ``codes``: returns (init_state,
+    update_bits) where update_bits[i] = (value, nbits) the decoder reads
+    when transitioning after sequence i (length n-1)."""
+    enc, anchors, _al = enc_pack
+    n = len(codes)
+    state = anchors[codes[-1]]
+    if state < 0:
+        raise ValueError(f"code {codes[-1]} has no state in this table")
+    updates: list[tuple[int, int] | None] = [None] * (n - 1)
+    for i in range(n - 2, -1, -1):
+        cell, nb, bits = enc[codes[i]][state]
+        updates[i] = (bits, nb)
+        state = cell
+    return state, updates  # type: ignore[return-value]
+
+
+def _encode_sequences_block(
+    literals: bytes, seqs: list[tuple[int, int, int]]
+) -> bytes:
+    """Assemble one compressed-block body: raw-literals section + sequence
+    section under the predefined tables. ``seqs`` are (ll, ml, offset)."""
+    out = bytearray()
+    # raw literals header (Size_Format by magnitude)
+    regen = len(literals)
+    if regen < 32:
+        out.append(0x00 | (regen << 3))
+    elif regen < 4096:
+        out.append(0x04 | ((regen & 0x0F) << 4))
+        out.append(regen >> 4)
+    else:
+        out.append(0x0C | ((regen & 0x0F) << 4))
+        out.append((regen >> 4) & 0xFF)
+        out.append(regen >> 12)
+    out += literals
+    n = len(seqs)
+    if n == 0:
+        out.append(0)
+        return bytes(out)
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00:
+        out.append((n >> 8) + 128)
+        out.append(n & 0xFF)
+    else:
+        out.append(255)
+        out += (n - 0x7F00).to_bytes(2, "little")
+    out.append(0x00)  # all three tables Predefined
+    ll_codes, ml_codes, of_codes = [], [], []
+    ll_x, ml_x, of_x = [], [], []
+    for ll, ml, offset in seqs:
+        c, nb, xv = _code_of(ll, _LL_BASE, _LL_XBITS)
+        ll_codes.append(c)
+        ll_x.append((xv, nb))
+        c, nb, xv = _code_of(ml, _ML_BASE, _ML_XBITS)
+        ml_codes.append(c)
+        ml_x.append((xv, nb))
+        of_value = offset + 3  # no repeat-offset shortcuts: always direct
+        oc = of_value.bit_length() - 1
+        if oc > 28:
+            raise ValueError("offset beyond the predefined OF table range")
+        of_codes.append(oc)
+        of_x.append((of_value - (1 << oc), oc))
+    ll_init, ll_up = _fse_state_chain(ll_codes, _LL_ENC)
+    ml_init, ml_up = _fse_state_chain(ml_codes, _ML_ENC)
+    of_init, of_up = _fse_state_chain(of_codes, _OF_ENC)
+    # assemble the backward bitstream in DECODER READ ORDER: init states
+    # (LL, OF, ML), then per sequence the OF/ML/LL extra bits and — for all
+    # but the last — the LL/ML/OF state-update bits
+    acc = 1  # sentinel
+    def put(value: int, nbits: int) -> None:
+        nonlocal acc
+        if nbits:
+            acc = (acc << nbits) | value
+
+    put(ll_init, _LL_ENC[2])
+    put(of_init, _OF_ENC[2])
+    put(ml_init, _ML_ENC[2])
+    for i in range(n):
+        put(*of_x[i])
+        put(*ml_x[i])
+        put(*ll_x[i])
+        if i < n - 1:
+            put(*ll_up[i])
+            put(*ml_up[i])
+            put(*of_up[i])
+    nbytes = (acc.bit_length() + 7) // 8
+    out += acc.to_bytes(nbytes, "little")
+    return bytes(out)
+
+
+def _greedy_sequences(data: bytes) -> tuple[bytes, list[tuple[int, int, int]]]:
+    """LZ77 parse with a 4-byte hash table (most recent position wins):
+    returns (literal stream, sequences)."""
+    n = len(data)
+    table: dict[bytes, int] = {}
+    lits = bytearray()
+    seqs: list[tuple[int, int, int]] = []
+    i = 0
+    anchor = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= (1 << 27):
+            ml = 4
+            while i + ml < n and data[j + ml] == data[i + ml]:
+                ml += 1
+            seqs.append((i - anchor, ml, i - j))
+            lits += data[anchor:i]
+            i += ml
+            anchor = i
+            continue
+        i += 1
+    lits += data[anchor:]
+    return bytes(lits), seqs
+
+
+_BLOCK_MAX = 128 * 1024
+
+
+def zstd_frame_compress(data: bytes) -> bytes:
+    """Encode ``data`` as one conformant zstd frame: single-segment header
+    with exact Frame_Content_Size, then per <=128 KiB chunk an RLE block
+    (constant chunk), a compressed block (raw literals + predefined-FSE
+    sequences) when matching pays, or a raw block. Output decodes with any
+    conformant decoder — certified against the REAL libzstd decoder."""
+    out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
+    n = len(data)
+    if n < 256:
+        out += bytes([0x20, n])
+    elif n < 65536 + 256:
+        out += bytes([0x60]) + (n - 256).to_bytes(2, "little")
+    else:
+        out += bytes([0xA0]) + n.to_bytes(4, "little")
+    chunks = [data[i : i + _BLOCK_MAX] for i in range(0, n, _BLOCK_MAX)] or [b""]
+    # history for cross-block matches is per-chunk only (self-contained
+    # blocks keep the encoder simple; offsets never cross a chunk start)
+    for ci, chunk in enumerate(chunks):
+        last = 1 if ci == len(chunks) - 1 else 0
+        if len(chunk) >= 2 and chunk.count(chunk[0]) == len(chunk):
+            out += ((last | (1 << 1) | (len(chunk) << 3))).to_bytes(3, "little")
+            out.append(chunk[0])
+            continue
+        body = None
+        if len(chunk) >= 16:
+            lits, seqs = _greedy_sequences(chunk)
+            if seqs:
+                cand = _encode_sequences_block(lits, seqs)
+                if len(cand) < len(chunk):
+                    body = cand
+        if body is not None:
+            out += ((last | (2 << 1) | (len(body) << 3))).to_bytes(3, "little")
+            out += body
+        else:
+            out += ((last | (0 << 1) | (len(chunk) << 3))).to_bytes(3, "little")
+            out += chunk
+    return bytes(out)
+
+
+@register(
+    "mm_zstd_encode_roundtrip",
+    oracle=_ZSTD_ORACLE,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="Zstandard ENCODE from RFC 8878 — the reverse certification "
+    "direction from mm_zstd_frame_roundtrip, completing the codec pair "
+    "the way the LZ4 entries do: the same five payload shapes are "
+    "compressed by THIS repo's from-spec encoder (single-segment frame "
+    "header with exact content size, RLE blocks for constant chunks, "
+    "greedy hash-4 LZ77 parse, raw-literals sections, sequence sections "
+    "under the PREDEFINED FSE tables written by a real FSE encoder built "
+    "by inverting the decode tables and running the state chain "
+    "backwards, raw-block fallback, 128 KiB block splitting) and decoded "
+    "by the REAL libzstd decoder (pyarrow) — any bitstream our reading "
+    "of the spec assembles that the reference implementation cannot "
+    "read raises here. The repo's own decoder re-reads every frame too "
+    "(self-consistency). Oracle identical to the decode entry: byte "
+    "count, byte sum, md5 of the payload, derived arithmetically. "
+    "Scale: per-object mapInPandas, single scan, no shuffle.",
+)
+def mm_zstd_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id", f"cast(({_PAYLOAD_CASE}) as binary) AS payload"
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd")
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frame = zstd_frame_compress(b)
+                real = bytes(codec.decompress(frame, len(b)))
+                if real != b:
+                    raise ValueError(
+                        f"libzstd read our frame differently for doc {doc_id}"
+                    )
+                if zstd_frame_decompress(frame) != b:
+                    raise ValueError(
+                        f"self-decode mismatch for doc {doc_id}"
+                    )
+                out_doc.append(int(doc_id))
+                out_n.append(len(b))
+                out_sum.append(sum(b))
+                out_md5.append(
+                    hashlib.md5(b.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
+    )

@@ -67,6 +67,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "zorder_layout_scan",
     "scan_parquet_zstd_page_decode",
     "mm_zstd_frame_roundtrip",
+    "mm_zstd_encode_roundtrip",
     "scan_arrow_ipc_stream_walk",
     "arena_window_completeness_audit",
     "crawl_url_resolve_rfc3986",
@@ -79,8 +80,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "sort_multi_col",
     "string_funcs",
     "subquery_in",
-    "window_first_last",
     "streaming_tumbling_agg",  # heavy
+    "window_first_last",
     "window_frame_moving_avg",
     "window_lag_lead",
     "window_percentiles",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "nexmark_native_q4",
     "nexmark_native_q6",
     "nexmark_native_q9",
-    "nexmark_q2_mod_filter",
     "crawl_chain_end_to_end",  # heavy
 )
 

@@ -1051,3 +1051,9 @@ def test_crawl_chain_single_python_stage_broadcast_rules(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert "Window" in p
     assert "Scan binaryFile" in p or "binaryFile" in p
+
+
+def test_zstd_encode_entry_plan_shape(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "mm_zstd_encode_roundtrip")
+    assert "MapInPandas" in p and "hashpartitioning" not in p
+    assert p.count("Scan parquet") == 1
