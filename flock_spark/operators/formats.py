@@ -472,6 +472,25 @@ def _gzip_page_decompress(raw: bytes) -> bytes:
     return gzip_member_parse(raw)[2]
 
 
+def _page_decompress(codec: int, raw: bytes) -> bytes:
+    """Dispatch one page payload through the repo's from-spec codecs."""
+    if codec == 0:
+        return raw
+    if codec == 1:
+        return snappy_decompress(raw)
+    if codec == 2:
+        return _gzip_page_decompress(raw)
+    if codec == 6:
+        from flock_spark.operators.zstd_codec import zstd_frame_decompress
+
+        return zstd_frame_decompress(raw)
+    if codec == 7:
+        from flock_spark.operators.multimodal import lz4_block_decompress
+
+        return lz4_block_decompress(raw)
+    raise ValueError(f"unsupported codec {_CODEC.get(codec, codec)}")
+
+
 def _read_column_chunk(
     content: bytes, md: dict, phys: str, optional: bool
 ) -> list:
@@ -489,6 +508,41 @@ def _read_column_chunk(
         ph, body = thrift_read_struct(content, pos)
         comp_size = ph[3]
         raw = content[body : body + comp_size]
+        if ph[1] == 3:  # DATA_PAGE v2: levels uncompressed + length-known,
+            # data section compressed separately (is_compressed flag)
+            v2 = ph.get(8) or {}
+            n_vals = v2[1]
+            n_nulls = v2.get(2, 0)
+            enc = v2.get(4)
+            dl_len = v2.get(5, 0)
+            rl_len = v2.get(6, 0)
+            if rl_len:
+                raise ValueError("repetition levels unsupported (flat schema)")
+            levels = raw[:dl_len]
+            data_sec = raw[dl_len:]
+            if v2.get(7, True) and codec != 0:
+                data_sec = _page_decompress(codec, data_sec)
+            if len(data_sec) + dl_len != ph[2]:
+                raise ValueError("v2 page uncompressed size mismatch")
+            if optional and n_nulls:
+                dls, _ = rle_bp_decode(levels, 0, 1, n_vals)
+            else:
+                dls = [1] * n_vals
+            n_present = n_vals - n_nulls
+            if enc == 5:  # DELTA_BINARY_PACKED
+                if phys not in ("INT32", "INT64"):
+                    raise ValueError("delta encoding on non-integer column")
+                present, _ = delta_binary_packed_decode(data_sec)
+                if len(present) != n_present:
+                    raise ValueError("delta decode count mismatch")
+            elif enc == 0:
+                present = _plain_decode(data_sec, phys, n_present)
+            else:
+                raise ValueError(f"unsupported v2 data encoding {enc}")
+            it = iter(present)
+            values.extend(next(it) if d else None for d in dls)
+            pos = body + comp_size
+            continue
         if codec == 1:
             raw = snappy_decompress(raw)
         elif codec == 2:
@@ -1129,6 +1183,181 @@ def scan_parquet_zstd_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     bf = (
         spark.read.format("binaryFile")
         .load(f"{path}/documents_zstd.parquet")
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "col_name": [], "n_values": [], "n_nulls": [], "min_v": [],
+                "max_v": [], "sum_v": [], "values_md5": [],
+            }
+            for content in pdf["content"]:
+                content = bytes(content)
+                info = parquet_footer_parse(content)
+                names = [n for n, _ in info["schema"]]
+                codecs = {
+                    c["codec"]
+                    for rg in info["row_groups"]
+                    for c in rg["columns"]
+                }
+                if codecs != {"ZSTD"}:
+                    raise ValueError(f"fixture not zstd-paged: {codecs}")
+                for col in ("doc_id", "n_chars"):
+                    vals = parquet_column_read(content, names.index(col))
+                    present = [v for v in vals if v is not None]
+                    rows["col_name"].append(col)
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(len(vals) - len(present))
+                    rows["min_v"].append(min(present))
+                    rows["max_v"].append(max(present))
+                    rows["sum_v"].append(sum(present))
+                    rows["values_md5"].append(
+                        hashlib.md5(
+                            ",".join(str(v) for v in present).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "col_name": pd.Series(rows["col_name"], dtype="object"),
+                    "n_values": pd.Series(rows["n_values"], dtype="int64"),
+                    "n_nulls": pd.Series(rows["n_nulls"], dtype="int64"),
+                    "min_v": pd.Series(rows["min_v"], dtype="int64"),
+                    "max_v": pd.Series(rows["max_v"], dtype="int64"),
+                    "sum_v": pd.Series(rows["sum_v"], dtype="int64"),
+                    "values_md5": pd.Series(rows["values_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="col_name string, n_values long, n_nulls long, min_v long, "
+        "max_v long, sum_v long, values_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataPageV2 + DELTA_BINARY_PACKED: the modern parquet page layout
+# ---------------------------------------------------------------------------
+
+
+def delta_binary_packed_decode(data: bytes, pos: int = 0) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet Encodings.md): ULEB128 header
+    <block_size, miniblocks_per_block, total_count, zigzag first_value>,
+    then per block a zigzag min_delta, one bit-width byte per miniblock,
+    and LSB-first bit-packed deltas (value = previous + min_delta + delta).
+    Trailing unneeded miniblocks carry a width byte but NO body bytes.
+    Returns (values, next_pos)."""
+    block_size, pos = _varint(data, pos)
+    n_mini, pos = _varint(data, pos)
+    total, pos = _varint(data, pos)
+    raw_first, pos = _varint(data, pos)
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError("invalid delta block geometry")
+    per_mini = block_size // n_mini
+    if per_mini % 8:
+        raise ValueError("miniblock size not a multiple of 8")
+    values: list[int] = []
+    if total:
+        values.append(_zigzag(raw_first))
+    while len(values) < total:
+        raw_md, pos = _varint(data, pos)
+        min_delta = _zigzag(raw_md)
+        widths = data[pos : pos + n_mini]
+        if len(widths) < n_mini:
+            raise ValueError("truncated miniblock width list")
+        pos += n_mini
+        for w in widths:
+            if len(values) >= total:
+                continue  # width byte present, body omitted
+            nbytes = per_mini * w // 8
+            if pos + nbytes > len(data):
+                raise ValueError("miniblock body past end of buffer")
+            acc = int.from_bytes(data[pos : pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << w) - 1
+            for k in range(per_mini):
+                if len(values) >= total:
+                    break
+                delta = (acc >> (k * w)) & mask if w else 0
+                values.append(values[-1] + min_delta + delta)
+    return values, pos
+
+
+def _stage_parquet_v2_delta(sf_dir: str) -> str:
+    """Stage (once per sf_dir) a MODERN-layout parquet fixture: DataPageV2
+    pages, DELTA_BINARY_PACKED integer columns, no dictionary, zstd page
+    compression — the format combination current writers default toward."""
+    from flock_spark.staging import stage_once
+
+    def write_fixture(tmp: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).sort_by("doc_id")
+        pq.write_table(
+            t,
+            os.path.join(tmp, "documents_v2delta.parquet"),
+            version="2.6",
+            data_page_version="2.0",
+            use_dictionary=False,
+            column_encoding={
+                "doc_id": "DELTA_BINARY_PACKED",
+                "n_chars": "DELTA_BINARY_PACKED",
+            },
+            compression="zstd",
+            data_page_size=2048,
+            row_group_size=max(64, t.num_rows // 4),
+        )
+
+    return stage_once(
+        f"parquet_v2delta_{sf_dir}", "v1-dpv2-delta-zstd", write_fixture
+    )
+
+
+@register(
+    "scan_parquet_v2_delta_decode",
+    oracle="""
+    SELECT 'doc_id' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(min(doc_id) AS BIGINT) AS min_v,
+           CAST(max(doc_id) AS BIGINT) AS max_v,
+           CAST(sum(doc_id) AS BIGINT) AS sum_v,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS values_md5
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT),
+           md5(string_agg(CAST(n_chars AS VARCHAR), ',' ORDER BY doc_id))
+    FROM documents
+    """,
+    tags=("scan", "formats", "codec", "pandas_udf", "staged"),
+    doc="From-scratch parquet COLUMN read over the MODERN page layout — "
+    "DataPageV2 headers (separately-compressed data section, "
+    "length-known uncompressed levels, per-page null counts) with "
+    "DELTA_BINARY_PACKED integer encoding (ULEB128 block geometry, "
+    "zigzag first value + min-deltas, per-miniblock bit widths, "
+    "LSB-first packed deltas, width-byte-without-body trailing "
+    "miniblocks) under zstd page compression — three from-spec layers "
+    "composed: Thrift page walk -> RFC 8878 zstd frame decode -> delta "
+    "unpack, all certified value by value (count/min/max/sum + md5 of "
+    "the full column in file order) against the documents view. The "
+    "staged fixture is written by the REAL pyarrow v2 writer, so this "
+    "is the cross-implementation read of the layout modern writers "
+    "default toward. Scale: one task per file via binaryFile, O(page) "
+    "memory, no shuffle.",
+)
+def scan_parquet_v2_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_parquet_v2_delta(sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/documents_v2delta.parquet")
         .select("content")
     )
 

@@ -66,6 +66,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "dedup_exact",
     "zorder_layout_scan",
     "scan_parquet_zstd_page_decode",
+    "scan_parquet_v2_delta_decode",
     "mm_zstd_frame_roundtrip",
     "mm_zstd_encode_roundtrip",
     "scan_arrow_ipc_stream_walk",
@@ -79,8 +80,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "sort_global_range",
     "sort_multi_col",
     "string_funcs",
-    "subquery_in",
     "streaming_tumbling_agg",  # heavy
+    "subquery_in",
     "window_first_last",
     "window_frame_moving_avg",
     "window_lag_lead",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_meta_extract",
     "nexmark_native_q4",
     "nexmark_native_q6",
-    "nexmark_native_q9",
     "crawl_chain_end_to_end",  # heavy
 )
 

@@ -1057,3 +1057,9 @@ def test_zstd_encode_entry_plan_shape(spark, sf_dir):
     p = plan_of(spark, sf_dir, "mm_zstd_encode_roundtrip")
     assert "MapInPandas" in p and "hashpartitioning" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_parquet_v2_delta_single_binary_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "scan_parquet_v2_delta_decode")
+    assert "hashpartitioning" not in p and "MapInPandas" in p
+    assert "binaryFile" in p or "Scan binaryFile" in p

@@ -466,3 +466,55 @@ def test_zstd_encoder_cli_reads_our_frames(tmp_path):
         check=True, capture_output=True,
     )
     assert out.stdout == p
+
+
+# ---------------------------------------------------------------------------
+# DataPageV2 + DELTA_BINARY_PACKED
+# ---------------------------------------------------------------------------
+
+
+def test_delta_binary_packed_unit():
+    from flock_spark.operators.formats import delta_binary_packed_decode
+
+    # hand-built stream: block_size=8 (1 miniblock of 8), 3 values,
+    # first=-2 (zigzag 3), min_delta=1 (zigzag 2), width 1, packed deltas
+    # [0,1] for values -2, -1, 1; trailing 6 slots padded
+    data = bytes([8, 1, 3, 3, 2, 1, 0b00000010])
+    vals, pos = delta_binary_packed_decode(data)
+    assert vals == [-2, -1, 1]
+    assert pos == len(data)
+    # empty stream: zero values
+    vals, _ = delta_binary_packed_decode(bytes([8, 1, 0, 0]))
+    assert vals == []
+
+
+def test_delta_binary_packed_matches_pyarrow_all_shapes(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flock_spark.operators.formats import (
+        parquet_column_read,
+        parquet_footer_parse,
+    )
+
+    rng = random.Random(4)
+    cols = {
+        "monotone": list(range(1000)),
+        "negative": [-(i * 37) for i in range(1000)],
+        "wild": [rng.randint(-2**40, 2**40) for _ in range(1000)],
+        "constant": [7] * 1000,
+        "gaps": [i if i % 5 else None for i in range(1000)],
+    }
+    t = pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+    p = tmp_path / "delta.parquet"
+    pq.write_table(
+        t, p, version="2.6", data_page_version="2.0", use_dictionary=False,
+        column_encoding={k: "DELTA_BINARY_PACKED" for k in cols},
+        compression="zstd", data_page_size=1024,
+    )
+    content = p.read_bytes()
+    info = parquet_footer_parse(content)
+    names = [n for n, _ in info["schema"]]
+    for k, want in cols.items():
+        got = parquet_column_read(content, names.index(k))
+        assert got == want, k
