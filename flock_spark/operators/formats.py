@@ -535,6 +535,16 @@ def _read_column_chunk(
                 present, _ = delta_binary_packed_decode(data_sec)
                 if len(present) != n_present:
                     raise ValueError("delta decode count mismatch")
+            elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+                if phys != "BYTE_ARRAY":
+                    raise ValueError("delta-length on non-byte-array column")
+                present, _ = delta_length_byte_array_decode(
+                    data_sec, n_present
+                )
+            elif enc == 7:  # DELTA_BYTE_ARRAY (front-coded strings)
+                if phys != "BYTE_ARRAY":
+                    raise ValueError("delta-byte-array on non-byte-array column")
+                present, _ = delta_byte_array_decode(data_sec, n_present)
             elif enc == 0:
                 present = _plain_decode(data_sec, phys, n_present)
             else:
@@ -1203,19 +1213,26 @@ def scan_parquet_zstd_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame
                 }
                 if codecs != {"ZSTD"}:
                     raise ValueError(f"fixture not zstd-paged: {codecs}")
-                for col in ("doc_id", "n_chars"):
+                for col in ("doc_id", "n_chars", "text", "source"):
                     vals = parquet_column_read(content, names.index(col))
                     present = [v for v in vals if v is not None]
+                    if col in ("text", "source"):
+                        stats = [len(v.encode()) for v in present]
+                        joined = ",".join(
+                            hashlib.md5(v.encode()).hexdigest()
+                            for v in present
+                        )
+                    else:
+                        stats = present
+                        joined = ",".join(str(v) for v in present)
                     rows["col_name"].append(col)
                     rows["n_values"].append(len(vals))
                     rows["n_nulls"].append(len(vals) - len(present))
-                    rows["min_v"].append(min(present))
-                    rows["max_v"].append(max(present))
-                    rows["sum_v"].append(sum(present))
+                    rows["min_v"].append(min(stats))
+                    rows["max_v"].append(max(stats))
+                    rows["sum_v"].append(sum(stats))
                     rows["values_md5"].append(
-                        hashlib.md5(
-                            ",".join(str(v) for v in present).encode()
-                        ).hexdigest()
+                        hashlib.md5(joined.encode()).hexdigest()
                     )
             yield pd.DataFrame(
                 {
@@ -1296,7 +1313,8 @@ def _stage_parquet_v2_delta(sf_dir: str) -> str:
         import pyarrow.parquet as pq
 
         t = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "n_chars", "text", "source"],
         ).sort_by("doc_id")
         pq.write_table(
             t,
@@ -1307,6 +1325,8 @@ def _stage_parquet_v2_delta(sf_dir: str) -> str:
             column_encoding={
                 "doc_id": "DELTA_BINARY_PACKED",
                 "n_chars": "DELTA_BINARY_PACKED",
+                "text": "DELTA_BYTE_ARRAY",
+                "source": "DELTA_LENGTH_BYTE_ARRAY",
             },
             compression="zstd",
             data_page_size=2048,
@@ -1314,7 +1334,7 @@ def _stage_parquet_v2_delta(sf_dir: str) -> str:
         )
 
     return stage_once(
-        f"parquet_v2delta_{sf_dir}", "v1-dpv2-delta-zstd", write_fixture
+        f"parquet_v2delta_{sf_dir}", "v2-dpv2-delta-str-zstd", write_fixture
     )
 
 
@@ -1336,22 +1356,39 @@ def _stage_parquet_v2_delta(sf_dir: str) -> str:
            CAST(sum(n_chars) AS BIGINT),
            md5(string_agg(CAST(n_chars AS VARCHAR), ',' ORDER BY doc_id))
     FROM documents
+    UNION ALL
+    SELECT 'text', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(min(octet_length(encode(text))) AS BIGINT),
+           CAST(max(octet_length(encode(text))) AS BIGINT),
+           CAST(sum(octet_length(encode(text))) AS BIGINT),
+           md5(string_agg(md5(text), ',' ORDER BY doc_id))
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(min(octet_length(encode(source))) AS BIGINT),
+           CAST(max(octet_length(encode(source))) AS BIGINT),
+           CAST(sum(octet_length(encode(source))) AS BIGINT),
+           md5(string_agg(md5(source), ',' ORDER BY doc_id))
+    FROM documents
     """,
     tags=("scan", "formats", "codec", "pandas_udf", "staged"),
     doc="From-scratch parquet COLUMN read over the MODERN page layout — "
     "DataPageV2 headers (separately-compressed data section, "
-    "length-known uncompressed levels, per-page null counts) with "
-    "DELTA_BINARY_PACKED integer encoding (ULEB128 block geometry, "
-    "zigzag first value + min-deltas, per-miniblock bit widths, "
-    "LSB-first packed deltas, width-byte-without-body trailing "
-    "miniblocks) under zstd page compression — three from-spec layers "
-    "composed: Thrift page walk -> RFC 8878 zstd frame decode -> delta "
-    "unpack, all certified value by value (count/min/max/sum + md5 of "
-    "the full column in file order) against the documents view. The "
-    "staged fixture is written by the REAL pyarrow v2 writer, so this "
-    "is the cross-implementation read of the layout modern writers "
-    "default toward. Scale: one task per file via binaryFile, O(page) "
-    "memory, no shuffle.",
+    "length-known uncompressed levels, per-page null counts) with ALL "
+    "THREE delta encodings: DELTA_BINARY_PACKED integers (ULEB128 "
+    "block geometry, zigzag first value + min-deltas, per-miniblock "
+    "bit widths, LSB-first packed deltas, width-byte-without-body "
+    "trailing miniblocks), DELTA_LENGTH_BYTE_ARRAY strings "
+    "(delta-packed lengths + concatenated bytes) and DELTA_BYTE_ARRAY "
+    "front-coded strings (byte-prefix sharing against the previous "
+    "value), under zstd page compression — Thrift page walk -> RFC "
+    "8878 zstd frame decode -> delta unpack, three from-spec layers "
+    "composed and certified value by value (count/min-max-sum of "
+    "values or byte lengths + md5 of the full column in file order) "
+    "against the documents view. The staged fixture is written by the "
+    "REAL pyarrow v2 writer, so this is the cross-implementation read "
+    "of the layout modern writers default toward. Scale: one task per "
+    "file via binaryFile, O(page) memory, no shuffle.",
 )
 def scan_parquet_v2_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_parquet_v2_delta(sf_dir)
@@ -1378,19 +1415,26 @@ def scan_parquet_v2_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
                 if codecs != {"ZSTD"}:
                     raise ValueError(f"fixture not zstd-paged: {codecs}")
-                for col in ("doc_id", "n_chars"):
+                for col in ("doc_id", "n_chars", "text", "source"):
                     vals = parquet_column_read(content, names.index(col))
                     present = [v for v in vals if v is not None]
+                    if col in ("text", "source"):
+                        stats = [len(v.encode()) for v in present]
+                        joined = ",".join(
+                            hashlib.md5(v.encode()).hexdigest()
+                            for v in present
+                        )
+                    else:
+                        stats = present
+                        joined = ",".join(str(v) for v in present)
                     rows["col_name"].append(col)
                     rows["n_values"].append(len(vals))
                     rows["n_nulls"].append(len(vals) - len(present))
-                    rows["min_v"].append(min(present))
-                    rows["max_v"].append(max(present))
-                    rows["sum_v"].append(sum(present))
+                    rows["min_v"].append(min(stats))
+                    rows["max_v"].append(max(stats))
+                    rows["sum_v"].append(sum(stats))
                     rows["values_md5"].append(
-                        hashlib.md5(
-                            ",".join(str(v) for v in present).encode()
-                        ).hexdigest()
+                        hashlib.md5(joined.encode()).hexdigest()
                     )
             yield pd.DataFrame(
                 {
@@ -1409,3 +1453,47 @@ def scan_parquet_v2_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="col_name string, n_values long, n_nulls long, min_v long, "
         "max_v long, sum_v long, values_md5 string",
     )
+
+
+def _delta_length_raw(data: bytes, n: int, pos: int) -> tuple[list[bytes], int]:
+    lengths, pos = delta_binary_packed_decode(data, pos)
+    if len(lengths) != n:
+        raise ValueError("length count disagrees with value count")
+    out = []
+    for ln in lengths:
+        if ln < 0 or pos + ln > len(data):
+            raise ValueError("byte-array value past end of page")
+        out.append(data[pos : pos + ln])
+        pos += ln
+    return out, pos
+
+
+def delta_length_byte_array_decode(
+    data: bytes, n: int, pos: int = 0
+) -> tuple[list[str], int]:
+    """DELTA_LENGTH_BYTE_ARRAY: one DELTA_BINARY_PACKED block of lengths,
+    then the concatenated value bytes."""
+    raw, pos = _delta_length_raw(data, n, pos)
+    return [b.decode("utf-8") for b in raw], pos
+
+
+def delta_byte_array_decode(
+    data: bytes, n: int, pos: int = 0
+) -> tuple[list[str], int]:
+    """DELTA_BYTE_ARRAY (incremental/front-coded strings): one
+    DELTA_BINARY_PACKED block of shared BYTE-prefix lengths, then a
+    DELTA_LENGTH_BYTE_ARRAY section of suffixes; each value is the
+    previous value's byte prefix plus its suffix (prefix arithmetic runs
+    on raw bytes — UTF-8 decode happens only at the end)."""
+    prefixes, pos = delta_binary_packed_decode(data, pos)
+    if len(prefixes) != n:
+        raise ValueError("prefix count disagrees with value count")
+    suffixes, pos = _delta_length_raw(data, n, pos)
+    out: list[str] = []
+    prev = b""
+    for pl, suf in zip(prefixes, suffixes):
+        if pl > len(prev):
+            raise ValueError("prefix length exceeds previous value")
+        prev = prev[:pl] + suf
+        out.append(prev.decode("utf-8"))
+    return out, pos

@@ -518,3 +518,32 @@ def test_delta_binary_packed_matches_pyarrow_all_shapes(tmp_path):
     for k, want in cols.items():
         got = parquet_column_read(content, names.index(k))
         assert got == want, k
+
+
+def test_delta_byte_array_matches_pyarrow(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flock_spark.operators.formats import (
+        parquet_column_read,
+        parquet_footer_parse,
+    )
+
+    rng = random.Random(8)
+    # heavy shared prefixes (the front-coding win) + multibyte chars so the
+    # BYTE-level prefix arithmetic is exercised, + empty strings
+    vals = sorted(
+        f"prefix/common/päth_{rng.randint(0, 99)}/leaf{i}" for i in range(500)
+    ) + ["", "z"]
+    t = pa.table({"s": pa.array(vals, pa.utf8()),
+                  "t": pa.array(vals[::-1], pa.utf8())})
+    p = tmp_path / "dba.parquet"
+    pq.write_table(t, p, version="2.6", data_page_version="2.0",
+                   use_dictionary=False,
+                   column_encoding={"s": "DELTA_BYTE_ARRAY",
+                                    "t": "DELTA_LENGTH_BYTE_ARRAY"},
+                   compression="zstd", data_page_size=1024)
+    content = p.read_bytes()
+    names = [n for n, _ in parquet_footer_parse(content)["schema"]]
+    assert parquet_column_read(content, names.index("s")) == vals
+    assert parquet_column_read(content, names.index("t")) == vals[::-1]
