@@ -447,3 +447,245 @@ def scan_arrow_ipc_stream_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="col_name string, n_values long, n_nulls long, "
         "sum_v long, values_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC FILE format (random access): ARROW1 magic head/tail, the stream
+# content in the middle, and a Footer flatbuffer indexing every dictionary
+# and record-batch block for seek-based reads.
+# ---------------------------------------------------------------------------
+
+_ARROW_MAGIC = b"ARROW1"
+
+
+def _read_envelope(data: bytes, pos: int) -> tuple[FBTable, bytes]:
+    """Parse one encapsulated message at ``pos``: continuation marker,
+    metadata size, flatbuffer Message, body. Returns (message, body)."""
+    if struct.unpack_from("<I", data, pos)[0] != 0xFFFFFFFF:
+        raise ValueError(f"missing continuation marker at {pos}")
+    msize = struct.unpack_from("<i", data, pos + 4)[0]
+    meta = data[pos + 8 : pos + 8 + msize]
+    if len(meta) < msize:
+        raise ValueError("truncated message metadata")
+    msg = fb_root(meta)
+    body_len = msg.scalar(3, "q", 0)
+    body = data[pos + 8 + msize : pos + 8 + msize + body_len]
+    if len(body) < body_len:
+        raise ValueError("truncated message body")
+    return msg, body
+
+
+def arrow_ipc_file_read(
+    data: bytes,
+) -> tuple[list[dict], dict[str, list], list[tuple[int, int, int]]]:
+    """Walk an Arrow IPC FILE through its FOOTER (never sequentially):
+    verify both magics, read the footer flatbuffer (schema + Block index),
+    resolve dictionary blocks, then decode every record-batch block by
+    seeking to its indexed offset. Returns (fields, columns, record-batch
+    blocks as (offset, meta_len, body_len))."""
+    if data[:6] != _ARROW_MAGIC or data[-6:] != _ARROW_MAGIC:
+        raise ValueError("missing ARROW1 magic")
+    flen = struct.unpack_from("<i", data, len(data) - 10)[0]
+    fstart = len(data) - 10 - flen
+    if fstart < 8:
+        raise ValueError("footer length exceeds file")
+    footer = fb_root(data[fstart : fstart + flen])
+    schema_tbl = footer.table(1)
+    if schema_tbl is None:
+        raise ValueError("footer carries no schema")
+    fields = [_parse_field(f) for f in schema_tbl.vector_tables(1)]
+
+    def blocks(fid: int) -> list[tuple[int, int, int]]:
+        out = []
+        for p in footer.vector_structs(fid, 24):
+            off, mlen, blen = struct.unpack_from("<qiq", footer.buf, p)
+            out.append((off, mlen, blen))
+        return out
+
+    dictionaries: dict[int, list] = {}
+    for off, _mlen, _blen in blocks(2):
+        msg, body = _read_envelope(data, off)
+        if msg.scalar(1, "B", 0) != _HDR_DICT:
+            raise ValueError("dictionary block points at a non-dictionary")
+        dic = msg.table(2)
+        did = dic.scalar(0, "q", 0)
+        src = next(f for f in fields if f["dict_id"] == did)
+        dictionaries[did] = _decode_record_batch(
+            dic.table(1), body, [src["type"]]
+        )[0]
+    columns: dict[str, list] = {f["name"]: [] for f in fields}
+    rb_blocks = blocks(3)
+    if not rb_blocks:
+        raise ValueError("footer indexes no record batches")
+    for off, _mlen, _blen in rb_blocks:
+        msg, body = _read_envelope(data, off)
+        if msg.scalar(1, "B", 0) != _HDR_BATCH:
+            raise ValueError("record-batch block points elsewhere")
+        types = [
+            f["index_type"] if f["dict_id"] is not None else f["type"]
+            for f in fields
+        ]
+        cols = _decode_record_batch(msg.table(2), body, types)
+        for f, vals in zip(fields, cols):
+            if f["dict_id"] is not None:
+                d = dictionaries[f["dict_id"]]
+                vals = [None if i is None else d[i] for i in vals]
+            columns[f["name"]].extend(vals)
+    return fields, columns, rb_blocks
+
+
+def _stage_arrow_file(sf_dir: str) -> str:
+    """Write (once per sf_dir) the same table shape as the stream fixture
+    as a random-access .arrow FILE (Feather V2 container)."""
+
+    def write_fixture(tmp: str) -> None:
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.ipc as ipc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "n_chars", "text", "source"],
+        ).sort_by("doc_id")
+        mask = pa.array(t["doc_id"].to_numpy() % 7 == 0)
+        gap = pc.if_else(mask, pa.nulls(t.num_rows, pa.int64()), t["n_chars"])
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_gap": gap,
+                "text": t["text"],
+                "source": t["source"].combine_chunks().dictionary_encode(),
+            }
+        )
+        with ipc.new_file(
+            os.path.join(tmp, "documents.arrow"), out.schema
+        ) as w:
+            for batch in out.to_batches(max_chunksize=max(64, t.num_rows // 6)):
+                w.write_batch(batch)
+
+    return stage_once(f"arrow_file_{sf_dir}", "v1-dict-gap7-b6", write_fixture)
+
+
+@register(
+    "scan_arrow_ipc_file_walk",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    k AS (SELECT greatest(64, n // 6) AS k, n FROM n),
+    tail AS (
+      SELECT d.doc_id
+      FROM documents d, k
+      WHERE (SELECT count(*) FROM documents d2 WHERE d2.doc_id < d.doc_id)
+            >= k.k * CAST(ceil(CAST(k.n AS DOUBLE) / k.k) - 1 AS BIGINT))
+    SELECT 'doc_id' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(sum(doc_id) AS BIGINT) AS sum_v,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS values_md5
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars_gap', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END)
+                AS BIGINT),
+           md5(string_agg(
+             CASE WHEN doc_id % 7 = 0 THEN 'null'
+                  ELSE CAST(n_chars AS VARCHAR) END, ',' ORDER BY doc_id))
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(sum(octet_length(encode(source))) AS BIGINT),
+           md5(string_agg(md5(source), ',' ORDER BY doc_id))
+    FROM documents
+    UNION ALL
+    SELECT 'doc_id_last_block', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(sum(doc_id) AS BIGINT),
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+    FROM tail
+    """,
+    tags=("scan", "formats", "wire", "pandas_udf", "staged"),
+    doc="Arrow IPC FILE (random-access / Feather V2) walk — the sibling of "
+    "scan_arrow_ipc_stream_walk for at-rest Arrow data: both ARROW1 "
+    "magics verified, the Footer flatbuffer parsed from the tail "
+    "(version, schema, Block index structs of offset/metaLength/"
+    "bodyLength), dictionary blocks resolved by SEEK, then every "
+    "record-batch block decoded at its indexed offset — never a "
+    "sequential scan. The 'doc_id_last_block' row re-decodes ONLY the "
+    "footer's final block, and the oracle independently predicts which "
+    "rows that block holds from the writer's chunking arithmetic "
+    "(greatest(64, n//6) rows per batch) — a wrong Block index, a "
+    "wrong offset, or accidental sequential reading all mismatch. "
+    "Scale: the footer-first read is exactly how a 100 TB lakehouse "
+    "scans Arrow files — O(footer) metadata then only the blocks a "
+    "predicate needs; one task per file, no shuffle.",
+)
+def scan_arrow_ipc_file_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_arrow_file(sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/documents.arrow")
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "col_name": [], "n_values": [], "n_nulls": [],
+                "sum_v": [], "values_md5": [],
+            }
+
+            def emit(name: str, vals: list, stringish: bool) -> None:
+                nulls = sum(1 for v in vals if v is None)
+                if stringish:
+                    sv = sum(len(v.encode()) for v in vals if v is not None)
+                    joined = ",".join(
+                        "null" if v is None
+                        else hashlib.md5(v.encode()).hexdigest()
+                        for v in vals
+                    )
+                else:
+                    sv = sum(v for v in vals if v is not None)
+                    joined = ",".join(
+                        "null" if v is None else str(v) for v in vals
+                    )
+                rows["col_name"].append(name)
+                rows["n_values"].append(len(vals))
+                rows["n_nulls"].append(nulls)
+                rows["sum_v"].append(sv)
+                rows["values_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest()
+                )
+
+            for content in pdf["content"]:
+                data = bytes(content)
+                fields, cols, rb_blocks = arrow_ipc_file_read(data)
+                emit("doc_id", cols["doc_id"], False)
+                emit("n_chars_gap", cols["n_chars_gap"], False)
+                emit("source", cols["source"], True)
+                # random access: decode ONLY the footer's last block
+                off, _m, _b = rb_blocks[-1]
+                msg, body = _read_envelope(data, off)
+                types = [
+                    f["index_type"] if f["dict_id"] is not None else f["type"]
+                    for f in fields
+                ]
+                last = _decode_record_batch(msg.table(2), body, types)
+                emit("doc_id_last_block", last[0], False)
+            yield pd.DataFrame(
+                {
+                    "col_name": pd.Series(rows["col_name"], dtype="object"),
+                    "n_values": pd.Series(rows["n_values"], dtype="int64"),
+                    "n_nulls": pd.Series(rows["n_nulls"], dtype="int64"),
+                    "sum_v": pd.Series(rows["sum_v"], dtype="int64"),
+                    "values_md5": pd.Series(rows["values_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="col_name string, n_values long, n_nulls long, "
+        "sum_v long, values_md5 string",
+    )

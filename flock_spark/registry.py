@@ -70,7 +70,9 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_zstd_frame_roundtrip",
     "mm_zstd_encode_roundtrip",
     "scan_arrow_ipc_stream_walk",
+    "scan_arrow_ipc_file_walk",
     "arena_window_completeness_audit",
+    "streaming_tumbling_agg",  # heavy
     "crawl_url_resolve_rfc3986",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
@@ -80,7 +82,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "sort_global_range",
     "sort_multi_col",
     "string_funcs",
-    "streaming_tumbling_agg",  # heavy
     "subquery_in",
     "window_first_last",
     "window_frame_moving_avg",
@@ -88,6 +89,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_percentiles",
     "window_range_frame_sum",
     "window_rank_dense",
+    "crawl_chain_end_to_end",  # heavy
     "ann_ivf_topk",
     "ann_topk_bruteforce",
     "asof_join_window",
@@ -103,9 +105,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "kmeans_two_iterations",
     "mm_audio_window_energy",
     "mm_meta_extract",
-    "nexmark_native_q4",
-    "nexmark_native_q6",
-    "crawl_chain_end_to_end",  # heavy
+    "streaming_arrow_ipc_ingest",  # heavy
 )
 
 # Machine-readable certification history: registry name -> MOST RECENT round

@@ -1063,3 +1063,9 @@ def test_parquet_v2_delta_single_binary_scan(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_parquet_v2_delta_decode")
     assert "hashpartitioning" not in p and "MapInPandas" in p
     assert "binaryFile" in p or "Scan binaryFile" in p
+
+
+def test_arrow_file_and_streaming_twin_plan_shapes(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "scan_arrow_ipc_file_walk")
+    assert "hashpartitioning" not in p and "MapInPandas" in p
+    assert "binaryFile" in p or "Scan binaryFile" in p

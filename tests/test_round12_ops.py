@@ -547,3 +547,47 @@ def test_delta_byte_array_matches_pyarrow(tmp_path):
     names = [n for n, _ in parquet_footer_parse(content)["schema"]]
     assert parquet_column_read(content, names.index("s")) == vals
     assert parquet_column_read(content, names.index("t")) == vals[::-1]
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC FILE format (footer random access)
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_ipc_file_footer_random_access(tmp_path):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from flock_spark.operators.arrow_ipc import arrow_ipc_file_read
+
+    t = pa.table(
+        {
+            "x": pa.array(range(100), pa.int64()),
+            "d": pa.array([f"v{i % 3}" for i in range(100)]).dictionary_encode(),
+        }
+    )
+    p = tmp_path / "f.arrow"
+    with ipc.new_file(p, t.schema) as w:
+        for b in t.to_batches(max_chunksize=30):
+            w.write_batch(b)
+    data = p.read_bytes()
+    fields, cols, blocks = arrow_ipc_file_read(data)
+    assert cols["x"] == list(range(100))
+    assert cols["d"] == [f"v{i % 3}" for i in range(100)]
+    assert len(blocks) == 4  # 30+30+30+10
+    # corrupting either magic must raise, never mis-walk
+    with pytest.raises(ValueError, match="magic"):
+        arrow_ipc_file_read(b"XXXXXX" + data[6:])
+    with pytest.raises(ValueError, match="magic"):
+        arrow_ipc_file_read(data[:-6] + b"XXXXXX")
+
+
+def test_arrow_ipc_file_entry_last_block_is_real_tail(spark, sf_dir):
+    rows = {r["col_name"]: r
+            for r in REGISTRY["scan_arrow_ipc_file_walk"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"doc_id", "n_chars_gap", "source", "doc_id_last_block"}
+    # the last block holds strictly fewer rows than the file and a
+    # strictly larger mean doc_id (the file is doc_id-sorted)
+    full, tail = rows["doc_id"], rows["doc_id_last_block"]
+    assert 0 < tail["n_values"] < full["n_values"]
+    assert tail["sum_v"] * full["n_values"] > full["sum_v"] * tail["n_values"]
