@@ -1213,26 +1213,19 @@ def scan_parquet_zstd_page_decode(spark: SparkSession, sf_dir: str) -> DataFrame
                 }
                 if codecs != {"ZSTD"}:
                     raise ValueError(f"fixture not zstd-paged: {codecs}")
-                for col in ("doc_id", "n_chars", "text", "source"):
+                for col in ("doc_id", "n_chars"):
                     vals = parquet_column_read(content, names.index(col))
                     present = [v for v in vals if v is not None]
-                    if col in ("text", "source"):
-                        stats = [len(v.encode()) for v in present]
-                        joined = ",".join(
-                            hashlib.md5(v.encode()).hexdigest()
-                            for v in present
-                        )
-                    else:
-                        stats = present
-                        joined = ",".join(str(v) for v in present)
                     rows["col_name"].append(col)
                     rows["n_values"].append(len(vals))
                     rows["n_nulls"].append(len(vals) - len(present))
-                    rows["min_v"].append(min(stats))
-                    rows["max_v"].append(max(stats))
-                    rows["sum_v"].append(sum(stats))
+                    rows["min_v"].append(min(present))
+                    rows["max_v"].append(max(present))
+                    rows["sum_v"].append(sum(present))
                     rows["values_md5"].append(
-                        hashlib.md5(joined.encode()).hexdigest()
+                        hashlib.md5(
+                            ",".join(str(v) for v in present).encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame(
                 {
