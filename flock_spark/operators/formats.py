@@ -1490,3 +1490,223 @@ def delta_byte_array_decode(
         prev = prev[:pl] + suf
         out.append(prev.decode("utf-8"))
     return out, pos
+
+
+# ---------------------------------------------------------------------------
+# PageIndex-driven page pruning: ColumnIndex + OffsetIndex walk
+# ---------------------------------------------------------------------------
+
+
+def parquet_page_index_read(
+    content: bytes, leaf: int
+) -> list[dict]:
+    """Parse the PageIndex structures for one leaf column across all row
+    groups: per row group the ColumnIndex (null_pages, per-page min/max
+    binaries, boundary_order, null_counts) and OffsetIndex (PageLocation
+    offset / compressed size / first_row_index). Raw Thrift walk — the
+    footer helper strips these chunk-level fields."""
+    flen = int.from_bytes(content[-8:-4], "little")
+    meta, _ = thrift_read_struct(content[len(content) - 8 - flen : -8], 0)
+    out = []
+    for rg in meta.get(4) or []:
+        cc = rg[1][leaf]
+        ci_off, ci_len = cc.get(6), cc.get(7)
+        oi_off, oi_len = cc.get(4), cc.get(5)
+        if ci_off is None or oi_off is None:
+            raise ValueError("column chunk carries no page index")
+        ci, _ = thrift_read_struct(content[ci_off : ci_off + ci_len], 0)
+        oi, _ = thrift_read_struct(content[oi_off : oi_off + oi_len], 0)
+        pages = []
+        for i, loc in enumerate(oi[1]):
+            pages.append(
+                {
+                    "offset": loc[1],
+                    "size": loc[2],
+                    "first_row": loc[3],
+                    "null_page": ci[1][i],
+                    "min": ci[2][i],
+                    "max": ci[3][i],
+                    "null_count": (ci.get(5) or [None] * len(oi[1]))[i],
+                }
+            )
+        out.append(
+            {
+                "pages": pages,
+                "boundary_order": ci.get(4),
+                "chunk_meta": cc[3],
+            }
+        )
+    return out
+
+
+def _decode_v1_plain_page(
+    content: bytes, offset: int, codec: int, phys: str, optional: bool
+) -> list:
+    """Decode ONE v1 data page at a PageLocation offset: Thrift PageHeader,
+    codec decompression, 4-byte-prefixed definition levels, PLAIN values."""
+    ph, body = thrift_read_struct(content, offset)
+    if ph[1] != 0:
+        raise ValueError(f"expected DATA_PAGE v1 at {offset}, got {ph[1]}")
+    raw = _page_decompress(codec, content[body : body + ph[3]])
+    if len(raw) != ph[2]:
+        raise ValueError("page uncompressed size mismatch")
+    dph = ph.get(5) or {}
+    n_vals = dph.get(1)
+    if dph.get(2) != 0:
+        raise ValueError("page-prune fixture must be PLAIN-encoded")
+    p = 0
+    if optional:
+        dl_len = int.from_bytes(raw[:4], "little")
+        p = 4
+        dls, _ = rle_bp_decode(raw, p, 1, n_vals)
+        p += dl_len
+    else:
+        dls = [1] * n_vals
+    present = _plain_decode(raw[p:], phys, sum(dls))
+    it = iter(present)
+    return [next(it) if d else None for d in dls]
+
+
+def page_index_prune_read(
+    content: bytes, leaf: int, phys: str, optional: bool
+) -> dict:
+    """The 100 TB read pattern, executed from the raw bytes: derive the
+    predicate cutoff (3/4 of the index-global max), keep only pages whose
+    index max can satisfy it, decode ONLY those pages, and verify each
+    decoded page's actual min/max against its index claim. Returns
+    selection stats + pruning counters."""
+    groups = parquet_page_index_read(content, leaf)
+    decode_int = lambda b: int.from_bytes(b, "little", signed=True)  # noqa: E731
+    all_pages = [p for g in groups for p in g["pages"] if not p["null_page"]]
+    if not all_pages:
+        raise ValueError("no non-null pages in the index")
+    index_min = min(decode_int(p["min"]) for p in all_pages)
+    index_max = max(decode_int(p["max"]) for p in all_pages)
+    cutoff = index_max * 3 // 4
+    n_sel = 0
+    s_sel = 0
+    scanned = 0
+    for g in groups:
+        codec = g["chunk_meta"].get(4)
+        for p in g["pages"]:
+            if p["null_page"]:
+                continue
+            pmin, pmax = decode_int(p["min"]), decode_int(p["max"])
+            if pmax < cutoff:
+                continue  # pruned: the index proves no row qualifies
+            scanned += 1
+            vals = [
+                v
+                for v in _decode_v1_plain_page(
+                    content, p["offset"], codec, phys, optional
+                )
+                if v is not None
+            ]
+            if min(vals) != pmin or max(vals) != pmax:
+                raise ValueError(
+                    f"page at {p['offset']} disagrees with its index: "
+                    f"claimed [{pmin},{pmax}], decoded "
+                    f"[{min(vals)},{max(vals)}]"
+                )
+            qual = [v for v in vals if v >= cutoff]
+            n_sel += len(qual)
+            s_sel += sum(qual)
+    return {
+        "n_selected": n_sel,
+        "sum_selected": s_sel,
+        "index_min": index_min,
+        "index_max": index_max,
+        "n_pages_total": len(all_pages),
+        "n_pages_scanned": scanned,
+    }
+
+
+def _stage_parquet_page_index(sf_dir: str) -> str:
+    """Stage (once per sf_dir) a page-index fixture: doc_id/n_chars sorted,
+    PLAIN small pages, zstd, two row groups, write_page_index=True."""
+    from flock_spark.staging import stage_once
+
+    def write_fixture(tmp: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).sort_by("doc_id")
+        pq.write_table(
+            t,
+            os.path.join(tmp, "documents_pageindex.parquet"),
+            compression="zstd",
+            use_dictionary=False,
+            data_page_size=256,
+            data_page_version="1.0",
+            row_group_size=max(128, t.num_rows // 2),
+            write_page_index=True,
+            write_batch_size=32,
+        )
+
+    return stage_once(
+        f"parquet_pageindex_{sf_dir}", "v2-plain-zstd-pi-b32", write_fixture
+    )
+
+
+@register(
+    "scan_parquet_page_index_prune",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) AS cutoff FROM documents)
+    SELECT CAST(sum(CASE WHEN doc_id >= c.cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN doc_id >= c.cutoff THEN doc_id ELSE 0 END)
+                AS BIGINT) AS sum_selected,
+           CAST(min(doc_id) AS BIGINT) AS index_min,
+           CAST(max(doc_id) AS BIGINT) AS index_max
+    FROM documents, c
+    GROUP BY c.cutoff
+    """,
+    tags=("scan", "formats", "layout", "pandas_udf", "staged"),
+    doc="PageIndex-driven page pruning from the raw bytes — the structure "
+    "a 100 TB reader actually skips with: the staged fixture carries "
+    "parquet's ColumnIndex (per-page min/max/null stats, boundary "
+    "order) and OffsetIndex (page locations, first row indexes), both "
+    "parsed by the from-spec Thrift walk; the entry derives a "
+    "predicate cutoff (3/4 of the index-global max), DECODES ONLY the "
+    "pages whose index max can satisfy it (each decoded page's real "
+    "min/max is checked against its index claim — a lying index "
+    "raises), and returns the qualifying count/sum, which the oracle "
+    "recomputes over ALL rows: if pruning ever skipped a page that "
+    "held a qualifying row, the counts mismatch. Tests additionally "
+    "pin that most pages really are skipped. Scale: this is predicate "
+    "pushdown below the row-group level — the same I/O-elision "
+    "Spark's own vectorized reader performs, proven here byte-by-byte.",
+)
+def scan_parquet_page_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_parquet_page_index(sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/documents_pageindex.parquet")
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "n_selected": [], "sum_selected": [],
+                "index_min": [], "index_max": [],
+            }
+            for content in pdf["content"]:
+                st = page_index_prune_read(bytes(content), 0, "INT64", True)
+                rows["n_selected"].append(st["n_selected"])
+                rows["sum_selected"].append(st["sum_selected"])
+                rows["index_min"].append(st["index_min"])
+                rows["index_max"].append(st["index_max"])
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="n_selected long, sum_selected long, "
+        "index_min long, index_max long",
+    )

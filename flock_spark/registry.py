@@ -67,12 +67,13 @@ DRIVER_SLATE: tuple[str, ...] = (
     "zorder_layout_scan",
     "scan_parquet_zstd_page_decode",
     "scan_parquet_v2_delta_decode",
+    "scan_parquet_page_index_prune",
     "mm_zstd_frame_roundtrip",
     "mm_zstd_encode_roundtrip",
     "scan_arrow_ipc_stream_walk",
     "scan_arrow_ipc_file_walk",
-    "arena_window_completeness_audit",
     "streaming_tumbling_agg",  # heavy
+    "arena_window_completeness_audit",
     "crawl_url_resolve_rfc3986",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
@@ -88,8 +89,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_lag_lead",
     "window_percentiles",
     "window_range_frame_sum",
-    "window_rank_dense",
     "crawl_chain_end_to_end",  # heavy
+    "window_rank_dense",
     "ann_ivf_topk",
     "ann_topk_bruteforce",
     "asof_join_window",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "json_wire_corrupt_tolerant",
     "kmeans_two_iterations",
     "mm_audio_window_energy",
-    "mm_meta_extract",
     "streaming_arrow_ipc_ingest",  # heavy
 )
 

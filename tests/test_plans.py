@@ -1069,3 +1069,9 @@ def test_arrow_file_and_streaming_twin_plan_shapes(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_arrow_ipc_file_walk")
     assert "hashpartitioning" not in p and "MapInPandas" in p
     assert "binaryFile" in p or "Scan binaryFile" in p
+
+
+def test_page_index_prune_plan_shape(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "scan_parquet_page_index_prune")
+    assert "hashpartitioning" not in p and "MapInPandas" in p
+    assert "binaryFile" in p or "Scan binaryFile" in p

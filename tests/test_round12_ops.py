@@ -591,3 +591,41 @@ def test_arrow_ipc_file_entry_last_block_is_real_tail(spark, sf_dir):
     full, tail = rows["doc_id"], rows["doc_id_last_block"]
     assert 0 < tail["n_values"] < full["n_values"]
     assert tail["sum_v"] * full["n_values"] > full["sum_v"] * tail["n_values"]
+
+
+# ---------------------------------------------------------------------------
+# PageIndex pruning
+# ---------------------------------------------------------------------------
+
+
+def test_page_index_prune_skips_most_pages(spark, sf_dir):
+    from flock_spark.operators.formats import (
+        _stage_parquet_page_index,
+        page_index_prune_read,
+    )
+
+    path = _stage_parquet_page_index(sf_dir)
+    content = open(f"{path}/documents_pageindex.parquet", "rb").read()
+    st = page_index_prune_read(content, 0, "INT64", True)
+    # non-vacuity: pruning must actually elide I/O — the cutoff keeps the
+    # top quarter of a sorted column, so at most ~30% of pages are touched
+    assert st["n_pages_total"] >= 8
+    assert st["n_pages_scanned"] < st["n_pages_total"] * 0.4, st
+    assert st["n_selected"] > 0
+    # a corrupted index (page max understated) must make pruning raise or
+    # the oracle mismatch — simulate by checking a lying min/max raises
+    import re
+
+    bad = bytearray(content)
+    # flip a byte inside the first ColumnIndex min binary is fiddly to
+    # target generically; instead verify the decoded-vs-index guard by
+    # corrupting a page BODY (the index then disagrees with the data)
+    from flock_spark.operators.formats import parquet_page_index_read
+
+    groups = parquet_page_index_read(content, 0)
+    # pick a page that will be scanned (last page of last group)
+    p = groups[-1]["pages"][-1]
+    off = p["offset"] + p["size"] - 1
+    bad[off] ^= 0xFF
+    with pytest.raises(ValueError):
+        page_index_prune_read(bytes(bad), 0, "INT64", True)
