@@ -16,3 +16,4 @@ import flock_spark.operators.geo  # noqa: F401
 import flock_spark.operators.formats  # noqa: F401
 import flock_spark.operators.zstd_codec  # noqa: F401
 import flock_spark.operators.arrow_ipc  # noqa: F401
+import flock_spark.operators.orc_format  # noqa: F401

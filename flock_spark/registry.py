@@ -73,6 +73,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_arrow_ipc_stream_walk",
     "scan_arrow_ipc_file_walk",
     "streaming_tumbling_agg",  # heavy
+    "scan_orc_stripe_decode",
     "arena_window_completeness_audit",
     "crawl_url_resolve_rfc3986",
     "mm_jpeg_baseline_decode",
@@ -88,8 +89,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_frame_moving_avg",
     "window_lag_lead",
     "window_percentiles",
-    "window_range_frame_sum",
     "crawl_chain_end_to_end",  # heavy
+    "window_range_frame_sum",
     "window_rank_dense",
     "ann_ivf_topk",
     "ann_topk_bruteforce",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "graph_pagerank_two_iter",
     "json_wire_corrupt_tolerant",
     "kmeans_two_iterations",
-    "mm_audio_window_energy",
     "streaming_arrow_ipc_ingest",  # heavy
 )
 

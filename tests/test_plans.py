@@ -1075,3 +1075,9 @@ def test_page_index_prune_plan_shape(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_parquet_page_index_prune")
     assert "hashpartitioning" not in p and "MapInPandas" in p
     assert "binaryFile" in p or "Scan binaryFile" in p
+
+
+def test_orc_stripe_decode_plan_shape(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "scan_orc_stripe_decode")
+    assert "hashpartitioning" not in p and "MapInPandas" in p
+    assert "binaryFile" in p or "Scan binaryFile" in p

@@ -629,3 +629,74 @@ def test_page_index_prune_skips_most_pages(spark, sf_dir):
     bad[off] ^= 0xFF
     with pytest.raises(ValueError):
         page_index_prune_read(bytes(bad), 0, "INT64", True)
+
+
+# ---------------------------------------------------------------------------
+# ORC stripe reader
+# ---------------------------------------------------------------------------
+
+
+def test_orc_reader_matches_spark_writer_all_paths(spark, tmp_path):
+    """Spark's own ORC writer is the reference encoder: a synthetic table
+    shaped to force every decode path — RLEv2 short-repeat (constant),
+    delta (monotone), direct (random), patched-base (outliers), PRESENT
+    bitmaps (nulls), DIRECT_V2 and DICTIONARY_V2 strings."""
+    import glob
+    import random as _r
+
+    from flock_spark.operators import orc_format as O
+
+    rng = _r.Random(17)
+    n = 2000
+    rows = [
+        (
+            i,                                   # delta
+            7,                                   # short repeat
+            rng.randint(-(2**35), 2**35),        # direct (wide)
+            (i % 50) if i % 97 else 2**45,       # patched base (outliers)
+            None if i % 7 == 0 else i * 3,       # PRESENT stream
+            f"free-text-{rng.randint(0, 10**9)}",  # DIRECT_V2
+            f"cat{i % 5}",                       # DICTIONARY_V2
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "mono long, const long, wide long, outl long, gaps long, "
+        "freeform string, cat string",
+    ).coalesce(1)
+    out = tmp_path / "orc_out"
+    df.write.format("orc").save(str(out))
+    content = open(glob.glob(str(out / "*.orc"))[0], "rb").read()
+    O.STATS.clear()
+    names, cols = O.orc_read_columns(content)
+    want = list(zip(*rows))
+    for name, col in zip(
+        ("mono", "const", "wide", "outl", "gaps", "freeform", "cat"), want
+    ):
+        assert cols[name] == list(col), name
+    # every decode path must have fired
+    for key in ("rlev2_delta", "rlev2_short_repeat", "rlev2_direct",
+                "rlev2_patched_base", "present_stream", "string_direct",
+                "string_dictionary", "chunk_zstd"):
+        assert O.STATS.get(key), f"path never exercised: {key}"
+
+
+def test_orc_framing_violations_raise():
+    from flock_spark.operators import orc_format as O
+
+    with pytest.raises(ValueError, match="magic"):
+        O.orc_read_columns(b"NOTORC" + b"\x00" * 40 + b"\x05")
+    with pytest.raises(ValueError):
+        O.pb_decode(b"\x80\x80\x80\x80\x80\x80\x80\x80\x80\x80\x80")
+    # protobuf field 0 is reserved
+    with pytest.raises(ValueError, match="reserved"):
+        O.pb_decode(b"\x00\x01")
+
+
+def test_orc_entry_fixture_gaps_and_dictionary(spark, sf_dir):
+    rows = {r["col_name"]: r
+            for r in REGISTRY["scan_orc_stripe_decode"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"doc_id", "n_chars_gap", "text", "source"}
+    assert rows["n_chars_gap"]["n_nulls"] > 0
+    assert rows["doc_id"]["n_nulls"] == 0
