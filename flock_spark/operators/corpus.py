@@ -1513,3 +1513,101 @@ def _quota_sql(idiv: str) -> str:
 def corpus_quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_quota_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffling: the training-loader order audit
+# ---------------------------------------------------------------------------
+
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+def _epoch_shuffle_sql(str_type: str, order_digest: str) -> str:
+    """Engine-shared audit of hash-keyed epoch shuffling: for three epochs
+    the shuffle key is md5('epoch<e>:' || doc_id); positions come from one
+    rank over (key, doc_id); shards are round-robin over positions.
+    Emits per epoch the permutation validity, the round-robin shard
+    imbalance (must be <= 1 by construction), the total displacement
+    versus epoch 0 (0 for epoch 0 itself; large when epochs decorrelate)
+    and the md5 of the exact shuffled order."""
+    return f"""
+    WITH epochs AS (
+      SELECT 0 AS epoch UNION ALL SELECT 1 UNION ALL SELECT 2),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(concat('epoch', CAST(e.epoch AS {str_type}), ':',
+                        CAST(d.doc_id AS {str_type}))) AS k
+      FROM documents d CROSS JOIN epochs e),
+    ranked AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+               AS pos
+      FROM keyed),
+    sharded AS (
+      SELECT epoch, doc_id, pos,
+             (pos - 1) % {EPOCH_SHUFFLE_SHARDS} AS shard
+      FROM ranked),
+    shard_sizes AS (
+      SELECT epoch, shard, CAST(count(*) AS BIGINT) AS sz
+      FROM sharded GROUP BY epoch, shard),
+    balance AS (
+      SELECT epoch, CAST(max(sz) - min(sz) AS BIGINT) AS shard_imbalance
+      FROM shard_sizes GROUP BY epoch),
+    displacement AS (
+      SELECT a.epoch,
+             CAST(sum(abs(a.pos - b.pos)) AS BIGINT) AS displacement_vs_e0
+      FROM sharded a
+      JOIN (SELECT doc_id, pos FROM sharded WHERE epoch = 0) b
+        ON b.doc_id = a.doc_id
+      GROUP BY a.epoch),
+    perm AS (
+      SELECT epoch,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(CASE WHEN count(DISTINCT pos) = count(*)
+                        AND min(pos) = 1 AND max(pos) = count(*)
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_permutation,
+             md5({order_digest}) AS order_md5
+      FROM sharded GROUP BY epoch)
+    SELECT p.epoch, p.n_docs, p.is_permutation,
+           b.shard_imbalance, d.displacement_vs_e0, p.order_md5
+    FROM perm p
+    JOIN balance b ON b.epoch = p.epoch
+    JOIN displacement d ON d.epoch = p.epoch
+    """
+
+
+_EPOCH_SHUFFLE_SPARK = _epoch_shuffle_sql(
+    "STRING",
+    "concat_ws('|', array_sort(collect_list(concat("
+    "lpad(CAST(pos AS STRING), 9, '0'), ':', CAST(doc_id AS STRING)))))",
+)
+
+_EPOCH_SHUFFLE_DUCK = _epoch_shuffle_sql(
+    "VARCHAR",
+    "string_agg(concat(lpad(CAST(pos AS VARCHAR), 9, '0'), ':', "
+    "CAST(doc_id AS VARCHAR)), '|' ORDER BY pos)",
+)
+
+
+@register(
+    "corpus_epoch_shuffle_audit",
+    oracle=_EPOCH_SHUFFLE_DUCK,
+    tags=("corpus", "scale-pattern", "audit", "sql"),
+    doc="Deterministic epoch shuffling — the order a training data loader "
+    "must reproduce on any cluster layout: each epoch's permutation is "
+    "keyed by md5('epoch<e>:' || doc_id) (pure projection, identical on "
+    "any partitioning — rand() would not be), positions come from one "
+    "rank per epoch, and shards are round-robin over positions so "
+    "loader workers stay balanced BY CONSTRUCTION. The audit certifies, "
+    "per epoch: the mapping is a true permutation (distinct positions, "
+    "min 1, max n), shard imbalance (pinned <= 1), total displacement "
+    "versus epoch 0 (0 for epoch 0; ~n^2/3 when epochs genuinely "
+    "decorrelate — the test pins > n), and the md5 of the exact "
+    "shuffled order. Scale: one hash projection + one keyed rank per "
+    "epoch (range-partition the rank at 100 TB), one self-join on "
+    "doc_id for displacement — no global collect, no rand(), fully "
+    "reproducible across reruns and cluster shapes.",
+)
+def corpus_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_EPOCH_SHUFFLE_SPARK)

@@ -543,3 +543,127 @@ def scan_orc_stripe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="col_name string, n_values long, n_nulls long, "
         "sum_v long, values_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-format consensus capstone: the same table read from THREE raw
+# binary formats by three independent from-spec readers must agree
+# byte-for-byte on content.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_formats_consensus",
+    oracle="""
+    WITH facts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+             md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS text_md5,
+             md5(string_agg(md5(source), ',' ORDER BY doc_id)) AS source_md5
+      FROM documents)
+    SELECT fmt, n_rows, doc_id_sum, text_md5, source_md5
+    FROM facts, (SELECT unnest(['arrow', 'orc', 'parquet']) AS fmt) f
+    """,
+    tags=("scan", "formats", "audit", "pandas_udf", "staged"),
+    doc="Cross-format consensus — the formats capstone: the SAME documents "
+    "content staged as parquet (DataPageV2 + delta encodings, zstd "
+    "pages), Arrow IPC (stream, dictionary + validity) and ORC (RLEv2 + "
+    "dictionary strings, zstd chunks), each read from RAW BYTES by its "
+    "own from-spec reader (Thrift walk / flatbuffers walk / protobuf "
+    "walk — three independent metadata codecs, three independent value "
+    "decoders, one shared zstd core), and all three must emit identical "
+    "row counts, id sums and per-value digest chains — which the oracle "
+    "derives a fourth way, from the DuckDB view. A defect in ANY reader, "
+    "ANY staging writer, or the shared zstd decoder breaks the "
+    "consensus. Scale: three independent single-file binary scans "
+    "unioned, no shuffle; at 100 TB this is the lakehouse migration "
+    "audit — prove old-format and new-format copies carry identical "
+    "content without trusting either library stack.",
+)
+def scan_formats_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.operators.arrow_ipc import (
+        _stage_arrows,
+        arrow_ipc_stream_read,
+    )
+    from flock_spark.operators.formats import (
+        _stage_parquet_v2_delta,
+        parquet_column_read,
+        parquet_footer_parse,
+    )
+
+    arrow_path = _stage_arrows(sf_dir)
+    orc_path = _stage_orc(spark, sf_dir)
+    pq_path = _stage_parquet_v2_delta(sf_dir)
+
+    def facts(fmt: str, doc_ids: list, texts: list, sources: list) -> tuple:
+        order = sorted(range(len(doc_ids)), key=lambda i: doc_ids[i])
+        t_md5 = hashlib.md5(
+            ",".join(
+                hashlib.md5(texts[i].encode()).hexdigest() for i in order
+            ).encode()
+        ).hexdigest()
+        s_md5 = hashlib.md5(
+            ",".join(
+                hashlib.md5(sources[i].encode()).hexdigest() for i in order
+            ).encode()
+        ).hexdigest()
+        return (fmt, len(doc_ids), sum(doc_ids), t_md5, s_md5)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                p = str(fpath)
+                if p.endswith(".arrows"):
+                    _f, cols = arrow_ipc_stream_read(data)
+                    out.append(facts(
+                        "arrow", cols["doc_id"], cols["text"], cols["source"]
+                    ))
+                elif p.endswith(".orc"):
+                    _n, cols = orc_read_columns(data)
+                    out.append(facts(
+                        "orc", cols["doc_id"], cols["text"], cols["source"]
+                    ))
+                elif p.endswith(".parquet"):
+                    names = [
+                        n for n, _ in parquet_footer_parse(data)["schema"]
+                    ]
+                    out.append(facts(
+                        "parquet",
+                        parquet_column_read(data, names.index("doc_id")),
+                        parquet_column_read(data, names.index("text")),
+                        parquet_column_read(data, names.index("source")),
+                    ))
+                else:
+                    raise ValueError(f"unexpected staged file {p}")
+            yield pd.DataFrame(
+                {
+                    "fmt": pd.Series([o[0] for o in out], dtype="object"),
+                    "n_rows": pd.Series([o[1] for o in out], dtype="int64"),
+                    "doc_id_sum": pd.Series(
+                        [o[2] for o in out], dtype="int64"
+                    ),
+                    "text_md5": pd.Series([o[3] for o in out], dtype="object"),
+                    "source_md5": pd.Series(
+                        [o[4] for o in out], dtype="object"
+                    ),
+                }
+            )
+
+    bf = (
+        spark.read.format("binaryFile")
+        .load(
+            [
+                f"{arrow_path}/documents.arrows",
+                f"{orc_path}/documents.orc",
+                f"{pq_path}/documents_v2delta.parquet",
+            ]
+        )
+        .select("path", "content")
+    )
+    return bf.mapInPandas(
+        run,
+        schema="fmt string, n_rows long, doc_id_sum long, "
+        "text_md5 string, source_md5 string",
+    )

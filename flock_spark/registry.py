@@ -65,15 +65,17 @@ DRIVER_SLATE: tuple[str, ...] = (
     "hll_sketch_portable",
     "dedup_exact",
     "zorder_layout_scan",
+    "corpus_epoch_shuffle_audit",
     "scan_parquet_zstd_page_decode",
     "scan_parquet_v2_delta_decode",
     "scan_parquet_page_index_prune",
     "mm_zstd_frame_roundtrip",
     "mm_zstd_encode_roundtrip",
     "scan_arrow_ipc_stream_walk",
-    "scan_arrow_ipc_file_walk",
     "streaming_tumbling_agg",  # heavy
+    "scan_arrow_ipc_file_walk",
     "scan_orc_stripe_decode",
+    "scan_formats_consensus",
     "arena_window_completeness_audit",
     "crawl_url_resolve_rfc3986",
     "mm_jpeg_baseline_decode",
@@ -87,9 +89,9 @@ DRIVER_SLATE: tuple[str, ...] = (
     "subquery_in",
     "window_first_last",
     "window_frame_moving_avg",
+    "crawl_chain_end_to_end",  # heavy
     "window_lag_lead",
     "window_percentiles",
-    "crawl_chain_end_to_end",  # heavy
     "window_range_frame_sum",
     "window_rank_dense",
     "ann_ivf_topk",
@@ -103,8 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "doc_chunk_fixed_tokens",
     "graph_pagerank_two_iter",
-    "json_wire_corrupt_tolerant",
-    "kmeans_two_iterations",
     "streaming_arrow_ipc_ingest",  # heavy
 )
 

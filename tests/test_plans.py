@@ -1081,3 +1081,13 @@ def test_orc_stripe_decode_plan_shape(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_orc_stripe_decode")
     assert "hashpartitioning" not in p and "MapInPandas" in p
     assert "binaryFile" in p or "Scan binaryFile" in p
+
+
+def test_epoch_shuffle_and_consensus_plan_shapes(spark, sf_dir):
+    # epoch shuffle: pure JVM — hash projection + keyed rank, no Python
+    p = plan_of(spark, sf_dir, "corpus_epoch_shuffle_audit")
+    assert "Python" not in p
+    assert "Window" in p
+    # consensus: three binary file scans, no shuffle before the union
+    p = plan_of(spark, sf_dir, "scan_formats_consensus")
+    assert "MapInPandas" in p and "hashpartitioning" not in p

@@ -700,3 +700,33 @@ def test_orc_entry_fixture_gaps_and_dictionary(spark, sf_dir):
     assert set(rows) == {"doc_id", "n_chars_gap", "text", "source"}
     assert rows["n_chars_gap"]["n_nulls"] > 0
     assert rows["doc_id"]["n_nulls"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle audit + formats consensus
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_properties(spark, sf_dir):
+    rows = {r["epoch"]: r
+            for r in REGISTRY["corpus_epoch_shuffle_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    n = rows[0]["n_docs"]
+    digests = set()
+    for e, r in rows.items():
+        assert r["is_permutation"] == 1, e
+        assert r["shard_imbalance"] <= 1, e
+        digests.add(r["order_md5"])
+        if e == 0:
+            assert r["displacement_vs_e0"] == 0
+        else:
+            # genuinely decorrelated epochs displace far more than n
+            assert r["displacement_vs_e0"] > n, (e, r["displacement_vs_e0"])
+    assert len(digests) == 3  # three different orders
+
+
+def test_formats_consensus_rows_agree(spark, sf_dir):
+    rows = REGISTRY["scan_formats_consensus"].fn(spark, sf_dir).collect()
+    assert {r["fmt"] for r in rows} == {"arrow", "orc", "parquet"}
+    assert len({(r["n_rows"], r["doc_id_sum"], r["text_md5"],
+                 r["source_md5"]) for r in rows}) == 1
