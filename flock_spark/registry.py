@@ -68,20 +68,20 @@ DRIVER_SLATE: tuple[str, ...] = (
     "corpus_epoch_shuffle_audit",
     "scan_parquet_zstd_page_decode",
     "scan_parquet_v2_delta_decode",
+    "streaming_tumbling_agg",  # heavy
     "scan_parquet_page_index_prune",
     "mm_zstd_frame_roundtrip",
     "mm_zstd_encode_roundtrip",
     "scan_arrow_ipc_stream_walk",
-    "streaming_tumbling_agg",  # heavy
     "scan_arrow_ipc_file_walk",
     "scan_orc_stripe_decode",
     "scan_formats_consensus",
     "arena_window_completeness_audit",
-    "crawl_url_resolve_rfc3986",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "set_intersect",
+    "crawl_chain_end_to_end",  # heavy
     "set_union_all",
     "sort_global_range",
     "sort_multi_col",
@@ -89,12 +89,12 @@ DRIVER_SLATE: tuple[str, ...] = (
     "subquery_in",
     "window_first_last",
     "window_frame_moving_avg",
-    "crawl_chain_end_to_end",  # heavy
     "window_lag_lead",
     "window_percentiles",
     "window_range_frame_sum",
     "window_rank_dense",
     "ann_ivf_topk",
+    "streaming_arrow_ipc_ingest",  # heavy
     "ann_topk_bruteforce",
     "asof_join_window",
     "bloom_membership_probe",
@@ -105,7 +105,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "doc_chunk_fixed_tokens",
     "graph_pagerank_two_iter",
-    "streaming_arrow_ipc_ingest",  # heavy
+    "streaming_orc_file_ingest",  # heavy
 )
 
 # Machine-readable certification history: registry name -> MOST RECENT round

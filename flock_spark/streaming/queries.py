@@ -1738,3 +1738,128 @@ def streaming_arrow_ipc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("digest").alias("text_digest_mod_sum"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+def _stage_orc_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the documents table as FOUR ORC shard files
+    via Spark's own writer (shard = doc_id % 4, nullable gap column,
+    dictionary-codeable source) — the bucket an ORC-native ingest tails."""
+    from flock_spark.staging import stage_once
+
+    def write_fixture(tmp: str) -> None:
+        import glob
+        import os
+        import shutil
+
+        base = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr(
+                "doc_id",
+                "CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS BIGINT) "
+                "ELSE n_chars END AS n_chars_gap",
+                "text",
+                "source",
+            )
+        )
+        for s in range(4):
+            out = os.path.join(tmp, f"_out{s}")
+            (base.filter(f"doc_id % 4 = {s}").orderBy("doc_id")
+                 .coalesce(1).write.format("orc").save(out))
+            src = glob.glob(os.path.join(out, "*.orc"))[0]
+            shutil.move(src, os.path.join(tmp, f"shard-{s:03d}.orc"))
+            shutil.rmtree(out)
+
+    return stage_once(f"orc_shards_{sf_dir}", "v1-4shard-gap7", write_fixture)
+
+
+@register(
+    "streaming_orc_file_ingest",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_nulls,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END)
+                AS BIGINT) AS n_chars_sum,
+           CAST(sum((('0x' || substring(md5(text), 1, 15))::BIGINT)
+                    % 2147483647) AS BIGINT) AS text_digest_mod_sum
+    FROM documents
+    """,
+    tags=("streaming", "scan", "formats", "codec", "pandas_udf", "staged"),
+    doc="Streaming ORC ingestion — the third file-true streaming twin "
+    "(after WARC and Arrow IPC): four ORC shard files written by "
+    "Spark's own writer are tailed with readStream.format('binaryFile') "
+    "at 2 files per trigger, each micro-batch decoding the raw bytes "
+    "through the from-spec stripe reader (protobuf metadata walk, "
+    "zstd-framed chunks, RLEv2, PRESENT bitmaps, dictionary strings — "
+    "no ORC library in the decode path), and a 1-row running aggregate "
+    "accumulates row count, id/char sums, observed gap nulls and a "
+    "text digest fold. Drained to completion the stream equals the "
+    "batch oracle exactly. Scale: per-file decode parallelism per "
+    "trigger, O(1) aggregation state — swap the glob for a bucket "
+    "notification source and this tails an ORC lake.",
+)
+def streaming_orc_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flock_spark.operators.orc_format import orc_read_columns
+
+    path = _stage_orc_shards(spark, sf_dir)
+    shards = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .load(f"{path}/*.orc")
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re as _re
+
+        for pdf in batches:
+            rows = {"doc_id": [], "gap_null": [], "n_chars": [], "digest": []}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                m = _re.search(r"shard-(\d+)\.orc$", str(fpath))
+                if not m:
+                    raise ValueError(f"unexpected shard file name: {fpath}")
+                shard = int(m.group(1))
+                _names, cols = orc_read_columns(bytes(content))
+                for did, gap, text in zip(
+                    cols["doc_id"], cols["n_chars_gap"], cols["text"]
+                ):
+                    if did % 4 != shard:
+                        raise ValueError(f"doc {did} in wrong shard {shard}")
+                    rows["doc_id"].append(did)
+                    rows["gap_null"].append(1 if gap is None else 0)
+                    rows["n_chars"].append(0 if gap is None else gap)
+                    rows["digest"].append(
+                        int(
+                            hashlib.md5(text.encode()).hexdigest()[:15], 16
+                        ) % 2147483647
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "gap_null": pd.Series(rows["gap_null"], dtype="int64"),
+                    "n_chars": pd.Series(rows["n_chars"], dtype="int64"),
+                    "digest": pd.Series(rows["digest"], dtype="int64"),
+                }
+            )
+
+    decoded = shards.mapInPandas(
+        run, schema="doc_id long, gap_null long, n_chars long, digest long"
+    )
+    agg = decoded.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("doc_id_sum"),
+        F.sum("gap_null").alias("n_gap_nulls"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.sum("digest").alias("text_digest_mod_sum"),
+    )
+    return run_to_memory(agg, output_mode="complete")
