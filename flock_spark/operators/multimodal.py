@@ -4947,3 +4947,282 @@ def mm_quoted_printable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         run,
         schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# From-spec bzip2 decoder — the fifth compression family (after DEFLATE,
+# Snappy, LZ4, Zstd): the codec of Wikipedia dumps and legacy crawl
+# archives. Decoded entirely from the public format description; the only
+# encoder anywhere in the certification path is the REAL stdlib bz2
+# compressor (libbz2).
+# ---------------------------------------------------------------------------
+
+
+class _BzBits:
+    """MSB-first bit reader over the whole stream (bzip2's convention)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        end_byte = (self.bit + n + 7) // 8
+        if end_byte > len(self.data):
+            raise ValueError("bzip2 bitstream overrun")
+        out = 0
+        for i in range(n):
+            b = self.data[(self.bit + i) >> 3]
+            out = (out << 1) | ((b >> (7 - ((self.bit + i) & 7))) & 1)
+        self.bit += n
+        return out
+
+
+def _bz_crc32(data: bytes, crc: int = 0xFFFFFFFF) -> int:
+    """bzip2's CRC-32: polynomial 0x04C11DB7, MSB-first (NOT the reflected
+    zlib variant), final complement."""
+    for byte in data:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000
+                   else crc << 1) & 0xFFFFFFFF
+    return crc ^ 0xFFFFFFFF
+
+
+def bzip2_decompress(data: bytes) -> bytes:
+    """Decode a complete bzip2 stream from the public format description:
+    'BZh<level>' header; per block the 48-bit pi magic, block CRC,
+    (deprecated) randomized bit, BWT origin pointer, the two-level used-
+    symbol bitmap, MTF'd unary group selectors, delta-coded Huffman code
+    lengths per group, 50-symbol group switching, RUNA/RUNB bijective
+    base-2 zero-run decoding, MTF inversion, inverse Burrows-Wheeler via
+    the counting construction, RLE1 expansion, and per-block + combined
+    stream CRCs (bzip2's MSB-first CRC-32). Raises ValueError on any
+    framing or checksum violation."""
+    if len(data) < 10 or data[:3] != b"BZh" or not 0x31 <= data[3] <= 0x39:
+        raise ValueError("missing BZh header")
+    block_limit = (data[3] - 0x30) * 100_000
+    bs = _BzBits(data)
+    bs.bit = 32
+    out_all = bytearray()
+    combined_crc = 0
+    while True:
+        magic = bs.read(48)
+        if magic == 0x177245385090:  # stream footer
+            want = bs.read(32)
+            if want != combined_crc:
+                raise ValueError("stream CRC mismatch")
+            break
+        if magic != 0x314159265359:
+            raise ValueError(f"bad block magic {magic:#x}")
+        block_crc = bs.read(32)
+        if bs.read(1):
+            raise ValueError("deprecated randomized blocks unsupported")
+        orig_ptr = bs.read(24)
+        # used symbols: 16-bit range map, then 16-bit maps per used range
+        ranges = bs.read(16)
+        used = []
+        for r in range(16):
+            if ranges & (0x8000 >> r):
+                m = bs.read(16)
+                used.extend(
+                    r * 16 + i for i in range(16) if m & (0x8000 >> i)
+                )
+        n_used = len(used)
+        if n_used == 0:
+            raise ValueError("empty symbol map")
+        alpha = n_used + 2  # RUNA, RUNB, mtf symbols, EOB
+        n_groups = bs.read(3)
+        if not 2 <= n_groups <= 6:
+            raise ValueError(f"invalid group count {n_groups}")
+        n_sel = bs.read(15)
+        sel_mtf = []
+        for _ in range(n_sel):
+            j = 0
+            while bs.read(1):
+                j += 1
+                if j >= n_groups:
+                    raise ValueError("selector overruns group count")
+            sel_mtf.append(j)
+        order = list(range(n_groups))
+        selectors = []
+        for j in sel_mtf:
+            g = order.pop(j)
+            order.insert(0, g)
+            selectors.append(g)
+        # delta-coded lengths -> canonical tables (increasing length,
+        # symbol order within a length)
+        tables = []
+        for _ in range(n_groups):
+            ln = bs.read(5)
+            lens = []
+            for _s in range(alpha):
+                while bs.read(1):
+                    ln += 1 if bs.read(1) == 0 else -1
+                    if not 1 <= ln <= 20:
+                        raise ValueError("huffman length out of range")
+                lens.append(ln)
+            codes = {}
+            code = 0
+            for bit_len in range(min(lens), max(lens) + 1):
+                for sym, sl in enumerate(lens):
+                    if sl == bit_len:
+                        codes[(bit_len, code)] = sym
+                        code += 1
+                code <<= 1
+            tables.append((codes, min(lens), max(lens)))
+        # symbol stream: 50 per selector group
+        mtf = list(used)
+        bwt = bytearray()
+        run = 0
+        run_bit = 0
+        group_pos = 0
+        sel_idx = 0
+        codes, min_len, max_len = tables[selectors[0]]
+        while True:
+            if group_pos == 50:
+                sel_idx += 1
+                if sel_idx >= len(selectors):
+                    raise ValueError("ran out of selectors")
+                codes, min_len, max_len = tables[selectors[sel_idx]]
+                group_pos = 0
+            group_pos += 1
+            ln = min_len
+            code = bs.read(min_len)
+            while (ln, code) not in codes:
+                ln += 1
+                if ln > max_len:
+                    raise ValueError("invalid huffman code in block")
+                code = (code << 1) | bs.read(1)
+            sym = codes[(ln, code)]
+            if sym <= 1:  # RUNA/RUNB: bijective base-2 run of mtf[0]
+                run += (sym + 1) << run_bit
+                run_bit += 1
+                continue
+            if run:
+                if len(bwt) + run > block_limit:
+                    raise ValueError("zero-run exceeds block size")
+                bwt.extend([mtf[0]] * run)
+                run = 0
+                run_bit = 0
+            if sym == alpha - 1:  # EOB
+                break
+            v = mtf.pop(sym - 1)
+            mtf.insert(0, v)
+            bwt.append(v)
+            if len(bwt) > block_limit:
+                raise ValueError("block exceeds declared size")
+        if orig_ptr >= len(bwt):
+            raise ValueError("BWT origin pointer out of range")
+        # inverse BWT: counting construction of the next-link vector
+        counts = [0] * 256
+        for b in bwt:
+            counts[b] += 1
+        starts = [0] * 256
+        t = 0
+        for v in range(256):
+            starts[v] = t
+            t += counts[v]
+        nxt = [0] * len(bwt)
+        seen = [0] * 256
+        for i, b in enumerate(bwt):
+            nxt[starts[b] + seen[b]] = i
+            seen[b] += 1
+        block = bytearray()
+        j = nxt[orig_ptr]
+        for _ in range(len(bwt)):
+            block.append(bwt[j])
+            j = nxt[j]
+        # RLE1: 4 equal bytes are followed by an extra-repeat count byte
+        out = bytearray()
+        i = 0
+        n = len(block)
+        while i < n:
+            b = block[i]
+            run1 = 1
+            while run1 < 4 and i + run1 < n and block[i + run1] == b:
+                run1 += 1
+            if run1 == 4:
+                if i + 4 >= n:
+                    raise ValueError("RLE1 run missing its count byte")
+                out.extend([b] * (4 + block[i + 4]))
+                i += 5
+            else:
+                out.extend([b] * run1)
+                i += run1
+        got = _bz_crc32(bytes(out))
+        if got != block_crc:
+            raise ValueError("block CRC mismatch")
+        combined_crc = (
+            ((combined_crc << 1) | (combined_crc >> 31)) & 0xFFFFFFFF
+        ) ^ block_crc
+        out_all += out
+    return bytes(out_all)
+
+
+from flock_spark.operators.zstd_codec import (  # noqa: E402
+    _PAYLOAD_CASE as _BZ_PAYLOAD_CASE,
+    _ZSTD_ORACLE as _BZ_ORACLE,
+)
+
+
+@register(
+    "mm_bzip2_decode",
+    oracle=_BZ_ORACLE,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="From-spec bzip2 decode — the FIFTH compression family (after "
+    "DEFLATE, Snappy, LZ4 and Zstd) and the codec of Wikipedia dumps "
+    "and legacy crawl archives: the same five payload shapes as the "
+    "zstd entries are compressed by the REAL stdlib bz2 encoder "
+    "(libbz2) at level 1/5/9 by doc_id and decoded entirely from the "
+    "public format description — BZh header, 48-bit block magics, the "
+    "two-level used-symbol bitmap, MTF'd unary selectors, delta-coded "
+    "canonical Huffman tables with 50-symbol group switching, "
+    "RUNA/RUNB bijective base-2 zero runs, MTF inversion, inverse "
+    "Burrows-Wheeler via the counting construction, RLE1 expansion, "
+    "and bzip2's MSB-first CRC-32 verified per block AND for the "
+    "combined stream (a flipped bit anywhere raises). The oracle "
+    "re-derives byte counts/sums/md5 arithmetically from the repeat "
+    "algebra, shared with the zstd entries. Scale: per-object "
+    "mapInPandas, single scan, no shuffle — the codec plan family.",
+)
+def mm_bzip2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id", f"cast(({_BZ_PAYLOAD_CASE}) as binary) AS payload"
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bz2 as _bz2
+
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                lvl = (1, 5, 9)[int(doc_id) % 3]
+                dec = bzip2_decompress(_bz2.compress(b, lvl))
+                if dec != b:
+                    raise ValueError(
+                        f"bzip2 roundtrip mismatch for doc {doc_id}"
+                    )
+                out_doc.append(int(doc_id))
+                out_n.append(len(dec))
+                out_sum.append(sum(dec))
+                out_md5.append(
+                    hashlib.md5(dec.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
+    )

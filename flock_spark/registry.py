@@ -65,13 +65,14 @@ DRIVER_SLATE: tuple[str, ...] = (
     "hll_sketch_portable",
     "dedup_exact",
     "zorder_layout_scan",
+    "mm_zstd_frame_roundtrip",
+    "mm_zstd_encode_roundtrip",
+    "mm_bzip2_decode",
+    "streaming_tumbling_agg",  # heavy
     "corpus_epoch_shuffle_audit",
     "scan_parquet_zstd_page_decode",
     "scan_parquet_v2_delta_decode",
-    "streaming_tumbling_agg",  # heavy
     "scan_parquet_page_index_prune",
-    "mm_zstd_frame_roundtrip",
-    "mm_zstd_encode_roundtrip",
     "scan_arrow_ipc_stream_walk",
     "scan_arrow_ipc_file_walk",
     "scan_orc_stripe_decode",
@@ -80,8 +81,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
-    "set_intersect",
     "crawl_chain_end_to_end",  # heavy
+    "set_intersect",
     "set_union_all",
     "sort_global_range",
     "sort_multi_col",
@@ -93,8 +94,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_percentiles",
     "window_range_frame_sum",
     "window_rank_dense",
-    "ann_ivf_topk",
     "streaming_arrow_ipc_ingest",  # heavy
+    "ann_ivf_topk",
     "ann_topk_bruteforce",
     "asof_join_window",
     "bloom_membership_probe",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "doc_chunk_fixed_tokens",
-    "graph_pagerank_two_iter",
     "streaming_orc_file_ingest",  # heavy
 )
 

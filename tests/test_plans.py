@@ -1091,3 +1091,9 @@ def test_epoch_shuffle_and_consensus_plan_shapes(spark, sf_dir):
     # consensus: three binary file scans, no shuffle before the union
     p = plan_of(spark, sf_dir, "scan_formats_consensus")
     assert "MapInPandas" in p and "hashpartitioning" not in p
+
+
+def test_bzip2_entry_plan_shape(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "mm_bzip2_decode")
+    assert "MapInPandas" in p and "hashpartitioning" not in p
+    assert p.count("Scan parquet") == 1

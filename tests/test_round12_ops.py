@@ -761,3 +761,44 @@ def test_orc_reader_handles_multistripe_files(spark, tmp_path):
     names, cols = O.orc_read_columns(content)
     assert cols["id"] == list(range(n))
     assert cols["cat"] == [str(i % 13) for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# bzip2: fifth compression family
+# ---------------------------------------------------------------------------
+
+
+def test_bzip2_roundtrip_against_stdlib_all_levels():
+    import bz2
+
+    from flock_spark.operators.multimodal import bzip2_decompress
+
+    rng = random.Random(21)
+    words = [f"w{i}" for i in range(80)]
+    payloads = [b"a", b"hello world", b"x" * 1000, rng.randbytes(5000),
+                " ".join(rng.choice(words) for _ in range(20000)).encode(),
+                b"aaaabbbbccccdddd" * 500, bytes(range(256)) * 40,
+                # level-1 blocks hold 100k post-RLE1 bytes: this payload
+                # spans several blocks, exercising the combined CRC
+                " ".join(rng.choice(words) for _ in range(300000)).encode()]
+    for lvl in (1, 5, 9):
+        for p in payloads:
+            assert bzip2_decompress(bz2.compress(p, lvl)) == p, (lvl, len(p))
+
+
+def test_bzip2_violations_raise():
+    import bz2
+
+    from flock_spark.operators.multimodal import bzip2_decompress
+
+    comp = bz2.compress(b"corruption target " * 100, 1)
+    with pytest.raises(ValueError, match="BZh"):
+        bzip2_decompress(b"NOPE" + comp[4:])
+    # a flipped bit mid-stream must fail a CRC (or framing), never pass
+    bad = bytearray(comp)
+    bad[len(bad) // 2] ^= 0x10
+    with pytest.raises(ValueError):
+        bzip2_decompress(bytes(bad))
+    # truncated stream
+    with pytest.raises(ValueError):
+        bzip2_decompress(comp[: len(comp) // 2])
