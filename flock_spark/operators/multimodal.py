@@ -4996,22 +4996,44 @@ def bzip2_decompress(data: bytes) -> bytes:
     lengths per group, 50-symbol group switching, RUNA/RUNB bijective
     base-2 zero-run decoding, MTF inversion, inverse Burrows-Wheeler via
     the counting construction, RLE1 expansion, and per-block + combined
-    stream CRCs (bzip2's MSB-first CRC-32). Raises ValueError on any
+    stream CRCs (bzip2's MSB-first CRC-32). MULTISTREAM inputs (several
+    complete byte-aligned bzip2 streams concatenated — the Wikipedia
+    multistream dump layout) decode as their concatenation; trailing
+    garbage after the final footer raises. Raises ValueError on any
     framing or checksum violation."""
-    if len(data) < 10 or data[:3] != b"BZh" or not 0x31 <= data[3] <= 0x39:
-        raise ValueError("missing BZh header")
-    block_limit = (data[3] - 0x30) * 100_000
-    bs = _BzBits(data)
-    bs.bit = 32
     out_all = bytearray()
-    combined_crc = 0
+    bs = _BzBits(data)
+    while True:  # one complete stream per iteration (byte-aligned)
+        pos = bs.bit // 8
+        if pos >= len(data):
+            break
+        head = data[pos : pos + 4]
+        if len(head) < 4 or head[:3] != b"BZh" or not 0x31 <= head[3] <= 0x39:
+            if out_all:
+                raise ValueError("trailing bytes after final bzip2 stream")
+            raise ValueError("missing BZh header")
+        block_limit = (head[3] - 0x30) * 100_000
+        bs.bit = (pos + 4) * 8
+        combined_crc = 0
+        _bz_stream_blocks(data, bs, block_limit, out_all, combined_crc)
+        # re-align to the byte boundary for a possible next stream
+        bs.bit = (bs.bit + 7) // 8 * 8
+    if not out_all and len(data) == 0:
+        raise ValueError("empty input")
+    return bytes(out_all)
+
+
+def _bz_stream_blocks(
+    data: bytes, bs: "_BzBits", block_limit: int, out_all: bytearray,
+    combined_crc: int,
+) -> None:
     while True:
         magic = bs.read(48)
         if magic == 0x177245385090:  # stream footer
             want = bs.read(32)
             if want != combined_crc:
                 raise ValueError("stream CRC mismatch")
-            break
+            return
         if magic != 0x314159265359:
             raise ValueError(f"bad block magic {magic:#x}")
         block_crc = bs.read(32)
@@ -5156,7 +5178,6 @@ def bzip2_decompress(data: bytes) -> bytes:
             ((combined_crc << 1) | (combined_crc >> 31)) & 0xFFFFFFFF
         ) ^ block_crc
         out_all += out
-    return bytes(out_all)
 
 
 from flock_spark.operators.zstd_codec import (  # noqa: E402

@@ -802,3 +802,17 @@ def test_bzip2_violations_raise():
     # truncated stream
     with pytest.raises(ValueError):
         bzip2_decompress(comp[: len(comp) // 2])
+
+
+def test_bzip2_multistream_and_trailing():
+    import bz2
+
+    from flock_spark.operators.multimodal import bzip2_decompress
+
+    parts = [b"first stream ", b"second stream ", b"third " * 100]
+    multi = b"".join(bz2.compress(p, 1) for p in parts)
+    # the Wikipedia multistream layout: byte-aligned concatenated streams
+    assert bzip2_decompress(multi) == b"".join(parts)
+    assert bz2.decompress(multi) == b"".join(parts)  # stdlib agrees
+    with pytest.raises(ValueError, match="trailing"):
+        bzip2_decompress(bz2.compress(b"x", 1) + b"JUNK")
