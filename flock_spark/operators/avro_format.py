@@ -1,0 +1,447 @@
+"""From-spec Apache Avro Object Container File reader, certified against the
+REAL Apache Avro Java implementation (avro-1.12.1, on Spark's driver
+classpath): the fixture files are written by ``org.apache.avro.file.
+DataFileWriter`` via py4j, and every byte of the container + binary encoding
+is then decoded here from the published Avro 1.12 specification with zero
+library code in the decode path:
+
+- the CONTAINER format: ``Obj\\x01`` magic, the file-metadata map (block
+  count / optional byte-size prefixes, bytes keys/values), the 16-byte sync
+  marker, and per-block (record-count, byte-size, payload, sync) framing
+  with sync verification and a trailing-garbage check;
+- the BINARY ENCODING: zig-zag varints for int/long, little-endian IEEE
+  float/double, length-prefixed bytes/string, union branch indexes, record
+  field order, enum indexes, fixed, and block-encoded array/map (negative
+  block counts carry a byte size, per the spec);
+- the three standard CODECS the Java writer ships: ``null`` (identity),
+  ``deflate`` (raw RFC 1951 — decoded by this repo's own from-spec
+  inflate, multimodal.py), and ``snappy`` (this repo's from-spec snappy
+  block decode, formats.py, plus the 4-byte BIG-ENDIAN CRC-32 of the
+  uncompressed payload that Avro's snappy codec appends — verified with
+  the repo's own table-driven CRC-32, not zlib's).
+
+Certification is non-circular twice over: the writer is the independent JVM
+reference implementation (not this code), and the oracle audits the decoded
+VALUES column-by-column against the DuckDB view of the same source table.
+
+Reference parity: the reference engine's wire payloads are schema'd binary
+batches (flock/src/runtime/payload.rs, encoding.rs); Avro is the remaining
+major row-wire format in the lake ecosystem the engine could not yet prove
+it understands at the byte level (after parquet, Arrow IPC and ORC).
+
+Scale: the staged fixture is read through ``binaryFile`` — one task per
+file, per-object decode inside ``mapInPandas``, no shuffle; blocks decode
+in O(block) memory, so a 100 TB corpus of container files fans out
+embarrassingly parallel exactly like the WARC/ORC ingest paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from flock_spark.registry import register
+from flock_spark.staging import stage_once
+
+# Path counters (non-vacuity: tests assert every codec, the union null and
+# non-null branches, and the multi-block loop actually fire on the fixture).
+STATS: dict[str, int] = {}
+
+
+def _hit(key: str) -> None:
+    STATS[key] = STATS.get(key, 0) + 1
+
+
+MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------------------
+# Binary encoding primitives (Avro spec "Binary Encoding")
+# ---------------------------------------------------------------------------
+
+
+def read_long(d: bytes, p: int) -> tuple[int, int]:
+    """Zig-zag base-128 varint (the spec's int/long encoding)."""
+    shift = 0
+    acc = 0
+    while True:
+        if p >= len(d):
+            raise ValueError("avro: truncated varint")
+        b = d[p]
+        p += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("avro: varint too long")
+    return (acc >> 1) ^ -(acc & 1), p
+
+
+def _read_sized(d: bytes, p: int) -> tuple[bytes, int]:
+    n, p = read_long(d, p)
+    if n < 0 or p + n > len(d):
+        raise ValueError("avro: bad byte-string length")
+    return d[p : p + n], p + n
+
+
+def decode_value(schema, d: bytes, p: int):
+    """Decode one datum at offset ``p`` per the (parsed-JSON) schema node.
+
+    Returns (value, new_offset). Records come back as dicts, maps as dicts,
+    arrays as lists, enums as their symbol string.
+    """
+    if isinstance(schema, list):  # union: long branch index, then the datum
+        idx, p = read_long(d, p)
+        if not 0 <= idx < len(schema):
+            raise ValueError("avro: union branch out of range")
+        branch = schema[idx]
+        tag = branch if isinstance(branch, str) else branch.get("type")
+        _hit(f"union:{tag}")
+        return decode_value(branch, d, p)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            rec = {}
+            for f in schema["fields"]:
+                rec[f["name"]], p = decode_value(f["type"], d, p)
+            return rec, p
+        if t == "array":
+            out = []
+            while True:
+                n, p = read_long(d, p)
+                if n == 0:
+                    return out, p
+                if n < 0:  # spec: negative count is followed by a byte size
+                    n = -n
+                    _, p = read_long(d, p)
+                    _hit("block:negcount")
+                for _ in range(n):
+                    v, p = decode_value(schema["items"], d, p)
+                    out.append(v)
+        if t == "map":
+            out = {}
+            while True:
+                n, p = read_long(d, p)
+                if n == 0:
+                    return out, p
+                if n < 0:
+                    n = -n
+                    _, p = read_long(d, p)
+                    _hit("block:negcount")
+                for _ in range(n):
+                    k, p = _read_sized(d, p)
+                    out[k.decode("utf-8")], p = decode_value(
+                        schema["values"], d, p
+                    )
+        if t == "enum":
+            idx, p = read_long(d, p)
+            syms = schema["symbols"]
+            if not 0 <= idx < len(syms):
+                raise ValueError("avro: enum index out of range")
+            return syms[idx], p
+        if t == "fixed":
+            n = schema["size"]
+            if p + n > len(d):
+                raise ValueError("avro: truncated fixed")
+            return d[p : p + n], p + n
+        schema = t  # {"type": "string"} wrapper form falls through
+    if schema == "null":
+        _hit("prim:null")
+        return None, p
+    if schema == "boolean":
+        if p >= len(d):
+            raise ValueError("avro: truncated boolean")
+        return d[p] != 0, p + 1
+    if schema in ("int", "long"):
+        _hit("prim:long")
+        return read_long(d, p)
+    if schema == "float":
+        if p + 4 > len(d):
+            raise ValueError("avro: truncated float")
+        return struct.unpack("<f", d[p : p + 4])[0], p + 4
+    if schema == "double":
+        if p + 8 > len(d):
+            raise ValueError("avro: truncated double")
+        return struct.unpack("<d", d[p : p + 8])[0], p + 8
+    if schema == "bytes":
+        return _read_sized(d, p)
+    if schema == "string":
+        _hit("prim:string")
+        raw, p = _read_sized(d, p)
+        return raw.decode("utf-8"), p
+    raise ValueError(f"avro: unsupported schema node {schema!r}")
+
+
+# ---------------------------------------------------------------------------
+# Container format
+# ---------------------------------------------------------------------------
+
+
+def _read_meta_map(d: bytes, p: int) -> tuple[dict[str, bytes], int]:
+    meta: dict[str, bytes] = {}
+    while True:
+        n, p = read_long(d, p)
+        if n == 0:
+            return meta, p
+        if n < 0:
+            n = -n
+            _, p = read_long(d, p)  # byte size of the block — unused here
+            _hit("meta:negcount")
+        for _ in range(n):
+            k, p = _read_sized(d, p)
+            v, p = _read_sized(d, p)
+            meta[k.decode("utf-8")] = v
+
+
+def _decompress_block(codec: str, payload: bytes) -> bytes:
+    if codec == "null":
+        _hit("codec:null")
+        return payload
+    if codec == "deflate":
+        from flock_spark.operators.multimodal import inflate
+
+        _hit("codec:deflate")
+        return inflate(payload)
+    if codec == "snappy":
+        from flock_spark.operators.formats import snappy_decompress
+        from flock_spark.operators.multimodal import _crc32_own
+
+        if len(payload) < 4:
+            raise ValueError("avro: snappy block too short for CRC")
+        raw = snappy_decompress(payload[:-4])
+        want = struct.unpack(">I", payload[-4:])[0]  # big-endian per spec
+        if _crc32_own(raw) != want:
+            raise ValueError("avro: snappy block CRC mismatch")
+        _hit("codec:snappy")
+        return raw
+    raise ValueError(f"avro: unsupported codec {codec!r}")
+
+
+def avro_container_read(data: bytes) -> tuple[str, list[dict]]:
+    """Walk one Object Container File; return (codec, records)."""
+    if data[:4] != MAGIC:
+        raise ValueError("avro: bad magic")
+    meta, p = _read_meta_map(data, 4)
+    if "avro.schema" not in meta:
+        raise ValueError("avro: missing avro.schema metadata")
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = data[p : p + 16]
+    if len(sync) != 16:
+        raise ValueError("avro: truncated sync marker")
+    p += 16
+    records: list[dict] = []
+    n_blocks = 0
+    while p < len(data):
+        cnt, p = read_long(data, p)
+        size, p = read_long(data, p)
+        if cnt < 0 or size < 0 or p + size + 16 > len(data):
+            raise ValueError("avro: bad block framing")
+        block = _decompress_block(codec, data[p : p + size])
+        p += size
+        if data[p : p + 16] != sync:
+            raise ValueError("avro: sync marker mismatch")
+        p += 16
+        bp = 0
+        for _ in range(cnt):
+            v, bp = decode_value(schema, block, bp)
+            records.append(v)
+        if bp != len(block):
+            raise ValueError("avro: trailing bytes inside block")
+        n_blocks += 1
+    # trailing garbage cannot survive the loop: a partial trailer fails the
+    # block-framing length check and a truncated varint raises in read_long
+    if n_blocks > 1:
+        _hit("container:multiblock")
+    return codec, records
+
+
+# ---------------------------------------------------------------------------
+# Staged fixture: the REAL Avro Java writer, one file per codec
+# ---------------------------------------------------------------------------
+
+_FIXTURE_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "n_chars_gap", "type": ["null", "long"]},
+            {"name": "text", "type": "string"},
+            {"name": "source", "type": "string"},
+        ],
+    }
+)
+
+CODECS = ("null", "deflate", "snappy")
+
+
+def _stage_avro(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the documents table as one Avro container
+    file PER CODEC via the Apache Avro Java library — the reference
+    implementation this reader is certified against. Records are
+    materialized JVM-side through Avro's own JsonDecoder (py4j boxes small
+    Python ints as Integer, which GenericData's union resolution rejects),
+    and a small sync interval forces many data blocks per file."""
+
+    def write_fixture(tmp: str) -> None:
+        import os
+
+        jvm = spark._jvm
+        # bounded collect: the documents table is N_DOCS rows (5k at sf0.1)
+        rows = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "n_chars", "text", "source")
+            .orderBy("doc_id")
+            .collect()
+        )
+        payload = "\n".join(
+            json.dumps(
+                {
+                    "doc_id": r.doc_id,
+                    "n_chars_gap": None
+                    if r.doc_id % 7 == 0
+                    else {"long": r.n_chars},
+                    "text": r.text,
+                    "source": r.source,
+                }
+            )
+            for r in rows
+        )
+        schema = jvm.org.apache.avro.Schema.Parser().parse(_FIXTURE_SCHEMA)
+        factory = jvm.org.apache.avro.file.CodecFactory
+        for codec in CODECS:
+            writer = jvm.org.apache.avro.file.DataFileWriter(
+                jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+            )
+            if codec == "deflate":
+                writer.setCodec(factory.deflateCodec(6))
+            elif codec == "snappy":
+                writer.setCodec(factory.snappyCodec())
+            writer.setSyncInterval(2048)  # ~a handful of records per block
+            writer.create(
+                schema, jvm.java.io.File(os.path.join(tmp, f"{codec}.avro"))
+            )
+            dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+                schema, payload
+            )
+            reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+            for _ in rows:
+                writer.append(reader.read(None, dec))
+            writer.close()
+
+    return stage_once(f"avro_fixture_{sf_dir}", "v1-3codec-sync2048", write_fixture)
+
+
+@register(
+    "scan_avro_container_decode",
+    oracle="""
+    WITH codecs(codec) AS (VALUES ('null'), ('deflate'), ('snappy')),
+    audit AS (
+      SELECT 'doc_id' AS col_name,
+             CAST(count(*) AS BIGINT) AS n_values,
+             CAST(0 AS BIGINT) AS n_nulls,
+             CAST(sum(doc_id) AS BIGINT) AS sum_v,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS values_md5
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars_gap', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END)
+                  AS BIGINT),
+             md5(string_agg(
+               CASE WHEN doc_id % 7 = 0 THEN 'null'
+                    ELSE CAST(n_chars AS VARCHAR) END, ',' ORDER BY doc_id))
+      FROM documents
+      UNION ALL
+      SELECT 'text', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+             CAST(sum(octet_length(encode(text))) AS BIGINT),
+             md5(string_agg(md5(text), ',' ORDER BY doc_id))
+      FROM documents
+      UNION ALL
+      SELECT 'source', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+             CAST(sum(octet_length(encode(source))) AS BIGINT),
+             md5(string_agg(md5(source), ',' ORDER BY doc_id))
+      FROM documents
+    )
+    SELECT codec, col_name, n_values, n_nulls, sum_v, values_md5
+    FROM codecs CROSS JOIN audit
+    """,
+    tags=("scan", "formats", "codec", "wire", "pandas_udf", "staged"),
+    doc="From-spec Apache Avro Object Container File read over files "
+    "written by the REAL Apache Avro Java library (avro-1.12.1 on the "
+    "driver classpath) — container framing, sync-marker verification, "
+    "zig-zag varints, union branches, and all three standard codecs "
+    "(null / deflate via this repo's from-spec inflate / snappy via this "
+    "repo's from-spec snappy + big-endian CRC-32 check), certified VALUE "
+    "BY VALUE against the documents view, one audit row per (codec, "
+    "column). Scale: binaryFile scan, one task per container file, "
+    "per-block decode memory, no shuffle — the fourth byte-level file "
+    "format (after parquet, Arrow IPC, ORC) and the first row-oriented "
+    "one.",
+)
+def scan_avro_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_avro(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "codec": [], "col_name": [], "n_values": [],
+                "n_nulls": [], "sum_v": [], "values_md5": [],
+            }
+            for content in pdf["content"]:
+                codec, records = avro_container_read(bytes(content))
+                for col in ("doc_id", "n_chars_gap", "text", "source"):
+                    vals = [r[col] for r in records]
+                    nulls = sum(1 for v in vals if v is None)
+                    if col in ("text", "source"):
+                        sv = sum(
+                            len(v.encode()) for v in vals if v is not None
+                        )
+                        joined = ",".join(
+                            "null" if v is None
+                            else hashlib.md5(v.encode()).hexdigest()
+                            for v in vals
+                        )
+                    else:
+                        sv = sum(v for v in vals if v is not None)
+                        joined = ",".join(
+                            "null" if v is None else str(v) for v in vals
+                        )
+                    out["codec"].append(codec)
+                    out["col_name"].append(col)
+                    out["n_values"].append(len(vals))
+                    out["n_nulls"].append(nulls)
+                    out["sum_v"].append(sv)
+                    out["values_md5"].append(
+                        hashlib.md5(joined.encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "codec": pd.Series(out["codec"], dtype="object"),
+                    "col_name": pd.Series(out["col_name"], dtype="object"),
+                    "n_values": pd.Series(out["n_values"], dtype="int64"),
+                    "n_nulls": pd.Series(out["n_nulls"], dtype="int64"),
+                    "sum_v": pd.Series(out["sum_v"], dtype="int64"),
+                    "values_md5": pd.Series(out["values_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="codec string, col_name string, n_values long, "
+        "n_nulls long, sum_v long, values_md5 string",
+    )

@@ -65,25 +65,27 @@ DRIVER_SLATE: tuple[str, ...] = (
     "hll_sketch_portable",
     "dedup_exact",
     "zorder_layout_scan",
+    "streaming_tumbling_agg",  # heavy
     "mm_zstd_frame_roundtrip",
     "mm_zstd_encode_roundtrip",
     "mm_bzip2_decode",
-    "streaming_tumbling_agg",  # heavy
     "corpus_epoch_shuffle_audit",
     "scan_parquet_zstd_page_decode",
     "scan_parquet_v2_delta_decode",
     "scan_parquet_page_index_prune",
     "scan_arrow_ipc_stream_walk",
     "scan_arrow_ipc_file_walk",
+    "crawl_chain_end_to_end",  # heavy
     "scan_orc_stripe_decode",
     "scan_formats_consensus",
+    "scan_avro_container_decode",
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
-    "crawl_chain_end_to_end",  # heavy
     "set_intersect",
     "set_union_all",
+    "streaming_arrow_ipc_ingest",  # heavy
     "sort_global_range",
     "sort_multi_col",
     "string_funcs",
@@ -93,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_lag_lead",
     "window_percentiles",
     "window_range_frame_sum",
+    "streaming_orc_file_ingest",  # heavy
     "window_rank_dense",
-    "streaming_arrow_ipc_ingest",  # heavy
     "ann_ivf_topk",
     "ann_topk_bruteforce",
     "asof_join_window",
@@ -103,9 +105,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "corpus_decontaminate",
     "dedup_clusters",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "doc_chunk_fixed_tokens",
-    "streaming_orc_file_ingest",  # heavy
+    "streaming_avro_file_ingest",  # heavy
 )
 
 # Machine-readable certification history: registry name -> MOST RECENT round

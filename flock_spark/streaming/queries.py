@@ -1863,3 +1863,100 @@ def streaming_orc_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("digest").alias("text_digest_mod_sum"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_avro_file_ingest",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_files,
+           CAST(3 * count(*) AS BIGINT) AS n_rows,
+           CAST(3 * sum(doc_id) AS BIGINT) AS doc_id_sum,
+           CAST(3 * sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gap_nulls,
+           CAST(3 * sum((('0x' || substring(md5(text), 1, 15))::BIGINT)
+                    % 2147483647) AS BIGINT) AS text_digest_mod_sum
+    FROM documents
+    """,
+    tags=("streaming", "scan", "formats", "codec", "pandas_udf", "staged"),
+    doc="Streaming Avro ingestion — the fourth file-true streaming twin "
+    "(after WARC, Arrow IPC and ORC): the three codec container files "
+    "written by the REAL Avro Java library (null / deflate / snappy) are "
+    "tailed with readStream.format('binaryFile') at 1 file per trigger, "
+    "so each micro-batch exercises a DIFFERENT from-spec codec path of "
+    "the container reader (operators/avro_format.py), and a 1-row "
+    "running aggregate accumulates file count, row count, id sums, "
+    "observed union-null branches and a text digest fold. Each file "
+    "carries the full documents table, so the drained stream equals "
+    "3x the batch facts exactly. Scale: per-file decode parallelism "
+    "per trigger, O(1) aggregation state — swap the glob for a bucket "
+    "notification source and this tails an Avro lake.",
+)
+def streaming_avro_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flock_spark.operators.avro_format import (
+        CODECS,
+        _stage_avro,
+        avro_container_read,
+    )
+
+    path = _stage_avro(spark, sf_dir)
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{path}/*.avro")
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"is_file": [], "doc_id": [], "gap_null": [], "digest": []}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                codec, records = avro_container_read(bytes(content))
+                if codec not in CODECS or not str(fpath).endswith(
+                    f"{codec}.avro"
+                ):
+                    raise ValueError(f"codec {codec} vs file {fpath}")
+                first = True
+                for r in records:
+                    rows["is_file"].append(1 if first else 0)
+                    first = False
+                    rows["doc_id"].append(r["doc_id"])
+                    rows["gap_null"].append(
+                        1 if r["n_chars_gap"] is None else 0
+                    )
+                    rows["digest"].append(
+                        int(
+                            hashlib.md5(
+                                r["text"].encode()
+                            ).hexdigest()[:15], 16
+                        ) % 2147483647
+                    )
+            yield pd.DataFrame(
+                {
+                    "is_file": pd.Series(rows["is_file"], dtype="int64"),
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "gap_null": pd.Series(rows["gap_null"], dtype="int64"),
+                    "digest": pd.Series(rows["digest"], dtype="int64"),
+                }
+            )
+
+    decoded = files.mapInPandas(
+        run, schema="is_file long, doc_id long, gap_null long, digest long"
+    )
+    agg = decoded.agg(
+        F.sum("is_file").alias("n_files"),
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("doc_id_sum"),
+        F.sum("gap_null").alias("n_gap_nulls"),
+        F.sum("digest").alias("text_digest_mod_sum"),
+    )
+    return run_to_memory(agg, output_mode="complete")

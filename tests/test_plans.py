@@ -1097,3 +1097,11 @@ def test_bzip2_entry_plan_shape(spark, sf_dir):
     p = plan_of(spark, sf_dir, "mm_bzip2_decode")
     assert "MapInPandas" in p and "hashpartitioning" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_avro_container_decode_plan_shape(spark, sf_dir):
+    # wire-format family plan: one binary scan of the staged .avro
+    # containers feeding mapInPandas, no exchange anywhere
+    p = plan_of(spark, sf_dir, "scan_avro_container_decode")
+    assert "hashpartitioning" not in p and "MapInPandas" in p
+    assert "binaryFile" in p or "Scan binaryFile" in p

@@ -1,0 +1,222 @@
+"""Round-12b operators: the from-spec Apache Avro Object Container File
+reader, certified against the REAL Apache Avro Java writer (avro-1.12.1 on
+Spark's driver classpath) — container framing, binary encoding walker,
+codec paths, and corruption rejection."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pytest
+
+from flock_spark.operators import avro_format as A
+from flock_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+# ---------------------------------------------------------------------------
+# Hand encoders (test-side only): build spec-conformant bytes to feed the
+# from-spec decoder shapes the Java fixture doesn't exercise.
+# ---------------------------------------------------------------------------
+
+
+def zz(v: int) -> bytes:
+    """Zig-zag base-128 varint encode."""
+    u = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def sized(b: bytes) -> bytes:
+    return zz(len(b)) + b
+
+
+def container(schema_json: str, codec: str, blocks: list[tuple[int, bytes]],
+              sync: bytes = b"S" * 16) -> bytes:
+    meta = (
+        zz(2)
+        + sized(b"avro.schema") + sized(schema_json.encode())
+        + sized(b"avro.codec") + sized(codec.encode())
+        + zz(0)
+    )
+    out = A.MAGIC + meta + sync
+    for cnt, payload in blocks:
+        out += zz(cnt) + zz(len(payload)) + payload + sync
+    return out
+
+
+def snappy_literal(raw: bytes) -> bytes:
+    """Minimal spec-valid snappy stream: preamble + literal runs <= 60."""
+    out = bytearray()
+    u = len(raw)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | 0x80 if u else b)
+        if not u:
+            break
+    for i in range(0, len(raw), 60):
+        chunk = raw[i : i + 60]
+        out.append((len(chunk) - 1) << 2)
+        out += chunk
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Binary-encoding walker on hand-built bytes
+# ---------------------------------------------------------------------------
+
+
+def test_varint_zigzag_roundtrip():
+    for v in (0, -1, 1, -2, 63, 64, -64, -65, 2**31, -(2**31), 2**62,
+              -(2**62)):
+        got, p = A.read_long(zz(v), 0)
+        assert got == v and p == len(zz(v))
+
+
+def test_decode_primitives_and_containers():
+    # array<long> with a NEGATIVE block count (size-prefixed per spec)
+    items = zz(5) + zz(7)
+    buf = zz(-2) + zz(len(items)) + items + zz(0)
+    v, p = A.decode_value({"type": "array", "items": "long"}, buf, 0)
+    assert v == [5, 7] and p == len(buf)
+    # map<double>
+    buf = zz(1) + sized(b"pi") + struct.pack("<d", 3.5) + zz(0)
+    v, _ = A.decode_value({"type": "map", "values": "double"}, buf, 0)
+    assert v == {"pi": 3.5}
+    # enum / fixed / boolean / bytes / float
+    sch = {"type": "enum", "name": "E", "symbols": ["A", "B"]}
+    assert A.decode_value(sch, zz(1), 0)[0] == "B"
+    sch = {"type": "fixed", "name": "F", "size": 3}
+    assert A.decode_value(sch, b"xyz", 0)[0] == b"xyz"
+    assert A.decode_value("boolean", b"\x01", 0)[0] is True
+    assert A.decode_value("bytes", sized(b"hi"), 0)[0] == b"hi"
+    assert A.decode_value("float", struct.pack("<f", -2.0), 0)[0] == -2.0
+
+
+def test_decode_rejects_malformed():
+    with pytest.raises(ValueError):  # union branch out of range
+        A.decode_value(["null", "long"], zz(5), 0)
+    with pytest.raises(ValueError):  # enum index out of range
+        A.decode_value(
+            {"type": "enum", "name": "E", "symbols": ["A"]}, zz(3), 0
+        )
+    with pytest.raises(ValueError):  # truncated varint
+        A.read_long(b"\x80", 0)
+    with pytest.raises(ValueError):  # unsupported node
+        A.decode_value("uuid5", b"", 0)
+
+
+# ---------------------------------------------------------------------------
+# Container walk on hand-built files
+# ---------------------------------------------------------------------------
+
+
+def test_container_null_codec_and_meta():
+    data = container('"long"', "null", [(2, zz(10) + zz(-3)), (1, zz(4))])
+    codec, recs = A.avro_container_read(data)
+    assert codec == "null" and recs == [10, -3, 4]
+    assert A.STATS.get("container:multiblock", 0) >= 1
+
+
+def test_container_rejections():
+    good = container('"long"', "null", [(1, zz(1))])
+    with pytest.raises(ValueError, match="magic"):
+        A.avro_container_read(b"Obj\x02" + good[4:])
+    with pytest.raises(ValueError, match="sync"):
+        bad = bytearray(good)
+        bad[-1] ^= 0xFF  # corrupt the trailing sync copy
+        A.avro_container_read(bytes(bad))
+    with pytest.raises(ValueError):  # trailing garbage after last block
+        A.avro_container_read(good + b"x")
+    with pytest.raises(ValueError, match="codec"):
+        A.avro_container_read(container('"long"', "lz4", [(1, zz(1))]))
+    with pytest.raises(ValueError, match="framing"):  # block size lies
+        A.avro_container_read(
+            container('"long"', "null", [(1, b"")])[:-17] + zz(99) + b"S" * 16
+        )
+
+
+def test_container_snappy_crc_checked():
+    from flock_spark.operators.multimodal import _crc32_own
+
+    raw = zz(11) + zz(22)
+    payload = snappy_literal(raw) + struct.pack(">I", _crc32_own(raw))
+    data = container('"long"', "snappy", [(2, payload)])
+    codec, recs = A.avro_container_read(data)
+    assert codec == "snappy" and recs == [11, 22]
+    bad = snappy_literal(raw) + struct.pack(">I", _crc32_own(raw) ^ 1)
+    with pytest.raises(ValueError, match="CRC"):
+        A.avro_container_read(container('"long"', "snappy", [(2, bad)]))
+
+
+def test_container_deflate_via_own_inflate():
+    import zlib
+
+    raw = zz(7) + zz(8) + zz(9)
+    comp = zlib.compress(raw)[2:-4]  # raw deflate, as Avro's codec emits
+    codec, recs = A.avro_container_read(
+        container('"long"', "deflate", [(3, comp)])
+    )
+    assert codec == "deflate" and recs == [7, 8, 9]
+
+
+# ---------------------------------------------------------------------------
+# The certified entry against the REAL Java writer's files
+# ---------------------------------------------------------------------------
+
+
+def test_avro_entry_all_codecs_and_branches(spark, sf_dir):
+    import os
+
+    rows = REGISTRY["scan_avro_container_decode"].fn(spark, sf_dir).collect()
+    assert len(rows) == 12  # 3 codecs x 4 columns
+    assert {r.codec for r in rows} == set(A.CODECS)
+    # one agreed audit per column regardless of codec
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.col_name, set()).add(
+            (r.n_values, r.n_nulls, r.sum_v, r.values_md5)
+        )
+    assert all(len(v) == 1 for v in by_col.values())
+    assert rows[0].n_values >= 500
+    # non-vacuity: decode the staged files DRIVER-SIDE (the entry's STATS
+    # hits land in worker processes) and assert every codec path, both
+    # union branches and the multi-block loop fire on the real fixture
+    A.STATS.clear()
+    path = A._stage_avro(spark, sf_dir)
+    for name in sorted(os.listdir(path)):
+        A.avro_container_read(open(os.path.join(path, name), "rb").read())
+    for key in ("codec:null", "codec:deflate", "codec:snappy",
+                "union:null", "union:long", "prim:string", "prim:long",
+                "container:multiblock"):
+        assert A.STATS.get(key, 0) >= 1, key
+    assert A.STATS["container:multiblock"] == 3  # every file multi-block
+
+
+def test_avro_fixture_really_has_three_codecs(spark, sf_dir):
+    """The staged files declare the codec in their own metadata — read it
+    back via the container walk and cross-check the file name."""
+    import os
+
+    path = A._stage_avro(spark, sf_dir)
+    seen = set()
+    for name in os.listdir(path):
+        data = open(os.path.join(path, name), "rb").read()
+        meta, _ = A._read_meta_map(data, 4)
+        # the Java writer omits avro.codec entirely for the null codec —
+        # the same default the container reader applies
+        codec = meta.get("avro.codec", b"null").decode()
+        assert name == f"{codec}.avro"
+        assert json.loads(meta["avro.schema"])["name"] == "Doc"
+        seen.add(codec)
+    assert seen == set(A.CODECS)
