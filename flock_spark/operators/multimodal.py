@@ -5247,3 +5247,372 @@ def mm_bzip2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Full RFC 1951 DEFLATE ENCODER — the reverse certification direction from
+# inflate_at above, completing the codec pair the way the zstd/LZ4 entries
+# do: greedy hash-chain LZ77 parse, canonical length-limited Huffman codes
+# built with package-merge, dynamic-block code-length RLE (symbols 16/17/18),
+# fixed-Huffman and stored fallbacks, smallest candidate wins. Every stream
+# this emits is decoded by the REAL stdlib zlib inflater (raw mode) and by
+# this repo's own from-spec inflate.
+# ---------------------------------------------------------------------------
+
+DEFLATE_ENC_STATS: dict[str, int] = {}
+
+
+def _denc_hit(key: str) -> None:
+    DEFLATE_ENC_STATS[key] = DEFLATE_ENC_STATS.get(key, 0) + 1
+
+
+class _BitWriter:
+    """LSB-first bit writer (DEFLATE bit order). Huffman codes go through
+    put_code, which reverses them (the spec packs codes MSB-first)."""
+
+    __slots__ = ("out", "cur", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def put(self, value: int, width: int) -> None:
+        self.cur |= (value & ((1 << width) - 1)) << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, width: int) -> None:
+        for b in range(width - 1, -1, -1):
+            self.put((code >> b) & 1, 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.out.append(self.cur & 0xFF)
+        self.cur = 0
+        self.nbits = 0
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            return bytes(self.out + bytearray([self.cur & 0xFF]))
+        return bytes(self.out)
+
+
+def _package_merge(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Optimal length-limited prefix-code lengths (package-merge). Returns
+    {symbol: length} with every length in [1, limit] and the Kraft sum
+    exactly 1 — i.e. directly canonicalizable per RFC 1951 §3.2.2."""
+    syms = sorted(freqs)
+    n = len(syms)
+    if n == 0:
+        return {}
+    if n == 1:
+        return {syms[0]: 1}
+    if n > (1 << limit):
+        raise ValueError("alphabet too large for length limit")
+    original = sorted((freqs[s], (s,)) for s in syms)
+    merged = list(original)
+    for _ in range(limit - 1):
+        packages = [
+            (
+                merged[i][0] + merged[i + 1][0],
+                merged[i][1] + merged[i + 1][1],
+            )
+            for i in range(0, len(merged) - 1, 2)
+        ]
+        merged = sorted(original + packages)
+    lengths = {s: 0 for s in syms}
+    for _, bundle in merged[: 2 * n - 2]:
+        for s in bundle:
+            lengths[s] += 1
+    return lengths
+
+
+def _canonical_codes(lengths: list[int]) -> list[tuple[int, int]]:
+    """Symbol -> (code, nbits) per RFC 1951 §3.2.2 (0 bits = unused)."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    out = []
+    for ln in lengths:
+        if ln:
+            out.append((next_code[ln], ln))
+            next_code[ln] += 1
+        else:
+            out.append((0, 0))
+    return out
+
+
+def _lz77_tokens(data: bytes, max_chain: int = 64):
+    """Greedy LZ77 parse: literals (int) and (length, distance) tuples,
+    window 32 KiB, match lengths 3..258, hash-3 chains capped at
+    ``max_chain`` probes."""
+    n = len(data)
+    tokens: list = []
+    head: dict[int, list[int]] = {}
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        if i + 3 <= n:
+            key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+            tried = 0
+            for j in reversed(head.get(key, ())):
+                if i - j > 32768:
+                    break
+                tried += 1
+                if tried > max_chain:
+                    break
+                maxl = min(258, n - i)
+                ln = 0
+                while ln < maxl and data[j + ln] == data[i + ln]:
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_dist = ln, i - j
+                    if ln >= 128:  # long enough — stop probing
+                        break
+        if best_len >= 3:
+            tokens.append((best_len, best_dist))
+            end = i + best_len
+            while i < end:
+                if i + 3 <= n:
+                    key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+                    head.setdefault(key, []).append(i)
+                i += 1
+        else:
+            if i + 3 <= n:
+                head.setdefault(key, []).append(i)
+            tokens.append(data[i])
+            i += 1
+    return tokens
+
+
+def _len_code(ln: int) -> tuple[int, int, int]:
+    for k in range(len(_LEN_BASE) - 1, -1, -1):
+        if ln >= _LEN_BASE[k]:
+            return 257 + k, _LEN_EXTRA[k], ln - _LEN_BASE[k]
+    raise ValueError(f"bad match length {ln}")
+
+
+def _dist_code(d: int) -> tuple[int, int, int]:
+    for k in range(len(_DIST_BASE) - 1, -1, -1):
+        if d >= _DIST_BASE[k]:
+            return k, _DIST_EXTRA[k], d - _DIST_BASE[k]
+    raise ValueError(f"bad match distance {d}")
+
+
+def _emit_tokens(bw: _BitWriter, tokens, lit_codes, dist_codes) -> None:
+    for t in tokens:
+        if isinstance(t, tuple):
+            ln, d = t
+            sym, xb, xv = _len_code(ln)
+            c, w = lit_codes[sym]
+            bw.put_code(c, w)
+            if xb:
+                bw.put(xv, xb)
+            sym, xb, xv = _dist_code(d)
+            c, w = dist_codes[sym]
+            bw.put_code(c, w)
+            if xb:
+                bw.put(xv, xb)
+        else:
+            c, w = lit_codes[t]
+            bw.put_code(c, w)
+    c, w = lit_codes[256]
+    bw.put_code(c, w)  # end-of-block
+
+
+def _rle_code_lengths(lengths: list[int]):
+    """RFC 1951 §3.2.7 run-length coding of the code-length arrays:
+    (symbol, extra_bits, extra_val) triples using 16/17/18 repeats."""
+    out = []
+    i = 0
+    n = len(lengths)
+    while i < n:
+        v = lengths[i]
+        j = i
+        while j < n and lengths[j] == v:
+            j += 1
+        run = j - i
+        if v == 0:
+            while run >= 11:
+                r = min(run, 138)
+                out.append((18, 7, r - 11))
+                run -= r
+            if run >= 3:
+                out.append((17, 3, run - 3))
+                run = 0
+            out.extend((0, 0, 0) for _ in range(run))
+        else:
+            out.append((v, 0, 0))
+            run -= 1
+            while run >= 3:
+                r = min(run, 6)
+                out.append((16, 2, r - 3))
+                run -= r
+            out.extend((v, 0, 0) for _ in range(run))
+        i = j
+    return out
+
+
+def _emit_fixed(tokens) -> bytes:
+    bw = _BitWriter()
+    bw.put(1, 1)  # BFINAL
+    bw.put(1, 2)  # BTYPE=01 fixed
+    lit_codes = _canonical_codes([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
+    dist_codes = _canonical_codes([5] * 30)
+    _emit_tokens(bw, tokens, lit_codes, dist_codes)
+    return bw.bytes()
+
+
+def _emit_dynamic(tokens) -> bytes:
+    lit_freq: dict[int, int] = {256: 1}
+    dist_freq: dict[int, int] = {}
+    for t in tokens:
+        if isinstance(t, tuple):
+            sym, _, _ = _len_code(t[0])
+            lit_freq[sym] = lit_freq.get(sym, 0) + 1
+            sym, _, _ = _dist_code(t[1])
+            dist_freq[sym] = dist_freq.get(sym, 0) + 1
+        else:
+            lit_freq[t] = lit_freq.get(t, 0) + 1
+    lit_len_map = _package_merge(lit_freq, 15)
+    dist_len_map = _package_merge(dist_freq, 15)
+    hlit = max(257, max(lit_len_map) + 1)
+    hdist = max(1, max(dist_len_map) + 1 if dist_len_map else 1)
+    lit_lengths = [lit_len_map.get(s, 0) for s in range(hlit)]
+    dist_lengths = [dist_len_map.get(s, 0) for s in range(hdist)]
+    rle = _rle_code_lengths(lit_lengths + dist_lengths)
+    cl_freq: dict[int, int] = {}
+    for sym, _, _ in rle:
+        cl_freq[sym] = cl_freq.get(sym, 0) + 1
+    cl_len_map = _package_merge(cl_freq, 7)
+    cl_lengths = [cl_len_map.get(s, 0) for s in range(19)]
+    hclen = len(_CLEN_ORDER)
+    while hclen > 4 and cl_lengths[_CLEN_ORDER[hclen - 1]] == 0:
+        hclen -= 1
+    bw = _BitWriter()
+    bw.put(1, 1)  # BFINAL
+    bw.put(2, 2)  # BTYPE=10 dynamic
+    bw.put(hlit - 257, 5)
+    bw.put(hdist - 1, 5)
+    bw.put(hclen - 4, 4)
+    for k in range(hclen):
+        bw.put(cl_lengths[_CLEN_ORDER[k]], 3)
+    cl_codes = _canonical_codes(cl_lengths)
+    for sym, xb, xv in rle:
+        c, w = cl_codes[sym]
+        bw.put_code(c, w)
+        if xb:
+            bw.put(xv, xb)
+    lit_codes = _canonical_codes(lit_lengths)
+    dist_codes = _canonical_codes(dist_lengths)
+    _emit_tokens(bw, tokens, lit_codes, dist_codes)
+    return bw.bytes()
+
+
+def _emit_stored(data: bytes) -> bytes:
+    bw = _BitWriter()
+    bw.put(1, 1)  # BFINAL
+    bw.put(0, 2)  # BTYPE=00 stored
+    bw.align()
+    n = len(data)
+    return bw.bytes() + n.to_bytes(2, "little") + (
+        n ^ 0xFFFF
+    ).to_bytes(2, "little") + data
+
+
+def deflate_compress(data: bytes) -> bytes:
+    """RFC 1951 encode as ONE final block: fixed-Huffman, dynamic-Huffman
+    (when the parse is big enough to amortize the header), and stored
+    (when it fits a single stored block) candidates are all assembled and
+    the smallest wins — mirroring what a real compressor's block planner
+    decides, without copying one."""
+    tokens = _lz77_tokens(data)
+    cands = [("fixed", _emit_fixed(tokens))]
+    if len(data) >= 32:
+        cands.append(("dynamic", _emit_dynamic(tokens)))
+    if len(data) <= 0xFFFF:
+        cands.append(("stored", _emit_stored(data)))
+    mode, best = min(cands, key=lambda kv: len(kv[1]))
+    _denc_hit(f"block:{mode}")
+    return best
+
+
+@register(
+    "mm_deflate_encode_roundtrip",
+    oracle=_BZ_ORACLE,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="DEFLATE ENCODE from RFC 1951 — the reverse certification "
+    "direction from the from-spec inflate above, completing the codec "
+    "pair the way the zstd/LZ4 entries do: greedy hash-chain LZ77 parse "
+    "(window 32 KiB, lengths 3-258), canonical length-limited Huffman "
+    "codes built with PACKAGE-MERGE (15-bit litlen/dist, 7-bit "
+    "code-length alphabet), dynamic-block header with run-length coded "
+    "lengths (symbols 16/17/18), fixed-Huffman and stored candidates, "
+    "smallest block wins. Every stream is decoded by the REAL stdlib "
+    "zlib inflater in raw mode — any bitstream our reading of the spec "
+    "assembles that the reference implementation cannot read raises "
+    "here — and re-read by this repo's own from-spec inflate "
+    "(self-consistency). Oracle identical to the zstd/LZ4 entries "
+    "(repeat algebra over the same five payload shapes). Scale: "
+    "per-object mapInPandas, single scan, no shuffle.",
+)
+def mm_deflate_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flock_spark.operators.zstd_codec import _PAYLOAD_CASE
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id", f"cast(({_PAYLOAD_CASE}) as binary) AS payload"
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                stream = deflate_compress(b)
+                dec = zlib.decompressobj(-15)
+                real = dec.decompress(stream)
+                if real != b or not dec.eof or dec.unused_data not in (
+                    b"", None
+                ):
+                    raise ValueError(
+                        f"zlib read our stream differently for doc {doc_id}"
+                    )
+                if inflate(stream) != b:
+                    raise ValueError(f"self-decode mismatch for doc {doc_id}")
+                out_doc.append(int(doc_id))
+                out_n.append(len(b))
+                out_sum.append(sum(b))
+                out_md5.append(
+                    hashlib.md5(b.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
+    )

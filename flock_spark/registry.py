@@ -69,13 +69,14 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_zstd_frame_roundtrip",
     "mm_zstd_encode_roundtrip",
     "mm_bzip2_decode",
+    "mm_deflate_encode_roundtrip",
     "corpus_epoch_shuffle_audit",
     "scan_parquet_zstd_page_decode",
     "scan_parquet_v2_delta_decode",
     "scan_parquet_page_index_prune",
     "scan_arrow_ipc_stream_walk",
-    "scan_arrow_ipc_file_walk",
     "crawl_chain_end_to_end",  # heavy
+    "scan_arrow_ipc_file_walk",
     "scan_orc_stripe_decode",
     "scan_formats_consensus",
     "scan_avro_container_decode",
@@ -84,8 +85,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "set_intersect",
-    "set_union_all",
     "streaming_arrow_ipc_ingest",  # heavy
+    "set_union_all",
     "sort_global_range",
     "sort_multi_col",
     "string_funcs",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_frame_moving_avg",
     "window_lag_lead",
     "window_percentiles",
-    "window_range_frame_sum",
     "streaming_orc_file_ingest",  # heavy
+    "window_range_frame_sum",
     "window_rank_dense",
     "ann_ivf_topk",
     "ann_topk_bruteforce",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "cdc_upsert_latest",
     "corpus_decontaminate",
     "dedup_clusters",
-    "dedup_minhash_lsh_pairs",
     "streaming_avro_file_ingest",  # heavy
 )
 

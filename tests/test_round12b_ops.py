@@ -220,3 +220,101 @@ def test_avro_fixture_really_has_three_codecs(spark, sf_dir):
         assert json.loads(meta["avro.schema"])["name"] == "Doc"
         seen.add(codec)
     assert seen == set(A.CODECS)
+
+
+# ---------------------------------------------------------------------------
+# DEFLATE encoder (RFC 1951) certified by the stdlib zlib inflater
+# ---------------------------------------------------------------------------
+
+
+def test_deflate_encoder_roundtrips_and_all_block_modes():
+    import random
+    import zlib
+
+    from flock_spark.operators import multimodal as M
+
+    M.DEFLATE_ENC_STATS.clear()
+    rng = random.Random(12)
+    cases = [
+        b"", b"a", b"ab", b"abc",  # tiny -> fixed
+        b"hello world, hello world, hello " * 40,  # repetitive -> dynamic
+        bytes(rng.randrange(256) for _ in range(400)),  # random -> stored
+        b"\x00" * 1000,  # constant run
+        "héllo wörld ünïcode ".encode() * 30,
+        bytes(rng.randrange(256) for _ in range(70001)),  # > stored cap
+    ]
+    for case in cases:
+        stream = M.deflate_compress(case)
+        d = zlib.decompressobj(-15)
+        assert d.decompress(stream) == case and d.eof
+        assert M.inflate(stream) == case
+    for mode in ("block:fixed", "block:dynamic", "block:stored"):
+        assert M.DEFLATE_ENC_STATS.get(mode, 0) >= 1, mode
+
+
+def test_deflate_randomized_roundtrip_vs_zlib():
+    import random
+    import zlib
+
+    from flock_spark.operators import multimodal as M
+
+    rng = random.Random(99)
+    alphabets = [b"ab", b"abcdefgh", bytes(range(256))]
+    for trial in range(60):
+        alpha = alphabets[trial % 3]
+        n = rng.randrange(0, 3000)
+        case = bytes(alpha[rng.randrange(len(alpha))] for _ in range(n))
+        stream = M.deflate_compress(case)
+        d = zlib.decompressobj(-15)
+        assert d.decompress(stream) == case and d.eof, n
+        assert M.inflate(stream) == case, n
+
+
+def test_package_merge_kraft_and_limits():
+    from flock_spark.operators.multimodal import _package_merge
+
+    import random
+
+    rng = random.Random(5)
+    for _ in range(30):
+        n = rng.randrange(2, 40)
+        freqs = {s: rng.randrange(1, 10000) for s in range(n)}
+        for limit in (7, 15):
+            if n > (1 << limit):
+                continue
+            lengths = _package_merge(freqs, limit)
+            assert set(lengths) == set(freqs)
+            assert all(1 <= v <= limit for v in lengths.values())
+            assert sum(2 ** -v for v in lengths.values()) == 1.0
+    # pathological skew that overflows naive Huffman depth: fibonacci freqs
+    fib = [1, 1]
+    while len(fib) < 20:
+        fib.append(fib[-1] + fib[-2])
+    lengths = _package_merge(dict(enumerate(fib)), 15)
+    assert max(lengths.values()) <= 15
+    assert sum(2 ** -v for v in lengths.values()) == 1.0
+    assert _package_merge({7: 123}, 15) == {7: 1}
+
+
+def test_deflate_rle_code_lengths_reconstruct():
+    from flock_spark.operators.multimodal import _rle_code_lengths
+
+    import random
+
+    rng = random.Random(3)
+    for _ in range(20):
+        lengths = []
+        while len(lengths) < 60:
+            v = rng.choice([0, 0, 0, 3, 5, 8])
+            lengths.extend([v] * rng.randrange(1, 20))
+        out = []
+        for sym, _xb, xv in _rle_code_lengths(lengths):
+            if sym == 16:
+                out.extend([out[-1]] * (3 + xv))
+            elif sym == 17:
+                out.extend([0] * (3 + xv))
+            elif sym == 18:
+                out.extend([0] * (11 + xv))
+            else:
+                out.append(sym)
+        assert out == lengths
