@@ -5616,3 +5616,321 @@ def mm_deflate_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Full bzip2 ENCODER — the reverse certification direction from
+# bzip2_decompress above, completing the sixth codec pair: RLE1 block
+# segmentation, Burrows-Wheeler transform of ROTATIONS via suffix doubling,
+# move-to-front over the used alphabet, RUNA/RUNB bijective base-2 zero
+# runs, package-merge length-limited Huffman, delta-coded lengths, MTF'd
+# unary selectors, MSB-first bit packing, per-block + combined CRCs. Every
+# stream this emits is decoded by the REAL stdlib libbz2 decompressor and
+# by this repo's own from-spec decoder.
+# ---------------------------------------------------------------------------
+
+BZ_ENC_STATS: dict[str, int] = {}
+
+
+def _bzenc_hit(key: str) -> None:
+    BZ_ENC_STATS[key] = BZ_ENC_STATS.get(key, 0) + 1
+
+
+class _BzBitW:
+    """MSB-first bit writer (bzip2's convention, mirror of _BzBits)."""
+
+    __slots__ = ("out", "cur", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def put(self, value: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def bytes_padded(self) -> bytes:
+        if self.nbits:
+            return bytes(self.out + bytearray([self.cur << (8 - self.nbits)]))
+        return bytes(self.out)
+
+
+def _bz_rle1_encode(data: bytes) -> bytes:
+    """bzip2's first-stage RLE: a run of 4-259 equal bytes becomes 4 copies
+    plus an extra-repeat count byte (longer runs split)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        run = 1
+        while i + run < n and run < 259 and data[i + run] == b:
+            run += 1
+        if run >= 4:
+            out.extend([b] * 4)
+            out.append(run - 4)
+            _bzenc_hit("rle1:run")
+        else:
+            out.extend([b] * run)
+        i += run
+    return bytes(out)
+
+
+def _bz_segments(data: bytes, cap: int):
+    """Split the input at RLE1-run boundaries so every block's RLE1-encoded
+    form fits ``cap`` (the declared block size). Yields (original_segment,
+    rle1_bytes) pairs — block CRCs are computed over the ORIGINAL bytes."""
+    segs = []
+    start = 0
+    i = 0
+    n = len(data)
+    enc_len = 0
+    while i < n:
+        b = data[i]
+        run = 1
+        while i + run < n and run < 259 and data[i + run] == b:
+            run += 1
+        piece = 5 if run >= 4 else run
+        if enc_len + piece > cap and enc_len > 0:
+            segs.append(data[start:i])
+            start = i
+            enc_len = 0
+        enc_len += piece
+        i += run
+    if start < n or not segs:
+        segs.append(data[start:])
+    return [(s, _bz_rle1_encode(s)) for s in segs if len(s) or len(segs) == 1]
+
+
+def _bwt_rotations(block: bytes) -> tuple[bytes, int]:
+    """Burrows-Wheeler transform of cyclic ROTATIONS (bzip2's variant, not
+    the suffix-array one) via Manber-Myers doubling with cyclic ranks,
+    vectorized with numpy lexsort (stable, so tie order is consistent).
+    Identical rotations (periodic blocks) tie — any consistent order
+    inverts correctly under the counting construction. Returns
+    (last_column, index_of_original_rotation)."""
+    import numpy as np
+
+    n = len(block)
+    if n == 1:
+        return block, 0
+    a = np.frombuffer(block, dtype=np.uint8)
+    rank = a.astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    order = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = rank[(idx + k) % n]
+        order = np.lexsort((key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        neq = np.empty(n, dtype=np.int64)
+        neq[0] = 0
+        neq[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(neq)
+        rank = new_rank
+        if rank[order[-1]] == n - 1:  # all rotations distinct
+            break
+        k <<= 1
+    else:
+        _bzenc_hit("bwt:periodic")  # ties left: block is periodic
+    last = a[(order - 1) % n].tobytes()
+    return last, int(np.nonzero(order == 0)[0][0])
+
+
+def _bz_canonical(lens: list[int]) -> list[tuple[int, int]]:
+    """sym -> (code, length) with bzip2's canonical walk (increasing
+    length, symbol order within a length) — the mirror of the decoder's
+    table construction above."""
+    out = [(0, 0)] * len(lens)
+    code = 0
+    for ln in range(min(lens), max(lens) + 1):
+        for sym, sl in enumerate(lens):
+            if sl == ln:
+                out[sym] = (code, ln)
+                code += 1
+        code <<= 1
+    return out
+
+
+def _bz_encode_block(bw: "_BzBitW", rle1: bytes, crc: int) -> None:
+    from flock_spark.operators.multimodal import _package_merge
+
+    bw.put(0x314159265359, 48)
+    bw.put(crc, 32)
+    bw.put(0, 1)  # randomized: deprecated, always 0
+    bwt, orig_ptr = _bwt_rotations(rle1)
+    bw.put(orig_ptr, 24)
+    used = sorted(set(bwt))
+    alpha = len(used) + 2
+    # MTF + RLE2 over the used alphabet
+    mtf = list(used)
+    syms: list[int] = []
+
+    def flush_run(run: int) -> None:
+        while run > 0:
+            d = (run - 1) % 2 + 1  # bijective base-2 digit: 1=RUNA 2=RUNB
+            syms.append(d - 1)
+            run = (run - d) // 2
+
+    run = 0
+    for b in bwt:
+        idx = mtf.index(b)
+        if idx == 0:
+            run += 1
+            continue
+        flush_run(run)
+        run = 0
+        mtf.pop(idx)
+        mtf.insert(0, b)
+        syms.append(idx + 1)
+    flush_run(run)
+    syms.append(alpha - 1)  # EOB
+    # two-level used-symbol bitmap
+    ranges = 0
+    for u in used:
+        ranges |= 0x8000 >> (u >> 4)
+    bw.put(ranges, 16)
+    for r in range(16):
+        if ranges & (0x8000 >> r):
+            m = 0
+            for u in used:
+                if u >> 4 == r:
+                    m |= 0x8000 >> (u & 15)
+            bw.put(m, 16)
+    # one global length-limited Huffman table, duplicated (the format
+    # demands >= 2 groups; identical tables with all-zero selectors are
+    # valid, just suboptimal vs a real group planner)
+    freqs = {s: 1 for s in range(alpha)}
+    for s in syms:
+        freqs[s] += 1
+    lens_map = _package_merge(freqs, 17)
+    lens = [lens_map[s] for s in range(alpha)]
+    codes = _bz_canonical(lens)
+    n_sel = (len(syms) + 49) // 50
+    bw.put(2, 3)  # n_groups
+    bw.put(n_sel, 15)
+    for _ in range(n_sel):
+        bw.put(0, 1)  # selector MTF index 0 -> unary terminator alone
+    for _ in range(2):
+        cur = lens[0]
+        bw.put(cur, 5)
+        for target in lens:
+            while cur != target:
+                bw.put(1, 1)
+                if target > cur:
+                    bw.put(0, 1)
+                    cur += 1
+                else:
+                    bw.put(1, 1)
+                    cur -= 1
+            bw.put(0, 1)
+    for s in syms:
+        code, ln = codes[s]
+        bw.put(code, ln)
+
+
+def bzip2_compress(
+    data: bytes, level: int = 1, block_cap: int | None = None
+) -> bytes:
+    """Encode ``data`` as one complete bzip2 stream from the public format
+    description. ``level`` sets the declared 100k-multiple block size;
+    ``block_cap`` (tests) forces smaller blocks to exercise the
+    multi-block path. Output decodes with libbz2 and with this repo's own
+    from-spec decoder."""
+    if not 1 <= level <= 9:
+        raise ValueError("bzip2 level must be 1..9")
+    cap = block_cap if block_cap is not None else level * 100_000 - 19
+    bw = _BzBitW()
+    bw.put(0x425A68, 24)  # 'BZh'
+    bw.put(0x30 + level, 8)
+    combined = 0
+    if data:
+        segs = _bz_segments(data, cap)
+        if len(segs) > 1:
+            _bzenc_hit("stream:multiblock")
+        for orig, rle1 in segs:
+            crc = _bz_crc32(orig)
+            combined = (
+                ((combined << 1) | (combined >> 31)) & 0xFFFFFFFF
+            ) ^ crc
+            _bz_encode_block(bw, rle1, crc)
+    else:
+        _bzenc_hit("stream:empty")
+    bw.put(0x177245385090, 48)
+    bw.put(combined, 32)
+    return bw.bytes_padded()
+
+
+@register(
+    "mm_bzip2_encode_roundtrip",
+    oracle=_BZ_ORACLE,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="bzip2 ENCODE from the public format description — the reverse "
+    "certification direction from mm_bzip2_decode, completing the codec "
+    "pair: RLE1 with run-boundary block segmentation, Burrows-Wheeler "
+    "transform of cyclic rotations via Manber-Myers suffix doubling "
+    "(periodic-block ties invert correctly under the counting "
+    "construction), move-to-front over the used alphabet, RUNA/RUNB "
+    "bijective base-2 zero runs, the two-level used-symbol bitmap, "
+    "package-merge length-limited Huffman (17-bit cap) with bzip2's "
+    "canonical code walk, delta-coded lengths, MTF'd unary selectors, "
+    "MSB-first bit packing, and per-block + 1-bit-rotated combined "
+    "CRC-32s (bzip2's unreflected polynomial). Every stream is decoded "
+    "by the REAL stdlib libbz2 decompressor — any bitstream our reading "
+    "of the format assembles that the reference implementation cannot "
+    "read raises here — and re-read by this repo's own from-spec "
+    "decoder (self-consistency). A 1500-byte block cap forces the "
+    "multi-block path on the large payload shapes. Oracle identical to "
+    "the decode entry (repeat algebra over the same five payload "
+    "shapes). Scale: per-object mapInPandas, single scan, no shuffle.",
+)
+def mm_bzip2_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id", f"cast(({_BZ_PAYLOAD_CASE}) as binary) AS payload"
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bz2
+
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                stream = bzip2_compress(b, level=1, block_cap=1500)
+                if bz2.decompress(stream) != b:
+                    raise ValueError(
+                        f"libbz2 read our stream differently for doc {doc_id}"
+                    )
+                if bzip2_decompress(stream) != b:
+                    raise ValueError(f"self-decode mismatch for doc {doc_id}")
+                out_doc.append(int(doc_id))
+                out_n.append(len(b))
+                out_sum.append(sum(b))
+                out_md5.append(
+                    hashlib.md5(b.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
+    )

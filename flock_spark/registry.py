@@ -70,12 +70,13 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_zstd_encode_roundtrip",
     "mm_bzip2_decode",
     "mm_deflate_encode_roundtrip",
+    "mm_bzip2_encode_roundtrip",
     "corpus_epoch_shuffle_audit",
     "scan_parquet_zstd_page_decode",
     "scan_parquet_v2_delta_decode",
     "scan_parquet_page_index_prune",
-    "scan_arrow_ipc_stream_walk",
     "crawl_chain_end_to_end",  # heavy
+    "scan_arrow_ipc_stream_walk",
     "scan_arrow_ipc_file_walk",
     "scan_orc_stripe_decode",
     "scan_formats_consensus",
@@ -84,8 +85,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
-    "set_intersect",
     "streaming_arrow_ipc_ingest",  # heavy
+    "set_intersect",
     "set_union_all",
     "sort_global_range",
     "sort_multi_col",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_first_last",
     "window_frame_moving_avg",
     "window_lag_lead",
-    "window_percentiles",
     "streaming_orc_file_ingest",  # heavy
+    "window_percentiles",
     "window_range_frame_sum",
     "window_rank_dense",
     "ann_ivf_topk",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "bloom_membership_probe",
     "cdc_upsert_latest",
     "corpus_decontaminate",
-    "dedup_clusters",
     "streaming_avro_file_ingest",  # heavy
 )
 
