@@ -1,0 +1,761 @@
+"""From-spec XZ / LZMA2 / LZMA decoder, certified against the REAL liblzma
+encoder (the stdlib ``lzma`` module): every byte of the container and the
+entropy coding is decoded here from the published specifications with zero
+library code in the decode path —
+
+- the XZ FILE FORMAT (tukaani xz-file-format spec): stream header magic +
+  flags + CRC32, block headers (size, filter flags, LZMA2 dict-size
+  property, header CRC32), block padding, per-block integrity checks
+  (None / CRC32 / CRC64 / SHA-256 — ALL FOUR verified with this module's
+  own from-spec implementations, never hashlib/zlib in the decode path),
+  the index (multibyte varints, record agreement with decoded blocks,
+  index CRC32), the stream footer (backward size, flags echo, YZ magic),
+  stream padding and multi-stream concatenation;
+- the LZMA2 chunk layer: end marker, uncompressed chunks with/without
+  dict reset, compressed chunks with the four reset modes (none / state /
+  state+props / state+props+dict) and strict unpack-size accounting;
+- LZMA proper (the 7-zip reference description): the 11-bit-probability
+  binary range coder with its normalization rule, bit trees (forward and
+  reverse), literal contexts (lc/lp) with the matched-literal path, the
+  12-state state machine, match/rep/shortrep decisions, length coders,
+  distance slots + aligned bits + direct bits, rep0-rep3 distance
+  history, and the end-of-payload marker (0xFFFFFFFF distance);
+- the legacy LZMA_ALONE (.lzma) container: 13-byte header (props byte,
+  LE32 dict size, LE64 size or unknown-size end-marker mode).
+
+Support hashes implemented from their public specs and certified against
+independent implementations in tests: CRC-64/XZ (ECMA-182 reflected,
+``crc64_xz``) against the published check vector, and SHA-256 (FIPS
+180-4, ``sha256_own``) against hashlib on random lengths.
+
+Reference parity: the reference engine round-trips its payloads through
+general-purpose codecs in its encoding layer (flock/src/encoding.rs); XZ
+is the last of the mainstream lake/dump codecs (after zstd, LZ4, snappy,
+gzip/DEFLATE, bzip2) a 100 TB crawl/corpus pipeline routinely ingests
+(wikidumps ship .xz multistream).
+
+Scale: per-object mapInPandas decode — single scan, no shuffle; the
+dictionary lives per object, so memory is O(payload), and files fan out
+embarrassingly parallel like every codec entry in this repo.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flock_spark.catalog import spread, tbl
+from flock_spark.registry import register
+
+STATS: dict[str, int] = {}
+
+
+def _hit(key: str) -> None:
+    STATS[key] = STATS.get(key, 0) + 1
+
+
+# ---------------------------------------------------------------------------
+# From-spec check functions (the XZ integrity checks)
+# ---------------------------------------------------------------------------
+
+_CRC64_TABLE: list[int] = []
+
+
+def crc64_xz(data: bytes, crc: int = 0) -> int:
+    """CRC-64/XZ (ECMA-182 polynomial, reflected, init/xorout all-ones) —
+    the xz default check, from the polynomial definition."""
+    if not _CRC64_TABLE:
+        poly = 0xC96C5795D7870F42  # reflected ECMA-182
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            _CRC64_TABLE.append(c)
+    c = crc ^ 0xFFFFFFFFFFFFFFFF
+    for b in data:
+        c = _CRC64_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFFFFFFFFFF
+
+
+_SHA256_K = [
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
+    0x923F82A4, 0xAB1C5ED5, 0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3,
+    0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7, 0xC19BF174, 0xE49B69C1, 0xEFBE4786,
+    0x0FC19DC6, 0x240CA1CC, 0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA,
+    0x983E5152, 0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147,
+    0x06CA6351, 0x14292967, 0x27B70A85, 0x2E1B2138, 0x4D2C6DFC, 0x53380D13,
+    0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85, 0xA2BFE8A1, 0xA81A664B,
+    0xC24B8B70, 0xC76C51A3, 0xD192E819, 0xD6990624, 0xF40E3585, 0x106AA070,
+    0x19A4C116, 0x1E376C08, 0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A,
+    0x5B9CCA4F, 0x682E6FF3, 0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208,
+    0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2,
+]
+
+
+def sha256_own(data: bytes) -> bytes:
+    """SHA-256 from FIPS 180-4 (certified against hashlib in tests) — used
+    to verify xz CHECK_SHA256 blocks without hashlib in the decode path."""
+    h = [0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+         0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19]
+    msg = data + b"\x80" + b"\x00" * ((55 - len(data)) % 64)
+    msg += (len(data) * 8).to_bytes(8, "big")
+    M = 0xFFFFFFFF
+
+    def rotr(x: int, r: int) -> int:
+        return ((x >> r) | (x << (32 - r))) & M
+
+    for off in range(0, len(msg), 64):
+        w = [int.from_bytes(msg[off + i * 4 : off + i * 4 + 4], "big")
+             for i in range(16)]
+        for t in range(16, 64):
+            s0 = rotr(w[t - 15], 7) ^ rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
+            s1 = rotr(w[t - 2], 17) ^ rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
+            w.append((w[t - 16] + s0 + w[t - 7] + s1) & M)
+        a, b, c, d, e, f, g, hh = h
+        for t in range(64):
+            S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = (hh + S1 + ch + _SHA256_K[t] + w[t]) & M
+            S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            t2 = (S0 + maj) & M
+            hh, g, f, e, d, c, b, a = (
+                g, f, e, (d + t1) & M, c, b, a, (t1 + t2) & M,
+            )
+        h = [(x + y) & M for x, y in zip(h, (a, b, c, d, e, f, g, hh))]
+    return b"".join(x.to_bytes(4, "big") for x in h)
+
+
+# ---------------------------------------------------------------------------
+# LZMA range decoder + state (7-zip reference description)
+# ---------------------------------------------------------------------------
+
+_PROB_INIT = 1024  # kNumBitModelTotal / 2 = 2048 / 2
+
+
+class _RangeDec:
+    __slots__ = ("data", "pos", "range", "code")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        if pos >= len(data) or data[pos] != 0:
+            raise ValueError("lzma: first range-coder byte must be 0")
+        self.data = data
+        self.range = 0xFFFFFFFF
+        self.code = int.from_bytes(data[pos + 1 : pos + 5], "big")
+        self.pos = pos + 5
+        if self.pos > len(data):
+            raise ValueError("lzma: truncated range-coder init")
+
+    def _norm(self) -> None:
+        if self.range < (1 << 24):
+            if self.pos >= len(self.data):
+                raise ValueError("lzma: truncated stream")
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            self.code = ((self.code << 8) | self.data[self.pos]) & 0xFFFFFFFF
+            self.pos += 1
+
+    def bit(self, probs: list[int], i: int) -> int:
+        p = probs[i]
+        bound = (self.range >> 11) * p
+        if self.code < bound:
+            self.range = bound
+            probs[i] = p + ((2048 - p) >> 5)
+            self._norm()
+            return 0
+        self.range -= bound
+        self.code -= bound
+        probs[i] = p - (p >> 5)
+        self._norm()
+        return 1
+
+    def direct(self, n: int) -> int:
+        res = 0
+        for _ in range(n):
+            self.range >>= 1
+            self.code = (self.code - self.range) & 0xFFFFFFFF
+            t = 0 - (self.code >> 31)
+            self.code = (self.code + (self.range & t)) & 0xFFFFFFFF
+            if self.code == self.range:
+                raise ValueError("lzma: range coder corrupted")
+            self._norm()
+            res = (res << 1) + t + 1
+        return res & 0xFFFFFFFF
+
+    def tree(self, probs: list[int], nbits: int) -> int:
+        m = 1
+        for _ in range(nbits):
+            m = (m << 1) + self.bit(probs, m)
+        return m - (1 << nbits)
+
+    def rtree(self, probs: list[int], nbits: int) -> int:
+        m = 1
+        sym = 0
+        for i in range(nbits):
+            b = self.bit(probs, m)
+            m = (m << 1) + b
+            sym |= b << i
+        return sym
+
+    def finished_ok(self) -> bool:
+        return self.code == 0
+
+
+class _LenDec:
+    __slots__ = ("choice", "low", "mid", "high")
+
+    def __init__(self) -> None:
+        self.choice = [_PROB_INIT] * 2
+        self.low = [[_PROB_INIT] * 8 for _ in range(16)]
+        self.mid = [[_PROB_INIT] * 8 for _ in range(16)]
+        self.high = [_PROB_INIT] * 256
+
+    def decode(self, rc: _RangeDec, pos_state: int) -> int:
+        if rc.bit(self.choice, 0) == 0:
+            return 2 + rc.tree(self.low[pos_state], 3)
+        if rc.bit(self.choice, 1) == 0:
+            return 10 + rc.tree(self.mid[pos_state], 3)
+        return 18 + rc.tree(self.high, 8)
+
+
+class _LzmaState:
+    """All adaptive probabilities + machine state for one props setting."""
+
+    def __init__(self, lc: int, lp: int, pb: int) -> None:
+        if lc > 8 or lp > 4 or pb > 4:
+            raise ValueError("lzma: bad lc/lp/pb")
+        self.lc, self.lp, self.pb = lc, lp, pb
+        self.reset_state()
+
+    def reset_state(self) -> None:
+        self.state = 0
+        self.rep0 = self.rep1 = self.rep2 = self.rep3 = 0
+        self.lit = [
+            [_PROB_INIT] * 0x300 for _ in range(1 << (self.lc + self.lp))
+        ]
+        self.is_match = [_PROB_INIT] * (12 << 4)
+        self.is_rep = [_PROB_INIT] * 12
+        self.is_rep_g0 = [_PROB_INIT] * 12
+        self.is_rep_g1 = [_PROB_INIT] * 12
+        self.is_rep_g2 = [_PROB_INIT] * 12
+        self.is_rep0_long = [_PROB_INIT] * (12 << 4)
+        self.pos_slot = [[_PROB_INIT] * 64 for _ in range(4)]
+        self.spec_pos = [_PROB_INIT] * 115
+        self.align = [_PROB_INIT] * 16
+        self.len_dec = _LenDec()
+        self.rep_len_dec = _LenDec()
+
+
+def _parse_props(byte: int) -> tuple[int, int, int]:
+    if byte >= 9 * 5 * 5:
+        raise ValueError("lzma: invalid props byte")
+    lc = byte % 9
+    byte //= 9
+    return lc, byte % 5, byte // 5
+
+
+def _lzma_run(
+    rc: _RangeDec,
+    st: _LzmaState,
+    dic: bytearray,
+    limit: int | None,
+) -> bool:
+    """Decode symbols appending to ``dic`` until the end marker (returns
+    True) or until len(dic) == limit (returns False). The dictionary IS
+    the output (no window wrap — payload-sized dictionaries)."""
+    pb_mask = (1 << st.pb) - 1
+    lp_mask = (1 << st.lp) - 1
+    while limit is None or len(dic) < limit:
+        pos_state = len(dic) & pb_mask
+        s = st.state
+        if rc.bit(st.is_match, (s << 4) + pos_state) == 0:
+            prev = dic[-1] if dic else 0
+            lit_state = (
+                ((len(dic) & lp_mask) << st.lc) + (prev >> (8 - st.lc))
+            )
+            probs = st.lit[lit_state]
+            if s >= 7:  # matched literal: probe against the match byte
+                _hit("lzma:lit_matched")
+                if st.rep0 + 1 > len(dic):
+                    raise ValueError("lzma: match byte before start")
+                match_byte = dic[len(dic) - st.rep0 - 1]
+                sym = 1
+                while sym < 0x100:
+                    match_bit = (match_byte >> 7) & 1
+                    match_byte = (match_byte << 1) & 0xFF
+                    b = rc.bit(probs, ((1 + match_bit) << 8) + sym)
+                    sym = (sym << 1) | b
+                    if match_bit != b:
+                        while sym < 0x100:
+                            sym = (sym << 1) | rc.bit(probs, sym)
+                        break
+            else:
+                _hit("lzma:lit")
+                sym = 1
+                while sym < 0x100:
+                    sym = (sym << 1) | rc.bit(probs, sym)
+            dic.append(sym & 0xFF)
+            st.state = 0 if s < 4 else (s - 3 if s < 10 else s - 6)
+            continue
+        if rc.bit(st.is_rep, s):
+            if rc.bit(st.is_rep_g0, s) == 0:
+                if rc.bit(st.is_rep0_long, (s << 4) + pos_state) == 0:
+                    _hit("lzma:shortrep")
+                    if st.rep0 + 1 > len(dic):
+                        raise ValueError("lzma: shortrep before start")
+                    dic.append(dic[len(dic) - st.rep0 - 1])
+                    st.state = 9 if s < 7 else 11
+                    continue
+            else:
+                if rc.bit(st.is_rep_g1, s) == 0:
+                    dist = st.rep1
+                else:
+                    if rc.bit(st.is_rep_g2, s) == 0:
+                        dist = st.rep2
+                    else:
+                        dist = st.rep3
+                        st.rep3 = st.rep2
+                    st.rep2 = st.rep1
+                st.rep1 = st.rep0
+                st.rep0 = dist
+            _hit("lzma:rep")
+            ln = st.rep_len_dec.decode(rc, pos_state)
+            st.state = 8 if s < 7 else 11
+        else:
+            _hit("lzma:match")
+            st.rep3, st.rep2, st.rep1 = st.rep2, st.rep1, st.rep0
+            ln = st.len_dec.decode(rc, pos_state)
+            st.state = 7 if s < 7 else 10
+            slot = rc.tree(st.pos_slot[min(ln - 2, 3)], 6)
+            if slot < 4:
+                st.rep0 = slot
+            else:
+                nd = (slot >> 1) - 1
+                st.rep0 = (2 | (slot & 1)) << nd
+                if slot < 14:
+                    st.rep0 += rc.rtree(
+                        # spec-pos probs are indexed (dist - posSlot) + m
+                        # with m from 1 (the spec declares the array as
+                        # 1 + kNumFullDistances - kEndPosModelIndex)
+                        _SubProbs(st.spec_pos, st.rep0 - slot), nd
+                    )
+                else:
+                    _hit("lzma:direct")
+                    st.rep0 += rc.direct(nd - 4) << 4
+                    st.rep0 = (st.rep0 + rc.rtree(st.align, 4)) & 0xFFFFFFFF
+                    if st.rep0 == 0xFFFFFFFF:
+                        _hit("lzma:endmarker")
+                        return True
+        if st.rep0 + 1 > len(dic):
+            raise ValueError("lzma: distance past dictionary start")
+        if limit is not None and len(dic) + ln > limit:
+            raise ValueError("lzma: match overruns declared size")
+        src = len(dic) - st.rep0 - 1
+        for k in range(ln):
+            dic.append(dic[src + k])
+    return False
+
+
+class _SubProbs:
+    """List view with an offset — lets the shared SpecPos probability
+    array be addressed per distance-slot base, as the spec lays it out."""
+
+    __slots__ = ("base", "off")
+
+    def __init__(self, base: list[int], off: int) -> None:
+        self.base = base
+        self.off = off
+
+    def __getitem__(self, i: int) -> int:
+        return self.base[self.off + i]
+
+    def __setitem__(self, i: int, v: int) -> None:
+        self.base[self.off + i] = v
+
+
+# ---------------------------------------------------------------------------
+# LZMA2 chunk layer
+# ---------------------------------------------------------------------------
+
+
+def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
+    """Decode one LZMA2 chunk sequence; returns (output, end_offset just
+    past the 0x00 terminator)."""
+    dic = bytearray()
+    st: _LzmaState | None = None
+    need_dict_reset = True
+    while True:
+        if pos >= len(data):
+            raise ValueError("lzma2: missing end marker")
+        ctrl = data[pos]
+        pos += 1
+        if ctrl == 0:
+            return bytes(dic), pos
+        if ctrl in (1, 2):
+            if ctrl == 1:
+                dic.clear()
+                need_dict_reset = False
+                _hit("lzma2:dict_reset")
+            elif need_dict_reset:
+                raise ValueError("lzma2: first chunk must reset dict")
+            size = int.from_bytes(data[pos : pos + 2], "big") + 1
+            pos += 2
+            if pos + size > len(data):
+                raise ValueError("lzma2: truncated uncompressed chunk")
+            dic.extend(data[pos : pos + size])
+            pos += size
+            st = None  # spec: state reset required before next LZMA chunk
+            _hit("lzma2:uncompressed")
+            continue
+        if ctrl < 0x80:
+            raise ValueError(f"lzma2: invalid control byte {ctrl:#x}")
+        unpack = ((ctrl & 0x1F) << 16) + int.from_bytes(
+            data[pos : pos + 2], "big"
+        ) + 1
+        pack = int.from_bytes(data[pos + 2 : pos + 4], "big") + 1
+        pos += 4
+        mode = (ctrl >> 5) & 3
+        if mode == 3:
+            dic.clear()
+            need_dict_reset = False
+            _hit("lzma2:dict_reset")
+        elif need_dict_reset:
+            raise ValueError("lzma2: first chunk must reset dict")
+        if mode >= 2:
+            lc, lp, pb = _parse_props(data[pos])
+            pos += 1
+            st = _LzmaState(lc, lp, pb)
+            _hit("lzma2:props_reset")
+        elif mode == 1:
+            if st is None:
+                raise ValueError("lzma2: state reset without props")
+            st.reset_state()
+            _hit("lzma2:state_reset")
+        else:
+            if st is None:
+                raise ValueError("lzma2: continuation without state")
+            _hit("lzma2:continue")
+        if pos + pack > len(data):
+            raise ValueError("lzma2: truncated compressed chunk")
+        rc = _RangeDec(data, pos)
+        target = len(dic) + unpack
+        ended = _lzma_run(rc, st, dic, target)
+        if ended or len(dic) != target:
+            raise ValueError("lzma2: chunk size mismatch")
+        if rc.pos != pos + pack or not rc.finished_ok():
+            raise ValueError("lzma2: chunk did not consume its pack size")
+        pos += pack
+
+
+# ---------------------------------------------------------------------------
+# Containers: .xz and legacy .lzma (alone)
+# ---------------------------------------------------------------------------
+
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+_CHECK_SIZES = {0: 0, 1: 4, 4: 8, 10: 32}
+_CHECK_NAMES = {0: "none", 1: "crc32", 4: "crc64", 10: "sha256"}
+
+
+def _mb_varint(d: bytes, p: int) -> tuple[int, int]:
+    """xz multibyte integer: 7 bits/byte little-endian, max 9 bytes."""
+    v = 0
+    for i in range(9):
+        if p >= len(d):
+            raise ValueError("xz: truncated varint")
+        b = d[p]
+        p += 1
+        v |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            if b == 0 and i > 0:
+                raise ValueError("xz: non-minimal varint")
+            return v, p
+    raise ValueError("xz: varint too long")
+
+
+def xz_decompress(data: bytes) -> bytes:
+    """Decode a complete .xz file (multi-stream with padding allowed),
+    verifying every CRC32 (own table-driven implementation from
+    multimodal.py), block check (own CRC32/CRC64/SHA-256), index record
+    and footer echo. Raises ValueError on any violation."""
+    from flock_spark.operators.multimodal import _crc32_own
+
+    out_all = bytearray()
+    pos = 0
+    n_streams = 0
+    while pos < len(data):
+        if data[pos : pos + 4] == b"\x00\x00\x00\x00":
+            # stream padding: 4-byte-aligned nulls before EOF or the next
+            # stream; a trailing remainder that is all nulls but not a
+            # multiple of 4 falls through to the magic check and raises
+            if set(data[pos:]) == {0} and (len(data) - pos) % 4 == 0:
+                _hit("xz:stream_padding")
+                break
+            pos += 4
+            continue
+        if data[pos : pos + 6] != _XZ_MAGIC:
+            raise ValueError("xz: bad stream magic")
+        n_streams += 1
+        if n_streams > 1:
+            _hit("xz:multistream")
+        p = pos + 6
+        flags = data[p : p + 2]
+        if len(flags) < 2 or flags[0] != 0 or flags[1] & 0xF0:
+            raise ValueError("xz: bad stream flags")
+        check_id = flags[1]
+        if check_id not in _CHECK_SIZES:
+            raise ValueError(f"xz: unsupported check id {check_id}")
+        _hit(f"xz:check_{_CHECK_NAMES[check_id]}")
+        if int.from_bytes(data[p + 2 : p + 6], "little") != _crc32_own(flags):
+            raise ValueError("xz: stream header CRC mismatch")
+        p += 6
+        records = []
+        while True:
+            if p >= len(data):
+                raise ValueError("xz: truncated stream")
+            if data[p] == 0:  # index indicator
+                break
+            # ---- block header ----
+            bh_start = p
+            real_size = (data[p] + 1) * 4
+            bh = data[p : p + real_size]
+            if len(bh) < real_size:
+                raise ValueError("xz: truncated block header")
+            if int.from_bytes(bh[-4:], "little") != _crc32_own(bh[:-4]):
+                raise ValueError("xz: block header CRC mismatch")
+            q = 1
+            bflags = bh[q]
+            q += 1
+            if bflags & 0x3C:
+                raise ValueError("xz: reserved block flags set")
+            n_filters = (bflags & 3) + 1
+            comp_size = unc_size = None
+            if bflags & 0x40:
+                comp_size, q = _mb_varint(bh, q)
+            if bflags & 0x80:
+                unc_size, q = _mb_varint(bh, q)
+            dict_size = None
+            for _ in range(n_filters):
+                fid, q = _mb_varint(bh, q)
+                plen, q = _mb_varint(bh, q)
+                props = bh[q : q + plen]
+                q += plen
+                if fid == 0x21:  # LZMA2
+                    if plen != 1 or props[0] & 0xC0:
+                        raise ValueError("xz: bad LZMA2 props")
+                    bits = props[0] & 0x3F
+                    if bits > 40:
+                        raise ValueError("xz: bad LZMA2 dict size")
+                    dict_size = (
+                        0xFFFFFFFF if bits == 40
+                        else (2 | (bits & 1)) << (bits // 2 + 11)
+                    )
+                else:
+                    raise ValueError(f"xz: unsupported filter {fid:#x}")
+            if any(bh[q:-4]):
+                raise ValueError("xz: nonzero block header padding")
+            if dict_size is None:
+                raise ValueError("xz: no LZMA2 filter in chain")
+            p = bh_start + real_size
+            # ---- compressed data (LZMA2) ----
+            block, p2 = lzma2_decompress(data, p)
+            actual_comp = p2 - p
+            if comp_size is not None and actual_comp != comp_size:
+                raise ValueError("xz: compressed size mismatch")
+            if unc_size is not None and len(block) != unc_size:
+                raise ValueError("xz: uncompressed size mismatch")
+            p = p2
+            while p % 4:  # block padding to 4-byte alignment
+                if p >= len(data) or data[p] != 0:
+                    raise ValueError("xz: bad block padding")
+                p += 1
+            clen = _CHECK_SIZES[check_id]
+            cbytes = data[p : p + clen]
+            p += clen
+            if check_id == 1:
+                ok = int.from_bytes(cbytes, "little") == _crc32_own(block)
+            elif check_id == 4:
+                ok = int.from_bytes(cbytes, "little") == crc64_xz(block)
+            elif check_id == 10:
+                ok = cbytes == sha256_own(block)
+            else:
+                ok = True
+            if not ok:
+                raise ValueError("xz: block check mismatch")
+            unpadded = real_size + actual_comp + clen
+            records.append((unpadded, len(block)))
+            out_all += block
+        # ---- index ----
+        idx_start = p
+        p += 1  # the 0x00 indicator
+        n_rec, p = _mb_varint(data, p)
+        if n_rec != len(records):
+            raise ValueError("xz: index record count mismatch")
+        for want_unpadded, want_unc in records:
+            got_unpadded, p = _mb_varint(data, p)
+            got_unc, p = _mb_varint(data, p)
+            if (got_unpadded, got_unc) != (want_unpadded, want_unc):
+                raise ValueError("xz: index record mismatch")
+        while p % 4:
+            if data[p] != 0:
+                raise ValueError("xz: bad index padding")
+            p += 1
+        if int.from_bytes(data[p : p + 4], "little") != _crc32_own(
+            data[idx_start:p]
+        ):
+            raise ValueError("xz: index CRC mismatch")
+        p += 4
+        index_size = p - idx_start
+        # ---- stream footer ----
+        footer = data[p : p + 12]
+        if len(footer) < 12 or footer[10:12] != b"YZ":
+            raise ValueError("xz: bad stream footer")
+        if int.from_bytes(footer[:4], "little") != _crc32_own(footer[4:10]):
+            raise ValueError("xz: footer CRC mismatch")
+        backward = (int.from_bytes(footer[4:8], "little") + 1) * 4
+        if backward != index_size:
+            raise ValueError("xz: backward size disagrees with index")
+        if footer[8:10] != flags:
+            raise ValueError("xz: footer flags differ from header")
+        pos = p + 12
+    if n_streams == 0:
+        raise ValueError("xz: no stream found")
+    return bytes(out_all)
+
+
+def lzma_alone_decompress(data: bytes) -> bytes:
+    """Decode the legacy .lzma (LZMA_ALONE) container: props byte, LE32
+    dict size, LE64 uncompressed size (all-ones = unknown -> end-marker
+    terminated)."""
+    if len(data) < 13:
+        raise ValueError("lzma: truncated alone header")
+    lc, lp, pb = _parse_props(data[0])
+    size = int.from_bytes(data[5:13], "little")
+    st = _LzmaState(lc, lp, pb)
+    rc = _RangeDec(data, 13)
+    dic = bytearray()
+    if size == 0xFFFFFFFFFFFFFFFF:
+        _hit("alone:endmarker_mode")
+        ended = _lzma_run(rc, st, dic, None)
+        if not ended:
+            raise ValueError("lzma: stream ended without end marker")
+    else:
+        _hit("alone:sized_mode")
+        _lzma_run(rc, st, dic, size)
+        if len(dic) != size:
+            raise ValueError("lzma: size mismatch")
+        # size-bounded termination: the code==0 final-state rule applies
+        # only to end-marker flushes (LzmaSpec's FINISHED_WITHOUT_MARKER
+        # carries no such requirement), so no finished_ok() here
+        return bytes(dic)
+    if not rc.finished_ok():
+        raise ValueError("lzma: range coder not in final state")
+    return bytes(dic)
+
+
+# ---------------------------------------------------------------------------
+# Certified entry: REAL liblzma compresses, this module decodes
+# ---------------------------------------------------------------------------
+
+from flock_spark.operators.zstd_codec import (  # noqa: E402
+    _PAYLOAD_CASE as _XZ_PAYLOAD_CASE,
+    _ZSTD_ORACLE as _XZ_ORACLE,
+)
+
+
+@register(
+    "mm_xz_lzma_decode",
+    oracle=_XZ_ORACLE,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="XZ / LZMA2 / LZMA decode from the published specs — the SEVENTH "
+    "compression family (after DEFLATE, LZW, snappy, zstd, LZ4, bzip2): "
+    "each payload is compressed IN the UDF by the REAL liblzma (stdlib "
+    "lzma) under a doc-rotated config matrix — FORMAT_XZ with check "
+    "None/CRC32/CRC64/SHA-256, presets 0/6/9|EXTREME, a custom lc=0/"
+    "lp=2/pb=1 filter chain, and legacy FORMAT_ALONE — and decoded by "
+    "this module's from-spec XZ container walk (header/block/index/"
+    "footer CRC32s via the repo's own table), LZMA2 chunk layer (all "
+    "four reset modes), and LZMA range decoder (11-bit adaptive "
+    "probabilities, 12-state machine, matched literals, rep distances, "
+    "direct bits, end marker). Block checks verified with this module's "
+    "own from-spec CRC-64/XZ and FIPS 180-4 SHA-256 — no hashlib/zlib "
+    "anywhere in the decode path. Oracle identical to the other codec "
+    "entries (repeat algebra). Scale: per-object mapInPandas, single "
+    "scan, no shuffle.",
+)
+def mm_xz_lzma_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id", f"cast(({_XZ_PAYLOAD_CASE}) as binary) AS payload"
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import lzma
+
+        def make(doc_id: int, b: bytes) -> bytes:
+            v = doc_id % 7
+            if v == 0:
+                return lzma.compress(b, format=lzma.FORMAT_XZ,
+                                     check=lzma.CHECK_CRC64, preset=6)
+            if v == 1:
+                return lzma.compress(b, format=lzma.FORMAT_XZ,
+                                     check=lzma.CHECK_CRC32, preset=0)
+            if v == 2:
+                return lzma.compress(b, format=lzma.FORMAT_XZ,
+                                     check=lzma.CHECK_SHA256, preset=1)
+            if v == 3:
+                return lzma.compress(b, format=lzma.FORMAT_XZ,
+                                     check=lzma.CHECK_NONE,
+                                     preset=9 | lzma.PRESET_EXTREME)
+            if v == 4:
+                return lzma.compress(
+                    b, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64,
+                    filters=[{"id": lzma.FILTER_LZMA2, "preset": 6,
+                              "lc": 0, "lp": 2, "pb": 1}],
+                )
+            if v == 5:
+                return lzma.compress(b, format=lzma.FORMAT_ALONE, preset=4)
+            return lzma.compress(b, format=lzma.FORMAT_XZ,
+                                 check=lzma.CHECK_CRC64, preset=6) * 2
+
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                v = int(doc_id) % 7
+                frame = make(int(doc_id), b)
+                if v == 5:
+                    dec = lzma_alone_decompress(frame)
+                    want = b
+                elif v == 6:  # two concatenated streams
+                    dec = xz_decompress(frame)
+                    want = b + b
+                else:
+                    dec = xz_decompress(frame)
+                    want = b
+                if dec != want:
+                    raise ValueError(f"xz decode mismatch for doc {doc_id}")
+                out_doc.append(int(doc_id))
+                out_n.append(len(b))
+                out_sum.append(sum(b))
+                out_md5.append(
+                    hashlib.md5(b.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
+    )

@@ -81,11 +81,12 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_orc_stripe_decode",
     "scan_formats_consensus",
     "scan_avro_container_decode",
+    "mm_xz_lzma_decode",
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
-    "text_robots_longest_match",
     "streaming_arrow_ipc_ingest",  # heavy
+    "text_robots_longest_match",
     "set_intersect",
     "set_union_all",
     "sort_global_range",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "subquery_in",
     "window_first_last",
     "window_frame_moving_avg",
-    "window_lag_lead",
     "streaming_orc_file_ingest",  # heavy
+    "window_lag_lead",
     "window_percentiles",
     "window_range_frame_sum",
     "window_rank_dense",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "asof_join_window",
     "bloom_membership_probe",
     "cdc_upsert_latest",
-    "corpus_decontaminate",
     "streaming_avro_file_ingest",  # heavy
 )
 

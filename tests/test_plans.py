@@ -1105,3 +1105,10 @@ def test_avro_container_decode_plan_shape(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_avro_container_decode")
     assert "hashpartitioning" not in p and "MapInPandas" in p
     assert "binaryFile" in p or "Scan binaryFile" in p
+
+
+def test_xz_decode_entry_plan_shape(spark, sf_dir):
+    # codec family plan: one parquet scan feeding mapInPandas, no shuffle
+    p = plan_of(spark, sf_dir, "mm_xz_lzma_decode")
+    assert "MapInPandas" in p and "hashpartitioning" not in p
+    assert p.count("Scan parquet") == 1

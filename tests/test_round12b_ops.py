@@ -398,3 +398,163 @@ def test_bzip2_bwt_agrees_with_decoder_inverse():
             out.append(last[j])
             j = nxt[j]
         assert bytes(out) == block
+
+
+# ---------------------------------------------------------------------------
+# XZ / LZMA2 / LZMA from-spec decoder vs the REAL liblzma encoder
+# ---------------------------------------------------------------------------
+
+
+def test_xz_check_function_vectors():
+    import hashlib
+    import random
+
+    from flock_spark.operators import lzma_codec as L
+
+    # the published CRC-64/XZ check vector
+    assert L.crc64_xz(b"123456789") == 0x995DC9BBDF1939FA
+    assert L.crc64_xz(b"") == 0
+    rng = random.Random(1)
+    for n in (0, 1, 55, 56, 57, 63, 64, 65, 119, 120, 1000):
+        d = bytes(rng.randrange(256) for _ in range(n))
+        assert L.sha256_own(d) == hashlib.sha256(d).digest(), n
+
+
+def test_xz_roundtrips_all_checks_presets_and_formats():
+    import lzma
+    import random
+
+    from flock_spark.operators import lzma_codec as L
+
+    L.STATS.clear()
+    rng = random.Random(2)
+    cases = [b"", b"a", b"hello world " * 100, bytes(range(256)) * 4,
+             b"ab" * 2000]
+    for t in range(12):
+        alpha = [b"ab", b"abcdefgh", bytes(range(256))][t % 3]
+        n = rng.randrange(0, 4000)
+        cases.append(bytes(alpha[rng.randrange(len(alpha))] for _ in range(n)))
+    for c in cases:
+        for check in (lzma.CHECK_NONE, lzma.CHECK_CRC32,
+                      lzma.CHECK_CRC64, lzma.CHECK_SHA256):
+            x = lzma.compress(c, format=lzma.FORMAT_XZ, check=check)
+            assert L.xz_decompress(x) == c
+        x = lzma.compress(
+            c, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64,
+            filters=[{"id": lzma.FILTER_LZMA2, "preset": 6,
+                      "lc": 0, "lp": 2, "pb": 1}])
+        assert L.xz_decompress(x) == c
+        assert L.lzma_alone_decompress(
+            lzma.compress(c, format=lzma.FORMAT_ALONE, preset=2)) == c
+    # concatenated streams + stream padding
+    one = lzma.compress(b"one", format=lzma.FORMAT_XZ)
+    two = lzma.compress(b"two", format=lzma.FORMAT_XZ)
+    assert L.xz_decompress(one + b"\x00" * 8 + two + b"\x00" * 4) == b"onetwo"
+    for key in ("xz:check_none", "xz:check_crc32", "xz:check_crc64",
+                "xz:check_sha256", "xz:multistream", "xz:stream_padding",
+                "lzma:lit", "lzma:lit_matched", "lzma:match", "lzma:rep",
+                "lzma:shortrep", "lzma:direct", "lzma:endmarker",
+                "alone:endmarker_mode"):
+        assert L.STATS.get(key, 0) >= 1, key
+
+
+def test_xz_lzma2_chunk_continuation_over_2mib():
+    import lzma
+
+    from flock_spark.operators import lzma_codec as L
+
+    big = b"abcdefgh-ijklmnop" * 150000  # ~2.5 MB -> 2 chunks
+    L.STATS.clear()
+    assert L.xz_decompress(
+        lzma.compress(big, format=lzma.FORMAT_XZ, preset=0)) == big
+    assert L.STATS.get("lzma2:continue", 0) >= 1
+
+
+def test_xz_synthetic_state_reset_chunk_agrees_with_liblzma():
+    """Build an LZMA2 stream with a mode-1 (state reset, props and dict
+    kept) second chunk by splicing two independently compressed chunks,
+    then require BOTH engines (liblzma via FORMAT_RAW and this decoder)
+    to read the same bytes identically."""
+    import lzma
+
+    from flock_spark.operators import lzma_codec as L
+
+    # chunk 2 was encoded against an empty dict at position 0: for the
+    # splice to be context-correct, chunk 1 must end with byte 0 (the
+    # literal context's prev byte, lc=3) and have length % 4 == 0 (the
+    # pb=2 posState mask)
+    a, b = b"first part \x00" * 18, b"second part " * 20
+    assert len(a) % 4 == 0 and a[-1] == 0
+
+    def one_chunk(payload: bytes) -> tuple[bytes, bytes, bytes]:
+        raw = lzma.compress(
+            payload, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+        ctrl = raw[0]
+        assert ctrl >= 0x80 and (ctrl >> 5) & 3 == 3  # mode 3 single chunk
+        assert raw[-1] == 0
+        return raw[0:5], raw[5:6], raw[6:-1]  # header, props, packed
+
+    h1, props, p1 = one_chunk(a)
+    h2, props2, p2 = one_chunk(b)
+    assert props == props2
+    # rewrite chunk 2's control from mode 3 to mode 1 (drop its props byte)
+    ctrl2 = bytes([(h2[0] & 0x1F) | (1 << 5) | 0x80]) + h2[1:]
+    synthetic = h1 + props + p1 + ctrl2 + p2 + b"\x00"
+    ours, end = L.lzma2_decompress(synthetic)
+    assert ours == a + b and end == len(synthetic)
+    real = lzma.decompress(
+        synthetic, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}])
+    assert real == a + b
+    assert L.STATS.get("lzma2:state_reset", 0) >= 1
+
+
+def test_lzma_alone_sized_mode_agrees_with_liblzma():
+    """Hand-build a SIZED .lzma container from a raw LZMA1 stream (no end
+    marker) and require both engines to read it."""
+    import lzma
+
+    from flock_spark.operators import lzma_codec as L
+
+    payload = b"sized alone container " * 40
+    filters = [{"id": lzma.FILTER_LZMA1, "preset": 6}]
+    raw = lzma.compress(payload, format=lzma.FORMAT_RAW, filters=filters)
+    lc, lp, pb = 3, 0, 2  # preset defaults
+    header = bytes([(pb * 5 + lp) * 9 + lc]) + (1 << 23).to_bytes(4, "little")
+    hdr = header + len(payload).to_bytes(8, "little")
+    L.STATS.clear()
+    assert L.lzma_alone_decompress(hdr + raw) == payload
+    assert L.STATS.get("alone:sized_mode", 0) == 1
+    assert lzma.decompress(hdr + raw, format=lzma.FORMAT_ALONE) == payload
+
+
+def test_xz_corruption_rejected():
+    import lzma
+
+    import pytest as _pytest
+
+    from flock_spark.operators import lzma_codec as L
+
+    x = bytearray(lzma.compress(b"corruption target " * 50,
+                                format=lzma.FORMAT_XZ,
+                                check=lzma.CHECK_CRC64))
+    with _pytest.raises(ValueError, match="magic"):
+        L.xz_decompress(b"\xfd7zXY\x00" + bytes(x[6:]))
+    bad = bytearray(x)
+    bad[11] ^= 0xFF  # inside the block header -> header CRC
+    with _pytest.raises(ValueError):
+        L.xz_decompress(bytes(bad))
+    bad = bytearray(x)
+    bad[-13] ^= 0x01  # last index/check region byte
+    with _pytest.raises(ValueError):
+        L.xz_decompress(bytes(bad))
+    with _pytest.raises(ValueError):
+        L.xz_decompress(bytes(x) + b"garbage!")
+    with _pytest.raises(ValueError):
+        L.xz_decompress(bytes(x)[:40])
+    # flip one payload byte: some check must catch it
+    bad = bytearray(x)
+    bad[30] ^= 0x10
+    with _pytest.raises(ValueError):
+        L.xz_decompress(bytes(bad))
