@@ -143,6 +143,11 @@ HEADLINE = [
     "scan_arrow_ipc_stream_walk",
     "arena_window_completeness_audit",
     "crawl_chain_end_to_end",
+    # round-12 second wave: the Avro container read (fourth byte-level
+    # format, real-Java-writer fixture) and the XZ/LZMA decode (seventh
+    # compression family, real-liblzma certification in the UDF)
+    "scan_avro_container_decode",
+    "mm_xz_lzma_decode",
 ]
 
 
