@@ -82,10 +82,11 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_formats_consensus",
     "scan_avro_container_decode",
     "mm_xz_lzma_decode",
+    "scan_parquet_own_writer_roundtrip",
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
-    "mm_wet_conversion_roundtrip",
     "streaming_arrow_ipc_ingest",  # heavy
+    "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "set_intersect",
     "set_union_all",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "string_funcs",
     "subquery_in",
     "window_first_last",
-    "window_frame_moving_avg",
     "streaming_orc_file_ingest",  # heavy
+    "window_frame_moving_avg",
     "window_lag_lead",
     "window_percentiles",
     "window_range_frame_sum",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "ann_topk_bruteforce",
     "asof_join_window",
     "bloom_membership_probe",
-    "cdc_upsert_latest",
     "streaming_avro_file_ingest",  # heavy
 )
 

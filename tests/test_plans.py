@@ -1112,3 +1112,12 @@ def test_xz_decode_entry_plan_shape(spark, sf_dir):
     p = plan_of(spark, sf_dir, "mm_xz_lzma_decode")
     assert "MapInPandas" in p and "hashpartitioning" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_parquet_own_writer_entry_pure_jvm(spark, sf_dir):
+    # the write-side certification reads OUR bytes with a pure-JVM plan:
+    # one parquet scan, two-phase aggregate, zero Python anywhere
+    p = plan_of(spark, sf_dir, "scan_parquet_own_writer_roundtrip")
+    assert "Python" not in p and "MapInPandas" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p
+    assert "Scan parquet" in p

@@ -558,3 +558,94 @@ def test_xz_corruption_rejected():
     bad[30] ^= 0x10
     with _pytest.raises(ValueError):
         L.xz_decompress(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# From-spec parquet WRITER read by four independent readers
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_writer_thrift_encoder_roundtrips_own_decoder():
+    from flock_spark.operators import parquet_writer as W
+    from flock_spark.operators.formats import thrift_read_struct
+
+    W.STATS.clear()
+    inner = W.tc_struct([(1, W.CT_I32, W.tc_zig(-7))])
+    many = [W.tc_zig(i * 3) for i in range(20)]  # >=15 -> long list header
+    s = W.tc_struct([
+        (1, W.CT_I32, W.tc_zig(123456)),
+        (2, W.CT_I64, W.tc_zig(-(2**40))),
+        (3, W.CT_BINARY, W.tc_binary(b"hello")),
+        (4, W.CT_LIST, W.tc_list(W.CT_I32, many)),
+        (5, W.CT_STRUCT, inner),
+        (40, W.CT_I32, W.tc_zig(9)),  # delta > 15 -> long-form field id
+    ])
+    d, pos = thrift_read_struct(s, 0)
+    assert pos == len(s)
+    assert d[1] == 123456 and d[2] == -(2**40) and d[3] == b"hello"
+    assert d[4] == [i * 3 for i in range(20)]
+    assert d[5][1] == -7 and d[40] == 9
+    assert W.STATS.get("thrift:long_list", 0) >= 1
+    assert W.STATS.get("thrift:long_field", 0) >= 1
+
+
+def test_parquet_writer_four_readers_agree(spark, sf_dir):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from flock_spark.operators import parquet_writer as W
+    from flock_spark.operators.formats import (
+        parquet_column_read,
+        parquet_footer_parse,
+    )
+
+    path = W._stage_own_parquet(spark, sf_dir) + "/own_writer.parquet"
+    content = open(path, "rb").read()
+    # reader 1: Spark (the certified entry exercises it; re-check values)
+    srows = (
+        spark.read.parquet(path).orderBy("doc_id").collect()
+    )
+    # reader 2: DuckDB
+    drows = duckdb.sql(
+        f"SELECT doc_id, n_chars_gap, text, source "
+        f"FROM read_parquet('{path}') ORDER BY doc_id"
+    ).fetchall()
+    # reader 3: pyarrow
+    t = pq.read_table(path).sort_by("doc_id")
+    arows = list(zip(*(t.column(c).to_pylist()
+                       for c in ("doc_id", "n_chars_gap", "text", "source"))))
+    # reader 4: this repo's own from-spec reader (file order == doc order)
+    own = list(zip(*(parquet_column_read(content, i) for i in range(4))))
+    assert len(srows) == len(drows) == len(arows) == len(own) >= 500
+    for s_, d_, a_, o_ in zip(srows, drows, arows, own):
+        st = (s_.doc_id, s_.n_chars_gap, s_.text, s_.source)
+        assert st == tuple(d_) == a_ == o_
+    # the file really has 3 row groups and the codec matrix
+    meta = parquet_footer_parse(content)
+    assert len(meta["row_groups"]) == 3
+    assert meta["num_rows"] == len(own)
+    assert meta["created_by"] == "flock_spark from-spec writer"
+    for rg in meta["row_groups"]:
+        cols = {c["path"]: c for c in rg["columns"]}
+        assert cols["doc_id"]["codec"] == "UNCOMPRESSED"
+        assert cols["n_chars_gap"]["codec"] == "GZIP"
+        assert cols["text"]["codec"] == "SNAPPY"
+        assert cols["source"]["codec"] == "SNAPPY"
+
+
+def test_parquet_writer_nulls_and_dictionary_detail(spark, sf_dir):
+    import duckdb
+
+    from flock_spark.operators import parquet_writer as W
+
+    path = W._stage_own_parquet(spark, sf_dir) + "/own_writer.parquet"
+    got = duckdb.sql(
+        f"SELECT count(*) AS n, "
+        f"sum(CASE WHEN n_chars_gap IS NULL THEN 1 ELSE 0 END) AS nn "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    want = duckdb.sql(
+        f"SELECT count(*), sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()
+    assert got == want
