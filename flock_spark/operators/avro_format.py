@@ -445,3 +445,308 @@ def scan_avro_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="codec string, col_name string, n_values long, "
         "n_nulls long, sum_v long, values_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro container ENCODER — the reverse direction: this repo writes the
+# container + binary encoding from the spec (zig-zag varints, union
+# branches, metadata map, sync framing, deflate via the repo's own DEFLATE
+# encoder, snappy via the spec-minimal literal encoder + own CRC-32), and
+# the REAL Apache Avro Java reader (DataFileReader, avro-1.12.1) plus this
+# module's own reader both consume the bytes.
+# ---------------------------------------------------------------------------
+
+
+def write_long(v: int) -> bytes:
+    """Zig-zag base-128 varint encode (the spec's int/long encoding)."""
+    u = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _write_sized(b: bytes) -> bytes:
+    return write_long(len(b)) + b
+
+
+def _branch_matches(branch, value) -> bool:
+    tag = branch if isinstance(branch, str) else branch.get("type")
+    if tag == "null":
+        return value is None
+    if value is None:
+        return False
+    if tag == "boolean":
+        return isinstance(value, bool)
+    if tag in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if tag in ("float", "double"):
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
+    if tag == "string":
+        return isinstance(value, str)
+    if tag in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray))
+    if tag in ("record", "map"):
+        return isinstance(value, dict)
+    if tag == "array":
+        return isinstance(value, list)
+    if tag == "enum":
+        return isinstance(value, str)
+    return False
+
+
+def encode_value(schema, value) -> bytes:
+    """Encode one datum per the (parsed-JSON) schema node — the mirror of
+    decode_value above, covering the shapes the fixture uses plus the
+    container types."""
+    if isinstance(schema, list):  # union: branch index then datum
+        for idx, branch in enumerate(schema):
+            if _branch_matches(branch, value):
+                return write_long(idx) + encode_value(branch, value)
+        raise ValueError("avro encode: no matching union branch")
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return b"".join(
+                encode_value(f["type"], value[f["name"]])
+                for f in schema["fields"]
+            )
+        if t == "array":
+            if not value:
+                return write_long(0)
+            return (
+                write_long(len(value))
+                + b"".join(encode_value(schema["items"], v) for v in value)
+                + write_long(0)
+            )
+        if t == "map":
+            if not value:
+                return write_long(0)
+            return (
+                write_long(len(value))
+                + b"".join(
+                    _write_sized(k.encode()) + encode_value(
+                        schema["values"], v
+                    )
+                    for k, v in value.items()
+                )
+                + write_long(0)
+            )
+        if t == "enum":
+            return write_long(schema["symbols"].index(value))
+        if t == "fixed":
+            if len(value) != schema["size"]:
+                raise ValueError("avro encode: fixed size mismatch")
+            return bytes(value)
+        schema = t
+    if schema == "null":
+        return b""
+    if schema == "boolean":
+        return b"\x01" if value else b"\x00"
+    if schema in ("int", "long"):
+        return write_long(value)
+    if schema == "double":
+        return struct.pack("<d", value)
+    if schema == "float":
+        return struct.pack("<f", value)
+    if schema == "bytes":
+        return _write_sized(bytes(value))
+    if schema == "string":
+        return _write_sized(value.encode("utf-8"))
+    raise ValueError(f"avro encode: unsupported schema node {schema!r}")
+
+
+def _compress_block(codec: str, raw: bytes) -> bytes:
+    if codec == "null":
+        return raw
+    if codec == "deflate":
+        from flock_spark.operators.multimodal import deflate_compress
+
+        return deflate_compress(raw)
+    if codec == "snappy":
+        from flock_spark.operators.multimodal import _crc32_own
+        from flock_spark.operators.parquet_writer import (
+            snappy_literal_compress,
+        )
+
+        return snappy_literal_compress(raw) + struct.pack(
+            ">I", _crc32_own(raw)
+        )
+    raise ValueError(f"avro encode: unsupported codec {codec!r}")
+
+
+def avro_container_write(
+    schema_json: str, codec: str, records: list, sync: bytes,
+    block_records: int = 100,
+) -> bytes:
+    """Assemble one Object Container File from the spec: magic, metadata
+    map (schema + codec), sync marker, per-block (count, size, payload,
+    sync) framing."""
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    schema = json.loads(schema_json)
+    meta = (
+        write_long(2)
+        + _write_sized(b"avro.schema") + _write_sized(schema_json.encode())
+        + _write_sized(b"avro.codec") + _write_sized(codec.encode())
+        + write_long(0)
+    )
+    out = bytearray(MAGIC + meta + sync)
+    for i in range(0, max(len(records), 1), block_records):
+        block = records[i : i + block_records]
+        if not block:
+            break
+        raw = b"".join(encode_value(schema, r) for r in block)
+        payload = _compress_block(codec, raw)
+        out += write_long(len(block)) + _write_sized(payload) + sync
+    return bytes(out)
+
+
+@register(
+    "mm_avro_encode_roundtrip",
+    oracle="""
+    WITH codecs(codec) AS (VALUES ('null'), ('deflate'), ('snappy'))
+    SELECT codec,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_nulls,
+           md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS text_md5
+    FROM codecs CROSS JOIN documents
+    GROUP BY codec
+    """,
+    tags=("multimodal", "pandas_udf", "codec", "wire"),
+    doc="Avro container ENCODE from the spec — the reverse certification "
+    "direction from scan_avro_container_decode, completing the format "
+    "pair: records are binary-encoded by this module (zig-zag varints, "
+    "union branches, record field order), framed into container blocks "
+    "with metadata map + sync verification, and compressed per codec "
+    "with this repo's OWN encoders (deflate via the from-spec DEFLATE "
+    "encoder, snappy via the spec-minimal literal encoder + own "
+    "big-endian CRC-32). Every file is then read back by the REAL "
+    "Apache Avro Java reader (DataFileReader via py4j — any bitstream "
+    "our reading of the spec assembles that the reference "
+    "implementation cannot read fails the audit) during STAGING, and "
+    "the certified entry decodes the staged bytes with this module's "
+    "own reader inside the UDF, emitting per-codec facts that must "
+    "match the DuckDB view. Scale: per-object encode/decode in "
+    "mapInPandas over staged shards, single binary scan, no shuffle.",
+)
+def mm_avro_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_avro_own(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "codec": [], "n_rows": [], "doc_id_sum": [],
+                "n_gap_nulls": [], "text_md5": [],
+            }
+            for content in pdf["content"]:
+                codec, records = avro_container_read(bytes(content))
+                out["codec"].append(codec)
+                out["n_rows"].append(len(records))
+                out["doc_id_sum"].append(sum(r["doc_id"] for r in records))
+                out["n_gap_nulls"].append(
+                    sum(1 for r in records if r["n_chars_gap"] is None)
+                )
+                joined = ",".join(
+                    hashlib.md5(r["text"].encode()).hexdigest()
+                    for r in records
+                )
+                out["text_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "codec": pd.Series(out["codec"], dtype="object"),
+                    "n_rows": pd.Series(out["n_rows"], dtype="int64"),
+                    "doc_id_sum": pd.Series(
+                        out["doc_id_sum"], dtype="int64"
+                    ),
+                    "n_gap_nulls": pd.Series(
+                        out["n_gap_nulls"], dtype="int64"
+                    ),
+                    "text_md5": pd.Series(out["text_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="codec string, n_rows long, doc_id_sum long, "
+        "n_gap_nulls long, text_md5 string",
+    )
+
+
+def _stage_avro_own(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) one container file per codec with THIS
+    module's encoder, then have the REAL Avro Java reader verify every
+    record before the fixture is accepted."""
+
+    def write_fixture(tmp: str) -> None:
+        import os
+
+        jvm = spark._jvm
+        rows = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "n_chars", "text", "source")
+            .orderBy("doc_id")
+            .collect()  # bounded: N_DOCS rows (5k at sf0.1)
+        )
+        records = [
+            {
+                "doc_id": r.doc_id,
+                "n_chars_gap": None if r.doc_id % 7 == 0 else r.n_chars,
+                "text": r.text,
+                "source": r.source,
+            }
+            for r in rows
+        ]
+        sync = bytes(range(16))
+        for codec in CODECS:
+            data = avro_container_write(
+                _FIXTURE_SCHEMA, codec, records, sync
+            )
+            fpath = os.path.join(tmp, f"{codec}.avro")
+            with open(fpath, "wb") as f:
+                f.write(data)
+            # adversarial gate, one py4j round trip: the REAL Java reader
+            # decodes EVERY record (appendAllFrom with recompress=true
+            # forces a full decode + re-encode) into a copy, and the copy
+            # must replay record-identical through this module's reader
+            reader = jvm.org.apache.avro.file.DataFileReader(
+                jvm.java.io.File(fpath),
+                jvm.org.apache.avro.generic.GenericDatumReader(),
+            )
+            schema = jvm.org.apache.avro.Schema.Parser().parse(
+                _FIXTURE_SCHEMA
+            )
+            copy_path = os.path.join(tmp, f"_javacopy_{codec}.avro")
+            writer = jvm.org.apache.avro.file.DataFileWriter(
+                jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+            )
+            writer.create(schema, jvm.java.io.File(copy_path))
+            writer.appendAllFrom(reader, True)
+            writer.close()
+            reader.close()
+            with open(copy_path, "rb") as f:
+                _, replay = avro_container_read(f.read())
+            os.remove(copy_path)
+            if replay != records:
+                raise ValueError(
+                    f"Java Avro reader disagrees on {codec} fixture"
+                )
+
+    return stage_once(
+        f"avro_own_fixture_{sf_dir}", "v1-3codec-b100", write_fixture
+    )

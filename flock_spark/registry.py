@@ -81,11 +81,12 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_orc_stripe_decode",
     "scan_formats_consensus",
     "scan_avro_container_decode",
+    "mm_avro_encode_roundtrip",
     "mm_xz_lzma_decode",
     "scan_parquet_own_writer_roundtrip",
     "arena_window_completeness_audit",
-    "mm_jpeg_baseline_decode",
     "streaming_arrow_ipc_ingest",  # heavy
+    "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "set_intersect",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "sort_multi_col",
     "string_funcs",
     "subquery_in",
-    "window_first_last",
     "streaming_orc_file_ingest",  # heavy
+    "window_first_last",
     "window_frame_moving_avg",
     "window_lag_lead",
     "window_percentiles",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_topk_bruteforce",
     "asof_join_window",
-    "bloom_membership_probe",
     "streaming_avro_file_ingest",  # heavy
 )
 

@@ -649,3 +649,72 @@ def test_parquet_writer_nulls_and_dictionary_detail(spark, sf_dir):
         f"FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Avro container ENCODER read by the real Java reader + own reader
+# ---------------------------------------------------------------------------
+
+
+def test_avro_encoder_self_roundtrip_all_schemas():
+    from flock_spark.operators import avro_format as A
+
+    sch = {
+        "type": "record", "name": "T", "fields": [
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["A", "B", "C"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "F",
+                                    "size": 4}},
+            {"name": "b", "type": "boolean"},
+            {"name": "d", "type": "double"},
+            {"name": "by", "type": "bytes"},
+        ]}
+    recs = [
+        {"u": None, "arr": [], "m": {}, "e": "A", "fx": b"\x00\x01\x02\x03",
+         "b": False, "d": 0.0, "by": b""},
+        {"u": -(2**40), "arr": [1, -2, 3], "m": {"k": "v", "x": "ü"},
+         "e": "C", "fx": b"abcd", "b": True, "d": -2.5, "by": b"\xff\x00"},
+    ]
+    sch_json = json.dumps(sch)
+    for codec in A.CODECS:
+        data = A.avro_container_write(sch_json, codec, recs, bytes(16),
+                                      block_records=1)
+        c2, out = A.avro_container_read(data)
+        assert c2 == codec and out == recs
+
+
+def test_avro_encoder_fixture_java_verified_and_entry(spark, sf_dir):
+    import os
+
+    from flock_spark.operators import avro_format as A
+
+    # staging itself runs the Java DataFileReader full-decode gate; if it
+    # disagreed the fixture would not exist
+    path = A._stage_avro_own(spark, sf_dir)
+    assert sorted(os.listdir(path)) == [
+        "deflate.avro", "null.avro", "snappy.avro"
+    ]
+    rows = REGISTRY["mm_avro_encode_roundtrip"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert {r.codec for r in rows} == set(A.CODECS)
+    assert len({(r.n_rows, r.doc_id_sum, r.text_md5) for r in rows}) == 1
+    # blocks of 100: multi-block framing in our own writer
+    A.STATS.clear()
+    A.avro_container_read(open(os.path.join(path, "null.avro"), "rb").read())
+    assert A.STATS.get("container:multiblock", 0) == 1
+
+
+def test_avro_encoder_rejects_bad_shapes():
+    from flock_spark.operators import avro_format as A
+
+    with pytest.raises(ValueError, match="union"):
+        A.encode_value(["null", "long"], "not-a-long-or-null")
+    with pytest.raises(ValueError, match="fixed"):
+        A.encode_value({"type": "fixed", "name": "F", "size": 2}, b"abc")
+    with pytest.raises(ValueError, match="sync"):
+        A.avro_container_write('"long"', "null", [1], b"short")
+    with pytest.raises(ValueError, match="codec"):
+        A.avro_container_write('"long"', "lzma", [1], bytes(16))
