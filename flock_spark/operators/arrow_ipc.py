@@ -689,3 +689,362 @@ def scan_arrow_ipc_file_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="col_name string, n_values long, n_nulls long, "
         "sum_v long, values_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC stream WRITER — the reverse direction: a from-scratch
+# FLATBUFFERS BUILDER (the official prepend/vtable algorithm: buffers grow
+# front-ward, offsets measured from the end, vtables emitted per table with
+# patched soffsets) assembles Message/Schema/Field/RecordBatch metadata,
+# and the envelope/body layout (continuation marker, 8-padded metadata,
+# 8-aligned body buffers, end-of-stream marker) comes straight from the
+# IPC spec. Certified by the REAL pyarrow reader + this module's own
+# reader (tests + staging gate of the encode entry).
+# ---------------------------------------------------------------------------
+
+
+class FBBuilder:
+    """Minimal flatbuffers builder (prepend model). ``offset()`` values are
+    measured from the END of the final buffer, exactly like the official
+    builders; ``finish`` prepends the root uoffset."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._fields: list[tuple[int, int]] | None = None
+        self._object_start = 0
+        self._minalign = 1
+
+    def offset(self) -> int:
+        return len(self.buf)
+
+    def _prep(self, size: int, additional: int = 0) -> None:
+        self._minalign = max(self._minalign, size)
+        while (len(self.buf) + additional) % size:
+            self.buf[:0] = b"\x00"
+
+    def push(self, fmt: str, v) -> None:
+        self._prep(struct.calcsize(fmt))
+        self.buf[:0] = struct.pack(f"<{fmt}", v)
+
+    def prepend_uoffset(self, off: int) -> None:
+        self._prep(4)
+        if off > self.offset():
+            raise ValueError("flatbuffers: forward reference")
+        self.buf[:0] = struct.pack("<I", self.offset() - off + 4)
+
+    def create_string(self, s: str) -> int:
+        raw = s.encode("utf-8") + b"\x00"
+        self._prep(4, len(raw))
+        self.buf[:0] = raw
+        self.push("I", len(raw) - 1)
+        return self.offset()
+
+    def create_offset_vector(self, offs: list[int]) -> int:
+        self._prep(4, 4 * len(offs))
+        for off in reversed(offs):
+            self.prepend_uoffset(off)
+        self.push("I", len(offs))
+        return self.offset()
+
+    def create_struct_vector(
+        self, fmt: str, structs: list[tuple], align: int
+    ) -> int:
+        size = struct.calcsize(f"<{fmt}")
+        self._prep(4, size * len(structs))
+        self._prep(align, size * len(structs))
+        for st in reversed(structs):
+            self.buf[:0] = struct.pack(f"<{fmt}", *st)
+        self.push("I", len(structs))
+        return self.offset()
+
+    def start_table(self) -> None:
+        self._fields = []
+        self._object_start = self.offset()
+
+    def slot_scalar(self, fid: int, fmt: str, v, default=None) -> None:
+        if default is not None and v == default:
+            return
+        self.push(fmt, v)
+        self._fields.append((fid, self.offset()))
+
+    def slot_offset(self, fid: int, off: int | None) -> None:
+        if off is None:
+            return
+        self.prepend_uoffset(off)
+        self._fields.append((fid, self.offset()))
+
+    def end_table(self) -> int:
+        self.push("i", 0)  # soffset placeholder
+        object_offset = self.offset()
+        max_fid = max((fid for fid, _ in self._fields), default=-1)
+        slots = [0] * (max_fid + 1)
+        for fid, foff in self._fields:
+            slots[fid] = object_offset - foff
+        vt_len = 4 + 2 * len(slots)
+        for s in reversed(slots):
+            self.push("H", s)
+        self.push("H", object_offset - self._object_start)
+        self.push("H", vt_len)
+        vtable_offset = self.offset()
+        struct.pack_into(
+            "<i", self.buf, len(self.buf) - object_offset,
+            vtable_offset - object_offset,
+        )
+        self._fields = None
+        return object_offset
+
+    def finish(self, root: int) -> bytes:
+        # official Finish(): pad so the whole buffer (root uoffset
+        # included) lands on minalign — offsets are end-relative, so
+        # absolute scalar alignment holds only when total length does
+        self._prep(self._minalign, 4)
+        self.prepend_uoffset(root)
+        return bytes(self.buf)
+
+
+def _fb_field(b: FBBuilder, name: str, typ: str, nullable: bool) -> int:
+    name_off = b.create_string(name)
+    if typ == "int64":
+        b.start_table()
+        b.slot_scalar(0, "i", 64)  # bitWidth
+        b.slot_scalar(1, "?", True)  # is_signed
+        type_off, type_id = b.end_table(), _T_INT
+    elif typ == "float64":
+        b.start_table()
+        b.slot_scalar(0, "h", 2)  # DOUBLE precision
+        type_off, type_id = b.end_table(), _T_FLOAT
+    elif typ == "utf8":
+        b.start_table()
+        type_off, type_id = b.end_table(), _T_UTF8
+    elif typ == "bool":
+        b.start_table()
+        type_off, type_id = b.end_table(), _T_BOOL
+    else:
+        raise ValueError(f"writer: unsupported type {typ}")
+    b.start_table()
+    b.slot_offset(0, name_off)
+    b.slot_scalar(1, "?", nullable, False)
+    b.slot_scalar(2, "B", type_id, 0)
+    b.slot_offset(3, type_off)
+    return b.end_table()
+
+
+def _envelope(meta: bytes) -> bytes:
+    pad = (8 - (8 + len(meta)) % 8) % 8
+    meta = meta + b"\x00" * pad
+    return struct.pack("<Ii", 0xFFFFFFFF, len(meta)) + meta
+
+
+def _bitmap_build(flags: list[bool]) -> bytes:
+    out = bytearray((len(flags) + 7) // 8)
+    for i, f in enumerate(flags):
+        if f:
+            out[i >> 3] |= 1 << (i & 7)
+    return bytes(out)
+
+
+def arrow_ipc_stream_write(
+    fields: list[tuple[str, str, bool]],
+    columns: dict[str, list],
+    batch_rows: int = 2048,
+) -> bytes:
+    """Write a complete Arrow IPC stream: Schema message, one RecordBatch
+    per ``batch_rows`` rows (validity + offsets + data buffers, 8-byte
+    aligned), end-of-stream marker. ``fields`` is [(name, type,
+    nullable)] with types int64 / float64 / utf8 / bool."""
+    out = bytearray()
+    b = FBBuilder()
+    field_offs = [_fb_field(b, n, t, nl) for n, t, nl in fields]
+    fields_vec = b.create_offset_vector(field_offs)
+    b.start_table()
+    b.slot_offset(1, fields_vec)
+    schema_off = b.end_table()
+    b.start_table()
+    b.slot_scalar(0, "h", 4)  # MetadataVersion V5
+    b.slot_scalar(1, "B", _HDR_SCHEMA, 0)
+    b.slot_offset(2, schema_off)
+    msg_off = b.end_table()
+    out += _envelope(b.finish(msg_off))
+    n_total = len(columns[fields[0][0]])
+    for start in range(0, max(n_total, 1), batch_rows):
+        n = min(batch_rows, n_total - start)
+        if n <= 0:
+            break
+        body = bytearray()
+        nodes = []
+        buffers = []
+
+        def add_buffer(data: bytes) -> None:
+            buffers.append((len(body), len(data)))
+            body.extend(data)
+            while len(body) % 8:
+                body.append(0)
+
+        for name, typ, _nullable in fields:
+            vals = columns[name][start : start + n]
+            nulls = sum(1 for v in vals if v is None)
+            nodes.append((n, nulls))
+            add_buffer(
+                _bitmap_build([v is not None for v in vals]) if nulls else b""
+            )
+            if typ == "int64":
+                add_buffer(b"".join(
+                    struct.pack("<q", 0 if v is None else v) for v in vals
+                ))
+            elif typ == "float64":
+                add_buffer(b"".join(
+                    struct.pack("<d", 0.0 if v is None else v) for v in vals
+                ))
+            elif typ == "bool":
+                add_buffer(_bitmap_build([bool(v) for v in vals]))
+            elif typ == "utf8":
+                offs = [0]
+                data = bytearray()
+                for v in vals:
+                    if v is not None:
+                        data.extend(v.encode("utf-8"))
+                    offs.append(len(data))
+                add_buffer(b"".join(struct.pack("<i", o) for o in offs))
+                add_buffer(bytes(data))
+        b = FBBuilder()
+        nodes_vec = b.create_struct_vector("qq", nodes, 8)
+        bufs_vec = b.create_struct_vector("qq", buffers, 8)
+        b.start_table()
+        b.slot_scalar(0, "q", n)
+        b.slot_offset(1, nodes_vec)
+        b.slot_offset(2, bufs_vec)
+        rb_off = b.end_table()
+        b.start_table()
+        b.slot_scalar(0, "h", 4)
+        b.slot_scalar(1, "B", _HDR_BATCH, 0)
+        b.slot_offset(2, rb_off)
+        b.slot_scalar(3, "q", len(body))
+        msg_off = b.end_table()
+        out += _envelope(b.finish(msg_off))
+        out += body
+    out += struct.pack("<Ii", 0xFFFFFFFF, 0)  # end-of-stream
+    return bytes(out)
+
+
+def _stage_arrows_own(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the documents audit columns as one .arrows
+    stream with THIS module's writer, then have the REAL pyarrow reader
+    replay every value before the fixture is accepted."""
+
+    def write_fixture(tmp: str) -> None:
+        import io
+        import os
+
+        import pyarrow as pa
+
+        rows = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "n_chars", "text", "source")
+            .orderBy("doc_id")
+            .collect()  # bounded: N_DOCS rows (5k at sf0.1)
+        )
+        fields = [
+            ("doc_id", "int64", False),
+            ("n_chars_gap", "int64", True),
+            ("text", "utf8", False),
+            ("is_third", "bool", False),
+        ]
+        cols = {
+            "doc_id": [r.doc_id for r in rows],
+            "n_chars_gap": [
+                None if r.doc_id % 7 == 0 else r.n_chars for r in rows
+            ],
+            "text": [r.text for r in rows],
+            "is_third": [r.doc_id % 3 == 0 for r in rows],
+        }
+        data = arrow_ipc_stream_write(fields, cols, batch_rows=512)
+        # adversarial gate: the REAL pyarrow reader must replay every value
+        t = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+        for name, _typ, _n in fields:
+            if t.column(name).to_pylist() != cols[name]:
+                raise ValueError(f"pyarrow disagrees on column {name}")
+        with open(os.path.join(tmp, "own_writer.arrows"), "wb") as f:
+            f.write(data)
+
+    return stage_once(
+        f"arrows_own_{sf_dir}", "v2-4col-b512-third", write_fixture
+    )
+
+
+@register(
+    "mm_arrow_ipc_encode_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_nulls,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_third,
+           md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS text_md5
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf", "codec", "wire"),
+    doc="Arrow IPC stream ENCODE from the spec — the reverse certification "
+    "direction from scan_arrow_ipc_stream_walk, built on a FROM-SCRATCH "
+    "FLATBUFFERS BUILDER (the official prepend model: end-relative "
+    "offsets, per-table vtables with patched soffsets, minalign final "
+    "prep — the detail pyarrow's verifier rejects when missed): Schema/"
+    "Field/Int/FloatingPoint/Utf8/Bool metadata tables, multi-batch "
+    "RecordBatch messages with validity bitmaps, utf8 offset buffers "
+    "and 8-aligned bodies, continuation markers and the end-of-stream "
+    "marker. The staged stream is verified value-by-value by the REAL "
+    "pyarrow reader before acceptance (any bitstream our reading of "
+    "the format assembles that the reference implementation cannot "
+    "read fails staging), and the certified entry replays the bytes "
+    "through this module's own reader in the UDF, facts matching the "
+    "DuckDB view. Scale: per-object encode/decode, single binary "
+    "scan, no shuffle — the write half of an Arrow-native wire.",
+)
+def mm_arrow_ipc_encode_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_arrows_own(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/own_writer.arrows")
+        .select("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"n_rows": [], "doc_id_sum": [], "n_gap_nulls": [],
+                   "n_third": [], "text_md5": []}
+            for content in pdf["content"]:
+                _fields, cols = arrow_ipc_stream_read(bytes(content))
+                out["n_rows"].append(len(cols["doc_id"]))
+                out["doc_id_sum"].append(sum(cols["doc_id"]))
+                out["n_gap_nulls"].append(
+                    sum(1 for v in cols["n_chars_gap"] if v is None)
+                )
+                out["n_third"].append(sum(1 for v in cols["is_third"] if v))
+                joined = ",".join(
+                    hashlib.md5(t.encode()).hexdigest()
+                    for t in cols["text"]
+                )
+                out["text_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "n_rows": pd.Series(out["n_rows"], dtype="int64"),
+                    "doc_id_sum": pd.Series(out["doc_id_sum"], dtype="int64"),
+                    "n_gap_nulls": pd.Series(
+                        out["n_gap_nulls"], dtype="int64"
+                    ),
+                    "n_third": pd.Series(out["n_third"], dtype="int64"),
+                    "text_md5": pd.Series(out["text_md5"], dtype="object"),
+                }
+            )
+
+    return bf.mapInPandas(
+        run,
+        schema="n_rows long, doc_id_sum long, n_gap_nulls long, "
+        "n_third long, text_md5 string",
+    )

@@ -78,14 +78,15 @@ DRIVER_SLATE: tuple[str, ...] = (
     "crawl_chain_end_to_end",  # heavy
     "scan_arrow_ipc_stream_walk",
     "scan_arrow_ipc_file_walk",
+    "mm_arrow_ipc_encode_roundtrip",
     "scan_orc_stripe_decode",
     "scan_formats_consensus",
     "scan_avro_container_decode",
     "mm_avro_encode_roundtrip",
     "mm_xz_lzma_decode",
     "scan_parquet_own_writer_roundtrip",
-    "arena_window_completeness_audit",
     "streaming_arrow_ipc_ingest",  # heavy
+    "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "sort_global_range",
     "sort_multi_col",
     "string_funcs",
-    "subquery_in",
     "streaming_orc_file_ingest",  # heavy
+    "subquery_in",
     "window_first_last",
     "window_frame_moving_avg",
     "window_lag_lead",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_rank_dense",
     "ann_ivf_topk",
     "ann_topk_bruteforce",
-    "asof_join_window",
     "streaming_avro_file_ingest",  # heavy
 )
 

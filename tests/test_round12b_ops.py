@@ -718,3 +718,90 @@ def test_avro_encoder_rejects_bad_shapes():
         A.avro_container_write('"long"', "null", [1], b"short")
     with pytest.raises(ValueError, match="codec"):
         A.avro_container_write('"long"', "lzma", [1], bytes(16))
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC stream WRITER (from-scratch flatbuffers) vs pyarrow + own reader
+# ---------------------------------------------------------------------------
+
+
+def test_fbbuilder_tables_read_back_with_own_fbtable():
+    from flock_spark.operators import arrow_ipc as AI
+
+    b = AI.FBBuilder()
+    s = b.create_string("héllo")
+    b.start_table()
+    b.slot_scalar(0, "i", 42)
+    b.slot_offset(1, s)
+    b.slot_scalar(2, "q", -(2**40))
+    b.slot_scalar(3, "?", True, False)
+    b.slot_scalar(4, "B", 0, 0)  # default -> omitted from vtable
+    inner_off = b.end_table()
+    vec = b.create_offset_vector([inner_off])
+    structs = b.create_struct_vector("qq", [(7, 8), (9, 10)], 8)
+    b.start_table()
+    b.slot_offset(0, vec)
+    b.slot_offset(1, structs)
+    root = b.end_table()
+    buf = b.finish(root)
+    t = AI.fb_root(buf)
+    inner = t.vector_tables(0)[0]
+    assert inner.scalar(0, "i", 0) == 42
+    assert inner.string(1) == "héllo"
+    assert inner.scalar(2, "q", 0) == -(2**40)
+    assert inner.scalar(3, "?", False) is True
+    assert inner.scalar(4, "B", 99) == 99  # omitted default reads default
+    pos = t.vector_structs(1, 16)
+    import struct as _s
+
+    assert [_s.unpack_from("<qq", buf, p) for p in pos] == [(7, 8), (9, 10)]
+
+
+def test_arrow_ipc_writer_all_types_both_readers():
+    import io
+
+    import pyarrow as pa
+
+    from flock_spark.operators import arrow_ipc as AI
+
+    n = 300
+    fields = [("i", "int64", True), ("f", "float64", True),
+              ("s", "utf8", True), ("b", "bool", False)]
+    cols = {
+        "i": [None if k % 7 == 0 else k * 11 for k in range(n)],
+        "f": [None if k % 13 == 0 else k / 8 for k in range(n)],
+        "s": [None if k % 11 == 0 else f"va€l {k}" for k in range(n)],
+        "b": [k % 3 == 0 for k in range(n)],
+    }
+    data = AI.arrow_ipc_stream_write(fields, cols, batch_rows=77)
+    _f, own = AI.arrow_ipc_stream_read(data)
+    assert own == cols
+    t = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+    assert t.num_rows == n and t.column("i").num_chunks == 4
+    for k in cols:
+        assert t.column(k).to_pylist() == cols[k], k
+
+
+def test_arrow_ipc_writer_empty_and_single_row():
+    import io
+
+    import pyarrow as pa
+
+    from flock_spark.operators import arrow_ipc as AI
+
+    fields = [("x", "int64", False)]
+    data = AI.arrow_ipc_stream_write(fields, {"x": []})
+    _f, own = AI.arrow_ipc_stream_read(data)
+    assert own == {"x": []}
+    assert pa.ipc.open_stream(io.BytesIO(data)).read_all().num_rows == 0
+    data = AI.arrow_ipc_stream_write(fields, {"x": [5]})
+    assert AI.arrow_ipc_stream_read(data)[1] == {"x": [5]}
+    assert pa.ipc.open_stream(
+        io.BytesIO(data)).read_all().column("x").to_pylist() == [5]
+
+
+def test_arrow_ipc_encode_entry(spark, sf_dir):
+    rows = REGISTRY["mm_arrow_ipc_encode_roundtrip"].fn(
+        spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0].n_rows >= 500
+    assert rows[0].n_gap_nulls >= 1 and rows[0].n_third >= 1
