@@ -86,6 +86,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_xz_lzma_decode",
     "scan_parquet_own_writer_roundtrip",
     "streaming_arrow_ipc_ingest",  # heavy
+    "scan_orc_own_writer_roundtrip",
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "set_union_all",
     "sort_global_range",
     "sort_multi_col",
-    "string_funcs",
     "streaming_orc_file_ingest",  # heavy
+    "string_funcs",
     "subquery_in",
     "window_first_last",
     "window_frame_moving_avg",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_range_frame_sum",
     "window_rank_dense",
     "ann_ivf_topk",
-    "ann_topk_bruteforce",
     "streaming_avro_file_ingest",  # heavy
 )
 

@@ -1121,3 +1121,12 @@ def test_parquet_own_writer_entry_pure_jvm(spark, sf_dir):
     assert "Python" not in p and "MapInPandas" not in p
     assert "HashAggregate" in p or "SortAggregate" in p
     assert "Scan parquet" in p
+
+
+def test_orc_own_writer_entry_pure_jvm(spark, sf_dir):
+    # the ORC write-side certification reads OUR bytes with a pure-JVM
+    # plan: one ORC scan, two-phase aggregate, zero Python anywhere
+    p = plan_of(spark, sf_dir, "scan_orc_own_writer_roundtrip")
+    assert "Python" not in p and "MapInPandas" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p
+    assert "Scan orc" in p or "OrcScan" in p or "Format: ORC" in p or "orc" in p.lower()

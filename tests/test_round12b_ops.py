@@ -805,3 +805,90 @@ def test_arrow_ipc_encode_entry(spark, sf_dir):
         spark, sf_dir).collect()
     assert len(rows) == 1 and rows[0].n_rows >= 500
     assert rows[0].n_gap_nulls >= 1 and rows[0].n_third >= 1
+
+
+# ---------------------------------------------------------------------------
+# From-spec ORC WRITER read by three independent readers
+# ---------------------------------------------------------------------------
+
+
+def test_orc_writer_stream_encoders_roundtrip_reader_decoders():
+    import random
+
+    from flock_spark.operators import orc_format as R
+    from flock_spark.operators import orc_writer as W
+
+    rng = random.Random(8)
+    W.STATS.clear()
+    R.STATS.clear()
+    # RLEv2: constant runs, arithmetic runs, noise, negatives, zeros
+    cases = [
+        [7] * 5, [0] * 200, list(range(100)), list(range(0, 3000, 7)),
+        [-5, -5, -5, -5], [2**40, 2**40 + 1, 2**40 + 2],
+        [rng.randrange(-10**6, 10**6) for _ in range(700)],
+        [rng.randrange(4) for _ in range(50)], [1], [1, 2],
+    ]
+    for vals in cases:
+        for signed in (True, False):
+            if not signed and any(v < 0 for v in vals):
+                continue
+            enc = W.rlev2_encode(vals, signed)
+            assert R.rlev2_decode(enc, signed) == vals, (vals[:5], signed)
+    for key in ("enc_short_repeat", "enc_delta", "enc_direct"):
+        assert W.STATS.get(key, 0) >= 1, key
+    # Byte-RLE + bool stream
+    for _ in range(20):
+        raw = bytes(rng.choice([0, 0, 0, 255, rng.randrange(256)])
+                    for _ in range(rng.randrange(1, 600)))
+        assert R.byte_rle_decode(W.byte_rle_encode(raw)) == raw
+    flags = [rng.random() < 0.8 for _ in range(999)]
+    assert R.bool_stream_decode(W.bool_stream_encode(flags),
+                                len(flags)) == flags
+    # chunk framing: own-zstd chunks and original chunks both decode
+    comp = W.orc_chunks_compress(b"compressible text " * 300)
+    assert R.orc_chunks_decompress(comp, 5) == b"compressible text " * 300
+    incompressible = bytes(rng.randrange(256) for _ in range(500))
+    assert R.orc_chunks_decompress(
+        W.orc_chunks_compress(incompressible), 5) == incompressible
+    assert W.STATS.get("chunk_zstd", 0) >= 1
+    assert W.STATS.get("chunk_original", 0) >= 1
+
+
+def test_orc_writer_protobuf_encoder_roundtrips_reader():
+    from flock_spark.operators import orc_format as R
+    from flock_spark.operators import orc_writer as W
+
+    msg = (
+        W.pb_field_varint(1, 300)
+        + W.pb_field_bytes(3, b"abc")
+        + W.pb_field_packed(2, [1, 200, 3])
+        + W.pb_field_bytes(3, b"def")
+        + W.pb_field_varint(8000, 7)
+    )
+    d = R.pb_decode(msg)
+    assert d[1] == [300] and d[3] == [b"abc", b"def"] and d[8000] == [7]
+    assert R.pb_packed_uvarints(d[2][0]) == [1, 200, 3]
+
+
+def test_orc_writer_three_readers_agree(spark, sf_dir):
+    import pyarrow.orc as po
+
+    from flock_spark.operators import orc_writer as W
+    from flock_spark.operators.orc_format import orc_read_columns
+
+    # staging itself gates on the ORC C++ reader AND the own reader
+    path = W._stage_own_orc(spark, sf_dir) + "/own_writer.orc"
+    content = open(path, "rb").read()
+    srows = [
+        (r.doc_id, r.n_chars_gap, r.text, r.source)
+        for r in spark.read.orc(path).orderBy("doc_id").collect()
+    ]
+    t = po.ORCFile(path).read()
+    arows = list(zip(*(t.column(c).to_pylist()
+                       for c in ("doc_id", "n_chars_gap",
+                                 "text", "source"))))
+    _n, cols = orc_read_columns(content)
+    own = list(zip(cols["doc_id"], cols["n_chars_gap"],
+                   cols["text"], cols["source"]))
+    assert len(srows) >= 500 and srows == arows == own
+    assert any(v is None for _d, v, _t, _s in srows)
