@@ -428,3 +428,126 @@ def scan_orc_own_writer_roundtrip(
                  AS text_digest_mod_sum
         FROM own_orc_docs
     """)
+
+
+@register(
+    "scan_own_writers_consensus",
+    oracle="""
+    WITH facts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+             CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_nulls,
+             md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS text_md5
+      FROM documents)
+    SELECT fmt, n_rows, doc_id_sum, n_gap_nulls, text_md5
+    FROM facts,
+         (SELECT unnest(['arrow', 'avro', 'orc', 'parquet']) AS fmt) f
+    """,
+    tags=("scan", "formats", "audit", "pandas_udf", "staged"),
+    doc="Cross-WRITER consensus — the write-direction capstone: the SAME "
+    "documents content written by this repo's FOUR from-spec writers "
+    "(parquet: Thrift footer + dictionary pages + own-deflate GZIP; "
+    "ORC: protobuf metadata + RLEv2 + own-zstd chunks; Avro: container "
+    "blocks + own-deflate codec; Arrow IPC: from-scratch flatbuffers), "
+    "each file read back from RAW BYTES by its own from-spec reader, "
+    "and all four must emit identical row counts, id sums, null counts "
+    "and per-value digest chains — which the oracle derives a fifth "
+    "way, from the DuckDB view. Every fixture was ALSO gated at "
+    "staging by an independent real implementation (Spark JVM / ORC "
+    "C++ / Avro Java / pyarrow), so a consensus pass certifies 4 "
+    "writers x 2 readers each. Scale: four single-file binary scans "
+    "unioned, no shuffle — the lakehouse write-path audit.",
+)
+def scan_own_writers_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flock_spark.operators.arrow_ipc import (
+        _stage_arrows_own,
+        arrow_ipc_stream_read,
+    )
+    from flock_spark.operators.avro_format import (
+        _stage_avro_own,
+        avro_container_read,
+    )
+    from flock_spark.operators.formats import (
+        parquet_column_read,
+        parquet_footer_parse,
+    )
+    from flock_spark.operators.orc_format import orc_read_columns
+    from flock_spark.operators.parquet_writer import _stage_own_parquet
+
+    paths = [
+        f"{_stage_arrows_own(spark, sf_dir)}/own_writer.arrows",
+        f"{_stage_avro_own(spark, sf_dir)}/deflate.avro",
+        f"{_stage_own_orc(spark, sf_dir)}/own_writer.orc",
+        f"{_stage_own_parquet(spark, sf_dir)}/own_writer.parquet",
+    ]
+
+    def facts(fmt, doc_ids, gaps, texts):
+        order = sorted(range(len(doc_ids)), key=lambda i: doc_ids[i])
+        t_md5 = hashlib.md5(
+            ",".join(
+                hashlib.md5(texts[i].encode()).hexdigest() for i in order
+            ).encode()
+        ).hexdigest()
+        return (fmt, len(doc_ids), sum(doc_ids),
+                sum(1 for g in gaps if g is None), t_md5)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                p = str(fpath)
+                if p.endswith(".arrows"):
+                    _f, cols = arrow_ipc_stream_read(data)
+                    out.append(facts("arrow", cols["doc_id"],
+                                     cols["n_chars_gap"], cols["text"]))
+                elif p.endswith(".avro"):
+                    _codec, recs = avro_container_read(data)
+                    out.append(facts(
+                        "avro", [r["doc_id"] for r in recs],
+                        [r["n_chars_gap"] for r in recs],
+                        [r["text"] for r in recs]))
+                elif p.endswith(".orc"):
+                    _n, cols = orc_read_columns(data)
+                    out.append(facts("orc", cols["doc_id"],
+                                     cols["n_chars_gap"], cols["text"]))
+                elif p.endswith(".parquet"):
+                    names = [
+                        n for n, _ in parquet_footer_parse(data)["schema"]
+                    ]
+                    out.append(facts(
+                        "parquet",
+                        parquet_column_read(data, names.index("doc_id")),
+                        parquet_column_read(
+                            data, names.index("n_chars_gap")),
+                        parquet_column_read(data, names.index("text"))))
+                else:
+                    raise ValueError(f"unexpected staged file {p}")
+            yield pd.DataFrame(
+                {
+                    "fmt": pd.Series([o[0] for o in out], dtype="object"),
+                    "n_rows": pd.Series([o[1] for o in out], dtype="int64"),
+                    "doc_id_sum": pd.Series(
+                        [o[2] for o in out], dtype="int64"),
+                    "n_gap_nulls": pd.Series(
+                        [o[3] for o in out], dtype="int64"),
+                    "text_md5": pd.Series([o[4] for o in out],
+                                          dtype="object"),
+                }
+            )
+
+    bf = (
+        spark.read.format("binaryFile").load(paths)
+        .select("path", "content")
+    )
+    return bf.mapInPandas(
+        run,
+        schema="fmt string, n_rows long, doc_id_sum long, "
+        "n_gap_nulls long, text_md5 string",
+    )

@@ -87,6 +87,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_parquet_own_writer_roundtrip",
     "streaming_arrow_ipc_ingest",  # heavy
     "scan_orc_own_writer_roundtrip",
+    "scan_own_writers_consensus",
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "set_intersect",
     "set_union_all",
     "sort_global_range",
-    "sort_multi_col",
     "streaming_orc_file_ingest",  # heavy
+    "sort_multi_col",
     "string_funcs",
     "subquery_in",
     "window_first_last",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_percentiles",
     "window_range_frame_sum",
     "window_rank_dense",
-    "ann_ivf_topk",
     "streaming_avro_file_ingest",  # heavy
 )
 

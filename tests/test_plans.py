@@ -1130,3 +1130,10 @@ def test_orc_own_writer_entry_pure_jvm(spark, sf_dir):
     assert "Python" not in p and "MapInPandas" not in p
     assert "HashAggregate" in p or "SortAggregate" in p
     assert "Scan orc" in p or "OrcScan" in p or "Format: ORC" in p or "orc" in p.lower()
+
+
+def test_own_writers_consensus_plan_shape(spark, sf_dir):
+    # four single-file binary scans, per-object decode, no shuffle
+    p = plan_of(spark, sf_dir, "scan_own_writers_consensus")
+    assert "MapInPandas" in p and "hashpartitioning" not in p
+    assert "binaryFile" in p or "Scan binaryFile" in p

@@ -892,3 +892,12 @@ def test_orc_writer_three_readers_agree(spark, sf_dir):
                    cols["text"], cols["source"]))
     assert len(srows) >= 500 and srows == arows == own
     assert any(v is None for _d, v, _t, _s in srows)
+
+
+def test_own_writers_consensus_entry(spark, sf_dir):
+    rows = REGISTRY["scan_own_writers_consensus"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert {r.fmt for r in rows} == {"arrow", "avro", "orc", "parquet"}
+    assert len({(r.n_rows, r.doc_id_sum, r.n_gap_nulls, r.text_md5)
+                for r in rows}) == 1
+    assert rows[0].n_rows >= 500 and rows[0].n_gap_nulls >= 1
