@@ -21,3 +21,4 @@ import flock_spark.operators.avro_format  # noqa: F401
 import flock_spark.operators.lzma_codec  # noqa: F401
 import flock_spark.operators.parquet_writer  # noqa: F401
 import flock_spark.operators.orc_writer  # noqa: F401
+import flock_spark.operators.charset  # noqa: F401

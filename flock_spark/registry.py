@@ -88,14 +88,15 @@ DRIVER_SLATE: tuple[str, ...] = (
     "streaming_arrow_ipc_ingest",  # heavy
     "scan_orc_own_writer_roundtrip",
     "scan_own_writers_consensus",
+    "text_charset_detect_transcode",
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "set_intersect",
     "set_union_all",
-    "sort_global_range",
     "streaming_orc_file_ingest",  # heavy
+    "sort_global_range",
     "sort_multi_col",
     "string_funcs",
     "subquery_in",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_lag_lead",
     "window_percentiles",
     "window_range_frame_sum",
-    "window_rank_dense",
     "streaming_avro_file_ingest",  # heavy
 )
 
