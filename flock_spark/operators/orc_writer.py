@@ -99,10 +99,63 @@ def _pack_msb(vals: list[int], w: int) -> bytes:
     return bytes(out)
 
 
+def _try_patched_base(vals: list[int]) -> bytes | None:
+    """PATCHED_BASE encode for one run of 3-512 raw values (PATCHED_BASE
+    carries no zigzag — the base is min(vals) in MSB-sign-bit form and
+    deltas are non-negative). Returns None when the run doesn't fit the
+    sub-encoding's limits (<= 31 patches, gaps <= 255, a real width
+    split), letting the caller fall back to DIRECT."""
+    n = len(vals)
+    if not 3 <= n <= 512:
+        return None
+    base = min(vals)
+    deltas = [v - base for v in vals]
+    widths = sorted(max(1, d.bit_length()) for d in deltas)
+    w = _RLE_WIDTH[_width_code(widths[(n * 90) // 100])]
+    max_w = widths[-1]
+    if max_w <= w:
+        return None  # no outliers — DIRECT is strictly better
+    patches = [(i, d >> w) for i, d in enumerate(deltas) if d >> w]
+    if not 1 <= len(patches) <= 31:
+        return None
+    gaps = []
+    prev = 0
+    for pos, _p in patches:
+        gaps.append(pos - prev)
+        prev = pos
+    if max(gaps) > 255:
+        return None  # would need dummy zero patches; keep the fallback
+    pw = _RLE_WIDTH[_width_code(max(p for _i, p in patches).bit_length())]
+    pgw = max(1, max(gaps).bit_length())
+    if pgw + pw > 64:
+        return None
+    # base in MSB-sign-bit bytes
+    abase = abs(base)
+    bw = max(1, (abase.bit_length() + 1 + 7) // 8)
+    if bw > 8:
+        return None
+    braw = abase | (1 << (bw * 8 - 1)) if base < 0 else abase
+    out = bytearray()
+    code = _width_code(w)
+    out.append((2 << 6) | (code << 1) | ((n - 1) >> 8))
+    out.append((n - 1) & 0xFF)
+    out.append(((bw - 1) & 7) << 5 | _width_code(pw))
+    out.append(((pgw - 1) & 7) << 5 | len(patches))
+    out += braw.to_bytes(bw, "big")
+    out += _pack_msb([d & ((1 << w) - 1) for d in deltas], w)
+    entry_w = _RLE_WIDTH[_width_code(pgw + pw)]
+    out += _pack_msb(
+        [(g << pw) | p for g, (_i, p) in zip(gaps, patches)], entry_w
+    )
+    _hit("enc_patched_base")
+    return bytes(out)
+
+
 def rlev2_encode(vals: list[int], signed: bool) -> bytes:
     """RunLength V2 encode: SHORT_REPEAT for 3-10 equal values, fixed
-    DELTA (w=0) for arithmetic runs, DIRECT otherwise — runs of up to
-    512 values, each a shape the reader's four-way decoder accepts."""
+    DELTA (w=0) for arithmetic runs, PATCHED_BASE for skewed runs with
+    few outliers, DIRECT otherwise — runs of up to 512 values, each a
+    shape the reader's four-way decoder accepts."""
     out = bytearray()
     i = 0
     n = len(vals)
@@ -139,8 +192,14 @@ def rlev2_encode(vals: list[int], signed: bool) -> bytes:
             _hit("enc_delta")
             i += run
             continue
-        # DIRECT over up to 512 values
+        # PATCHED_BASE when the run is skewed with few outliers
         run = min(512, n - i)
+        pb = _try_patched_base(vals[i : i + run])
+        if pb is not None:
+            out += pb
+            i += run
+            continue
+        # DIRECT over up to 512 values
         enc = [
             _zig(v) if signed else v for v in vals[i : i + run]
         ]
@@ -376,7 +435,7 @@ def _stage_own_orc(spark: SparkSession, sf_dir: str) -> str:
             raise ValueError("own ORC reader disagrees with writer")
 
     return stage_once(
-        f"orc_own_{sf_dir}", "v1-2000rows-zstd", write_fixture
+        f"orc_own_{sf_dir}", "v2-2000rows-zstd-pb", write_fixture
     )
 
 

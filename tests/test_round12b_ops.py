@@ -989,3 +989,56 @@ def test_charset_entry_all_variants(spark, sf_dir):
     assert encs == {"utf-8-bom", "utf-16le-bom", "utf-16be", "latin-1"}
     for r in rows:
         assert r.n_chars >= 2
+
+
+def test_orc_writer_patched_base_real_readers():
+    """PATCHED_BASE (the fourth RLEv2 sub-encoding) carries NO zigzag —
+    raw values via MSB-sign-bit base + non-negative deltas; a skewed
+    column with outliers must round-trip through our reader AND the
+    Apache ORC C++ reader."""
+    import random
+
+    import pyarrow.orc as po
+
+    from flock_spark.operators import orc_writer as W
+    from flock_spark.operators.orc_format import (
+        STATS as RSTATS,
+        orc_read_columns,
+        rlev2_decode,
+    )
+
+    rng = random.Random(5)
+    W.STATS.clear()
+    # randomized cross-decoder roundtrips on skewed runs (incl. negatives)
+    for t in range(80):
+        n = rng.randrange(3, 513)
+        vals = [rng.randrange(100) - 50 for _ in range(n)]
+        for _ in range(rng.randrange(1, min(6, n) + 1)):
+            vals[rng.randrange(n)] = rng.randrange(10**6, 10**9)
+        enc = W.rlev2_encode(vals, True)
+        assert rlev2_decode(enc, True) == vals, t
+    assert W.STATS.get("enc_patched_base", 0) >= 10
+    # a real multi-stripe file whose gap column forces patched runs
+    rows = []
+    for i in range(2500):
+        gap = None if i % 7 == 0 else (
+            rng.randrange(50) if i % 50 else 10**8 + i)
+        rows.append((i, gap, f"text {i}", ["a", "b"][i % 2]))
+    W.STATS.clear()
+    RSTATS.clear()
+    data = W.orc_write_documents(rows)
+    assert W.STATS.get("enc_patched_base", 0) >= 1
+    _n, cols = orc_read_columns(data)
+    assert list(zip(cols["doc_id"], cols["n_chars_gap"],
+                    cols["text"], cols["source"])) == rows
+    assert RSTATS.get("rlev2_patched_base", 0) >= 1  # reader path fired
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "patched.orc")
+        with open(p, "wb") as f:
+            f.write(data)
+        t = po.ORCFile(p).read()
+        assert list(zip(*(t.column(c).to_pylist()
+                          for c in _n))) == rows
