@@ -86,6 +86,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_xz_lzma_decode",
     "scan_parquet_own_writer_roundtrip",
     "streaming_arrow_ipc_ingest",  # heavy
+    "scan_parquet_own_writer_v2_roundtrip",
     "scan_orc_own_writer_roundtrip",
     "scan_own_writers_consensus",
     "text_charset_detect_transcode",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "set_intersect",
-    "set_union_all",
     "streaming_orc_file_ingest",  # heavy
+    "set_union_all",
     "sort_global_range",
     "sort_multi_col",
     "string_funcs",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_frame_moving_avg",
     "window_lag_lead",
     "window_percentiles",
-    "window_range_frame_sum",
     "streaming_avro_file_ingest",  # heavy
 )
 

@@ -1137,3 +1137,9 @@ def test_own_writers_consensus_plan_shape(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_own_writers_consensus")
     assert "MapInPandas" in p and "hashpartitioning" not in p
     assert "binaryFile" in p or "Scan binaryFile" in p
+
+
+def test_parquet_v2_writer_entry_pure_jvm(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "scan_parquet_own_writer_v2_roundtrip")
+    assert "Python" not in p and "MapInPandas" not in p
+    assert "Scan parquet" in p

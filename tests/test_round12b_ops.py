@@ -1042,3 +1042,47 @@ def test_orc_writer_patched_base_real_readers():
         t = po.ORCFile(p).read()
         assert list(zip(*(t.column(c).to_pylist()
                           for c in _n))) == rows
+
+
+def test_parquet_v2_writer_delta_encoders_and_duckdb():
+    import random
+
+    import duckdb
+
+    from flock_spark.operators import parquet_writer as W
+    from flock_spark.operators.formats import (
+        delta_binary_packed_decode,
+        delta_length_byte_array_decode,
+        parquet_column_read,
+    )
+
+    rng = random.Random(6)
+    for t in range(60):
+        n = rng.randrange(1, 700)
+        vals = [rng.randrange(-10**12, 10**12) for _ in range(n)]
+        got, _ = delta_binary_packed_decode(
+            W.delta_binary_packed_encode(vals))
+        assert got == vals, t
+    strs = ["".join(chr(rng.randrange(32, 0x2FF))
+                    for _ in range(rng.randrange(0, 30)))
+            for _ in range(100)]
+    got, _ = delta_length_byte_array_decode(
+        W.delta_length_byte_array_encode(
+            [s.encode() for s in strs]), len(strs))
+    assert got == strs
+    rows = [(i, None if i % 7 == 0 else i * 3, f"text {i} é",
+             ["alpha", "beta"][i % 2]) for i in range(451)]
+    data = W.parquet_write_documents_v2(rows)
+    own = list(zip(*(parquet_column_read(data, i) for i in range(4))))
+    assert own == rows
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "v2.parquet")
+        with open(p, "wb") as f:
+            f.write(data)
+        drows = duckdb.sql(
+            f"SELECT doc_id, n_chars_gap, text, source "
+            f"FROM read_parquet('{p}') ORDER BY doc_id").fetchall()
+        assert [tuple(r) for r in drows] == rows
