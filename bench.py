@@ -148,6 +148,11 @@ HEADLINE = [
     # compression family, real-liblzma certification in the UDF)
     "scan_avro_container_decode",
     "mm_xz_lzma_decode",
+    # round-12 third wave: the write direction — four-writer consensus
+    # (each from-spec writer's file replayed by its from-spec reader)
+    # and the DataPageV2 + delta-encoding parquet write (pure-JVM read)
+    "scan_own_writers_consensus",
+    "scan_parquet_own_writer_v2_roundtrip",
 ]
 
 
