@@ -90,12 +90,13 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_orc_own_writer_roundtrip",
     "scan_own_writers_consensus",
     "text_charset_detect_transcode",
+    "archive_ingest_chain_end_to_end",
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
-    "set_intersect",
     "streaming_orc_file_ingest",  # heavy
+    "set_intersect",
     "set_union_all",
     "sort_global_range",
     "sort_multi_col",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "window_first_last",
     "window_frame_moving_avg",
     "window_lag_lead",
-    "window_percentiles",
     "streaming_avro_file_ingest",  # heavy
 )
 

@@ -1143,3 +1143,10 @@ def test_parquet_v2_writer_entry_pure_jvm(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_parquet_own_writer_v2_roundtrip")
     assert "Python" not in p and "MapInPandas" not in p
     assert "Scan parquet" in p
+
+
+def test_archive_chain_plan_shape(spark, sf_dir):
+    # 16 shard files -> binary scan + per-object decode, no shuffle
+    p = plan_of(spark, sf_dir, "archive_ingest_chain_end_to_end")
+    assert "MapInPandas" in p and "hashpartitioning" not in p
+    assert "binaryFile" in p or "Scan binaryFile" in p

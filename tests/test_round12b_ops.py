@@ -1086,3 +1086,17 @@ def test_parquet_v2_writer_delta_encoders_and_duckdb():
             f"SELECT doc_id, n_chars_gap, text, source "
             f"FROM read_parquet('{p}') ORDER BY doc_id").fetchall()
         assert [tuple(r) for r in drows] == rows
+
+
+def test_archive_ingest_chain_entry(spark, sf_dir):
+    rows = REGISTRY["archive_ingest_chain_end_to_end"].fn(
+        spark, sf_dir).collect()
+    assert len(rows) >= 500
+    assert {r.encoding for r in rows} == {
+        "utf-8-bom", "utf-16le-bom", "utf-16be", "latin-1"}
+    # the chain's per-doc facts equal the direct charset entry's facts
+    direct = {r.doc_id: (r.encoding, r.n_chars, r.decoded_md5)
+              for r in REGISTRY["text_charset_detect_transcode"].fn(
+                  spark, sf_dir).collect()}
+    for r in rows:
+        assert direct[r.doc_id] == (r.encoding, r.n_chars, r.decoded_md5)
