@@ -1710,3 +1710,169 @@ def scan_parquet_page_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame
         schema="n_selected long, sum_selected long, "
         "index_min long, index_max long",
     )
+
+
+def snappy_compress(data: bytes, max_chain: int = 16) -> bytes:
+    """Raw snappy block ENCODE — the reverse of snappy_decompress above,
+    with REAL copy elements (not the literal-only minimal form the
+    fixture writers use): greedy hash-4 matching, 1-byte-offset copies
+    (len 4-11, offset < 2048), 2-byte-offset copies (len 4-64 per
+    element, longer matches split), literal runs with 1/2-byte extended
+    length tags. Certified against the REAL snappy decoder (pyarrow) and
+    this module's own from-spec decoder."""
+    out = bytearray()
+    n = len(data)
+    v = n
+    while True:  # uncompressed-length preamble
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | 0x80 if v else b)
+        if not v:
+            break
+
+    def emit_literal(start: int, end: int) -> None:
+        i = start
+        while i < end:
+            chunk = data[i : min(end, i + 65536)]
+            ln = len(chunk) - 1
+            if ln < 60:
+                out.append(ln << 2)
+            elif ln < 256:
+                out.append(60 << 2)
+                out.append(ln)
+            else:
+                out.append(61 << 2)
+                out.extend(ln.to_bytes(2, "little"))
+            out.extend(chunk)
+            i += len(chunk)
+
+    head: dict[int, list[int]] = {}
+    i = 0
+    lit_start = 0
+    while i < n:
+        best_len = 0
+        best_off = 0
+        if i + 4 <= n:
+            key = int.from_bytes(data[i : i + 4], "little")
+            tried = 0
+            for j in reversed(head.get(key, ())):
+                if i - j > 65535:
+                    break
+                tried += 1
+                if tried > max_chain:
+                    break
+                ln = 0
+                maxl = n - i
+                while ln < maxl and data[j + ln] == data[i + ln]:
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_off = ln, i - j
+                    if ln >= 64:
+                        break
+        if best_len >= 4:
+            emit_literal(lit_start, i)
+            remaining = best_len
+            while remaining >= 4:
+                ln = min(remaining, 64)
+                if remaining - ln in (1, 2, 3):
+                    ln -= 4 - (remaining - ln)  # keep the tail emittable
+                if 4 <= ln <= 11 and best_off < 2048:
+                    out.append(
+                        1 | ((ln - 4) << 2) | ((best_off >> 8) << 5)
+                    )
+                    out.append(best_off & 0xFF)
+                else:
+                    out.append(2 | ((ln - 1) << 2))
+                    out.extend(best_off.to_bytes(2, "little"))
+                remaining -= ln
+            end = i + best_len - remaining
+            while i < end:
+                if i + 4 <= n:
+                    key = int.from_bytes(data[i : i + 4], "little")
+                    head.setdefault(key, []).append(i)
+                i += 1
+            i = end
+            lit_start = i
+        else:
+            if i + 4 <= n:
+                head.setdefault(key, []).append(i)
+            i += 1
+    emit_literal(lit_start, n)
+    return bytes(out)
+
+
+def _register_snappy_encode() -> None:
+    from flock_spark.operators.zstd_codec import _PAYLOAD_CASE, _ZSTD_ORACLE
+
+    @register(
+        "mm_snappy_encode_roundtrip",
+        oracle=_ZSTD_ORACLE,
+        tags=("multimodal", "pandas_udf", "codec"),
+        doc="Snappy ENCODE with real copy elements — completing the "
+        "snappy pair (the decoder landed in round 9; fixture writers "
+        "so far used the literal-only minimal form): greedy hash-4 "
+        "matching, 1-byte-offset copies (len 4-11, offset < 2048), "
+        "2-byte-offset copies with long-match splitting that never "
+        "strands a sub-4-byte tail, literal runs with extended length "
+        "tags. Every stream is decompressed by the REAL snappy "
+        "library (pyarrow) AND re-read by this module's own from-spec "
+        "decoder. Oracle identical to the other codec entries (repeat "
+        "algebra over the same five payload shapes). Scale: "
+        "per-object mapInPandas, single scan, no shuffle.",
+    )
+    def mm_snappy_encode_roundtrip(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from flock_spark.catalog import spread, tbl
+
+        d = (
+            tbl(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .selectExpr(
+                "doc_id", f"cast(({_PAYLOAD_CASE}) as binary) AS payload"
+            )
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
+
+            codec = pa.Codec("snappy")
+            for pdf in batches:
+                out_doc, out_n, out_sum, out_md5 = [], [], [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    b = bytes(payload)
+                    stream = snappy_compress(b)
+                    if bytes(codec.decompress(stream, len(b))) != b:
+                        raise ValueError(
+                            f"real snappy read our stream differently "
+                            f"for doc {doc_id}"
+                        )
+                    if snappy_decompress(stream) != b:
+                        raise ValueError(
+                            f"self-decode mismatch for doc {doc_id}"
+                        )
+                    out_doc.append(int(doc_id))
+                    out_n.append(len(b))
+                    out_sum.append(sum(b))
+                    out_md5.append(
+                        hashlib.md5(b.hex().upper().encode()).hexdigest()
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_doc, dtype="int64"),
+                        "n_bytes": pd.Series(out_n, dtype="int64"),
+                        "byte_sum": pd.Series(out_sum, dtype="int64"),
+                        "decoded_md5": pd.Series(
+                            out_md5, dtype="object"
+                        ),
+                    }
+                )
+
+        return spread(d).mapInPandas(
+            run,
+            schema="doc_id long, n_bytes long, byte_sum long, "
+            "decoded_md5 string",
+        )
+
+
+_register_snappy_encode()

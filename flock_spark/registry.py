@@ -76,6 +76,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_parquet_v2_delta_decode",
     "scan_parquet_page_index_prune",
     "crawl_chain_end_to_end",  # heavy
+    "mm_snappy_encode_roundtrip",
     "scan_arrow_ipc_stream_walk",
     "scan_arrow_ipc_file_walk",
     "mm_arrow_ipc_encode_roundtrip",
@@ -84,8 +85,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "scan_avro_container_decode",
     "mm_avro_encode_roundtrip",
     "mm_xz_lzma_decode",
-    "scan_parquet_own_writer_roundtrip",
     "streaming_arrow_ipc_ingest",  # heavy
+    "scan_parquet_own_writer_roundtrip",
     "scan_parquet_own_writer_v2_roundtrip",
     "scan_orc_own_writer_roundtrip",
     "scan_own_writers_consensus",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
     "mm_wet_conversion_roundtrip",
-    "text_robots_longest_match",
     "streaming_orc_file_ingest",  # heavy
+    "text_robots_longest_match",
     "set_intersect",
     "set_union_all",
     "sort_global_range",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "subquery_in",
     "window_first_last",
     "window_frame_moving_avg",
-    "window_lag_lead",
     "streaming_avro_file_ingest",  # heavy
 )
 

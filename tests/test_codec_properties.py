@@ -98,3 +98,18 @@ def test_utf8_validator_agrees_with_stdlib_on_any_bytes(data: bytes) -> None:
     assert (want is None) == (got is None)
     if want is not None:
         assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(payloads)
+def test_snappy_encode_any_bytes_real_decoder(data: bytes) -> None:
+    import pyarrow as pa
+
+    from flock_spark.operators.formats import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    s = snappy_compress(data)
+    assert snappy_decompress(s) == data
+    assert bytes(pa.Codec("snappy").decompress(s, len(data))) == data

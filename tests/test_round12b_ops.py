@@ -1100,3 +1100,29 @@ def test_archive_ingest_chain_entry(spark, sf_dir):
                   spark, sf_dir).collect()}
     for r in rows:
         assert direct[r.doc_id] == (r.encoding, r.n_chars, r.decoded_md5)
+
+
+def test_snappy_encoder_real_copies_and_both_decoders():
+    import random
+
+    import pyarrow as pa
+
+    from flock_spark.operators.formats import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    codec = pa.Codec("snappy")
+    rng = random.Random(11)
+    cases = [b"", b"a", b"hello world " * 200, bytes(range(256)) * 8,
+             b"ab" * 5000, b"x" * 100000]
+    for t in range(40):
+        alpha = [b"ab", b"abcdefgh", bytes(range(256))][t % 3]
+        cases.append(bytes(alpha[rng.randrange(len(alpha))]
+                           for _ in range(rng.randrange(0, 8000))))
+    for c in cases:
+        s = snappy_compress(c)
+        assert snappy_decompress(s) == c, len(c)
+        assert bytes(codec.decompress(s, len(c))) == c, len(c)
+    # real copies happen: repetitive input must compress hard
+    assert len(snappy_compress(b"hello world " * 200)) < 300
