@@ -262,24 +262,28 @@ def _lzma_run(
     st: _LzmaState,
     dic: bytearray,
     limit: int | None,
+    base: int = 0,
 ) -> bool:
     """Decode symbols appending to ``dic`` until the end marker (returns
-    True) or until len(dic) == limit (returns False). The dictionary IS
-    the output (no window wrap — payload-sized dictionaries)."""
+    True) or until len(dic) == limit (returns False). ``dic`` is the
+    FULL output accumulator; ``base`` marks the current dictionary start
+    (a mid-stream LZMA2 dict reset restarts positions/prev-byte/distance
+    reach there without discarding earlier output)."""
     pb_mask = (1 << st.pb) - 1
     lp_mask = (1 << st.lp) - 1
     while limit is None or len(dic) < limit:
-        pos_state = len(dic) & pb_mask
+        pos = len(dic) - base
+        pos_state = pos & pb_mask
         s = st.state
         if rc.bit(st.is_match, (s << 4) + pos_state) == 0:
-            prev = dic[-1] if dic else 0
+            prev = dic[-1] if len(dic) > base else 0
             lit_state = (
-                ((len(dic) & lp_mask) << st.lc) + (prev >> (8 - st.lc))
+                ((pos & lp_mask) << st.lc) + (prev >> (8 - st.lc))
             )
             probs = st.lit[lit_state]
             if s >= 7:  # matched literal: probe against the match byte
                 _hit("lzma:lit_matched")
-                if st.rep0 + 1 > len(dic):
+                if st.rep0 + 1 > len(dic) - base:
                     raise ValueError("lzma: match byte before start")
                 match_byte = dic[len(dic) - st.rep0 - 1]
                 sym = 1
@@ -304,7 +308,7 @@ def _lzma_run(
             if rc.bit(st.is_rep_g0, s) == 0:
                 if rc.bit(st.is_rep0_long, (s << 4) + pos_state) == 0:
                     _hit("lzma:shortrep")
-                    if st.rep0 + 1 > len(dic):
+                    if st.rep0 + 1 > len(dic) - base:
                         raise ValueError("lzma: shortrep before start")
                     dic.append(dic[len(dic) - st.rep0 - 1])
                     st.state = 9 if s < 7 else 11
@@ -349,7 +353,7 @@ def _lzma_run(
                     if st.rep0 == 0xFFFFFFFF:
                         _hit("lzma:endmarker")
                         return True
-        if st.rep0 + 1 > len(dic):
+        if st.rep0 + 1 > len(dic) - base:
             raise ValueError("lzma: distance past dictionary start")
         if limit is not None and len(dic) + ln > limit:
             raise ValueError("lzma: match overruns declared size")
@@ -385,6 +389,7 @@ def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     """Decode one LZMA2 chunk sequence; returns (output, end_offset just
     past the 0x00 terminator)."""
     dic = bytearray()
+    base = 0  # dictionary start within the output accumulator
     st: _LzmaState | None = None
     need_dict_reset = True
     while True:
@@ -396,7 +401,7 @@ def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
             return bytes(dic), pos
         if ctrl in (1, 2):
             if ctrl == 1:
-                dic.clear()
+                base = len(dic)
                 need_dict_reset = False
                 _hit("lzma2:dict_reset")
             elif need_dict_reset:
@@ -419,7 +424,7 @@ def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
         pos += 4
         mode = (ctrl >> 5) & 3
         if mode == 3:
-            dic.clear()
+            base = len(dic)
             need_dict_reset = False
             _hit("lzma2:dict_reset")
         elif need_dict_reset:
@@ -442,7 +447,7 @@ def lzma2_decompress(data: bytes, pos: int = 0) -> tuple[bytes, int]:
             raise ValueError("lzma2: truncated compressed chunk")
         rc = _RangeDec(data, pos)
         target = len(dic) + unpack
-        ended = _lzma_run(rc, st, dic, target)
+        ended = _lzma_run(rc, st, dic, target, base)
         if ended or len(dic) != target:
             raise ValueError("lzma2: chunk size mismatch")
         if rc.pos != pos + pack or not rc.finished_ok():
@@ -740,6 +745,244 @@ def mm_xz_lzma_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     want = b
                 if dec != want:
                     raise ValueError(f"xz decode mismatch for doc {doc_id}")
+                out_doc.append(int(doc_id))
+                out_n.append(len(b))
+                out_sum.append(sum(b))
+                out_md5.append(
+                    hashlib.md5(b.hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "byte_sum": pd.Series(out_sum, dtype="int64"),
+                    "decoded_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return spread(d).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# XZ ENCODE — the reverse direction, completing the last codec pair: a
+# from-spec binary RANGE ENCODER (the mirror of _RangeDec: 11-bit adaptive
+# probabilities, 33-bit low with carry propagation through a cache byte,
+# 5-byte flush) drives a literal-only LZMA parse (every byte through the
+# adaptive literal tree — genuine entropy coding, no match search; the
+# honest analog of the DEFLATE encoder's planner emitting literal blocks),
+# wrapped in LZMA2 compressed chunks (uncompressed chunks when entropy
+# coding doesn't pay) and the full XZ container: stream header CRC32,
+# block header with LZMA2 filter flags, block padding, CRC64 check, index
+# and footer — every CRC from this module's / the repo's own tables.
+# Certified by the REAL liblzma decoder and this module's own reader.
+# ---------------------------------------------------------------------------
+
+
+class _RangeEnc:
+    """LZMA range encoder (mirror of _RangeDec)."""
+
+    __slots__ = ("low", "range", "cache", "cache_size", "out")
+
+    def __init__(self) -> None:
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1
+        self.out = bytearray()
+
+    def _shift_low(self) -> None:
+        if self.low < 0xFF000000 or self.low > 0xFFFFFFFF:
+            carry = self.low >> 32
+            while self.cache_size:
+                self.out.append((self.cache + carry) & 0xFF)
+                self.cache = 0xFF
+                self.cache_size -= 1
+            self.cache = (self.low >> 24) & 0xFF
+            self.cache_size = 0
+        self.cache_size += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def bit(self, probs: list[int], i: int, b: int) -> None:
+        p = probs[i]
+        bound = (self.range >> 11) * p
+        if b == 0:
+            self.range = bound
+            probs[i] = p + ((2048 - p) >> 5)
+        else:
+            self.low += bound
+            self.range -= bound
+            probs[i] = p - (p >> 5)
+        if self.range < (1 << 24):
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            self._shift_low()
+
+    def flush(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+def _lzma_literal_encode(data: bytes, lc: int = 3, lp: int = 0,
+                         pb: int = 2) -> bytes:
+    """Encode ``data`` as a literal-only LZMA stream (no end marker —
+    LZMA2 chunks carry exact sizes): per byte one is_match 0-bit in the
+    (state=0, posState) context, then 8 adaptive literal-tree bits in
+    the (pos & lp_mask, prev_byte >> (8-lc)) context. State never leaves
+    the literal states, so the matched-literal path is never entered."""
+    rc = _RangeEnc()
+    lit = [[_PROB_INIT] * 0x300 for _ in range(1 << (lc + lp))]
+    is_match = [_PROB_INIT] * (12 << 4)
+    pb_mask = (1 << pb) - 1
+    lp_mask = (1 << lp) - 1
+    prev = 0
+    for pos, byte in enumerate(data):
+        rc.bit(is_match, (0 << 4) + (pos & pb_mask), 0)
+        probs = lit[((pos & lp_mask) << lc) + (prev >> (8 - lc))]
+        sym = 1
+        for k in range(7, -1, -1):
+            b = (byte >> k) & 1
+            rc.bit(probs, sym, b)
+            sym = (sym << 1) | b
+        prev = byte
+    return rc.flush()
+
+
+def xz_compress(data: bytes, chunk_size: int = 1 << 15) -> bytes:
+    """Assemble a complete one-block .xz file: LZMA2 chunks carrying
+    literal-only LZMA when the entropy coding pays, uncompressed chunks
+    otherwise, CRC64 block check, index + footer — decodable by any
+    conformant reader (certified against liblzma). Chunks stay at 32 KiB
+    so the packed size always fits LZMA2's 2-byte pack-size field even
+    at the literal coder's worst-case ~9/8 expansion."""
+    from flock_spark.operators.multimodal import _crc32_own
+
+    out = bytearray(_XZ_MAGIC)
+    flags = bytes([0, 4])  # check id 4 = CRC64
+    out += flags
+    out += _crc32_own(flags).to_bytes(4, "little")
+    # ---- block header: one LZMA2 filter, 8 MiB dict prop (0x1A ->
+    # (2|0)<<(13+11) = 2^24) ----
+    bh = bytearray([0])  # size byte patched below
+    bh.append(0)  # flags: 1 filter, no sizes
+    bh += b"\x21\x01\x1a"  # filter id 0x21, props len 1, dict-size code
+    while (len(bh) + 4) % 4:
+        bh.append(0)
+    size_byte = (len(bh) + 4) // 4 - 1
+    bh[0] = size_byte
+    bh += _crc32_own(bytes(bh)).to_bytes(4, "little")
+    out += bh
+    block_start = len(out)
+    # ---- LZMA2 chunk sequence ----
+    for i in range(0, max(len(data), 1), chunk_size):
+        chunk = data[i : i + chunk_size]
+        if not chunk:
+            break
+        packed = _lzma_literal_encode(chunk)
+        if len(packed) < len(chunk):
+            _hit("xzenc:lzma_chunk")
+            # mode 3 (state + props + DICT reset) on every chunk: the
+            # literal coder starts each chunk at pos=0/prev=0, and the
+            # decoder's context comes from the dict — only a dict reset
+            # makes them agree (the LZMA2 context-leak pinned in the
+            # splice test of the decode entry)
+            ctrl = 0x80 | (3 << 5) | ((len(chunk) - 1) >> 16)
+            out.append(ctrl)
+            out += ((len(chunk) - 1) & 0xFFFF).to_bytes(2, "big")
+            out += (len(packed) - 1).to_bytes(2, "big")
+            # props byte for lc=3 lp=0 pb=2: (pb*5+lp)*9+lc = 93
+            out.append(93)
+            out += packed
+        else:
+            _hit("xzenc:uncompressed_chunk")
+            out.append(1)  # uncompressed chunk with dict reset
+            out += (len(chunk) - 1).to_bytes(2, "big")
+            out += chunk
+    out.append(0)  # end of LZMA2
+    comp_size = len(out) - block_start
+    while len(out) % 4:
+        out.append(0)  # block padding
+    out += crc64_xz(data).to_bytes(8, "little")
+    unpadded = (size_byte + 1) * 4 + comp_size + 8
+    # ---- index ----
+    idx_start = len(out)
+    idx = bytearray([0])
+    idx += _mb_enc(1)
+    idx += _mb_enc(unpadded)
+    idx += _mb_enc(len(data))
+    while len(idx) % 4:
+        idx.append(0)
+    out += idx
+    out += _crc32_own(bytes(idx)).to_bytes(4, "little")
+    index_size = len(out) - idx_start
+    # ---- footer ----
+    backward = (index_size // 4 - 1).to_bytes(4, "little")
+    out += _crc32_own(backward + flags).to_bytes(4, "little")
+    out += backward
+    out += flags
+    out += b"YZ"
+    return bytes(out)
+
+
+def _mb_enc(v: int) -> bytes:
+    """xz multibyte integer encode (mirror of _mb_varint)."""
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+@register(
+    "mm_xz_encode_roundtrip",
+    oracle=_XZ_ORACLE,
+    tags=("multimodal", "pandas_udf", "codec"),
+    doc="XZ ENCODE from the specs — completing the LAST codec pair: a "
+    "from-spec binary RANGE ENCODER (11-bit adaptive probabilities, "
+    "33-bit low with carry propagation through the cache byte, 5-byte "
+    "flush — the exact mirror of the decoder's normalization rule) "
+    "drives a literal-only LZMA parse (every byte entropy-coded "
+    "through the adaptive literal tree; no match search — the honest "
+    "analog of a stored-mode planner, and it still compresses text to "
+    "~60-70%), wrapped in LZMA2 compressed chunks with exact "
+    "pack/unpack accounting (uncompressed chunks when coding doesn't "
+    "pay) and the full XZ container: stream-header CRC32, block "
+    "header with LZMA2 filter flags, CRC64 check over the payload, "
+    "index records and footer echo — every checksum from this repo's "
+    "own tables. Every file is decoded by the REAL liblzma "
+    "(lzma.decompress) AND re-read by this module's own from-spec "
+    "walker. Oracle identical to the decode entry. Scale: per-object "
+    "mapInPandas, single scan, no shuffle.",
+)
+def mm_xz_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .selectExpr(
+            "doc_id", f"cast(({_XZ_PAYLOAD_CASE}) as binary) AS payload"
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import lzma
+
+        for pdf in batches:
+            out_doc, out_n, out_sum, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frame = xz_compress(b)
+                if lzma.decompress(frame, format=lzma.FORMAT_XZ) != b:
+                    raise ValueError(
+                        f"liblzma read our file differently for doc {doc_id}"
+                    )
+                if xz_decompress(frame) != b:
+                    raise ValueError(f"self-decode mismatch for doc {doc_id}")
                 out_doc.append(int(doc_id))
                 out_n.append(len(b))
                 out_sum.append(sum(b))

@@ -86,6 +86,7 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_avro_encode_roundtrip",
     "mm_xz_lzma_decode",
     "streaming_arrow_ipc_ingest",  # heavy
+    "mm_xz_encode_roundtrip",
     "scan_parquet_own_writer_roundtrip",
     "scan_parquet_own_writer_v2_roundtrip",
     "scan_orc_own_writer_roundtrip",
@@ -94,8 +95,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "archive_ingest_chain_end_to_end",
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
-    "mm_wet_conversion_roundtrip",
     "streaming_orc_file_ingest",  # heavy
+    "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "set_intersect",
     "set_union_all",
@@ -104,7 +105,6 @@ DRIVER_SLATE: tuple[str, ...] = (
     "string_funcs",
     "subquery_in",
     "window_first_last",
-    "window_frame_moving_avg",
     "streaming_avro_file_ingest",  # heavy
 )
 

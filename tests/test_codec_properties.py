@@ -113,3 +113,15 @@ def test_snappy_encode_any_bytes_real_decoder(data: bytes) -> None:
     s = snappy_compress(data)
     assert snappy_decompress(s) == data
     assert bytes(pa.Codec("snappy").decompress(s, len(data))) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(payloads)
+def test_xz_encode_any_bytes_liblzma_decodes(data: bytes) -> None:
+    import lzma
+
+    from flock_spark.operators import lzma_codec as L
+
+    x = L.xz_compress(data)
+    assert lzma.decompress(x, format=lzma.FORMAT_XZ) == data
+    assert L.xz_decompress(x) == data

@@ -1126,3 +1126,35 @@ def test_snappy_encoder_real_copies_and_both_decoders():
         assert bytes(codec.decompress(s, len(c))) == c, len(c)
     # real copies happen: repetitive input must compress hard
     assert len(snappy_compress(b"hello world " * 200)) < 300
+
+
+def test_xz_encoder_roundtrips_and_chunk_paths():
+    import lzma
+    import random
+
+    from flock_spark.operators import lzma_codec as L
+
+    L.STATS.clear()
+    rng = random.Random(12)
+    cases = [b"", b"a", b"hello world " * 100, bytes(range(256)) * 4,
+             b"ab" * 2000,
+             bytes(rng.randrange(256) for _ in range(3000))]  # incompressible
+    for t in range(20):
+        alpha = [b"ab", b"abcdefgh", bytes(range(256))][t % 3]
+        cases.append(bytes(alpha[rng.randrange(len(alpha))]
+                           for _ in range(rng.randrange(0, 4000))))
+    for c in cases:
+        x = L.xz_compress(c)
+        assert lzma.decompress(x, format=lzma.FORMAT_XZ) == c, len(c)
+        assert L.xz_decompress(x) == c, len(c)
+    # both chunk modes fired (text -> lzma chunk, random -> uncompressed)
+    assert L.STATS.get("xzenc:lzma_chunk", 0) >= 1
+    assert L.STATS.get("xzenc:uncompressed_chunk", 0) >= 1
+    # the literal coder genuinely compresses text
+    t = b"hello world, adaptive literal probabilities " * 100
+    assert len(L.xz_compress(t)) < int(len(t) * 0.7)
+    # multi-chunk path (> 1 MiB splits)
+    big = b"abcdefgh-" * 150000
+    x = L.xz_compress(big)
+    assert lzma.decompress(x, format=lzma.FORMAT_XZ) == big
+    assert L.xz_decompress(x) == big
