@@ -64,8 +64,8 @@ DRIVER_SLATE: tuple[str, ...] = (
     "pandas_udaf_weighted_mean",
     "hll_sketch_portable",
     "dedup_exact",
-    "zorder_layout_scan",
     "streaming_tumbling_agg",  # heavy
+    "zorder_layout_scan",
     "mm_zstd_frame_roundtrip",
     "mm_zstd_encode_roundtrip",
     "mm_bzip2_decode",
@@ -73,39 +73,39 @@ DRIVER_SLATE: tuple[str, ...] = (
     "mm_bzip2_encode_roundtrip",
     "corpus_epoch_shuffle_audit",
     "scan_parquet_zstd_page_decode",
+    "crawl_chain_end_to_end",  # heavy
     "scan_parquet_v2_delta_decode",
     "scan_parquet_page_index_prune",
-    "crawl_chain_end_to_end",  # heavy
     "mm_snappy_encode_roundtrip",
     "scan_arrow_ipc_stream_walk",
     "scan_arrow_ipc_file_walk",
     "mm_arrow_ipc_encode_roundtrip",
     "scan_orc_stripe_decode",
     "scan_formats_consensus",
+    "streaming_arrow_ipc_ingest",  # heavy
     "scan_avro_container_decode",
     "mm_avro_encode_roundtrip",
     "mm_xz_lzma_decode",
-    "streaming_arrow_ipc_ingest",  # heavy
     "mm_xz_encode_roundtrip",
     "scan_parquet_own_writer_roundtrip",
     "scan_parquet_own_writer_v2_roundtrip",
     "scan_orc_own_writer_roundtrip",
     "scan_own_writers_consensus",
+    "streaming_orc_file_ingest",  # heavy
     "text_charset_detect_transcode",
     "archive_ingest_chain_end_to_end",
     "arena_window_completeness_audit",
     "mm_jpeg_baseline_decode",
-    "streaming_orc_file_ingest",  # heavy
     "mm_wet_conversion_roundtrip",
     "text_robots_longest_match",
     "set_intersect",
     "set_union_all",
+    "streaming_avro_file_ingest",  # heavy
     "sort_global_range",
     "sort_multi_col",
     "string_funcs",
     "subquery_in",
-    "window_first_last",
-    "streaming_avro_file_ingest",  # heavy
+    "streaming_xz_file_ingest",  # heavy
 )
 
 # Machine-readable certification history: registry name -> MOST RECENT round

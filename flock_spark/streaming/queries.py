@@ -1960,3 +1960,127 @@ def streaming_avro_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("digest").alias("text_digest_mod_sum"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "streaming_xz_file_ingest",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
+           CAST(sum((('0x' || substring(md5(text), 1, 15))::BIGINT)
+                    % 2147483647) AS BIGINT) AS text_digest_mod_sum
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    tags=("streaming", "scan", "codec", "pandas_udf", "staged"),
+    doc="Streaming XZ ingestion — the fifth file-true streaming twin "
+    "(after WARC, Arrow IPC, ORC, Avro), and the first whose fixtures "
+    "were written by THIS repo's own encoder: four .xz shards (each a "
+    "doc_id\\ttext TSV compressed by the from-spec literal-LZMA xz "
+    "encoder, liblzma-gated at staging) are tailed with "
+    "readStream.format('binaryFile') at 2 files per trigger, each "
+    "micro-batch decoding raw bytes through the from-spec XZ walker "
+    "(container CRCs, LZMA2 chunks, range decoder), and a 1-row "
+    "running aggregate accumulates file/row counts, id sums and a "
+    "text digest fold. Drained to completion the stream equals the "
+    "batch oracle exactly. Scale: per-file decode parallelism per "
+    "trigger, O(1) aggregation state — the wikidump-tailer shape.",
+)
+def streaming_xz_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flock_spark.operators.lzma_codec import xz_compress, xz_decompress
+    from flock_spark.staging import stage_once
+
+    def write_fixture(tmp: str) -> None:
+        import lzma
+        import os
+
+        rows = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("text IS NOT NULL")
+            .selectExpr("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()  # bounded: N_DOCS rows (5k at sf0.1)
+        )
+        for r in rows:
+            if "\t" in r.text or "\n" in r.text:
+                # TSV framing would silently corrupt — fail loudly
+                raise ValueError(f"doc {r.doc_id} contains TSV separators")
+        for k in range(4):
+            tsv = "".join(
+                f"{r.doc_id}\t{r.text}\n"
+                for r in rows if r.doc_id % 4 == k
+            ).encode("utf-8")
+            frame = xz_compress(tsv)
+            if lzma.decompress(frame, format=lzma.FORMAT_XZ) != tsv:
+                raise ValueError("liblzma gate failed on shard")
+            with open(os.path.join(tmp, f"shard-{k}.xz"), "wb") as f:
+                f.write(frame)
+
+    path = stage_once(
+        f"xz_stream_fixture_{sf_dir}", "v1-4shards-tsv", write_fixture
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .load(f"{path}/*.xz")
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re as _re
+
+        for pdf in batches:
+            rows = {"is_file": [], "doc_id": [], "n_bytes": [],
+                    "digest": []}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                m = _re.search(r"shard-(\d)\.xz$", str(fpath))
+                if not m:
+                    raise ValueError(f"unexpected shard name {fpath}")
+                shard = int(m.group(1))
+                tsv = xz_decompress(bytes(content)).decode("utf-8")
+                first = True
+                for line in tsv.splitlines():
+                    did, text = line.split("\t", 1)
+                    did = int(did)
+                    if did % 4 != shard:
+                        raise ValueError(f"doc {did} in wrong shard")
+                    rows["is_file"].append(1 if first else 0)
+                    first = False
+                    rows["doc_id"].append(did)
+                    rows["n_bytes"].append(len(text.encode()))
+                    rows["digest"].append(
+                        int(hashlib.md5(
+                            text.encode()).hexdigest()[:15], 16)
+                        % 2147483647
+                    )
+            yield pd.DataFrame(
+                {
+                    "is_file": pd.Series(rows["is_file"], dtype="int64"),
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                    "digest": pd.Series(rows["digest"], dtype="int64"),
+                }
+            )
+
+    decoded = files.mapInPandas(
+        run, schema="is_file long, doc_id long, n_bytes long, digest long"
+    )
+    agg = decoded.agg(
+        F.sum("is_file").alias("n_files"),
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("doc_id_sum"),
+        F.sum("n_bytes").alias("text_bytes"),
+        F.sum("digest").alias("text_digest_mod_sum"),
+    )
+    return run_to_memory(agg, output_mode="complete")
