@@ -2071,10 +2071,41 @@ def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code")
 
 
+_FAST_ROOT_BITS = 10  # root-table width for the fast Huffman decode path
+
+
+def _build_fast(lengths: list[int]) -> tuple[list[int], int, int, dict]:
+    """Flat root-table decoder over the same canonical code as
+    _build_huffman: entry at index = the next R raw stream bits (LSB-first,
+    as _BitReader delivers them) is (symbol << 4) | code_length for codes
+    of length <= R, 0 for root misses (longer codes or invalid prefixes —
+    resolved by the bit-by-bit dict fallback). DEFLATE packs a code's MSB
+    in the earliest raw bit, so a code c of length L lands at every index
+    whose low L bits are bit-reverse(c, L)."""
+    table_dict = _build_huffman(lengths)
+    max_len = max(lengths, default=0)
+    root_bits = min(max_len, _FAST_ROOT_BITS) or 1
+    root = [0] * (1 << root_bits)
+    for (ln, code), sym in table_dict.items():
+        if ln > root_bits:
+            continue
+        rev = 0
+        c = code
+        for _ in range(ln):
+            rev = (rev << 1) | (c & 1)
+            c >>= 1
+        ent = (sym << 4) | ln
+        for idx in range(rev, 1 << root_bits, 1 << ln):
+            root[idx] = ent
+    return root, root_bits, (1 << root_bits) - 1, table_dict
+
+
 _FIXED_LIT = _build_huffman(
     [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
 )
 _FIXED_DIST = _build_huffman([5] * 30)
+_FIXED_LIT_FAST = _build_fast([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
+_FIXED_DIST_FAST = _build_fast([5] * 30)
 
 
 def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
@@ -2105,7 +2136,8 @@ def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
             br.pos += ln
         elif btype in (1, 2):
             if btype == 1:
-                lit_table, dist_table = _FIXED_LIT, _FIXED_DIST
+                lit_root, _lr_bits, lit_mask, lit_dict = _FIXED_LIT_FAST
+                dist_root, _dr_bits, dist_mask, dist_dict = _FIXED_DIST_FAST
             else:
                 hlit = br.read(5) + 257
                 hdist = br.read(5) + 1
@@ -2129,26 +2161,122 @@ def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
                         lengths.extend([0] * (11 + br.read(7)))
                 if len(lengths) != hlit + hdist:
                     raise ValueError("code length overrun")
-                lit_table = _build_huffman(lengths[:hlit])
-                dist_table = _build_huffman(lengths[hlit:])
+                lit_root, _lr_bits, lit_mask, lit_dict = _build_fast(
+                    lengths[:hlit])
+                dist_root, _dr_bits, dist_mask, dist_dict = _build_fast(
+                    lengths[hlit:])
+            # Hot symbol loop with the flat root table and local bit state
+            # (reader state is written back at end-of-block so stored
+            # blocks and the end-offset computation see the same position
+            # the call-per-bit path produced).
+            data_l = br.data
+            n_l = len(data_l)
+            pos, bitbuf, nbits = br.pos, br.bitbuf, br.nbits
             while True:
-                sym = _decode_symbol(br, lit_table)
+                while nbits < 15 and pos < n_l:
+                    bitbuf |= data_l[pos] << nbits
+                    pos += 1
+                    nbits += 8
+                ent = lit_root[bitbuf & lit_mask]
+                if ent:
+                    L = ent & 15
+                    if L > nbits:
+                        raise ValueError("truncated deflate stream")
+                    sym = ent >> 4
+                    bitbuf >>= L
+                    nbits -= L
+                else:  # code longer than the root table (rare): dict walk
+                    code = 0
+                    ln_c = 0
+                    sym = -1
+                    while ln_c < 15:
+                        if not nbits:
+                            if pos >= n_l:
+                                raise ValueError("truncated deflate stream")
+                            bitbuf = data_l[pos]
+                            pos += 1
+                            nbits = 8
+                        code = (code << 1) | (bitbuf & 1)
+                        bitbuf >>= 1
+                        nbits -= 1
+                        ln_c += 1
+                        s = lit_dict.get((ln_c, code))
+                        if s is not None:
+                            sym = s
+                            break
+                    if sym < 0:
+                        raise ValueError("invalid Huffman code")
                 if sym < 256:
                     out.append(sym)
                 elif sym == 256:
+                    br.pos, br.bitbuf, br.nbits = pos, bitbuf, nbits
                     break
                 elif sym <= 285:
                     li = sym - 257
-                    length = _LEN_BASE[li] + br.read(_LEN_EXTRA[li])
-                    dsym = _decode_symbol(br, dist_table)
+                    w = _LEN_EXTRA[li]
+                    while nbits < w:
+                        if pos >= n_l:
+                            raise ValueError("truncated deflate stream")
+                        bitbuf |= data_l[pos] << nbits
+                        pos += 1
+                        nbits += 8
+                    length = _LEN_BASE[li] + (bitbuf & ((1 << w) - 1))
+                    bitbuf >>= w
+                    nbits -= w
+                    while nbits < 15 and pos < n_l:
+                        bitbuf |= data_l[pos] << nbits
+                        pos += 1
+                        nbits += 8
+                    ent = dist_root[bitbuf & dist_mask]
+                    if ent:
+                        L = ent & 15
+                        if L > nbits:
+                            raise ValueError("truncated deflate stream")
+                        dsym = ent >> 4
+                        bitbuf >>= L
+                        nbits -= L
+                    else:
+                        code = 0
+                        ln_c = 0
+                        dsym = -1
+                        while ln_c < 15:
+                            if not nbits:
+                                if pos >= n_l:
+                                    raise ValueError(
+                                        "truncated deflate stream")
+                                bitbuf = data_l[pos]
+                                pos += 1
+                                nbits = 8
+                            code = (code << 1) | (bitbuf & 1)
+                            bitbuf >>= 1
+                            nbits -= 1
+                            ln_c += 1
+                            s = dist_dict.get((ln_c, code))
+                            if s is not None:
+                                dsym = s
+                                break
+                        if dsym < 0:
+                            raise ValueError("invalid Huffman code")
                     if dsym > 29:
                         raise ValueError(f"invalid distance symbol {dsym}")
-                    dist = _DIST_BASE[dsym] + br.read(_DIST_EXTRA[dsym])
+                    w = _DIST_EXTRA[dsym]
+                    while nbits < w:
+                        if pos >= n_l:
+                            raise ValueError("truncated deflate stream")
+                        bitbuf |= data_l[pos] << nbits
+                        pos += 1
+                        nbits += 8
+                    dist = _DIST_BASE[dsym] + (bitbuf & ((1 << w) - 1))
+                    bitbuf >>= w
+                    nbits -= w
                     if dist > len(out):
                         raise ValueError("distance beyond output window")
                     copy_from = len(out) - dist
-                    for k in range(length):  # overlap-safe byte copy
-                        out.append(out[copy_from + k])
+                    if dist >= length:  # non-overlapping: one slice copy
+                        out += out[copy_from : copy_from + length]
+                    else:
+                        for k in range(length):  # overlap-safe byte copy
+                            out.append(out[copy_from + k])
                 else:
                     raise ValueError(f"invalid literal/length symbol {sym}")
         else:

@@ -126,11 +126,22 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 
 
 class _BackBits:
+    """Backward bitstream: bit i of the stream is bit (i % 8) of byte
+    (i // 8) — i.e. the stream read as one little-endian integer — and
+    reads proceed downward from the sentinel. Each read slices only the
+    few bytes it covers instead of materializing the whole stream as a
+    bignum (which made every read O(stream bytes): shifting a multi-KB
+    Python int per bit-group turned block decode quadratic)."""
+
+    __slots__ = ("data", "pos")
+
     def __init__(self, data: bytes):
         if not data or data[-1] == 0:
             raise ValueError("backward bitstream missing sentinel bit")
-        self.val = int.from_bytes(data, "little")
-        self.pos = self.val.bit_length() - 1  # bits below the sentinel
+        # bits below the sentinel = full bytes before the last one, plus
+        # the last byte's bits under its highest set bit
+        self.data = data
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
 
     def read(self, n: int) -> int:
         """Read n bits (zero-padded past the start, per the Huffman tail
@@ -138,9 +149,15 @@ class _BackBits:
         self.pos -= n
         if n == 0:
             return 0
-        if self.pos >= 0:
-            return (self.val >> self.pos) & ((1 << n) - 1)
-        return (self.val << -self.pos) & ((1 << n) - 1)
+        p = self.pos
+        if p >= 0:
+            lo = p >> 3
+            chunk = int.from_bytes(self.data[lo : (p + n + 7) >> 3], "little")
+            return (chunk >> (p & 7)) & ((1 << n) - 1)
+        if n + p <= 0:
+            return 0
+        chunk = int.from_bytes(self.data[0 : (n + p + 7) >> 3], "little")
+        return (chunk << -p) & ((1 << n) - 1)
 
 
 class _FwdBits:
@@ -366,17 +383,30 @@ def huf_build_table(weights: list[int]) -> tuple[list[tuple[int, int]], int]:
 def _huf_decode_stream(
     data: bytes, table: list[tuple[int, int]], max_bits: int, count: int
 ) -> bytes:
-    bs = _BackBits(data)
-    out = bytearray()
-    for _ in range(count):
-        idx = bs.read(max_bits)
-        bs.pos += max_bits  # peeked
+    # Inlined peek/consume loop over the backward stream (one flat-table
+    # lookup per literal): equivalent to read(max_bits)/unconsume/consume
+    # nbits on _BackBits, with the same zero-padding past the start.
+    if not data or data[-1] == 0:
+        raise ValueError("backward bitstream missing sentinel bit")
+    pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+    mask = (1 << max_bits) - 1
+    out = bytearray(count)
+    from_bytes = int.from_bytes
+    for k in range(count):
+        p = pos - max_bits
+        if p >= 0:
+            chunk = from_bytes(data[p >> 3 : (pos + 7) >> 3], "little")
+            idx = (chunk >> (p & 7)) & mask
+        elif pos > 0:
+            idx = (from_bytes(data[0 : (pos + 7) >> 3], "little") << -p) & mask
+        else:
+            idx = 0
         sym, nbits = table[idx]
         if sym < 0:
             raise ValueError("invalid Huffman code")
-        bs.pos -= nbits
-        out.append(sym)
-    if bs.pos != 0:
+        pos -= nbits
+        out[k] = sym
+    if pos != 0:
         raise ValueError("Huffman literal stream not fully consumed")
     return bytes(out)
 
@@ -639,19 +669,36 @@ def _decode_block(
     if bs.pos < 0:
         raise ValueError("sequence stream shorter than initial states")
     lit_pos = 0
+    # Hot loop: the three value reads (OF extra bits, ML extra, LL extra)
+    # are consecutive backward reads whose widths are all known up front,
+    # so they collapse into ONE read and a top-first split (a backward
+    # read of a+b+c bits IS the concatenation of reads of a, b, c); same
+    # for the three state-update reads. Stats are tallied locally and
+    # folded into STATS once per block (identical totals, no per-sequence
+    # dict traffic).
+    bsread = bs.read
+    n_direct = 0
+    rep_hits: dict[str, int] = {}
     for i in range(nseq):
         of_code = of_tab[of_state][0]
         if of_code > 31:
             raise ValueError("offset code out of range")
-        of_value = (1 << of_code) + bs.read(of_code)
         ml_code = ml_tab[ml_state][0]
-        ml = _ML_BASE[ml_code] + bs.read(_ML_XBITS[ml_code])
+        ml_xb = _ML_XBITS[ml_code]
         ll_code = ll_tab[ll_state][0]
-        ll = _LL_BASE[ll_code] + bs.read(_LL_XBITS[ll_code])
+        ll_xb = _LL_XBITS[ll_code]
+        packed = bsread(of_code + ml_xb + ll_xb)
+        of_value = (1 << of_code) + (packed >> (ml_xb + ll_xb))
+        ml = _ML_BASE[ml_code] + ((packed >> ll_xb) & ((1 << ml_xb) - 1))
+        ll = _LL_BASE[ll_code] + (packed & ((1 << ll_xb) - 1))
         if bs.pos < 0:
             raise ValueError("sequence bitstream underrun")
         # repeat-offset resolution (RFC 8878 §3.1.1.3.2.1.1)
-        _hit("ofs_direct" if of_value > 3 else f"ofs_rep_{of_value}_ll0_{int(ll == 0)}")
+        if of_value > 3:
+            n_direct += 1
+        else:
+            key = f"ofs_rep_{of_value}_ll0_{int(ll == 0)}"
+            rep_hits[key] = rep_hits.get(key, 0) + 1
         if of_value > 3:
             offset = of_value - 3
             rep[2] = rep[1]
@@ -691,11 +738,19 @@ def _decode_block(
             for k in range(ml):
                 out.append(out[src + k])
         if i < nseq - 1:
-            ll_state = ll_tab[ll_state][2] + bs.read(ll_tab[ll_state][1])
-            ml_state = ml_tab[ml_state][2] + bs.read(ml_tab[ml_state][1])
-            of_state = of_tab[of_state][2] + bs.read(of_tab[of_state][1])
+            _s, ll_nb, ll_base = ll_tab[ll_state]
+            _s, ml_nb, ml_base = ml_tab[ml_state]
+            _s, of_nb, of_base = of_tab[of_state]
+            packed = bsread(ll_nb + ml_nb + of_nb)
+            ll_state = ll_base + (packed >> (ml_nb + of_nb))
+            ml_state = ml_base + ((packed >> of_nb) & ((1 << ml_nb) - 1))
+            of_state = of_base + (packed & ((1 << of_nb) - 1))
             if bs.pos < 0:
                 raise ValueError("sequence state update underrun")
+    if n_direct:
+        STATS["ofs_direct"] = STATS.get("ofs_direct", 0) + n_direct
+    for key, c in rep_hits.items():
+        STATS[key] = STATS.get(key, 0) + c
     if bs.pos != 0:
         raise ValueError("sequence bitstream not fully consumed")
     out += literals[lit_pos:]
