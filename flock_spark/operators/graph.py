@@ -477,34 +477,54 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
     )
-    pairs = (
-        o.join(li, "ok")
-        .select(
-            (F.col("c") * 2).cast("long").alias("u"),
-            (F.col("s") * 2 + 1).cast("long").alias("v"),
-        )
-        .distinct()
-    )
     # same keyed-repartition clamp as _kcore_peeled (measured there:
     # 11.7 s -> 1.9 s warm at sf0.01 under the driver's plain 200-partition
     # session); scales with defaultParallelism instead of pinning local width
     lp_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    # Both edge directions come from ONE join via an inline explode (the
+    # union-of-reversed form planned the orders ⋈ lineitem join twice,
+    # once per union branch), and distinct runs AFTER the keyed
+    # repartition: hashpartitioning(v) clusters (u, v) too, so the
+    # dedup aggregation reuses the repartition exchange instead of
+    # adding its own (u, v) exchange. Net: 2 joins + 3 exchanges -> 1
+    # join + 1 exchange to build the cached edge relation.
     edges = (
-        pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        o.join(li, "ok")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("c") * 2).cast("long").alias("u"),
+                        (F.col("s") * 2 + 1).cast("long").alias("v"),
+                    ),
+                    F.struct(
+                        (F.col("s") * 2 + 1).cast("long").alias("u"),
+                        (F.col("c") * 2).cast("long").alias("v"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .repartition(lp_parts, "v")
+        .distinct()
         .cache()
     )
     lab = edges.select("u").distinct().select("u", F.col("u").alias("lab"))
     with clamped_shuffle_partitions(spark, lp_parts):
         for _ in range(LP_ROUNDS):
+            # one exchange per round: hash(u) satisfies the clustered
+            # distribution of BOTH the (u, lab) vote count and the u-keyed
+            # arg-max, so neither aggregation adds its own exchange (the
+            # two-exchange form shuffled the vote relation by (u, lab) and
+            # then again by u)
             votes = (
                 edges.join(lab.withColumnRenamed("u", "v"), "v")
+                .repartition(lp_parts, "u")
                 .groupBy("u", "lab")
                 .agg(F.count("*").alias("c"))
             )
             # arg-max as a HASH aggregate, not a window sort: lexicographic
-            # max of (count, -label) = most votes, smallest label on ties —
-            # two-phase with map-side partials, no per-partition sort
+            # max of (count, -label) = most votes, smallest label on ties
             lab = votes.groupBy("u").agg(
                 F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m")
             ).select("u", (-F.col("m.nl")).alias("lab"))

@@ -83,7 +83,7 @@ def mm_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         extract,
         schema="doc_id long, byte_len long, content_md5 string, fake_width long, fake_height long",
     )
@@ -195,7 +195,7 @@ def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         schema="doc_id long, resized_md5 string, pixel_sum long, "
         "target_w int, target_h int",
@@ -262,7 +262,7 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": out_doc, "window_idx": out_w, "energy": out_e, "n_samples": out_n}
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         energy, schema="doc_id long, window_idx long, energy long, n_samples long"
     )
 
@@ -339,7 +339,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         sample,
         schema="doc_id long, sample_idx long, frame_idx long, frame_md5 string",
     )
@@ -424,7 +424,7 @@ def mm_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(extract, schema="doc_id long, w0 long, w1 long, w2 long, w3 long")
+    return spread(d).mapInPandas(extract, schema="doc_id long, w0 long, w1 long, w2 long, w3 long")
 
 
 @register(
@@ -489,7 +489,7 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["top_byte"].append(int(np.argmax(cnts)))
             yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         profile,
         schema="doc_id long, distinct_bytes long, min_byte long, max_byte long, "
         "top_byte_cnt long, top_byte long",
@@ -558,7 +558,7 @@ def mm_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "byte_len", "width", "height", "sig_ok"]
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         parse,
         schema="doc_id long, byte_len long, width long, height long, sig_ok boolean",
     )
@@ -636,7 +636,7 @@ def mm_jpeg_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "byte_len", "width", "height", "n_components", "sof_ok"],
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         parse,
         schema="doc_id long, byte_len long, width long, height long, "
         "n_components long, sof_ok boolean",
@@ -712,7 +712,7 @@ def mm_wav_header_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "duration_us", "riff_ok"],
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         parse,
         schema="doc_id long, channels long, sample_rate long, data_bytes long, "
         "duration_us long, riff_ok boolean",
@@ -876,7 +876,7 @@ def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    en = d.mapInPandas(energies, schema="doc_id long, frame_idx long, energy long")
+    en = spread(d).mapInPandas(energies, schema="doc_id long, frame_idx long, energy long")
     w = W.partitionBy("doc_id").orderBy("frame_idx")
     dd = en.withColumn("prev_energy", F.lag("energy").over(w))
     return dd.filter(
@@ -989,7 +989,7 @@ def mm_gif_header_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "width", "height", "n_gct_colors", "sig_ok"],
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         parse,
         schema="doc_id long, width long, height long, n_gct_colors long, "
         "sig_ok boolean",
@@ -1069,7 +1069,7 @@ def mm_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
             out = {k: [] for k in out}
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         schema="doc_id long, tile_y long, tile_x long, n_px long, "
         "px_sum long, px_sumsq long",
@@ -1173,7 +1173,7 @@ def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         schema="doc_id long, resized_md5 string, pixel_sum long, "
         "target_w int, target_h int",
@@ -1408,7 +1408,7 @@ def mm_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run, schema="doc_id long, n_px long, px_sum long, decoded_md5 string"
     )
 
@@ -1610,7 +1610,7 @@ def mm_png_inflate_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         schema="doc_id long, height long, n_px long, px_sum long, "
         "decoded_md5 string",
@@ -2377,7 +2377,7 @@ def mm_zlib_inflate_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run, schema="doc_id long, n_bytes long, byte_sum long, decoded_md5 string"
     )
 
@@ -2870,7 +2870,7 @@ def mm_gif_deinterlace(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         schema="doc_id long, n_rows long, perm_md5 string, restored_md5 string",
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flock_spark.catalog import tbl
+from flock_spark.catalog import local_df, spread, tbl
 from flock_spark.registry import register
 
 # 8 hyperplanes × 64 integer weights, generated once with random.Random(7).
@@ -196,7 +196,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    cands = e.mapInPandas(
+    cands = spread(e).mapInPandas(
         score,
         schema="query_id long, neighbor_id long, neighbor_label long, raw_sim double",
     ).filter(F.col("raw_sim") != float("-inf"))
@@ -385,7 +385,7 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["v"] = pdf["v"]
             yield out
 
-    out = e.mapInPandas(
+    out = spread(e).mapInPandas(
         assign, schema="vec_id long, label long, cell long, v array<double>"
     ).withColumn("norm", F.expr(f"sqrt({_dot('v', 'v')})"))
     evict_stale(_IVF_MEMO, spark)
@@ -891,7 +891,7 @@ def embedding_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_rows = [(d, PI_QSCALE) for d in range(1, PI_DIM + 1)]
     with clamped_shuffle_partitions(spark, spark.sparkContext.defaultParallelism):
         for _ in range(PI_ITERS):
-            v = spark.createDataFrame(v_rows, "dim long, val long")
+            v = local_df(spark, v_rows, "dim long, val long")
             dot = (
                 q.join(F.broadcast(v), "dim")
                 .groupBy("vec_id")
@@ -908,7 +908,7 @@ def embedding_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (int(r["dim"]), (-1 if int(r["w"]) < 0 else 1) * (abs(int(r["w"])) >> k))
                 for r in w_rows
             ]
-    return spark.createDataFrame(sorted(v_rows), "dim long, pc_fixed long")
+    return local_df(spark, sorted(v_rows), "dim long, pc_fixed long")
 
 
 # --------------------------------------------------------------------------
@@ -1016,7 +1016,7 @@ def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
                 out[f"c{m}"] = np.argmin(d, axis=1)
             yield pd.DataFrame(out)
 
-    codes = e.mapInPandas(
+    codes = spread(e).mapInPandas(
         encode, schema="vec_id long, c0 long, c1 long, c2 long, c3 long"
     ).cache()
     result = (C, codes)
@@ -1040,7 +1040,10 @@ def _pq_query_lut(spark: SparkSession, qrows, C) -> DataFrame:
             dm = ((qv[None, blk] - C[:, blk]) ** 2).sum(axis=1)
             for cidx in range(C.shape[0]):
                 lut_rows.append((int(r["vec_id"]), m, cidx, int(dm[cidx])))
-    return spark.createDataFrame(lut_rows, "query_id long, m int, code long, dm long")
+    # LocalRelation (see catalog.local_df): the tuple-list form planned as
+    # a Python RDD scan and every broadcast of it ran a separate Python
+    # job — 4 per ADC query, measured 2.3 s of the entry's 2.8 s.
+    return local_df(spark, lut_rows, "query_id long, m int, code long, dm long")
 
 
 @register(
@@ -1478,9 +1481,7 @@ def embedding_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataF
         REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir)
         .select("query_id", "neighbor_id")
     )
-    dims_df = spark.createDataFrame(
-        [(int(d),) for d in MRL_DIMS], "trunc_dim long"
-    )
+    dims_df = local_df(spark, [(int(d),) for d in MRL_DIMS], "trunc_dim long")
     base = brute.crossJoin(F.broadcast(dims_df))
     j = base.join(tk, ["trunc_dim", "query_id", "neighbor_id"], "left")
     return j.groupBy("trunc_dim").agg(
@@ -1614,8 +1615,8 @@ def ann_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = sorted(range(len(cids)), key=lambda i: (-s[i], cids[i]))
         for rank, i in enumerate(order[: max(NPROBES)], start=1):
             probe_rows.append((int(r["vec_id"]), int(cids[i]), rank))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, cell long, probe_rank int"
+    probes = local_df(
+        spark, probe_rows, "query_id long, cell long, probe_rank int"
     )
 
     qdf = (
@@ -1628,7 +1629,7 @@ def ann_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm").alias("qnorm"),
         )
     )
-    np_df = spark.createDataFrame([(int(p),) for p in NPROBES], "nprobe long")
+    np_df = local_df(spark, [(int(p),) for p in NPROBES], "nprobe long")
     probe_sets = (
         F.broadcast(probes)
         .join(F.broadcast(np_df), F.col("probe_rank") <= F.col("nprobe"))

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flock_spark.catalog import tbl
+from flock_spark.catalog import spread, tbl
 from flock_spark.operators.hashing import (
     duck_md5_long,
     spark_md5_long,
@@ -1435,6 +1435,47 @@ def space_saving_summary(items, k: int) -> dict[str, list[int]]:
     return counters
 
 
+def space_saving_summary_grouped(pairs, k: int) -> dict[str, list[int]]:
+    """Space-saving over a stream in which each item's occurrences arrive
+    CONSECUTIVELY, fed as (item, total_count) pairs: c consecutive
+    occurrences collapse into one increment-by-c (an over-capacity insert
+    becomes [min+c, min] — exactly one insert at min+1 followed by c-1
+    increments). A grouped stream is a legal arrival order of the same
+    multiset, so every Metwally guarantee the audit relies on (est >=
+    true >= est-err; any item with true count > N/k tracked at stream
+    end; untracked items bounded by the min counter) holds identically —
+    while the Python loop runs once per DISTINCT item instead of once per
+    occurrence. Eviction picks min (est, item) like the element-wise
+    form, via a lazy heap (est only grows, so stale heap entries sort
+    first and are discarded) instead of an O(k) scan per eviction."""
+    import heapq
+
+    counters: dict[str, list[int]] = {}
+    heap: list[tuple[int, str]] = []
+    push = heapq.heappush
+    pop = heapq.heappop
+    for item, c in pairs:
+        cur = counters.get(item)
+        if cur is not None:
+            cur[0] += c
+            push(heap, (cur[0], item))
+        elif len(counters) < k:
+            counters[item] = [c, 0]
+            push(heap, (c, item))
+        else:
+            while True:
+                est, it = heap[0]
+                v = counters.get(it)
+                if v is not None and v[0] == est:
+                    break
+                pop(heap)
+            pop(heap)
+            m = counters.pop(it)[0]
+            counters[item] = [m + c, m]
+            push(heap, (m + c, item))
+    return counters
+
+
 def _ss_stream_sql(d: _Dialect, str_cat: str, seg: bool) -> str:
     """Engine-neutral derivation of the audited stream: one item per token
     occurrence, two-level hash mixture — 1/16 of occurrences land on 4 heavy
@@ -1497,7 +1538,11 @@ def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import functions as F
 
-    d = tbl(spark, sf_dir, "documents")
+    # spread before the explode: the test-scale scan is one partition
+    # (single row group), so without it the token explode + per-token md5
+    # mixture ran single-threaded — and it is recomputed per consumer now
+    # that the stream is no longer session-cached
+    d = spread(tbl(spark, sf_dir, "documents"))
     tokpos = d.select(
         "doc_id",
         F.posexplode(F.split(F.trim("text"), " ")).alias("pos", "tok"),
@@ -1512,7 +1557,15 @@ def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        counters = space_saving_summary(pdf["item"], SS_K)
+        from collections import Counter
+
+        # Counter iteration = first-appearance order (dict insertion
+        # order), a deterministic grouped arrival of the segment stream;
+        # see space_saving_summary_grouped for why the audited guarantees
+        # are order-independent.
+        counters = space_saving_summary_grouped(
+            Counter(pdf["item"]).items(), SS_K
+        )
         min_est = min(v[0] for v in counters.values())
         return pd.DataFrame(
             {
@@ -1530,19 +1583,32 @@ def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         summarize, schema="seg long, item string, est long, err long, min_est long"
     )
 
-    # the stream feeds three consumers (segment summaries, exact counts, N);
-    # persist so the explode+hash scan runs once, like the graph ops' cached
-    # edges — at 100 TB this is the standard reuse of a derived stream
-    stream = stream.persist()
+    # The stream feeds three consumers (segment summaries, exact counts,
+    # N). It is deliberately NOT persisted: a cache registered here
+    # outlives the query (the bench runs every entry 3x per session and
+    # the leaked token streams slowed UNRELATED queries 3-4x via
+    # eviction churn), and the explode+hash derivation is an
+    # embarrassingly parallel JVM pass that recomputation keeps cheap.
+    # At 100 TB the reuse decision is a first-stage write (or an
+    # explicitly lifecycle-managed persist), not a session-lifetime cache.
     cnt = stream.groupBy("item").agg(F.count("*").alias("true_cnt"))
-    n = cnt.agg(F.sum("true_cnt")).collect()[0][0]  # one scalar, reuses cnt
-    top = cnt.orderBy(F.col("true_cnt").desc(), "item").limit(SS_AUDIT_TOP)
+    # stream size N joins in as a broadcast 1-row relation instead of a
+    # driver collect: the collect ran a separate job that re-evaluated the
+    # whole stream -> cnt subtree per query run (and a .collect() in the
+    # query path is exactly what the driver-discipline rules forbid at
+    # scale)
+    n_df = cnt.agg(F.sum("true_cnt").alias("n_stream"))
+    top = (
+        cnt.orderBy(F.col("true_cnt").desc(), "item")
+        .limit(SS_AUDIT_TOP)
+        .crossJoin(F.broadcast(n_df))
+    )
     seg_mins = summary.groupBy("seg").agg(F.min("min_est").alias("seg_min"))
 
     merged = (
         top.crossJoin(F.broadcast(seg_mins))
         .join(summary, ["item", "seg"], "left")
-        .groupBy("item", "true_cnt")
+        .groupBy("item", "true_cnt", "n_stream")
         .agg(
             F.sum(F.coalesce(F.col("est"), F.col("seg_min"))).alias("ub"),
             F.sum(
@@ -1554,22 +1620,23 @@ def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("present"),
         )
     )
-    return merged.select(
+    out = merged.select(
         "item",
         "true_cnt",
-        F.when(F.col("true_cnt") * SS_K > n, F.lit(1))
+        F.when(F.col("true_cnt") * SS_K > F.col("n_stream"), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("guaranteed"),
         F.greatest(
             F.col("present").cast("long"),
-            F.when(F.col("true_cnt") * SS_K > n, F.lit(0))
+            F.when(F.col("true_cnt") * SS_K > F.col("n_stream"), F.lit(0))
             .otherwise(F.lit(1))
             .cast("long"),
         ).alias("present_ok"),
         (F.col("ub") >= F.col("true_cnt")).cast("long").alias("ub_ok"),
         (F.col("lb") <= F.col("true_cnt")).cast("long").alias("lb_ok"),
     )
+    return out
 
 
 TD_DELTA = 100  # t-digest compression parameter

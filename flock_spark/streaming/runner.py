@@ -27,9 +27,14 @@ from flock_spark.session import clamped_shuffle_partitions
 # query start. A verification sweep inherits whatever the surrounding
 # session sets (a plain driver session defaults to 200), and 200 state
 # stores per one-shot bounded drain doubles wall cost at test scale
-# (measured: 14.8 s vs 7.4 s for the stateful entry). Production streams
-# size this deliberately; bounded drains clamp it.
-DRAIN_PARTITION_CAP = 32
+# (measured: 14.8 s vs 7.4 s for the stateful entry). Drain state at test
+# scale is a handful of group keys, so 8 instances saturate it; 32 paid
+# measurable extra per-trigger state-store setup (kafka wire drain:
+# 3.5-4.4 s at 32 -> 3.2-3.4 s at 8, two triggers). Streaming plans get
+# no AQE coalescing, so this clamp is the only partition sizing bounded
+# drains have. Production streams size this deliberately per state
+# volume; the env override keeps the knob external.
+DRAIN_PARTITION_CAP = int(os.environ.get("FLOCK_SPARK_DRAIN_PARTITIONS", "8"))
 
 
 def _drain_parallelism(spark: SparkSession, cap: int = DRAIN_PARTITION_CAP):

@@ -721,13 +721,15 @@ def test_table_arg_udtf_partitions_and_sorts_input(spark, sf_dir):
 
 def test_header_parsers_single_scan_arrow_batched(spark, sf_dir):
     # both new header parsers must stay one narrow mapInPandas pass over
-    # one parquet scan — no shuffle, no per-row Python UDF
+    # one parquet scan — no keyed shuffle, no per-row Python UDF (the only
+    # allowed Exchange is catalog.spread()'s RoundRobin input balancing,
+    # same convention as the codec-family pins)
     for name in ("mm_jpeg_header_dims", "mm_wav_header_audio"):
         plan = plan_of(spark, sf_dir, name, execute=True)
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("FileScan parquet") == 1, (name, final)
         assert "MapInPandas" in final, (name, final)
-        assert "Exchange" not in final, (name, final)
+        assert "hashpartitioning" not in final, (name, final)
         assert "BatchEvalPython" not in final, (name, final)
 
 

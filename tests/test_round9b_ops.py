@@ -273,6 +273,32 @@ def test_space_saving_invariants(stream, k):
             assert item in summary, f"{item} ({c} > {n}/{k}) missing"
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=80), min_size=1, max_size=1500),
+    st.integers(min_value=2, max_value=24),
+)
+def test_space_saving_grouped_matches_element_wise_on_grouped_stream(stream, k):
+    # the grouped fast path must equal the element-wise run over the SAME
+    # (grouped) arrival order: all of item A's occurrences, then all of B's,
+    # ... in first-appearance order — the order the operator feeds it
+    from flock_spark.operators.sketches import space_saving_summary_grouped
+
+    items = [f"i{v}" for v in stream]
+    counts = Counter(items)
+    grouped_stream = [it for it, c in counts.items() for _ in range(c)]
+    want = space_saving_summary(grouped_stream, k)
+    got = space_saving_summary_grouped(counts.items(), k)
+    assert got == want
+    # and it must satisfy every audited invariant against the true counts
+    n = len(items)
+    for item, (est, err) in got.items():
+        assert est >= counts[item] >= est - err
+    for item, c in counts.items():
+        if c * k > n:
+            assert item in got
+
+
 def test_space_saving_actually_evicts_and_approximates():
     # 30 distinct items, k=8: eviction must happen, and at least one tracked
     # item must be overestimated (est > true) — a passthrough exact counter
