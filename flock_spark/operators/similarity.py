@@ -1455,27 +1455,44 @@ def embedding_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataF
     )
     from pyspark.sql import Window as W
 
-    per_dim = []
-    for d in MRL_DIMS:
-        scored = pairs.select(
-            F.lit(d).cast("long").alias("trunc_dim"),
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _pair_dot()(F.slice("qv", 1, d), F.slice("v", 1, d))
-                / (F.col(f"qn{d}") * F.col(f"n{d}")),
-                6,
-            ).alias("cos_sim"),
-        )
-        w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
-        per_dim.append(
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= TOP_K)
-            .select("trunc_dim", "query_id", "neighbor_id", F.lit(1).alias("hit"))
-        )
-    tk = per_dim[0]
-    for x in per_dim[1:]:
-        tk = tk.unionAll(x)
+    # All truncation widths in ONE pass: the per-dim union form evaluated
+    # the broadcast-cross-join pair relation once per width (|MRL_DIMS|
+    # scans + windows); exploding a (trunc_dim, cos_sim) struct array
+    # computes every sliced dot in a single scan and ranks under one
+    # window keyed by (trunc_dim, query_id) — identical per-dim rankings,
+    # and the map-side WindowGroupLimit still prunes to ~queries x k x
+    # dims rows before the exchange.
+    dim_scores = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("trunc_dim"),
+                F.round(
+                    _pair_dot()(F.slice("qv", 1, d), F.slice("v", 1, d))
+                    / (F.col(f"qn{d}") * F.col(f"n{d}")),
+                    6,
+                ).alias("cos_sim"),
+            )
+            for d in MRL_DIMS
+        ]
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(dim_scores).alias("s"),
+    ).select(
+        F.col("s.trunc_dim").alias("trunc_dim"),
+        "query_id",
+        "neighbor_id",
+        F.col("s.cos_sim").alias("cos_sim"),
+    )
+    w = W.partitionBy("trunc_dim", "query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    tk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("trunc_dim", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
 
     brute = (
         REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir)

@@ -773,7 +773,7 @@ def tokenizer_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return spread(words).mapInPandas(
+    return words.mapInPandas(
         tokenize, schema="word string, cnt long, n_pieces long, pieces string"
     )
 
@@ -1829,7 +1829,7 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return spread(words).mapInPandas(
+    return words.mapInPandas(
         tokenize,
         schema="word string, cnt long, min_cost long, n_pieces long, "
         "pieces string",

@@ -56,11 +56,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # Split even small files across cores: test-scale parquet is a single
-        # ~1 MB file, and without this every scan-rooted stage with heavy
-        # per-row compute (md5 shingle folds, sketches) runs single-threaded.
-        # At 100 TB the input is many splits and this floor is a no-op.
-        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # No spark.sql.files.minPartitionNum floor: the test tables are
+        # SINGLE-row-group parquet, so byte-range splits can never spread
+        # the data — the floor only scheduled empty tasks (measured: zero
+        # speedup on a heavy scan-rooted md5 pass, ~6% overhead on tiny
+        # queries). Scan-rooted heavy compute is parallelized explicitly
+        # via catalog.spread(), which no-ops once real deployments give
+        # scans >= cores splits.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -851,13 +851,20 @@ def test_mm_tile_stats_no_shuffle_before_emit(spark, sf_dir):
 
 def test_matryoshka_audit_broadcasts_query_side(spark, sf_dir):
     # the bounded query set must broadcast; the corpus must never be on the
-    # build side of a nested-loop against itself — and every per-dim top-k
+    # build side of a nested-loop against itself — and the per-dim top-k
     # must prune map-side (WindowGroupLimit Partial) before its shuffle, so
-    # the exchanges carry ~queries x k rows per dim, not the scored pairs
+    # the exchange carries ~queries x k x dims rows, not the scored pairs.
+    # All truncation widths rank under ONE window over an exploded
+    # (trunc_dim, cos_sim) array: exactly one pass over the pair relation
+    # (the old per-dim union re-evaluated it once per width).
     plan = plan_of(spark, sf_dir, "embedding_matryoshka_recall_audit")
     assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
-    assert plan.count("WindowGroupLimit") >= 6  # Partial+Final per dim
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
     assert "Partial" in plan
+    # exactly two nested loops: the single pair pass + the tiny
+    # brute x dims spine (the old per-dim union planned one pair pass
+    # per truncation width)
+    assert plan.count("BroadcastNestedLoopJoin") == 2
 
 
 def test_codec_decodes_are_shuffle_free_single_scan(spark, sf_dir):
