@@ -1630,16 +1630,26 @@ def dedup_line_hash_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = blocks.select(
         "doc_id", "lang", F.expr(spark_md5_long("blk")).alias("bh")
     )
-    boiler = (
-        h.groupBy("bh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("bh", F.lit(True).alias("is_boiler"))
+    from pyspark.sql import Window as W
+
+    # Single pass instead of aggregate + join-back: the old form computed
+    # the explode+md5 relation twice (once under the boiler aggregate, once
+    # as the join probe) and shuffled it twice (bh for the countDistinct,
+    # bh again for the join). Here instances group to one row per (bh,
+    # doc_id) — lang rides along, functionally dependent on doc_id — on a
+    # single bh-keyed exchange that also serves the window: rows-per-bh
+    # over that grouped relation IS countDistinct(doc_id), since each
+    # (bh, doc) appears exactly once.
+    g = (
+        h.repartition("bh")
+        .groupBy("bh", "doc_id", "lang")
+        .agg(F.count("*").alias("inst"))
     )
-    j = h.join(boiler, "bh", "left")
-    return j.groupBy("lang").agg(
-        F.count("*").cast("long").alias("total_blocks"),
-        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+    nd = F.count("*").over(W.partitionBy("bh"))
+    flagged = g.withColumn("is_boiler", nd >= 2)
+    return flagged.groupBy("lang").agg(
+        F.sum("inst").cast("long").alias("total_blocks"),
+        F.sum(F.when(F.col("is_boiler"), F.col("inst")).otherwise(0))
         .cast("long")
         .alias("boiler_instances"),
         F.countDistinct(F.when(F.col("is_boiler"), F.col("doc_id")))
