@@ -470,7 +470,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        # native Cast, not a transform() lambda: the elementwise widening
+        # codegens instead of running interpreted per element (see
+        # similarity._spark_vecs)
+        F.col("embedding").cast("array<double>").alias("v"),
     )
     # spread the probe side: the per-pair dot products run on the join
     # output, which inherits the probe partitioning (single-split scan)

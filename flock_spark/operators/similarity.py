@@ -76,10 +76,15 @@ def _pair_dot():
 
 
 def _spark_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cast(array<float> as array<double>) is the native Cast expression
+    # (codegen'd elementwise widening); the equivalent transform(...) lambda
+    # runs interpreted per element and dominated the single-task broadcast
+    # builds of every query side (measured: the matryoshka q-side build job
+    # dropped ~2.0 s -> ~0.2 s at sf0.1 with this swap)
     return tbl(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
 
 
@@ -1372,6 +1377,7 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 MRL_DIMS = (8, 16, 32)  # prefix lengths audited against the full 64 dims
+FULL_DIM = 64  # the un-truncated width; its top-k is the ground truth
 
 
 def _mrl_oracle() -> str:
@@ -1409,6 +1415,101 @@ def _mrl_oracle() -> str:
     """
 
 
+def _mrl_scored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one scoring pass: per-(trunc_dim, query) exact top-k, all widths
+    INCLUDING the un-truncated FULL_DIM (whose top-k is the brute-force
+    ground truth — same round-to-6 + neighbor_id tie-break as
+    ann_topk_bruteforce), so the separate ann_topk_bruteforce sub-query — a
+    second full corpus x queries scoring pass plus its own O(1) driver
+    collect and broadcast — disappears from the plan entirely.
+
+    Shape is ann_topk_bruteforce's distributed-top-k, one GEMM per width:
+    the bounded query matrix broadcasts, each corpus partition computes
+    normalized prefix-slice GEMMs per Arrow batch and keeps only candidates
+    within the 2e-6 raw-score band of its local k-th (the same provably
+    sufficient preselect — see ann_topk_bruteforce), so only ~partitions x
+    queries x k x dims candidate rows reach the exchange. The previous form
+    expanded queries x corpus pair ROWS JVM-side and shipped eight sliced
+    array columns per pair through ArrowEvalPython — the whole pass ran as
+    one ~1.4 s single-partition task at sf0.1; this one moves ~1 MB of
+    corpus batches into Python and GEMMs them (measured ~0.3 s spread over
+    the cluster)."""
+    import numpy as np
+
+    e = _spark_vecs(spark, sf_dir)
+    all_dims = (*MRL_DIMS, FULL_DIM)
+    # O(1) collect: at most N_QUERIES rows regardless of corpus size
+    qrows = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    qn_by_dim = {
+        int(d): qm[:, :d] / np.linalg.norm(qm[:, :d], axis=1, keepdims=True)
+        for d in all_dims
+    }
+    bq = spark.sparkContext.broadcast((qids, qn_by_dim))
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, q_norms = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            frames = []
+            for d, q_norm in q_norms.items():
+                xd = x[:, :d]
+                xn = xd / np.linalg.norm(xd, axis=1, keepdims=True)
+                s = xn @ q_norm.T  # corpus_rows × queries
+                s[ids[:, None] == q_ids[None, :]] = -np.inf  # exclude self
+                # band preselect, same proof as ann_topk_bruteforce: a
+                # candidate cut here is beaten by >= k batch-mates by
+                # > 2e-6 raw, hence >= 1e-6 rounded — it can never enter
+                # the global round-to-6 top-k
+                k = min(TOP_K, s.shape[0])
+                kth = -np.partition(-s, k - 1, axis=0)[k - 1]
+                for j in range(len(q_ids)):
+                    keep = np.flatnonzero(s[:, j] >= kth[j] - 2e-6)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "trunc_dim": np.full(len(keep), d, dtype=np.int64),
+                                "query_id": np.full(len(keep), q_ids[j]),
+                                "neighbor_id": ids[keep],
+                                "raw_sim": s[keep, j],
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True)
+
+    cands = (
+        spread(e.select("vec_id", "v"))
+        .mapInPandas(
+            score,
+            schema="trunc_dim long, query_id long, neighbor_id long, raw_sim double",
+        )
+        .filter(F.col("raw_sim") != float("-inf"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("trunc_dim", "query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        cands.withColumn("cos_sim", F.round("raw_sim", 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("trunc_dim", "query_id", "neighbor_id")
+    )
+
+
 @register(
     "embedding_matryoshka_recall_audit",
     oracle=_mrl_oracle(),
@@ -1421,86 +1522,28 @@ def _mrl_oracle() -> str:
     "ann_ivf_recall_audit: bounded deterministic query sample, the "
     "expensive part IS the exact ground truth, output is dims-sized. "
     "Truncated cosines round to 6 with id tie-breaks on both engines; "
-    "per-vector prefix norms are precomputed once per side, so the "
-    "per-pair work is one Arrow-batched einsum per width.",
+    "the bounded query matrix broadcasts and each corpus partition GEMMs "
+    "one normalized prefix slice per width per Arrow batch — including "
+    "the full width, whose top-k doubles as the ground truth in the same "
+    "pass.",
 )
 def embedding_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flock_spark.registry import REGISTRY
+    # Bounded materialization (dims x queries x k rows — a few KiB at any
+    # corpus size) so the two consumers below (ground-truth rows and
+    # truncated rows) read the one computed top-k instead of re-running
+    # the scoring pass per branch: filter pushdown would specialize each
+    # branch's pre-exchange subtree (trunc_dim = 64 vs <> 64), defeating
+    # exchange reuse and doubling the ArrowEvalPython work.
+    tk = _mrl_scored_topk(spark, sf_dir).localCheckpoint(eager=True)
 
-    e = _spark_vecs(spark, sf_dir)
-    corp = e.select(
-        "vec_id",
-        "v",
-        *[
-            F.expr(f"sqrt({_dot(f'slice(v, 1, {d})', f'slice(v, 1, {d})')})").alias(
-                f"n{d}"
-            )
-            for d in MRL_DIMS
-        ],
-    )
-    q = (
-        corp.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            *[F.col(f"n{d}").alias(f"qn{d}") for d in MRL_DIMS],
-        )
-    )
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(corp)
-        .filter(F.col("query_id") != F.col("vec_id"))
-    )
-    from pyspark.sql import Window as W
-
-    # All truncation widths in ONE pass: the per-dim union form evaluated
-    # the broadcast-cross-join pair relation once per width (|MRL_DIMS|
-    # scans + windows); exploding a (trunc_dim, cos_sim) struct array
-    # computes every sliced dot in a single scan and ranks under one
-    # window keyed by (trunc_dim, query_id) — identical per-dim rankings,
-    # and the map-side WindowGroupLimit still prunes to ~queries x k x
-    # dims rows before the exchange.
-    dim_scores = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("long").alias("trunc_dim"),
-                F.round(
-                    _pair_dot()(F.slice("qv", 1, d), F.slice("v", 1, d))
-                    / (F.col(f"qn{d}") * F.col(f"n{d}")),
-                    6,
-                ).alias("cos_sim"),
-            )
-            for d in MRL_DIMS
-        ]
-    )
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.explode(dim_scores).alias("s"),
-    ).select(
-        F.col("s.trunc_dim").alias("trunc_dim"),
-        "query_id",
-        "neighbor_id",
-        F.col("s.cos_sim").alias("cos_sim"),
-    )
-    w = W.partitionBy("trunc_dim", "query_id").orderBy(
-        F.col("cos_sim").desc(), "neighbor_id"
-    )
-    tk = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("trunc_dim", "query_id", "neighbor_id", F.lit(1).alias("hit"))
-    )
-
-    brute = (
-        REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-    )
+    brute = tk.filter(F.col("trunc_dim") == FULL_DIM).select("query_id", "neighbor_id")
+    trunc = tk.filter(F.col("trunc_dim") != FULL_DIM).withColumn("hit", F.lit(1))
     dims_df = local_df(spark, [(int(d),) for d in MRL_DIMS], "trunc_dim long")
     base = brute.crossJoin(F.broadcast(dims_df))
-    j = base.join(tk, ["trunc_dim", "query_id", "neighbor_id"], "left")
+    # explicit broadcast: the checkpointed relation has no size statistics,
+    # so the planner would otherwise fall back to a sort-merge join for
+    # these bounded (dims x queries x k)-row sides
+    j = base.join(F.broadcast(trunc), ["trunc_dim", "query_id", "neighbor_id"], "left")
     return j.groupBy("trunc_dim").agg(
         F.count("*").cast("long").alias("n_possible"),
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),

@@ -854,17 +854,28 @@ def test_matryoshka_audit_broadcasts_query_side(spark, sf_dir):
     # build side of a nested-loop against itself — and the per-dim top-k
     # must prune map-side (WindowGroupLimit Partial) before its shuffle, so
     # the exchange carries ~queries x k x dims rows, not the scored pairs.
-    # All truncation widths rank under ONE window over an exploded
-    # (trunc_dim, cos_sim) array: exactly one pass over the pair relation
-    # (the old per-dim union re-evaluated it once per width).
-    plan = plan_of(spark, sf_dir, "embedding_matryoshka_recall_audit")
-    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
+    # All truncation widths INCLUDING the full-dim ground truth score in
+    # ONE corpus pass (ann_topk_bruteforce's shape: broadcast query matrix,
+    # per-partition GEMM + band preselect in mapInPandas — never a
+    # corpus x queries pair-row expansion) and rank under ONE window (the
+    # old form ran a second full scoring pass via the ann_topk_bruteforce
+    # sub-query).
+    from flock_spark.operators.similarity import _mrl_scored_topk
+
+    scoring = _mrl_scored_topk(spark, sf_dir)
+    plan = scoring._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Join" not in plan  # no pair-row join of the corpus with itself
+    assert plan.count("Scan parquet") == 1  # one corpus pass
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
     assert "Partial" in plan
-    # exactly two nested loops: the single pair pass + the tiny
-    # brute x dims spine (the old per-dim union planned one pair pass
-    # per truncation width)
-    assert plan.count("BroadcastNestedLoopJoin") == 2
+    # the recall aggregation reads the checkpointed ~dims x queries x k
+    # relation — no second scoring pass, no parquet re-scan, and the tiny
+    # spine joins stay broadcast
+    final = plan_of(spark, sf_dir, "embedding_matryoshka_recall_audit")
+    assert "Scan parquet" not in final
+    assert "MapInPandas" not in final and "ArrowEvalPython" not in final
+    assert "SortMergeJoin" not in final
 
 
 def test_codec_decodes_are_shuffle_free_single_scan(spark, sf_dir):
