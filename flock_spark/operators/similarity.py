@@ -766,15 +766,32 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("vec_id").orderBy(sim.desc(), "c_label")
     )
     assigned = None
-    for _ in range(KMEANS_ITERS):
+    for it in range(KMEANS_ITERS):
         assigned = (
             e.crossJoin(F.broadcast(cent))
             .withColumn("rn", rn)
             .filter(F.col("rn") == 1)
             .select("vec_id", "c_label", "v", "vn")
         )
+        if it == KMEANS_ITERS - 1:
+            break  # the last recompute is dead code: the output reads the
+            # final ASSIGNMENT, matching the oracle's a{final}
+        # O(k) collect per Lloyd step (the standard distributed k-means
+        # shape): the recomputed centroids come back as k rows of
+        # fixed-point-derived doubles (exact binary64 over the wire, both
+        # directions) and re-enter as an Arrow LocalRelation. Leaving them
+        # as a nested subquery instead planned each iteration's centroid
+        # agg inside the NEXT iteration's broadcast build — a chain of ~10
+        # sequential exchange-stage jobs for 2 iterations (measured
+        # ~1.6 s of the entry's ~2.0 s); the collected form runs one job
+        # per iteration plus the final assignment.
         new_c = assigned.groupBy("c_label").agg(F.expr(_centroid_spark()).alias("cvec"))
-        cent = new_c.withColumn("cn", F.expr(_dot("cvec", "cvec")))
+        rows = new_c.withColumn("cn", F.expr(_dot("cvec", "cvec"))).collect()
+        cent = local_df(
+            spark,
+            [(r["c_label"], list(r["cvec"]), r["cn"]) for r in rows],
+            "c_label bigint, cvec array<double>, cn double",
+        )
     return assigned.groupBy("c_label").agg(
         F.count("*").alias("n_members"), F.min("vec_id").alias("min_member")
     )

@@ -182,16 +182,31 @@ def hll_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bloom_words_sql(d: _Dialect) -> str:
     """Global Bloom filter over distinct user_id: 1024 bits as 32x32-bit
     words (bit values stay < 2^32, far from BIGINT sign trouble on either
-    engine). K=4 positions per key via the universal hash family."""
+    engine). K=4 positions per key via the universal hash family.
+
+    The Spark dialect computes all K positions in ONE pass — explode of a
+    K-element array, then a global DISTINCT — where the oracle keeps the
+    K-branch UNION: the UNION form planned K separate scans of events, each
+    re-computing the md5 base hash (K single-split scan pipelines at test
+    scale, K full passes at any scale). Same dedup semantics: UNION across
+    branches == DISTINCT over the exploded positions."""
+    pos_exprs = ", ".join(
+        f"({universal_hash('h', i)} % {BLOOM_BITS})" for i in range(BLOOM_K)
+    )
     pos_union = "\n      UNION\n".join(
         f"      SELECT ({universal_hash('h', i)} % {BLOOM_BITS}) AS p FROM hashed"
         for i in range(BLOOM_K)
+    )
+    pos = (
+        f"      SELECT DISTINCT explode(array({pos_exprs})) AS p FROM hashed"
+        if isinstance(d, _SparkD)
+        else pos_union
     )
     return f"""
     WITH hashed AS (
       {_hashed(d)}
     ), pos AS (
-{pos_union}
+{pos}
     )
     SELECT CAST({d.shr('p', 5)} AS BIGINT) AS word_idx,
            bit_or({d.shl('p % 32')}) AS bits,
@@ -275,12 +290,27 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_cells_sql(d: _Dialect) -> str:
+    # Spark dialect: one pass — explode (depth, col) structs and aggregate
+    # once; the oracle keeps the per-depth UNION ALL of grouped branches,
+    # which planned CMS_DEPTH separate scans of events (same cells either
+    # way: the branches partition the exploded rows by depth).
     branches = "\n      UNION ALL\n".join(
         f"      SELECT {i} AS depth,"
         f" ({universal_hash('h', CMS_DEPTH + i)} % {CMS_WIDTH}) AS col,"
         " count(*) AS cnt FROM hashed GROUP BY 1, 2"
         for i in range(CMS_DEPTH)
     )
+    if isinstance(d, _SparkD):
+        structs = ", ".join(
+            f"named_struct('depth', {i}, 'col',"
+            f" ({universal_hash('h', CMS_DEPTH + i)} % {CMS_WIDTH}))"
+            for i in range(CMS_DEPTH)
+        )
+        branches = (
+            "      SELECT s.depth AS depth, s.col AS col, count(*) AS cnt\n"
+            f"      FROM (SELECT explode(array({structs})) AS s FROM hashed)\n"
+            "      GROUP BY 1, 2"
+        )
     return f"""
     WITH hashed AS (
       {_hashed(d)}
