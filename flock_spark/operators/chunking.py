@@ -22,9 +22,10 @@ corpus token count, the same as the downstream tokenizer's input.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from flock_spark.catalog import tbl
+from flock_spark.catalog import spread, tbl
 from flock_spark.registry import register
 
 CHUNK_TOKENS = 32
@@ -255,16 +256,25 @@ def _cdc_chunks(
 ) -> DataFrame:
     """Chunk relation (doc_id, chunk_id, chunk_tokens, chunk_hash) shared by
     the CDC entries. One scan → explode positions → per-doc window for span
-    starts: a single doc_id-keyed shuffle, output rows ≈ corpus_tokens/8."""
-    from pyspark.sql import Window as W
+    starts → join the token arrays back on doc_id for the chunk hash.
 
+    Only SKINNY (doc_id, p) rows cross the window's exchange: the previous
+    form carried the full token array through the shuffle once per boundary
+    — n/8 copies of an n-token array, i.e. O(n²/8) shuffle bytes per doc,
+    quadratic in document length. Re-attaching t with a doc_id equi-join
+    moves each array exactly once, and both md5 passes (gram boundary test,
+    chunk hash) stay whole-stage-codegen expressions — a pure-HOF form with
+    md5 inside filter()/transform() lambdas measured ~2.2x slower because
+    lambda bodies are interpreted per element. spread() parallelizes the
+    boundary-hash pass at test scale (single-row-group input); it no-ops on
+    real multi-split scans."""
     d = tbl(spark, sf_dir, "documents")
     toks = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(_TOKS_SPARK).alias("t"),
         F.expr(f"size({_TOKS_SPARK})").alias("n"),
     )
-    pos = toks.filter(F.col("n") > 0).select(
+    pos = spread(toks.filter(F.col("n") > 0)).select(
         "doc_id", "t", "n", F.explode(F.expr("sequence(1, n)")).alias("p")
     )
     gram_hash = F.expr(
@@ -274,16 +284,15 @@ def _cdc_chunks(
     ends = pos.filter(
         (F.col("p") == F.col("n"))
         | ((F.col("p") >= gram) & (gram_hash % mod == 0))
-    )
+    ).select("doc_id", "p")
     w = W.partitionBy("doc_id").orderBy("p")
     spans = ends.select(
         "doc_id",
-        "t",
         F.col("p").alias("chunk_end"),
         (F.coalesce(F.lag("p").over(w), F.lit(0)) + 1).alias("chunk_start"),
         (F.row_number().over(w) - 1).cast("long").alias("chunk_id"),
     )
-    return spans.select(
+    return spans.join(toks.select("doc_id", "t"), "doc_id").select(
         "doc_id",
         "chunk_id",
         (F.col("chunk_end") - F.col("chunk_start") + 1).cast("long").alias("chunk_tokens"),
@@ -368,10 +377,17 @@ def doc_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _cdc_chunks(spark, sf_dir)
+    # eligible feeds THREE consumers (the df table and both self-join
+    # sides); without a pin each consumer re-derives the whole chunk
+    # relation (3 corpus scans, 3 md5 passes over every gram). One
+    # distributed materialization of the bounded (doc_id, chunk_hash,
+    # chunk_tokens) relation — ≈ corpus_tokens/8 rows of three fixed-width
+    # columns, never collected to the driver.
     eligible = (
         c.filter(F.col("chunk_tokens") >= CDC_MIN_SHARED_TOKENS)
         .select("doc_id", "chunk_hash", "chunk_tokens")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     df_ok = (
         eligible.groupBy("chunk_hash")
