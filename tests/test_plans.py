@@ -474,12 +474,20 @@ def test_ivm_agg_delta_no_cartesian_joins_keyed(spark, sf_dir):
 
 
 def test_cdc_chunking_single_scan_no_product(spark, sf_dir):
-    # one corpus scan → position explode → one doc_id-keyed window; the
-    # boundary test is a per-row hash, never a join
+    # Two corpus scans by design since the skinny-exchange rework: the
+    # boundary pass explodes positions and windows on (doc_id, p) ONLY —
+    # the O(n²/8)-bytes-per-doc alternative shuffles the full token array
+    # once per boundary — and a second scan re-attaches the arrays via one
+    # doc_id equi-join (each array moves once). The boundary test itself
+    # stays a per-row hash: keyed join yes, pairwise product never.
     plan = plan_of(spark, sf_dir, "doc_chunk_content_defined", execute=True)
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("FileScan parquet") == 1, final
+    assert final.count("FileScan parquet") == 2, final
     assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert ("SortMergeJoin" in final) or ("ShuffledHashJoin" in final) or (
+        "BroadcastHashJoin" in final
+    )
 
 
 def test_chunk_shared_is_keyed_equi_join(spark, sf_dir):

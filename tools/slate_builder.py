@@ -208,19 +208,19 @@ def _spread_heavies(names: list[str]) -> list[str]:
     light = [n for n in names if not _is_heavy(n)]
     if not heavy:
         return names
-    # place a heavy after every ceil(len(light)/len(heavy)) lights
+    if len(heavy) > len(light):
+        return names  # not enough lights to separate every pair
+    # Evenly distribute: heavy i goes after light number (i+1)*L//H. With
+    # H <= L those positions are strictly increasing (step >= floor(L/H)
+    # >= 1), so no two heavies are ever adjacent — the previous fixed-gap
+    # walk stranded the leftover heavies in a consecutive tail whenever
+    # H did not divide L.
     out: list[str] = []
-    gap = max(1, (len(light) + len(heavy) - 1) // len(heavy))
-    hi = iter(heavy)
-    pending = next(hi, None)
+    pos = {((i + 1) * len(light)) // len(heavy): h for i, h in enumerate(heavy)}
     for i, n in enumerate(light, start=1):
         out.append(n)
-        if pending is not None and i % gap == 0:
-            out.append(pending)
-            pending = next(hi, None)
-    while pending is not None:
-        out.append(pending)
-        pending = next(hi, None)
+        if i in pos:
+            out.append(pos[i])
     return out
 
 
