@@ -1570,8 +1570,7 @@ def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread before the explode: the test-scale scan is one partition
     # (single row group), so without it the token explode + per-token md5
-    # mixture ran single-threaded — and it is recomputed per consumer now
-    # that the stream is no longer session-cached
+    # mixture ran single-threaded
     d = spread(tbl(spark, sf_dir, "documents"))
     tokpos = d.select(
         "doc_id",
@@ -1586,15 +1585,26 @@ def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
+    # Collapse the occurrence stream to grouped (seg, item, c) rows in the
+    # JVM before anything else: map-side partial aggregation means the one
+    # (seg, item) exchange carries at most segments x |item universe|
+    # partial rows instead of every token occurrence, and the Python
+    # boundary now ships the grouped pairs rather than the raw stream
+    # (the previous groupBy(seg).applyInPandas shipped every occurrence
+    # to Python and Counter-ed it there; the summary/exact/N consumers
+    # each re-derived the whole explode+md5 stream — 3 scans).
+    # space_saving_summary_grouped makes grouped arrival legal, and every
+    # audited output column is an arrival-order-invariant theorem (exact
+    # counts, est>=true>=est-err, pigeonhole presence), so results are
+    # identical for ANY pair order. The pinned relation is bounded by the
+    # item universe (SS_LIGHT_W + 4 per segment), never corpus-sized; the
+    # pin is per-invocation (no session-lifetime cache leak — a leaked
+    # stream cache here once slowed unrelated queries 3-4x).
+    seg_cnt = stream.groupBy("seg", "item").agg(F.count("*").alias("c"))
 
-        # Counter iteration = first-appearance order (dict insertion
-        # order), a deterministic grouped arrival of the segment stream;
-        # see space_saving_summary_grouped for why the audited guarantees
-        # are order-independent.
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         counters = space_saving_summary_grouped(
-            Counter(pdf["item"]).items(), SS_K
+            zip(pdf["item"], (int(c) for c in pdf["c"])), SS_K
         )
         min_est = min(v[0] for v in counters.values())
         return pd.DataFrame(
@@ -1609,19 +1619,11 @@ def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    summary = stream.groupBy("seg").applyInPandas(
+    summary = seg_cnt.groupBy("seg").applyInPandas(
         summarize, schema="seg long, item string, est long, err long, min_est long"
     )
 
-    # The stream feeds three consumers (segment summaries, exact counts,
-    # N). It is deliberately NOT persisted: a cache registered here
-    # outlives the query (the bench runs every entry 3x per session and
-    # the leaked token streams slowed UNRELATED queries 3-4x via
-    # eviction churn), and the explode+hash derivation is an
-    # embarrassingly parallel JVM pass that recomputation keeps cheap.
-    # At 100 TB the reuse decision is a first-stage write (or an
-    # explicitly lifecycle-managed persist), not a session-lifetime cache.
-    cnt = stream.groupBy("item").agg(F.count("*").alias("true_cnt"))
+    cnt = seg_cnt.groupBy("item").agg(F.sum("c").alias("true_cnt"))
     # stream size N joins in as a broadcast 1-row relation instead of a
     # driver collect: the collect ran a separate job that re-evaluated the
     # whole stream -> cnt subtree per query run (and a .collect() in the

@@ -441,21 +441,47 @@ def _bm25_term_micros() -> str:
     "shape; idf is the log-free odds form (see _bm25_term_micros).",
 )
 def text_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus pass: dl and the three query-term tfs ride the same
+    # doc_id aggregate as conditional counts (map-side partials collapse
+    # the token stream before the one exchange). The previous form derived
+    # the explode four times — dl for stats, dl for the score join, qtok
+    # for tf, qtok for df — because each consumer inlined the token
+    # subtree (plan: 4 scans, 7 exchanges). df now derives FROM tf (tf
+    # has one row per posting, so df = postings per term), dl rides the
+    # tf row itself (no dl join), and the bounded one-row-per-doc relation
+    # is pinned so stats and the scoring pass share one materialization —
+    # exactly the "decide on small rows" discipline: a production index
+    # precomputes this per-doc table once per ingest.
     d = tbl(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    per_doc = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.count(F.when(F.col("tok") == t, 1)).alias(f"tf_{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    qtok = tok.filter(F.col("tok").isin(*BM25_TERMS))
-    tf = qtok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_t = qtok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    stack_args = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    tf = per_doc.selectExpr(
+        "doc_id",
+        "dl",
+        f"stack({len(BM25_TERMS)}, {stack_args}) AS (tok, tf)",
+    ).filter(F.col("tf") > 0)
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
     term_scores = (
         tf.join(F.broadcast(df_t), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", F.expr(_bm25_term_micros()).alias("micros"))
     )

@@ -642,20 +642,24 @@ def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for g in GAP_SWEEP_MIN
         ],
     )
-    parts = []
-    for g in GAP_SWEEP_MIN:
-        parts.append(
-            agg.select(
+    # Unpivot via explode-of-structs, NOT a 3-way union of selects over
+    # agg: Spark inlines the deterministic agg subtree once per union
+    # branch, so the union form scanned and windowed the event log three
+    # times (plan: 3 identical scan→window→agg subtrees). Exploding a
+    # 3-element struct array over the single 1-row aggregate keeps the
+    # one-scan/one-shuffle shape the entry's doc promises.
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(g).cast("long").alias("gap_minutes"),
-                "n_users",
-                "n_events",
+                F.col("n_users").alias("n_users"),
+                F.col("n_events").alias("n_events"),
                 (F.col("n_users") + F.col(f"brk{g}")).alias("n_sessions"),
                 F.expr(
                     f"CAST(floor(n_events * 1000000.0 / (n_users + brk{g}) + 0.5) AS BIGINT)"
                 ).alias("events_per_session_micro"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+            for g in GAP_SWEEP_MIN
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
