@@ -201,7 +201,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    cands = spread(e).mapInPandas(
+    # NOT spread: A/B at sf0.1 under the bench session measured the
+    # round-robin exchange of the array<double> corpus at 1.39 s vs 0.65 s
+    # without — the numpy GEMM is cheaper than shuffling vector payloads
+    # for parallelism (real deployments get >= cores scan splits for free)
+    cands = e.mapInPandas(
         score,
         schema="query_id long, neighbor_id long, neighbor_label long, raw_sim double",
     ).filter(F.col("raw_sim") != float("-inf"))
@@ -1038,7 +1042,9 @@ def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
                 out[f"c{m}"] = np.argmin(d, axis=1)
             yield pd.DataFrame(out)
 
-    codes = spread(e).mapInPandas(
+    # not spread: shuffling the vector arrays costs more than the numpy
+    # argmin saves (A/B 0.76 s vs 0.70 s; same finding as ann_topk_bruteforce)
+    codes = e.mapInPandas(
         encode, schema="vec_id long, c0 long, c1 long, c2 long, c3 long"
     ).cache()
     result = (C, codes)
@@ -1449,8 +1455,10 @@ def _mrl_scored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanded queries x corpus pair ROWS JVM-side and shipped eight sliced
     array columns per pair through ArrowEvalPython — the whole pass ran as
     one ~1.4 s single-partition task at sf0.1; this one moves ~1 MB of
-    corpus batches into Python and GEMMs them (measured ~0.3 s spread over
-    the cluster)."""
+    corpus batches into Python and GEMMs them (~0.6 s at sf0.1 — and
+    deliberately WITHOUT a spread() exchange first: shuffling the
+    array<double> corpus for parallelism measured slower than the GEMM
+    it parallelizes, 1.23 s vs 0.64 s)."""
     import numpy as np
 
     e = _spark_vecs(spark, sf_dir)
@@ -1506,8 +1514,11 @@ def _mrl_scored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.concat(frames, ignore_index=True)
 
+    # not spread: A/B measured 1.23 s with the vector exchange vs 0.64 s
+    # without (same finding as ann_topk_bruteforce — GEMM beats shuffling
+    # array payloads)
     cands = (
-        spread(e.select("vec_id", "v"))
+        e.select("vec_id", "v")
         .mapInPandas(
             score,
             schema="trunc_dim long, query_id long, neighbor_id long, raw_sim double",
