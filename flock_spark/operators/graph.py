@@ -597,4 +597,25 @@ _BFS_SQL = """
 def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         tbl(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_BFS_SQL)
+    # Pin the bounded edge relation once: the frontier/membership CTEs
+    # reference edges (and each other) many times, and Spark inlines
+    # deterministic CTEs per consumer — the verbatim oracle text planned
+    # ~44 scans re-deriving the orders ⋈ lineitem pairs join per
+    # reference (5.8 s warm at sf0.1 -> the pairs join dominates). The
+    # DuckDB oracle keeps the original text; only the Spark-side edges
+    # body reads the pinned view.
+    edges_body = "SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs"
+    assert edges_body in _BFS_SQL
+    edges = spark.sql(
+        """
+        WITH pairs AS (
+          SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
+                          CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        """
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("bfs_edges_pinned")
+    return spark.sql(
+        _BFS_SQL.replace(edges_body, "SELECT u, v FROM bfs_edges_pinned")
+    )

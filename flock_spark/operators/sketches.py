@@ -1335,20 +1335,30 @@ def datasketches_union_merge_audit(spark: SparkSession, sf_dir: str) -> DataFram
 REACH_SAMPLE = 32  # audited source nodes (deterministic bounded sample)
 
 
-def _reach2_sql(d: _Dialect) -> str:
+def _reach2_sql(d: _Dialect, edges_from: str | None = None) -> str:
     """HyperBall step (Boldi & Vigna 2013, arXiv:1308.2144): per-node
     neighborhood-function estimation by merging neighbor HLL sketches —
     B(u,2) = B(u,1) ∪ ⋃_{v∈N(u)} B(v,1), where each B(·,1) is a 64-bucket
     tall-form sketch and merge = max per bucket. The exact 2-hop reach is
-    computed alongside for the bounded sample so the estimate is audited."""
+    computed alongside for the bounded sample so the estimate is audited.
+
+    edges_from overrides the edges CTE body: the relation feeds SEVEN
+    consumers (nodes, two rho1 branches, rho2, three reach wedge refs) and
+    Spark inlines deterministic CTEs per consumer — without the override
+    the orders ⋈ lineitem pairs join is re-derived each time (plan: ~30
+    scans). The unused pairs CTE is pruned when the override is set."""
     h_node = d.md5l(f"CAST(u AS {d.str_t})")
     w = d.shr("h", 6)
+    edges_body = (
+        edges_from
+        or "SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs"
+    )
     return f"""
     WITH pairs AS (
       SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
                       CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    edges AS ({edges_body}),
     nodes AS (SELECT DISTINCT u FROM edges),
     hh AS (SELECT u, {h_node} AS h FROM nodes),
     hb AS (SELECT u, (h % 64) AS bucket,
@@ -1423,7 +1433,22 @@ def _reach2_sql(d: _Dialect) -> str:
 def graph_2hop_reach_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         tbl(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_reach2_sql(SPARK_D))
+    # Pin the bounded edge relation once (distinct bipartite pairs, both
+    # directions — edge-sized, never corpus-sized): seven CTE consumers
+    # otherwise re-derive the orders ⋈ lineitem pairs join each.
+    edges = spark.sql(
+        """
+        WITH pairs AS (
+          SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
+                          CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        """
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("reach2_edges_pinned")
+    return spark.sql(
+        _reach2_sql(SPARK_D, edges_from="SELECT u, v FROM reach2_edges_pinned")
+    )
 
 
 # ---------------------------------------------------------------------------
