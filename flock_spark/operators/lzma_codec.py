@@ -271,96 +271,399 @@ def _lzma_run(
     reach there without discarding earlier output)."""
     pb_mask = (1 << st.pb) - 1
     lp_mask = (1 << st.lp) - 1
-    while limit is None or len(dic) < limit:
-        pos = len(dic) - base
-        pos_state = pos & pb_mask
-        s = st.state
-        if rc.bit(st.is_match, (s << 4) + pos_state) == 0:
-            prev = dic[-1] if len(dic) > base else 0
-            lit_state = (
-                ((pos & lp_mask) << st.lc) + (prev >> (8 - st.lc))
-            )
-            probs = st.lit[lit_state]
-            if s >= 7:  # matched literal: probe against the match byte
-                _hit("lzma:lit_matched")
-                if st.rep0 + 1 > len(dic) - base:
-                    raise ValueError("lzma: match byte before start")
-                match_byte = dic[len(dic) - st.rep0 - 1]
-                sym = 1
-                while sym < 0x100:
-                    match_bit = (match_byte >> 7) & 1
-                    match_byte = (match_byte << 1) & 0xFF
-                    b = rc.bit(probs, ((1 + match_bit) << 8) + sym)
-                    sym = (sym << 1) | b
-                    if match_bit != b:
-                        while sym < 0x100:
-                            sym = (sym << 1) | rc.bit(probs, sym)
-                        break
+    # The range coder runs as LOCAL state with every bit decode inlined:
+    # the method-call form spent most of its time in call dispatch
+    # (~1.6k rc.bit() calls per decoded KB). Each inlined site is the
+    # same 12-line pattern as _RangeDec.bit + _norm, and the state is
+    # synced back to rc before every exit (return or raise) so the
+    # LZMA2 chunk layer keeps seeing rc.pos/range/code.
+    data = rc.data
+    dlen = len(data)
+    rng, code, dpos = rc.range, rc.code, rc.pos
+    lc = st.lc
+    lit = st.lit
+    is_match, is_rep = st.is_match, st.is_rep
+    is_rep_g0, is_rep_g1, is_rep_g2 = st.is_rep_g0, st.is_rep_g1, st.is_rep_g2
+    is_rep0_long = st.is_rep0_long
+    spec_pos, align_probs = st.spec_pos, st.align
+    try:
+        while limit is None or len(dic) < limit:
+            pos = len(dic) - base
+            pos_state = pos & pb_mask
+            s = st.state
+            # --- bit(is_match, (s<<4)+pos_state) ---
+            probs = is_match
+            i = (s << 4) + pos_state
+            p = probs[i]
+            bound = (rng >> 11) * p
+            if code < bound:
+                rng = bound
+                probs[i] = p + ((2048 - p) >> 5)
+                b = 0
             else:
-                _hit("lzma:lit")
-                sym = 1
-                while sym < 0x100:
-                    sym = (sym << 1) | rc.bit(probs, sym)
-            dic.append(sym & 0xFF)
-            st.state = 0 if s < 4 else (s - 3 if s < 10 else s - 6)
-            continue
-        if rc.bit(st.is_rep, s):
-            if rc.bit(st.is_rep_g0, s) == 0:
-                if rc.bit(st.is_rep0_long, (s << 4) + pos_state) == 0:
-                    _hit("lzma:shortrep")
+                rng -= bound
+                code -= bound
+                probs[i] = p - (p >> 5)
+                b = 1
+            if rng < 0x1000000:
+                if dpos >= dlen:
+                    raise ValueError("lzma: truncated stream")
+                rng = (rng << 8) & 0xFFFFFFFF
+                code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                dpos += 1
+            if b == 0:
+                prev = dic[-1] if len(dic) > base else 0
+                probs = lit[((pos & lp_mask) << lc) + (prev >> (8 - lc))]
+                if s >= 7:  # matched literal: probe against the match byte
+                    _hit("lzma:lit_matched")
                     if st.rep0 + 1 > len(dic) - base:
-                        raise ValueError("lzma: shortrep before start")
-                    dic.append(dic[len(dic) - st.rep0 - 1])
-                    st.state = 9 if s < 7 else 11
-                    continue
-            else:
-                if rc.bit(st.is_rep_g1, s) == 0:
-                    dist = st.rep1
+                        raise ValueError("lzma: match byte before start")
+                    match_byte = dic[len(dic) - st.rep0 - 1]
+                    sym = 1
+                    while sym < 0x100:
+                        match_bit = (match_byte >> 7) & 1
+                        match_byte = (match_byte << 1) & 0xFF
+                        i = ((1 + match_bit) << 8) + sym
+                        p = probs[i]
+                        bound = (rng >> 11) * p
+                        if code < bound:
+                            rng = bound
+                            probs[i] = p + ((2048 - p) >> 5)
+                            b = 0
+                        else:
+                            rng -= bound
+                            code -= bound
+                            probs[i] = p - (p >> 5)
+                            b = 1
+                        if rng < 0x1000000:
+                            if dpos >= dlen:
+                                raise ValueError("lzma: truncated stream")
+                            rng = (rng << 8) & 0xFFFFFFFF
+                            code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                            dpos += 1
+                        sym = (sym << 1) | b
+                        if match_bit != b:
+                            break
                 else:
-                    if rc.bit(st.is_rep_g2, s) == 0:
-                        dist = st.rep2
+                    _hit("lzma:lit")
+                    sym = 1
+                while sym < 0x100:
+                    p = probs[sym]
+                    bound = (rng >> 11) * p
+                    if code < bound:
+                        rng = bound
+                        probs[sym] = p + ((2048 - p) >> 5)
+                        sym <<= 1
                     else:
-                        dist = st.rep3
-                        st.rep3 = st.rep2
-                    st.rep2 = st.rep1
-                st.rep1 = st.rep0
-                st.rep0 = dist
-            _hit("lzma:rep")
-            ln = st.rep_len_dec.decode(rc, pos_state)
-            st.state = 8 if s < 7 else 11
-        else:
-            _hit("lzma:match")
-            st.rep3, st.rep2, st.rep1 = st.rep2, st.rep1, st.rep0
-            ln = st.len_dec.decode(rc, pos_state)
-            st.state = 7 if s < 7 else 10
-            slot = rc.tree(st.pos_slot[min(ln - 2, 3)], 6)
-            if slot < 4:
-                st.rep0 = slot
+                        rng -= bound
+                        code -= bound
+                        probs[sym] = p - (p >> 5)
+                        sym = (sym << 1) | 1
+                    if rng < 0x1000000:
+                        if dpos >= dlen:
+                            raise ValueError("lzma: truncated stream")
+                        rng = (rng << 8) & 0xFFFFFFFF
+                        code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                        dpos += 1
+                dic.append(sym & 0xFF)
+                st.state = 0 if s < 4 else (s - 3 if s < 10 else s - 6)
+                continue
+            # --- bit(is_rep, s) ---
+            p = is_rep[s]
+            bound = (rng >> 11) * p
+            if code < bound:
+                rng = bound
+                is_rep[s] = p + ((2048 - p) >> 5)
+                b = 0
             else:
-                nd = (slot >> 1) - 1
-                st.rep0 = (2 | (slot & 1)) << nd
-                if slot < 14:
-                    st.rep0 += rc.rtree(
-                        # spec-pos probs are indexed (dist - posSlot) + m
-                        # with m from 1 (the spec declares the array as
-                        # 1 + kNumFullDistances - kEndPosModelIndex)
-                        _SubProbs(st.spec_pos, st.rep0 - slot), nd
-                    )
+                rng -= bound
+                code -= bound
+                is_rep[s] = p - (p >> 5)
+                b = 1
+            if rng < 0x1000000:
+                if dpos >= dlen:
+                    raise ValueError("lzma: truncated stream")
+                rng = (rng << 8) & 0xFFFFFFFF
+                code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                dpos += 1
+            if b:
+                # --- bit(is_rep_g0, s) ---
+                p = is_rep_g0[s]
+                bound = (rng >> 11) * p
+                if code < bound:
+                    rng = bound
+                    is_rep_g0[s] = p + ((2048 - p) >> 5)
+                    b = 0
                 else:
-                    _hit("lzma:direct")
-                    st.rep0 += rc.direct(nd - 4) << 4
-                    st.rep0 = (st.rep0 + rc.rtree(st.align, 4)) & 0xFFFFFFFF
-                    if st.rep0 == 0xFFFFFFFF:
-                        _hit("lzma:endmarker")
-                        return True
-        if st.rep0 + 1 > len(dic) - base:
-            raise ValueError("lzma: distance past dictionary start")
-        if limit is not None and len(dic) + ln > limit:
-            raise ValueError("lzma: match overruns declared size")
-        src = len(dic) - st.rep0 - 1
-        for k in range(ln):
-            dic.append(dic[src + k])
-    return False
+                    rng -= bound
+                    code -= bound
+                    is_rep_g0[s] = p - (p >> 5)
+                    b = 1
+                if rng < 0x1000000:
+                    if dpos >= dlen:
+                        raise ValueError("lzma: truncated stream")
+                    rng = (rng << 8) & 0xFFFFFFFF
+                    code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                    dpos += 1
+                if b == 0:
+                    # --- bit(is_rep0_long, (s<<4)+pos_state) ---
+                    i = (s << 4) + pos_state
+                    p = is_rep0_long[i]
+                    bound = (rng >> 11) * p
+                    if code < bound:
+                        rng = bound
+                        is_rep0_long[i] = p + ((2048 - p) >> 5)
+                        b = 0
+                    else:
+                        rng -= bound
+                        code -= bound
+                        is_rep0_long[i] = p - (p >> 5)
+                        b = 1
+                    if rng < 0x1000000:
+                        if dpos >= dlen:
+                            raise ValueError("lzma: truncated stream")
+                        rng = (rng << 8) & 0xFFFFFFFF
+                        code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                        dpos += 1
+                    if b == 0:
+                        _hit("lzma:shortrep")
+                        if st.rep0 + 1 > len(dic) - base:
+                            raise ValueError("lzma: shortrep before start")
+                        dic.append(dic[len(dic) - st.rep0 - 1])
+                        st.state = 9 if s < 7 else 11
+                        continue
+                else:
+                    # --- bit(is_rep_g1, s) ---
+                    p = is_rep_g1[s]
+                    bound = (rng >> 11) * p
+                    if code < bound:
+                        rng = bound
+                        is_rep_g1[s] = p + ((2048 - p) >> 5)
+                        b = 0
+                    else:
+                        rng -= bound
+                        code -= bound
+                        is_rep_g1[s] = p - (p >> 5)
+                        b = 1
+                    if rng < 0x1000000:
+                        if dpos >= dlen:
+                            raise ValueError("lzma: truncated stream")
+                        rng = (rng << 8) & 0xFFFFFFFF
+                        code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                        dpos += 1
+                    if b == 0:
+                        dist = st.rep1
+                    else:
+                        # --- bit(is_rep_g2, s) ---
+                        p = is_rep_g2[s]
+                        bound = (rng >> 11) * p
+                        if code < bound:
+                            rng = bound
+                            is_rep_g2[s] = p + ((2048 - p) >> 5)
+                            b = 0
+                        else:
+                            rng -= bound
+                            code -= bound
+                            is_rep_g2[s] = p - (p >> 5)
+                            b = 1
+                        if rng < 0x1000000:
+                            if dpos >= dlen:
+                                raise ValueError("lzma: truncated stream")
+                            rng = (rng << 8) & 0xFFFFFFFF
+                            code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                            dpos += 1
+                        if b == 0:
+                            dist = st.rep2
+                        else:
+                            dist = st.rep3
+                            st.rep3 = st.rep2
+                        st.rep2 = st.rep1
+                    st.rep1 = st.rep0
+                    st.rep0 = dist
+                _hit("lzma:rep")
+                ld = st.rep_len_dec
+                new_state = 8 if s < 7 else 11
+            else:
+                _hit("lzma:match")
+                st.rep3, st.rep2, st.rep1 = st.rep2, st.rep1, st.rep0
+                ld = st.len_dec
+                new_state = 7 if s < 7 else 10
+            # --- len decode: choice bits + 3/3/8-bit trees (inlined) ---
+            ch = ld.choice
+            p = ch[0]
+            bound = (rng >> 11) * p
+            if code < bound:
+                rng = bound
+                ch[0] = p + ((2048 - p) >> 5)
+                b = 0
+            else:
+                rng -= bound
+                code -= bound
+                ch[0] = p - (p >> 5)
+                b = 1
+            if rng < 0x1000000:
+                if dpos >= dlen:
+                    raise ValueError("lzma: truncated stream")
+                rng = (rng << 8) & 0xFFFFFFFF
+                code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                dpos += 1
+            if b == 0:
+                probs, nbits, ln_base = ld.low[pos_state], 3, 2
+            else:
+                p = ch[1]
+                bound = (rng >> 11) * p
+                if code < bound:
+                    rng = bound
+                    ch[1] = p + ((2048 - p) >> 5)
+                    b = 0
+                else:
+                    rng -= bound
+                    code -= bound
+                    ch[1] = p - (p >> 5)
+                    b = 1
+                if rng < 0x1000000:
+                    if dpos >= dlen:
+                        raise ValueError("lzma: truncated stream")
+                    rng = (rng << 8) & 0xFFFFFFFF
+                    code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                    dpos += 1
+                if b == 0:
+                    probs, nbits, ln_base = ld.mid[pos_state], 3, 10
+                else:
+                    probs, nbits, ln_base = ld.high, 8, 18
+            m = 1
+            for _ in range(nbits):
+                p = probs[m]
+                bound = (rng >> 11) * p
+                if code < bound:
+                    rng = bound
+                    probs[m] = p + ((2048 - p) >> 5)
+                    m <<= 1
+                else:
+                    rng -= bound
+                    code -= bound
+                    probs[m] = p - (p >> 5)
+                    m = (m << 1) | 1
+                if rng < 0x1000000:
+                    if dpos >= dlen:
+                        raise ValueError("lzma: truncated stream")
+                    rng = (rng << 8) & 0xFFFFFFFF
+                    code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                    dpos += 1
+            ln = ln_base + m - (1 << nbits)
+            st.state = new_state
+            if new_state in (7, 10):
+                # --- pos_slot tree(6) ---
+                probs = st.pos_slot[min(ln - 2, 3)]
+                m = 1
+                for _ in range(6):
+                    p = probs[m]
+                    bound = (rng >> 11) * p
+                    if code < bound:
+                        rng = bound
+                        probs[m] = p + ((2048 - p) >> 5)
+                        m <<= 1
+                    else:
+                        rng -= bound
+                        code -= bound
+                        probs[m] = p - (p >> 5)
+                        m = (m << 1) | 1
+                    if rng < 0x1000000:
+                        if dpos >= dlen:
+                            raise ValueError("lzma: truncated stream")
+                        rng = (rng << 8) & 0xFFFFFFFF
+                        code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                        dpos += 1
+                slot = m - 64
+                if slot < 4:
+                    st.rep0 = slot
+                else:
+                    nd = (slot >> 1) - 1
+                    st.rep0 = (2 | (slot & 1)) << nd
+                    if slot < 14:
+                        # --- reverse tree over spec_pos with offset ---
+                        # (probs indexed (dist - posSlot) + m, m from 1)
+                        off = st.rep0 - slot
+                        m = 1
+                        sym = 0
+                        for k in range(nd):
+                            i = off + m
+                            p = spec_pos[i]
+                            bound = (rng >> 11) * p
+                            if code < bound:
+                                rng = bound
+                                spec_pos[i] = p + ((2048 - p) >> 5)
+                                b = 0
+                            else:
+                                rng -= bound
+                                code -= bound
+                                spec_pos[i] = p - (p >> 5)
+                                b = 1
+                            if rng < 0x1000000:
+                                if dpos >= dlen:
+                                    raise ValueError("lzma: truncated stream")
+                                rng = (rng << 8) & 0xFFFFFFFF
+                                code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                                dpos += 1
+                            m = (m << 1) + b
+                            sym |= b << k
+                        st.rep0 += sym
+                    else:
+                        _hit("lzma:direct")
+                        # --- direct(nd - 4) ---
+                        res = 0
+                        for _ in range(nd - 4):
+                            rng >>= 1
+                            code = (code - rng) & 0xFFFFFFFF
+                            t = 0 - (code >> 31)
+                            code = (code + (rng & t)) & 0xFFFFFFFF
+                            if code == rng:
+                                raise ValueError("lzma: range coder corrupted")
+                            if rng < 0x1000000:
+                                if dpos >= dlen:
+                                    raise ValueError("lzma: truncated stream")
+                                rng = (rng << 8) & 0xFFFFFFFF
+                                code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                                dpos += 1
+                            res = (res << 1) + t + 1
+                        st.rep0 += (res & 0xFFFFFFFF) << 4
+                        # --- reverse tree over align (4 bits) ---
+                        m = 1
+                        sym = 0
+                        for k in range(4):
+                            p = align_probs[m]
+                            bound = (rng >> 11) * p
+                            if code < bound:
+                                rng = bound
+                                align_probs[m] = p + ((2048 - p) >> 5)
+                                b = 0
+                            else:
+                                rng -= bound
+                                code -= bound
+                                align_probs[m] = p - (p >> 5)
+                                b = 1
+                            if rng < 0x1000000:
+                                if dpos >= dlen:
+                                    raise ValueError("lzma: truncated stream")
+                                rng = (rng << 8) & 0xFFFFFFFF
+                                code = ((code << 8) | data[dpos]) & 0xFFFFFFFF
+                                dpos += 1
+                            m = (m << 1) + b
+                            sym |= b << k
+                        st.rep0 = (st.rep0 + sym) & 0xFFFFFFFF
+                        if st.rep0 == 0xFFFFFFFF:
+                            _hit("lzma:endmarker")
+                            return True
+            if st.rep0 + 1 > len(dic) - base:
+                raise ValueError("lzma: distance past dictionary start")
+            if limit is not None and len(dic) + ln > limit:
+                raise ValueError("lzma: match overruns declared size")
+            src = len(dic) - st.rep0 - 1
+            for k in range(ln):
+                dic.append(dic[src + k])
+        return False
+    finally:
+        rc.range, rc.code, rc.pos = rng, code, dpos
 
 
 class _SubProbs:

@@ -3775,15 +3775,19 @@ class _JpegBitWriter:
         self.n = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
+        # append the low `length` bits of code MSB-first, draining whole
+        # bytes (same stream as the bit-at-a-time form, fewer Python ops)
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def flush(self) -> bytes:
         if self.n:
@@ -3806,32 +3810,45 @@ class _JpegBitReader:
         self.acc = 0
         self.n = 0
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
+    def _fill(self, k: int) -> None:
+        # pull bytes only when more bits are actually needed, so the
+        # lazy marker/dangling-FF errors fire at the same reads as the
+        # bit-at-a-time form
+        data, pos, n = self.data, self.pos, self.n
+        acc = self.acc & ((1 << n) - 1)  # drop consumed high bits
+        while n < k:
+            if pos >= len(data):
+                self.pos, self.acc, self.n = pos, acc, n
                 raise ValueError("entropy segment ran out of bytes")
-            b = self.data[self.pos]
-            self.pos += 1
+            b = data[pos]
+            pos += 1
             if b == 0xFF:
-                if self.pos >= len(self.data):
+                if pos >= len(data):
+                    self.pos, self.acc, self.n = pos, acc, n
                     raise ValueError("dangling FF in entropy segment")
-                nxt = self.data[self.pos]
+                nxt = data[pos]
                 if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
+                    pos += 1  # stuffed byte
                 else:
+                    self.pos, self.acc, self.n = pos, acc, n
                     raise ValueError(
                         f"marker FF{nxt:02X} inside entropy segment"
                     )
-            self.acc = b
-            self.n = 8
+            acc = (acc << 8) | b
+            n += 8
+        self.pos, self.acc, self.n = pos, acc, n
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill(1)
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
-        return v
+        if self.n < k:
+            self._fill(k)
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -3928,14 +3945,21 @@ def jpeg_decode_ecs(
     return blocks, r.pos
 
 
+_DCT_BASIS_CACHE = None
+
+
 def _dct_basis(np):
-    """Orthonormal 8-point DCT-II matrix C: DCT = C @ X @ C.T."""
-    C = np.zeros((8, 8))
-    for u in range(8):
-        cu = (1.0 / 2.0) ** 0.5 if u == 0 else 1.0
-        for x in range(8):
-            C[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
-    return C
+    """Orthonormal 8-point DCT-II matrix C: DCT = C @ X @ C.T.
+    Deterministic constant — computed once per process."""
+    global _DCT_BASIS_CACHE
+    if _DCT_BASIS_CACHE is None:
+        C = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / 2.0) ** 0.5 if u == 0 else 1.0
+            for x in range(8):
+                C[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        _DCT_BASIS_CACHE = C
+    return _DCT_BASIS_CACHE
 
 
 def _jpeg_quantize_blocks(grid, np) -> list[list[int]]:
@@ -3947,25 +3971,28 @@ def _jpeg_quantize_blocks(grid, np) -> list[list[int]]:
     if h % 8 or w % 8:
         raise ValueError("encoder requires multiple-of-8 dims")
     C = _dct_basis(np)
-    import math
-
-    blocks: list[list[int]] = []
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            block = grid[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = C @ block @ C.T
-            # the DC of the orthonormal DCT-II is EXACTLY sum/8; computing it
-            # as such (integer sum, power-of-two divisions — all float-exact)
-            # keeps DC quantization off the .5 rounding knife edge the matmul
-            # noise would otherwise land on (Q[0]=16 makes sum/128 + 0.5 a
-            # chain of exact operations)
-            coef[0, 0] = float(int(block.sum())) / 8.0
-            zz = [
-                int(math.floor(coef[z // 8, z % 8] / _JPEG_QTABLE[i] + 0.5))
-                for i, z in enumerate(_ZIGZAG)
-            ]
-            blocks.append(zz)
-    return blocks
+    bh, bw = h // 8, w // 8
+    # all blocks at once, raster order: (bh*bw, 8, 8)
+    blk = (
+        grid.astype(np.float64)
+        .reshape(bh, 8, bw, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * bw, 8, 8)
+        - 128.0
+    )
+    coef = C @ blk @ C.T  # batched over the leading axis
+    # the DC of the orthonormal DCT-II is EXACTLY sum/8; computing it
+    # as such (integer-valued float sum, power-of-two division — all
+    # float-exact regardless of summation order) keeps DC quantization
+    # off the .5 rounding knife edge the matmul noise would otherwise
+    # land on (Q[0]=16 makes sum/128 + 0.5 a chain of exact operations)
+    coef[:, 0, 0] = blk.sum(axis=(1, 2)) / 8.0
+    zzq = np.floor(
+        coef.reshape(-1, 64)[:, np.array(_ZIGZAG)]
+        / np.array(_JPEG_QTABLE, dtype=np.float64)
+        + 0.5
+    ).astype(np.int64)
+    return [[int(v) for v in row] for row in zzq]
 
 
 def jpeg_encode_baseline(grid, np) -> bytes:
@@ -4069,10 +4096,26 @@ def _jpeg_reconstruct(blocks, h: int, w: int, q, np):
     block order -> uint8 grid. Shared by the baseline and progressive
     decoders."""
     C = _dct_basis(np)
+    bw = (w + 7) // 8
+    if h % 8 == 0 and w % 8 == 0 and len(blocks) == (h // 8) * bw:
+        # batched path: dequant (exact integer products in float64),
+        # dezigzag by fancy-index scatter, one stacked IDCT, then the
+        # same floor(+128.5)/clamp per pixel
+        zz = np.array(blocks, dtype=np.float64) * np.array(
+            q, dtype=np.float64
+        )
+        coef = np.zeros((len(blocks), 64))
+        coef[:, np.array(_ZIGZAG)] = zz
+        pix = C.T @ coef.reshape(-1, 8, 8) @ C
+        px = np.clip(np.floor(pix + 128.5), 0, 255).astype(np.uint8)
+        return (
+            px.reshape(h // 8, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(h, w)
+        )
     import math
 
     grid = np.zeros((h, w), dtype=np.uint8)
-    bw = (w + 7) // 8
     for bi, zz in enumerate(blocks):
         coef = np.zeros((8, 8))
         for i, z in enumerate(_ZIGZAG):
