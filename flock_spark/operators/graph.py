@@ -518,7 +518,7 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             # two-exchange form shuffled the vote relation by (u, lab) and
             # then again by u)
             votes = (
-                edges.join(lab.withColumnRenamed("u", "v"), "v")
+                edges.join(F.broadcast(lab.withColumnRenamed("u", "v")), "v")
                 .repartition(lp_parts, "u")
                 .groupBy("u", "lab")
                 .agg(F.count("*").alias("c"))
