@@ -2100,6 +2100,25 @@ def _build_fast(lengths: list[int]) -> tuple[list[int], int, int, dict]:
     return root, root_bits, (1 << root_bits) - 1, table_dict
 
 
+_BUILD_FAST_CACHE: dict[bytes, tuple[list[int], int, int, dict]] = {}
+
+
+def _build_fast_cached(lengths: list[int]) -> tuple[list[int], int, int, dict]:
+    """Memoized _build_fast keyed on the code-length vector (every length
+    fits a byte). Small dynamic-Huffman members often repeat identical
+    tables — per-member rebuilds dominated the header cost of many-member
+    streams (WARC shards are thousands of tiny gzip members). Callers only
+    READ the returned structures. Bounded: the cache resets at 4096
+    distinct tables so a long-lived worker never grows it unbounded."""
+    key = bytes(lengths)
+    hit = _BUILD_FAST_CACHE.get(key)
+    if hit is None:
+        if len(_BUILD_FAST_CACHE) >= 4096:
+            _BUILD_FAST_CACHE.clear()
+        hit = _BUILD_FAST_CACHE[key] = _build_fast(lengths)
+    return hit
+
+
 _FIXED_LIT = _build_huffman(
     [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
 )
@@ -2145,25 +2164,58 @@ def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
                 clen_lengths = [0] * 19
                 for i in range(hclen):
                     clen_lengths[_CLEN_ORDER[i]] = br.read(3)
-                clen_table = _build_huffman(clen_lengths)
+                # code-length codes are <= 7 bits, so the root table is
+                # complete: decode them with local bit state instead of
+                # the bit-at-a-time dict walk (the header dominated
+                # many-small-member streams)
+                clen_root, _cr_bits, clen_mask, _clen_dict = (
+                    _build_fast_cached(clen_lengths)
+                )
+                data_h = br.data
+                n_h = len(data_h)
+                pos, bitbuf, nbits = br.pos, br.bitbuf, br.nbits
                 lengths: list[int] = []
-                while len(lengths) < hlit + hdist:
-                    sym = _decode_symbol(br, clen_table)
+                need = hlit + hdist
+                while len(lengths) < need:
+                    while nbits < 10 and pos < n_h:
+                        bitbuf |= data_h[pos] << nbits
+                        pos += 1
+                        nbits += 8
+                    ent = clen_root[bitbuf & clen_mask]
+                    if not ent:
+                        raise ValueError("invalid Huffman code")
+                    L = ent & 15
+                    if L > nbits:
+                        raise ValueError("truncated deflate stream")
+                    sym = ent >> 4
+                    bitbuf >>= L
+                    nbits -= L
                     if sym < 16:
                         lengths.append(sym)
-                    elif sym == 16:
+                        continue
+                    if sym == 16:
                         if not lengths:
                             raise ValueError("repeat with no previous length")
-                        lengths.extend([lengths[-1]] * (3 + br.read(2)))
+                        w, base, val = 2, 3, lengths[-1]
                     elif sym == 17:
-                        lengths.extend([0] * (3 + br.read(3)))
+                        w, base, val = 3, 3, 0
                     else:  # 18
-                        lengths.extend([0] * (11 + br.read(7)))
+                        w, base, val = 7, 11, 0
+                    while nbits < w:
+                        if pos >= n_h:
+                            raise ValueError("truncated deflate stream")
+                        bitbuf |= data_h[pos] << nbits
+                        pos += 1
+                        nbits += 8
+                    lengths.extend([val] * (base + (bitbuf & ((1 << w) - 1))))
+                    bitbuf >>= w
+                    nbits -= w
+                br.pos, br.bitbuf, br.nbits = pos, bitbuf, nbits
                 if len(lengths) != hlit + hdist:
                     raise ValueError("code length overrun")
-                lit_root, _lr_bits, lit_mask, lit_dict = _build_fast(
+                lit_root, _lr_bits, lit_mask, lit_dict = _build_fast_cached(
                     lengths[:hlit])
-                dist_root, _dr_bits, dist_mask, dist_dict = _build_fast(
+                dist_root, _dr_bits, dist_mask, dist_dict = _build_fast_cached(
                     lengths[hlit:])
             # Hot symbol loop with the flat root table and local bit state
             # (reader state is written back at end-of-block so stored
@@ -2394,6 +2446,7 @@ def mm_zlib_inflate_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CRC32_TABLE: list[int] = []
+_CRC32_TABLE8: list[list[int]] = []
 
 
 def _crc32_own(data: bytes, crc: int = 0) -> int:
@@ -2409,8 +2462,36 @@ def _crc32_own(data: bytes, crc: int = 0) -> int:
             for _ in range(8):
                 c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
             _CRC32_TABLE.append(c)
+    if not _CRC32_TABLE8:
+        # slicing-by-8 companion tables, derived from the same base table
+        # (table k advances a byte's contribution k more bytes forward) —
+        # the standard widening of the spec's table-driven form
+        tabs = [_CRC32_TABLE]
+        for _ in range(7):
+            prev = tabs[-1]
+            tabs.append(
+                [_CRC32_TABLE[v & 0xFF] ^ (v >> 8) for v in prev]
+            )
+        _CRC32_TABLE8.extend(tabs)
     c = crc ^ 0xFFFFFFFF
-    for b in data:
+    t0, t1, t2, t3, t4, t5, t6, t7 = _CRC32_TABLE8
+    n8 = len(data) - (len(data) & 7)
+    i = 0
+    while i < n8:
+        lo = c ^ int.from_bytes(data[i : i + 4], "little")
+        hi = int.from_bytes(data[i + 4 : i + 8], "little")
+        c = (
+            t7[lo & 0xFF]
+            ^ t6[(lo >> 8) & 0xFF]
+            ^ t5[(lo >> 16) & 0xFF]
+            ^ t4[lo >> 24]
+            ^ t3[hi & 0xFF]
+            ^ t2[(hi >> 8) & 0xFF]
+            ^ t1[(hi >> 16) & 0xFF]
+            ^ t0[hi >> 24]
+        )
+        i += 8
+    for b in data[n8:]:
         c = _CRC32_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
     return c ^ 0xFFFFFFFF
 
