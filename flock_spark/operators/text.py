@@ -1300,21 +1300,27 @@ _BOILER_SIDEBAR = "<a> login </a>"
 
 
 def _boiler_sql(words_select: str, listagg_line: str, listagg_kept: str,
-                idiv: str) -> str:
+                idiv: str, pages_body: str | None = None) -> str:
     """One template produces both engines' SQL; the holes are the engine's
     positional-explode spelling, its ordered string-aggregate spelling,
-    and its integer-division operator. Classification is pure integer
-    arithmetic: a line is LINK boilerplate when link tokens are at least
-    half its tokens (2*n_link >= n_tokens), LOWSTOP when it has zero
-    stopwords ('a'/'the' — jusText's stopword-density gate with the
-    threshold at the only cross-engine-exact value), KEEP otherwise."""
-    return f"""
-    WITH pages AS (
+    its integer-division operator, and optionally the pages derivation
+    (the Spark side replaces the 4-way UNION ALL — which plans one
+    documents scan PER BRANCH — with a single-scan inline-array explode
+    producing the identical rows; the oracle keeps the UNION form).
+    Classification is pure integer arithmetic: a line is LINK boilerplate
+    when link tokens are at least half its tokens (2*n_link >= n_tokens),
+    LOWSTOP when it has zero stopwords ('a'/'the' — jusText's
+    stopword-density gate with the threshold at the only
+    cross-engine-exact value), KEEP otherwise."""
+    if pages_body is None:
+        pages_body = f"""
       SELECT doc_id, 0 AS part, '{_BOILER_HEADER}' AS ptext FROM documents
       UNION ALL SELECT doc_id, 1, text FROM documents
       UNION ALL SELECT doc_id, 2, '{_BOILER_FOOTER}' FROM documents
       UNION ALL SELECT doc_id, 3, '{_BOILER_SIDEBAR}' FROM documents
-        WHERE doc_id % 2 = 1),
+        WHERE doc_id % 2 = 1"""
+    return f"""
+    WITH pages AS ({pages_body}),
     words AS ({words_select}),
     lines AS (
       SELECT doc_id, part, pos {idiv} {BOILER_LINE_W} AS line_no,
@@ -1354,6 +1360,15 @@ _BOILER_SPARK = _boiler_sql(
     listagg_kept="listagg(CASE WHEN verdict = 'keep' THEN line END, chr(10)) "
     "WITHIN GROUP (ORDER BY part, line_no)",
     idiv="div",
+    pages_body=f"""
+      SELECT doc_id, p.part AS part, p.ptext AS ptext FROM documents
+      LATERAL VIEW explode(filter(array(
+        named_struct('part', 0, 'ptext', '{_BOILER_HEADER}'),
+        named_struct('part', 1, 'ptext', text),
+        named_struct('part', 2, 'ptext', '{_BOILER_FOOTER}'),
+        CASE WHEN doc_id % 2 = 1
+             THEN named_struct('part', 3, 'ptext', '{_BOILER_SIDEBAR}')
+             END), x -> x IS NOT NULL)) t AS p""",
 )
 
 _BOILER_DUCK = _boiler_sql(

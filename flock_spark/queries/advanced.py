@@ -1378,6 +1378,14 @@ def kleene_match(e: DataFrame) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lag("ts").over(w).alias("prev_ts"),
     )
+    if not e.isStreaming:
+        # seq feeds three consumers (click runs, the starred purchase
+        # probe, the zero-click purchase probe) and Spark re-plans the
+        # user-keyed window per consumer — pin the windowed log so the
+        # sort+window runs once (the streaming twin stays lazy: a
+        # checkpoint is illegal mid-stream, and its micro-batches are
+        # bounded anyway)
+        seq = seq.localCheckpoint(eager=True)
     in_gap = F.col("ts") <= F.col("prev_ts") + gap
     clicks = seq.filter(F.col("event_type") == "click").withColumn(
         "brk",
