@@ -110,9 +110,13 @@ def _word_shingles_duck() -> str:
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    # cached: the eval side and the train side both read this relation — the
-    # bench's slowest query otherwise recomputes the explode for each
-    sh = d.select("doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")).cache()
+    # pinned per invocation: the eval side and the train side both read this
+    # relation and would otherwise recompute the explode each (NOT .cache():
+    # a plan-matched InMemoryRelation would survive into later runs —
+    # cross-run result caching, which the measurement rules forbid)
+    sh = d.select(
+        "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
+    ).localCheckpoint(eager=True)
     eval_sh = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
     return (
         sh.filter(F.col("doc_id") % 100 != 0)
@@ -992,7 +996,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
         )
         .agg(F.count("*").alias("c"))
-        .cache()
+        .localCheckpoint(eager=True)  # per-invocation pin, no cross-run cache
     )
     cells = cl.groupBy("source", "len_bucket").agg(
         F.sum("c").cast("long").alias("n_docs")

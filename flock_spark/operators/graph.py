@@ -101,21 +101,22 @@ def graph_pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
-    # iteration-invariant adjacency with out-degree attached, built once
-    adj = edges.join(deg, "u").cache()
+    # iteration-invariant adjacency with out-degree attached, built once per
+    # invocation and pinned eagerly (NOT .cache(): a cached plan survives
+    # the invocation and Spark's CacheManager substitutes it into the next
+    # run's identical plan — cross-run result caching, which the
+    # measurement rules forbid)
+    adj = edges.join(deg, "u").localCheckpoint(eager=True)
     # Overflow precondition (Spark long sums wrap silently in non-ANSI mode;
     # the DuckDB oracle's sum(BIGINT) promotes to HUGEINT, so a wrap would
     # diverge rather than error). Rank mass is conserved up to damping, so
     # any grouped sum s <= n_nodes * R0, and the damping step multiplies by
     # 85 before dividing — require 85 * n_nodes * R0 < 2^62 (one slack bit),
     # i.e. n_nodes < ~5.4e7 at R0 = 1e9. Past that, shrink R0 (rank precision)
-    # rather than returning wrapped ranks. The count doubles as the action
-    # that materializes the adjacency cache before the iteration loop.
-    # deg already has exactly one row per node (grouped by u), so counting
-    # it through the cached adj join needs no extra distinct exchange over
-    # the per-edge relation.
+    # rather than returning wrapped ranks. deg already has exactly one row
+    # per node (grouped by u), so the count needs no extra distinct exchange
+    # over the per-edge relation.
     n_nodes = deg.count()
-    adj.count()  # materialize the adjacency cache before the iteration loop
     if 85 * n_nodes * R0 >= 1 << 62:
         raise OverflowError(
             f"pagerank int64 bound exceeded: n_nodes={n_nodes} at R0={R0}; "

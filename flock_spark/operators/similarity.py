@@ -345,7 +345,6 @@ _IVF_ORACLE = f"""
 """
 
 
-_IVF_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,15 +354,12 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) collect: exactly N_IVF_CENTROIDS centroid rows at any corpus size
     (the LIMIT plans as TakeOrderedAndProject); assignment is one broadcast
     GEMM pass per Arrow batch — the corpus never shuffles to get its cell.
-    The plan is memoized per (session, dir): building it runs a centroid
-    collect job, and semdedup references it on both sides of a self-join."""
+    Built PER INVOCATION and pinned with a per-invocation localCheckpoint
+    (semdedup references it on both sides of a self-join; IVF entries read
+    it twice) — never memoized across invocations: a session-lifetime memo
+    would let repeated bench runs skip the centroid collect and the
+    assignment pass, which the measurement rules forbid."""
     import numpy as np
-
-    from flock_spark.catalog import evict_stale, session_key
-
-    memo_key = (session_key(spark), sf_dir)
-    if memo_key in _IVF_MEMO:
-        return _IVF_MEMO[memo_key]
 
     e = _spark_vecs(spark, sf_dir)
     crows = (
@@ -394,12 +390,11 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["v"] = pdf["v"]
             yield out
 
-    out = spread(e).mapInPandas(
+    return spread(e).mapInPandas(
         assign, schema="vec_id long, label long, cell long, v array<double>"
-    ).withColumn("norm", F.expr(f"sqrt({_dot('v', 'v')})"))
-    evict_stale(_IVF_MEMO, spark)
-    _IVF_MEMO[memo_key] = out
-    return out
+    ).withColumn(
+        "norm", F.expr(f"sqrt({_dot('v', 'v')})")
+    ).localCheckpoint(eager=True)
 
 
 @register(
@@ -879,7 +874,10 @@ def embedding_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.col("pos") + 1).alias("dim"),
         F.expr(f"CAST(floor(CAST(x AS DOUBLE) * {PI_QSCALE} + 0.5) AS BIGINT)").alias("q"),
-    ).cache()  # iteration-invariant; re-deriving the explode per join doubles cost
+    ).localCheckpoint(eager=True)
+    # iteration-invariant; re-deriving the explode per join doubles cost.
+    # Pinned per invocation (NOT .cache(): a plan-matched InMemoryRelation
+    # would survive into later runs — cross-run result caching).
     # Overflow precondition (Spark long sums wrap silently in non-ANSI mode,
     # while the DuckDB oracle promotes sum(BIGINT) to HUGEINT — a wrap would
     # diverge, not error). Worst-case bounds per iteration:
@@ -988,17 +986,13 @@ _PQ_ORACLE = f"""
 
 def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
     """(codebook ndarray C, codes DataFrame) — shared by the flat PQ scan
-    and the IVF+PQ composition; memoized per (session, dir) because both
-    entries (and a mixed sweep) would otherwise redo the codebook collect
-    and the encode pass. C is None when the training subset is empty (the
-    oracle's CTEs yield zero rows in that case too)."""
+    and the IVF+PQ composition. Built PER INVOCATION (codebook collect +
+    encode pass + per-invocation pin of the codes relation) — never
+    memoized across invocations: a session-lifetime memo of the encoded
+    codes would let repeated bench runs skip the encode pass, which the
+    measurement rules forbid. C is None when the training subset is empty
+    (the oracle's CTEs yield zero rows in that case too)."""
     import numpy as np
-
-    from flock_spark.catalog import evict_stale, session_key
-
-    memo_key = (session_key(spark), sf_dir)
-    if memo_key in _PQ_MEMO:
-        return _PQ_MEMO[memo_key]
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(f"transform(embedding, x -> {_PQ_QUANT})").alias("v")
@@ -1018,10 +1012,7 @@ def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
     # so the callers return the empty result instead of letting np.stack
     # raise
     if not crows:
-        result = (None, None)
-        evict_stale(_PQ_MEMO, spark)
-        _PQ_MEMO[memo_key] = result
-        return result
+        return (None, None)
     C = np.stack([np.asarray(r["v"], dtype=np.int64) for r in crows])  # (<=K, 64)
     bc = spark.sparkContext.broadcast(C)
 
@@ -1046,14 +1037,8 @@ def _pq_codebook_and_codes(spark: SparkSession, sf_dir: str):
     # argmin saves (A/B 0.76 s vs 0.70 s; same finding as ann_topk_bruteforce)
     codes = e.mapInPandas(
         encode, schema="vec_id long, c0 long, c1 long, c2 long, c3 long"
-    ).cache()
-    result = (C, codes)
-    evict_stale(_PQ_MEMO, spark)
-    _PQ_MEMO[memo_key] = result
-    return result
-
-
-_PQ_MEMO: dict[tuple[str, str], tuple] = {}
+    ).localCheckpoint(eager=True)
+    return (C, codes)
 
 
 def _pq_query_lut(spark: SparkSession, qrows, C) -> DataFrame:

@@ -3031,12 +3031,14 @@ def crawl_chain_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     # the chain fans out over the ingest result (page stats, link stats,
-    # robots verdicts, scheduler all consume it): cache it so the WARC walk
-    # runs ONCE — a CTE would inline per consumer and re-run the Python
-    # stage 4x. At 100 TB the same decision is persist-to-storage-level
-    # (or a first-stage write), not a rewrite.
+    # robots verdicts, scheduler all consume it): pin it per invocation so
+    # the WARC walk runs ONCE — a CTE would inline per consumer and re-run
+    # the Python stage 4x. At 100 TB the same decision is
+    # persist-to-storage-level (or a first-stage write), not a rewrite.
+    # (NOT .cache(): a plan-matched InMemoryRelation would survive into
+    # later runs — cross-run result caching.)
     ing = bf.mapInPandas(
         ingest, schema="doc_id long, body_len long, body_md5 string"
-    ).cache()
+    ).localCheckpoint(eager=True)
     ing.createOrReplaceTempView("warc_chain_ingested")
     return spark.sql(_CHAIN_SPARK)

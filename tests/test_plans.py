@@ -425,11 +425,14 @@ def test_kcore_rounds_are_clamped_and_colocated(spark, sf_dir):
 
 def test_tcloseness_single_corpus_scan(spark, sf_dir):
     # every histogram (cell totals, global lang, grand total) is a rollup
-    # of the ONE cached finest-grain aggregate — exactly one corpus scan;
-    # the densifying cross joins touch only audit-sized relations
+    # of the ONE pinned finest-grain aggregate — the corpus scan runs once
+    # inside the eager per-invocation localCheckpoint, so the final plan
+    # reads the pinned RDD and contains NO parquet scan at all; the
+    # densifying cross joins touch only audit-sized relations
     plan = plan_of(spark, sf_dir, "privacy_t_closeness", execute=True)
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("FileScan parquet") == 1, final
+    assert final.count("FileScan parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
     assert "CartesianProduct" not in final
 
 
@@ -1063,22 +1066,23 @@ def test_arena_audit_pure_jvm_two_phase(spark, sf_dir):
 
 def test_crawl_chain_single_python_stage_broadcast_rules(spark, sf_dir):
     # the chain's composition proof: ONE Python stage (the WARC ingest) —
-    # materialized once via cache and REUSED by all four downstream
-    # consumers (the plan prints the cached MapInPandas subtree at each
-    # InMemoryTableScan site, but it executes once); every downstream
-    # stage pure JVM; the robots rule relation broadcasts; one per-host
-    # window
+    # executed once inside a per-invocation eager localCheckpoint and
+    # REUSED by all four downstream consumers, which read the pinned RDD
+    # (Scan ExistingRDD); every downstream stage pure JVM; the robots rule
+    # relation broadcasts; one per-host window. (The previous .cache()
+    # form leaked an InMemoryRelation across invocations — Spark's
+    # CacheManager substitutes it into any later identical plan, which is
+    # cross-run result caching.)
     p = plan_of(spark, sf_dir, "crawl_chain_end_to_end")
-    assert "InMemoryTableScan" in p  # the ingest is cached, not re-run
-    # every MapInPandas print is the one cached ingest subtree — each
-    # occurrence sits under an InMemoryRelation, so consumers == scans
-    assert p.count("MapInPandas") == p.count("InMemoryRelation")
-    # no other Python operator exists anywhere in the chain
+    # the ingest is pinned: downstream consumers scan the checkpointed RDD
+    assert "Scan ExistingRDD" in p
+    # the Python ingest stage never appears in the final plan — it already
+    # ran inside the eager pin; no other Python operator exists either
+    assert "MapInPandas" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "FlatMapGroupsInPandas" not in p
     assert "BroadcastNestedLoopJoin" in p
     assert "Window" in p
-    assert "Scan binaryFile" in p or "binaryFile" in p
 
 
 def test_zstd_encode_entry_plan_shape(spark, sf_dir):
