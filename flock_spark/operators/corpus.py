@@ -110,13 +110,15 @@ def _word_shingles_duck() -> str:
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    # pinned per invocation: the eval side and the train side both read this
-    # relation and would otherwise recompute the explode each (NOT .cache():
-    # a plan-matched InMemoryRelation would survive into later runs —
-    # cross-run result caching, which the measurement rules forbid)
+    # No pin and no cache: the doc_id % 100 filter pushes through the
+    # explode, so the eval side expands shingles for 1% of the corpus and
+    # the train side streams the full explode exactly once — "sharing" the
+    # exploded relation (the old .cache()) actually pessimized this by
+    # materializing the full shingle stream AND blocking the pushdown
+    # (and a cached plan leaks into later runs — cross-run caching).
     sh = d.select(
         "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
-    ).localCheckpoint(eager=True)
+    )
     eval_sh = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
     return (
         sh.filter(F.col("doc_id") % 100 != 0)

@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Per-invocation eager localCheckpoints (the honest replacement for
+        # cross-run caches) leave their RDD blocks behind until the driver
+        # GC runs and the ContextCleaner reaps the weak refs. The default
+        # periodic-GC interval is 30 MINUTES — long sessions (a bench
+        # sweep, a long-lived service) accumulate dead checkpoint blocks
+        # and pay block-manager eviction churn on unrelated queries.
+        # 30 s keeps the reaper ahead of the churn at any deployment size.
+        .config("spark.cleaner.periodicGC.interval", "30s")
         # No spark.sql.files.minPartitionNum floor: the test tables are
         # SINGLE-row-group parquet, so byte-range splits can never spread
         # the data — the floor only scheduled empty tasks (measured: zero
