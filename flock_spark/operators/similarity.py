@@ -1059,6 +1059,27 @@ def _pq_query_lut(spark: SparkSession, qrows, C) -> DataFrame:
     return local_df(spark, lut_rows, "query_id long, m int, code long, dm long")
 
 
+def _pq_query_lut_nested(spark: SparkSession, qrows, C) -> DataFrame:
+    """One row per query: (query_id, dms) with dms[m][code] the integer
+    squared distance of the query's m-th block to codebook entry `code` —
+    the SAME integers as _pq_query_lut, reshaped so the ADC sum is ONE
+    broadcast join + PQ_M element_at lookups instead of PQ_M sequential
+    broadcast joins (every (query, m) covers all |C| codes, so each of
+    the old joins matched exactly once — lookup and join are identical)."""
+    import numpy as np
+
+    rows = []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=np.int64)
+        dms = []
+        for m in range(PQ_M):
+            blk = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            dm = ((qv[None, blk] - C[:, blk]) ** 2).sum(axis=1)
+            dms.append([int(x) for x in dm])
+        rows.append((int(r["vec_id"]), dms))
+    return local_df(spark, rows, "query_id long, dms array<array<bigint>>")
+
+
 @register(
     "ann_pq_adc_topk",
     oracle=_PQ_ORACLE,
@@ -1094,23 +1115,24 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = (
         e.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(N_QUERIES).collect()
     )
-    lut = _pq_query_lut(spark, qrows, C)
+    lut = _pq_query_lut_nested(spark, qrows, C)
 
-    # ADC: one broadcast join per block on the code column, then integer sum
-    est = codes
-    for m in range(PQ_M):
-        lm = (
-            lut.filter(F.col("m") == m)
-            .select("query_id", F.col("code").alias(f"c{m}"), F.col("dm").alias(f"d{m}"))
-        )
-        join_keys = [f"c{m}"] if m == 0 else ["query_id", f"c{m}"]
-        est = est.join(F.broadcast(lm), join_keys)
+    # ADC: ONE broadcast fan-out of the bounded query LUT over the codes
+    # relation, then PQ_M in-row array lookups — the previous form ran
+    # PQ_M sequential broadcast joins (the m=0 join was the same fan-out
+    # in disguise: every query's LUT covers every code, so it matched
+    # each (row, query) exactly once)
+    est = codes.crossJoin(F.broadcast(lut))
+    d_terms = [
+        F.element_at(F.element_at("dms", m + 1), F.col(f"c{m}").cast("int") + 1)
+        for m in range(PQ_M)
+    ]
     est = (
         est.filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            sum([F.col(f"d{m}") for m in range(1, PQ_M)], F.col("d0")).alias("est_d2"),
+            sum(d_terms[1:], d_terms[0]).alias("est_d2"),
         )
     )
     from pyspark.sql import Window as W
@@ -1280,7 +1302,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = (
         e.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(N_QUERIES).collect()
     )
-    lut = _pq_query_lut(spark, qrows, C)
+    lut = _pq_query_lut_nested(spark, qrows, C)
     # query cells: O(N_QUERIES) — same deterministic subset as qrows
     q_cells = (
         assigned.filter(F.col("vec_id") % 50 == 0)
@@ -1296,17 +1318,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q_cells), F.col("cell") == F.col("qcell"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
-    est = cand
-    for m in range(PQ_M):
-        lm = lut.filter(F.col("m") == m).select(
-            "query_id", F.col("code").alias(f"c{m}"), F.col("dm").alias(f"d{m}")
-        )
-        est = est.join(F.broadcast(lm), ["query_id", f"c{m}"])
+    # est_d2: ONE broadcast join against the bounded nested LUT + PQ_M
+    # in-row array lookups (was PQ_M sequential broadcast joins — every
+    # (query, m) covers all |C| codes, so each join matched exactly once;
+    # lookup and join produce the same integers)
+    est = cand.join(F.broadcast(lut), "query_id")
+    d_terms = [
+        F.element_at(F.element_at("dms", m + 1), F.col(f"c{m}").cast("int") + 1)
+        for m in range(PQ_M)
+    ]
     est = est.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         "cell",
-        sum([F.col(f"d{m}") for m in range(1, PQ_M)], F.col("d0")).alias("est_d2"),
+        sum(d_terms[1:], d_terms[0]).alias("est_d2"),
     )
     w = W.partitionBy("query_id").orderBy("est_d2", "neighbor_id")
     return est.withColumn("rank", F.row_number().over(w).cast("long")).filter(

@@ -284,11 +284,14 @@ def test_array_hof_is_narrow(spark, sf_dir):
 
 
 def test_pq_adc_corpus_never_shuffles_wide(spark, sf_dir):
-    # the PQ query path: codes join per-query LUTs via BROADCAST joins only,
-    # with partial top-k (WindowGroupLimit) before the single exchange on
-    # query_id — the corpus relation itself never hash-shuffles
+    # the PQ query path: codes fan out over ONE broadcast of the bounded
+    # nested query LUT (was 4 sequential broadcast hash joins, one per
+    # subquantizer); est_d2 is PQ_M in-row array lookups, with partial
+    # top-k (WindowGroupLimit) before the single exchange on query_id —
+    # the corpus relation itself never hash-shuffles
     plan = plan_of(spark, sf_dir, "ann_pq_adc_topk")
-    assert plan.count("BroadcastHashJoin") == 4
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # bounded LUT fan-out
+    assert "BroadcastHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in plan
 
