@@ -485,10 +485,14 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both edge directions come from ONE join via an inline explode (the
     # union-of-reversed form planned the orders ⋈ lineitem join twice,
     # once per union branch), and distinct runs AFTER the keyed
-    # repartition: hashpartitioning(v) clusters (u, v) too, so the
-    # dedup aggregation reuses the repartition exchange instead of
-    # adding its own (u, v) exchange. Net: 2 joins + 3 exchanges -> 1
-    # join + 1 exchange to build the cached edge relation.
+    # repartition. The repartition key is u — hashpartitioning(u)
+    # clusters (u, v) for the dedup aggregation AND satisfies every
+    # per-round requirement below (the vote count groups by (u, lab),
+    # the arg-max by u; the broadcast join preserves the streamed side's
+    # partitioning), so the rounds run with ZERO exchanges: the edge
+    # relation is shuffled exactly once, at build. The earlier v-keyed
+    # form dated from the sort-merge era of the per-round join and paid
+    # an edge-sized repartition(u) inside every round.
     edges = (
         o.join(li, "ok")
         .select(
@@ -506,21 +510,22 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.u", "e.v")
-        .repartition(lp_parts, "v")
+        .repartition(lp_parts, "u")
         .distinct()
         .cache()
     )
-    lab = edges.select("u").distinct().select("u", F.col("u").alias("lab"))
     with clamped_shuffle_partitions(spark, lp_parts):
-        for _ in range(LP_ROUNDS):
-            # one exchange per round: hash(u) satisfies the clustered
-            # distribution of BOTH the (u, lab) vote count and the u-keyed
-            # arg-max, so neither aggregation adds its own exchange (the
-            # two-exchange form shuffled the vote relation by (u, lab) and
-            # then again by u)
+        # Round 1 in closed form: l0 is the identity labeling (every node
+        # its own label), so the vote relation is (u, lab=v) with count
+        # exactly 1 per row — the edge set is DISTINCT and every v is a
+        # label-holder (both directions are present, so each v appears as
+        # some u). All counts equal means the arg-max (most votes, ties to
+        # the smallest label) degenerates to min(v) per u: one aggregation
+        # on the already-u-partitioned edges, no join, no label build.
+        lab = edges.groupBy("u").agg(F.min("v").alias("lab"))
+        for _ in range(LP_ROUNDS - 1):
             votes = (
                 edges.join(F.broadcast(lab.withColumnRenamed("u", "v")), "v")
-                .repartition(lp_parts, "u")
                 .groupBy("u", "lab")
                 .agg(F.count("*").alias("c"))
             )
