@@ -1625,11 +1625,18 @@ def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item universe (SS_LIGHT_W + 4 per segment), never corpus-sized; the
     # pin is per-invocation (no session-lifetime cache leak — a leaked
     # stream cache here once slowed unrelated queries 3-4x).
-    # Pin it: the relation feeds the per-segment summary AND the exact
-    # counts, and the summary itself feeds two consumers — unpinned, the
-    # plan re-derived the scan -> explode -> md5 -> two-level agg subtree
-    # per consumer (8 document scans, 4 Python applies, zero reuse).
-    seg_cnt = stream.groupBy("seg", "item").agg(F.count("*").alias("c"))
+    # THIS is the relation to pin: it feeds the per-segment summary AND
+    # the exact counts, so pinning it guarantees the explode+md5 stream
+    # derivation runs exactly once per invocation, structurally. (The
+    # earlier pin sat one level up, on the summary — but the eager
+    # summary-checkpoint job re-derived the whole stream and the main
+    # job derived it AGAIN for the exact counts: two full stream passes
+    # per run, measured ~0.6 s slower at sf0.1. The summary itself stays
+    # lazy; its two consumers re-run the pandas apply over the 200k
+    # checkpointed grouped rows, which is far cheaper than a stream pass.)
+    seg_cnt = stream.groupBy("seg", "item").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=True)
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         counters = space_saving_summary_grouped(
@@ -1648,12 +1655,9 @@ def sketch_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    # summary is segments x k rows (1k at the bench shape) with two
-    # consumers (the merge join and seg_mins) — pin so the pandas apply
-    # runs once
     summary = seg_cnt.groupBy("seg").applyInPandas(
         summarize, schema="seg long, item string, est long, err long, min_est long"
-    ).localCheckpoint(eager=True)
+    )
 
     cnt = seg_cnt.groupBy("item").agg(F.sum("c").alias("true_cnt"))
     # stream size N joins in as a broadcast 1-row relation instead of a

@@ -917,12 +917,17 @@ def test_tdigest_rank_check_broadcasts_digest_side(spark, sf_dir):
 def test_space_saving_merge_joins_on_bounded_summaries(spark, sf_dir):
     # the audit join operates on the k*segments summary rows and the 8-row
     # per-segment minima (broadcast), never re-shuffling the raw stream for
-    # the merge: the only hash exchanges are the item-count aggregate and
-    # the summary/audit-key joins, all keyed on bounded row sets.
+    # the merge. The grouped (seg, item, c) relation is pinned with a
+    # per-invocation eager checkpoint so the explode+md5 stream derivation
+    # runs exactly once per run — every downstream consumer (per-segment
+    # summary, exact counts, stream size) must read the checkpoint, so the
+    # post-checkpoint plan may contain NO parquet scan of the corpus.
     plan = plan_of(spark, sf_dir, "sketch_space_saving_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # the exact-count path must keep map-side partial aggregation
-    assert "partial_count" in plan or "Partial" in plan
+    assert "Scan parquet" not in plan, plan
+    # the exact-count path must keep map-side partial aggregation over the
+    # checkpointed grouped rows
+    assert "partial_sum" in plan or "partial_count" in plan
 
 
 def test_round10_codec_walks_are_shuffle_free_single_scan(spark, sf_dir):
