@@ -2835,21 +2835,12 @@ def crawl_link_extract_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _crawl_chain_sql(
-    source: str, st: str, explode: str, path_of: str,
-    agg_sorted: str, agg_sorted2: str,
-) -> str:
-    """Engine-shared relational tail of the crawl-discovery loop. ``source``
-    is the ingested page set (doc_id, body_len, body_md5): the staged WARC
-    walk on the Spark side, the equivalent documents derivation in the
-    oracle. Every stage downstream of ingest is pure SQL — link extraction
-    (regex over per-page HTML carrying root-doc, root-relative, relative
-    and external href classes plus a duplicate), resolution by reference
-    class, internal/external split, the RFC 9309 wildcard-rule tournament
-    (broadcast rule relation, LIKE lowering, longest-rule + allow-on-tie
-    via one max()), dedup, and per-host politeness waves."""
-    return f"""
-    WITH ingested AS ({source}),
+def _crawl_chain_prefix(source: str, st: str, explode: str, path_of: str) -> str:
+    """The shared CTE prefix of the crawl chain (ingest through the robots
+    rule relation), engine-parameterized. Kept separate so the Spark side
+    can ALSO phrase the verdicts stage as a standalone query over the same
+    prefix and pin its (distinct-URL-sized) result per invocation."""
+    return f"""ingested AS ({source}),
     pages AS (
       SELECT doc_id, body_len, body_md5,
              concat('http://h', CAST(doc_id % 7 AS {st}),
@@ -2883,13 +2874,30 @@ def _crawl_chain_sql(
       SELECT DISTINCT origin, {path_of} AS path
       FROM resolved WHERE url LIKE concat(origin, '/%')),
     rules AS (
-      {_ROBOTS_WILD_RULES_SQL}),
+      {_ROBOTS_WILD_RULES_SQL})"""
+
+
+def _crawl_chain_sql(
+    source: str, st: str, explode: str, path_of: str,
+    agg_sorted: str, agg_sorted2: str, verdicts_src: str | None = None,
+) -> str:
+    """Engine-shared relational tail of the crawl-discovery loop. ``source``
+    is the ingested page set (doc_id, body_len, body_md5): the staged WARC
+    walk on the Spark side, the equivalent documents derivation in the
+    oracle. Every stage downstream of ingest is pure SQL — link extraction
+    (regex over per-page HTML carrying root-doc, root-relative, relative
+    and external href classes plus a duplicate), resolution by reference
+    class, internal/external split, the RFC 9309 wildcard-rule tournament
+    (broadcast rule relation, LIKE lowering, longest-rule + allow-on-tie
+    via one max()), dedup, and per-host politeness waves."""
+    return f"""
+    WITH {_crawl_chain_prefix(source, st, explode, path_of)},
     verdicts AS (
-      SELECT i.origin, i.path,
+      {verdicts_src or f'''SELECT i.origin, i.path,
              CAST(max(r.k) % 2 AS BIGINT) AS allowed
       FROM internal i JOIN rules r
         ON i.path LIKE r.like_pat ESCAPE '{_REP_LIKE_ESC}'
-      GROUP BY i.origin, i.path),
+      GROUP BY i.origin, i.path'''}),
     frontier AS (
       SELECT origin, path,
              row_number() OVER (PARTITION BY origin ORDER BY path) AS wave
@@ -2929,15 +2937,35 @@ def _crawl_chain_sql(
     """
 
 
-_CHAIN_SPARK = _crawl_chain_sql(
+# Spark phrases the chain as TWO statements over the pinned ingest view:
+# the verdicts stage runs standalone and pins its distinct-URL-sized result
+# (it feeds BOTH the frontier/scheduler and the robots stats, and Spark
+# inlines CTEs per consumer — unsplit, the resolve + rule-tournament
+# subtree planned and ran twice). The oracle keeps the single-statement
+# form with the inline verdicts body.
+_CHAIN_SPARK_ARGS = dict(
     source="SELECT doc_id, body_len, body_md5 FROM warc_chain_ingested",
     st="STRING",
     explode="SELECT doc_id, origin, basedir, explode(href_list) AS href "
             "FROM hrefs",
     path_of="substring(url, CAST(length(origin) + 1 AS INT))",
+)
+
+_CHAIN_SPARK_VERDICTS = f"""
+    WITH {_crawl_chain_prefix(**_CHAIN_SPARK_ARGS)}
+    SELECT i.origin, i.path,
+           CAST(max(r.k) % 2 AS BIGINT) AS allowed
+    FROM internal i JOIN rules r
+      ON i.path LIKE r.like_pat ESCAPE '{_REP_LIKE_ESC}'
+    GROUP BY i.origin, i.path
+    """
+
+_CHAIN_SPARK = _crawl_chain_sql(
+    **_CHAIN_SPARK_ARGS,
     agg_sorted="concat_ws(',', array_sort(collect_list(body_md5)))",
     agg_sorted2="concat_ws('|', array_sort(collect_list(concat("
                 "lpad(CAST(wave AS STRING), 8, '0'), ':', path))))",
+    verdicts_src="SELECT origin, path, allowed FROM warc_chain_verdicts",
 )
 
 _CHAIN_DUCK = _crawl_chain_sql(
@@ -3041,4 +3069,11 @@ def crawl_chain_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest, schema="doc_id long, body_len long, body_md5 string"
     ).localCheckpoint(eager=True)
     ing.createOrReplaceTempView("warc_chain_ingested")
+    # verdicts feed two consumers (frontier/scheduler and robots stats) and
+    # CTEs inline per consumer: pin the distinct-URL-sized verdict relation
+    # so the link resolve + RFC 9309 rule tournament runs once per
+    # invocation (per-invocation checkpoint — same discipline as the ingest
+    # pin above; at 100 TB this is the frontier store a crawler persists).
+    ver = spark.sql(_CHAIN_SPARK_VERDICTS).localCheckpoint(eager=True)
+    ver.createOrReplaceTempView("warc_chain_verdicts")
     return spark.sql(_CHAIN_SPARK)

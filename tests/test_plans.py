@@ -1082,15 +1082,31 @@ def test_crawl_chain_single_python_stage_broadcast_rules(spark, sf_dir):
     # CacheManager substitutes it into any later identical plan, which is
     # cross-run result caching.)
     p = plan_of(spark, sf_dir, "crawl_chain_end_to_end")
-    # the ingest is pinned: downstream consumers scan the checkpointed RDD
+    # the ingest AND the verdicts stage are pinned: downstream consumers
+    # scan the checkpointed RDDs
     assert "Scan ExistingRDD" in p
     # the Python ingest stage never appears in the final plan — it already
     # ran inside the eager pin; no other Python operator exists either
     assert "MapInPandas" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "FlatMapGroupsInPandas" not in p
-    assert "BroadcastNestedLoopJoin" in p
     assert "Window" in p
+    # the robots rule tournament (the LIKE non-equi join -> broadcast
+    # nested loop) runs ONCE, inside the pinned verdicts stage — it must
+    # appear in the standalone verdicts plan and NOT in the final plan
+    # (pre-split it planned twice: once under the frontier, once under
+    # the robots stats)
+    assert "BroadcastNestedLoopJoin" not in p
+    from flock_spark.operators.text import _CHAIN_SPARK_VERDICTS
+    from flock_spark.registry import REGISTRY
+
+    REGISTRY["crawl_chain_end_to_end"].fn(spark, sf_dir)  # registers views
+    vp = spark.sql(_CHAIN_SPARK_VERDICTS)
+    vplan = vp._sc._jvm.PythonSQLUtils.explainString(
+        vp._jdf.queryExecution(), "formatted")
+    assert "BroadcastNestedLoopJoin" in vplan
+    # one operator = two mentions in formatted explain (tree + details)
+    assert vplan.count("BroadcastNestedLoopJoin") == 2
 
 
 def test_zstd_encode_entry_plan_shape(spark, sf_dir):
