@@ -1266,6 +1266,79 @@ _IVFPQ_ORACLE = f"""
 """
 
 
+def _ivfpq_assigned_codes(spark: SparkSession, sf_dir: str):
+    """(codebook ndarray C, DataFrame (vec_id, cell, c0..c3)) — the IVF+PQ
+    composition's index relations built in ONE corpus pass.
+
+    The separate builders (_ivf_assigned + _pq_codebook_and_codes) each ran
+    a full mapInPandas pass over the vectors and pinned a corpus-sized
+    checkpoint, and the composed query then paid a corpus × corpus vec_id
+    equi-join to reunite cell and codes. One fused pass computes both
+    per-row values (the cell from the float cosine GEMM, the PQ codes from
+    the integer argmin — bitwise identical math to the standalone
+    builders), so the vectors cross the Python boundary once, one slim
+    (vec_id + 5 longs) relation pins, and the reuniting join disappears.
+
+    The IVF centroid picks and the PQ training subset are the SAME
+    deterministic filter (vec_id % CENTROID_MOD = CENTROID_REM, ordered,
+    limited), so one bounded collect serves both: the float rows normalize
+    into the cosine centroids, and the codebook quantizes from the same
+    doubles with the exact _PQ_QUANT arithmetic — floor(x * s + 0.5) over
+    IEEE doubles is deterministic and identical in numpy and Spark SQL.
+    Per-invocation pin, never memoized across runs (measurement rules)."""
+    import numpy as np
+
+    e = _spark_vecs(spark, sf_dir)
+    n_train = max(N_IVF_CENTROIDS, PQ_K)
+    crows = (
+        e.filter(F.col("vec_id") % CENTROID_MOD == CENTROID_REM)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .limit(n_train)
+        .collect()
+    )
+    if not crows:
+        return (None, None)
+    cm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)[:N_IVF_CENTROIDS]
+    cn = cm[:N_IVF_CENTROIDS] / np.linalg.norm(
+        cm[:N_IVF_CENTROIDS], axis=1, keepdims=True
+    )
+    # exact _PQ_QUANT: floor(CAST(x AS DOUBLE) * scale + 0.5) — cm IS the
+    # double-cast embedding, so this reproduces the SQL quantization bitwise
+    C = np.floor(cm[:PQ_K] * PQ_QSCALE + 0.5).astype(np.int64)
+    bc = spark.sparkContext.broadcast((cids, cn, C))
+
+    def fused(batches):
+        import pandas as pd
+
+        c_ids, c_norm, cb = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["v"].to_numpy())  # (n, dim) float64
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            s = np.round(xn @ c_norm.T, 6)
+            # first argmax = lowest cid on rounded-similarity ties (the
+            # centroids are sorted by cid) — same as _ivf_assigned
+            out = {
+                "vec_id": pdf["vec_id"],
+                "cell": c_ids[np.argmax(s, axis=1)],
+            }
+            Xq = np.floor(x * PQ_QSCALE + 0.5).astype(np.int64)
+            for m in range(PQ_M):
+                blk = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+                d = ((Xq[:, None, blk] - cb[None, :, blk]) ** 2).sum(axis=2)
+                # first argmin = lowest cidx tie-break, same as the oracle
+                out[f"c{m}"] = np.argmin(d, axis=1)
+            yield pd.DataFrame(out)
+
+    ac = spread(e).mapInPandas(
+        fused, schema="vec_id long, cell long, c0 long, c1 long, c2 long, c3 long"
+    ).localCheckpoint(eager=True)
+    return (C, ac)
+
+
 @register(
     "ann_ivfpq_topk",
     oracle=_IVFPQ_ORACLE,
@@ -1290,12 +1363,11 @@ _IVFPQ_ORACLE = f"""
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    C, codes = _pq_codebook_and_codes(spark, sf_dir)
+    C, ac = _ivfpq_assigned_codes(spark, sf_dir)
     if C is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cell long, est_d2 long, rank long"
         )
-    assigned = _ivf_assigned(spark, sf_dir).select("vec_id", "cell")
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(f"transform(embedding, x -> {_PQ_QUANT})").alias("v")
     )
@@ -1305,17 +1377,17 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = _pq_query_lut_nested(spark, qrows, C)
     # query cells: O(N_QUERIES) — same deterministic subset as qrows
     q_cells = (
-        assigned.filter(F.col("vec_id") % 50 == 0)
+        ac.filter(F.col("vec_id") % 50 == 0)
         .orderBy("vec_id")
         .limit(N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"))
     )
-    # candidate set: codes annotated with their cell (narrow keyed join),
-    # then cell-equijoined to the broadcast query set — per-query fan-out
-    # is ONE cell's population, never the corpus
+    # candidate set: the fused (cell, codes) index relation cell-equijoined
+    # to the broadcast query set — per-query fan-out is ONE cell's
+    # population, never the corpus. (The codes ⋈ assigned vec_id join the
+    # separate builders needed is gone: one fused pass carries both.)
     cand = (
-        codes.join(assigned, "vec_id")
-        .join(F.broadcast(q_cells), F.col("cell") == F.col("qcell"))
+        ac.join(F.broadcast(q_cells), F.col("cell") == F.col("qcell"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
     # est_d2: ONE broadcast join against the bounded nested LUT + PQ_M
