@@ -750,47 +750,76 @@ def _duck_kmeans_sql() -> str:
     "dedup_clusters' label propagation.",
 )
 def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     # deliberately NOT cached: the columnar parquet re-scan per Lloyd step is
     # cheaper than cache materialization + storage-memory churn here
     # (measured: cached variant ~2× slower at sf0.1 across bench runs); at
     # cluster scale with many iterations, persist(DISK_ONLY) once instead
     e = _spark_vecs(spark, sf_dir).withColumn("vn", F.expr(_dot("v", "v")))
-    cent = e.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("c_label"), F.col("v").alias("cvec"), F.col("vn").alias("cn")
-    )
-    sim = F.expr(f"round({_dot('v', 'cvec')} / (sqrt(vn) * sqrt(cn)), 6)")
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(sim.desc(), "c_label")
-    )
+
+    def assign_pass(cent_rows) -> DataFrame:
+        """Nearest-centroid assignment as a map-side argmax over ONE
+        broadcast row of nested centroid arrays. The previous form exploded
+        the corpus ×k through a crossJoin and ranked with a per-vec_id
+        window — every (vector ×k) row crossed a hash exchange and a sort,
+        i.e. the corpus payload shuffled k times per Lloyd step. Here the
+        per-centroid score list is computed in place with the IDENTICAL
+        expression (same left-to-right aggregate() dot fold, same
+        round(·, 6), same sqrt(vn)·sqrt(cn) denominator — zero arithmetic
+        change, so equivalence is exact, not empirical), and the window's
+        (score DESC, c_label ASC) rank-1 becomes array_position of the
+        array_max: first occurrence over label-ascending centroids = the
+        smallest label on ties. Zero shuffle, zero explode, zero Python;
+        the centroid relation stays a bounded Arrow LocalRelation."""
+        rows = sorted(cent_rows, key=lambda r: r[0])
+        cent_wide = local_df(
+            spark,
+            [(
+                [r[0] for r in rows],
+                [list(r[1]) for r in rows],
+                [r[2] for r in rows],
+            )],
+            "labels array<bigint>, cvecs array<array<double>>, cns array<double>",
+        )
+        sims = (
+            "transform(cvecs, (cv, j) -> "
+            f"round({_dot('v', 'cv')} / (sqrt(vn) * sqrt(element_at(cns, j + 1))), 6))"
+        )
+        # two-step select so the k-dot score list evaluates ONCE per row
+        # (CollapseProject keeps non-cheap lambda expressions un-inlined)
+        return (
+            e.crossJoin(F.broadcast(cent_wide))
+            .select("vec_id", "v", "vn", "labels", F.expr(sims).alias("sims"))
+            .select(
+                "vec_id",
+                F.expr(
+                    "element_at(labels, CAST(array_position("
+                    "sims, array_max(sims)) AS INT))"
+                ).alias("c_label"),
+                "v",
+                "vn",
+            )
+        )
+
+    # seed centroids: O(k) collect of the deterministic picks
+    cent_rows = [
+        (r["vec_id"], list(r["v"]), r["vn"])
+        for r in e.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "v", "vn")
+        .collect()
+    ]
     assigned = None
     for it in range(KMEANS_ITERS):
-        assigned = (
-            e.crossJoin(F.broadcast(cent))
-            .withColumn("rn", rn)
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "c_label", "v", "vn")
-        )
+        assigned = assign_pass(cent_rows)
         if it == KMEANS_ITERS - 1:
             break  # the last recompute is dead code: the output reads the
             # final ASSIGNMENT, matching the oracle's a{final}
         # O(k) collect per Lloyd step (the standard distributed k-means
         # shape): the recomputed centroids come back as k rows of
         # fixed-point-derived doubles (exact binary64 over the wire, both
-        # directions) and re-enter as an Arrow LocalRelation. Leaving them
-        # as a nested subquery instead planned each iteration's centroid
-        # agg inside the NEXT iteration's broadcast build — a chain of ~10
-        # sequential exchange-stage jobs for 2 iterations (measured
-        # ~1.6 s of the entry's ~2.0 s); the collected form runs one job
-        # per iteration plus the final assignment.
+        # directions). The recompute itself stays SQL (fixed-point exact).
         new_c = assigned.groupBy("c_label").agg(F.expr(_centroid_spark()).alias("cvec"))
         rows = new_c.withColumn("cn", F.expr(_dot("cvec", "cvec"))).collect()
-        cent = local_df(
-            spark,
-            [(r["c_label"], list(r["cvec"]), r["cn"]) for r in rows],
-            "c_label bigint, cvec array<double>, cn double",
-        )
+        cent_rows = [(r["c_label"], list(r["cvec"]), r["cn"]) for r in rows]
     return assigned.groupBy("c_label").agg(
         F.count("*").alias("n_members"), F.min("vec_id").alias("min_member")
     )
