@@ -120,9 +120,17 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
     )
     eval_sh = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
+    # spread the TRAIN side only: the full-corpus shingle explode is rooted
+    # on a single-split scan at test scale and ran single-threaded; the
+    # doc_id filter sits below the repartition, so the eval side's 1%
+    # pushdown is untouched. No-op once real scans have >= cores splits.
+    from flock_spark.catalog import spread
+
+    train = spread(
+        d.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text")
+    ).select("doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle"))
     return (
-        sh.filter(F.col("doc_id") % 100 != 0)
-        .join(F.broadcast(eval_sh), "shingle")
+        train.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))
     )
