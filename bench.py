@@ -279,8 +279,7 @@ def main() -> None:
     # single-violation rule stands; spread_outliers names the culprits.)
     spread_outliers = sorted(k for k, v in spreads.items() if v > 3.0)
     suspect = worst_spread > 3.0 or bool(contended)
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_suite_total_sec",
                 "value": total,
@@ -299,8 +298,24 @@ def main() -> None:
                 "contended": contended,
                 "suspect": suspect,
             }
-        )
     )
+    print(line)
+    # Artifact hardening (round-13): the stdout capture of this one line is
+    # the round's graded artifact, and it has already been lost once to a
+    # truncated tail (BENCH_r11.json `parsed: null` voided the r12
+    # round-over-round comparison). Write the identical line to a file as
+    # well — additions-only, after every timed region, so the timing
+    # methodology is untouched and a clipped stdout can be recovered from
+    # the file copy.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # an unwritable artifact path must never fail the bench itself
     spark.stop()
 
 

@@ -34,6 +34,20 @@ R0 = 1_000_000_000  # initial rank per node, micro-unit scale
 DAMP_BASE = 150_000_000  # 0.15 * R0
 N_ITER = 2
 
+# The bipartite customer-supplier pair/edge derivation shared by every
+# relational-graph entry (PageRank, BFS, LPA, k-core, 2-hop reach). ONE
+# module-level literal: the pinned-edge builds in graph_bfs_layers and
+# graph_2hop_reach_hll_audit (operators/sketches.py) and the oracle texts
+# all splice these, so an edit cannot silently diverge the pinned relation
+# from the oracle-mirrored text (r12 ADVICE).
+PAIRS_BODY = """SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+EDGES_BODY = "SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs"
+# Standalone statement deriving the full directed edge list (both
+# directions) — the exact relation the pinned-edge entries materialize.
+PINNED_EDGES_SQL = f"WITH pairs AS (\n      {PAIRS_BODY})\n    {EDGES_BODY}"
+
 
 def _pagerank_oracle() -> str:
     base = """
@@ -545,13 +559,11 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG_G["graph_label_prop_communities"].oracle = _label_prop_oracle()
 
 
-_BFS_SQL = """
+_BFS_SQL = f"""
     WITH pairs AS (
-      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
-                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      {PAIRS_BODY}
     ), edges AS (
-      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+      {EDGES_BODY}
     ), l0 AS (
       SELECT CAST(0 AS BIGINT) AS u
     ), f1 AS (
@@ -610,18 +622,9 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference (5.8 s warm at sf0.1 -> the pairs join dominates). The
     # DuckDB oracle keeps the original text; only the Spark-side edges
     # body reads the pinned view.
-    edges_body = "SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs"
-    assert edges_body in _BFS_SQL
-    edges = spark.sql(
-        """
-        WITH pairs AS (
-          SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
-                          CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
-          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
-        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
-        """
-    ).localCheckpoint(eager=True)
+    assert EDGES_BODY in _BFS_SQL
+    edges = spark.sql(PINNED_EDGES_SQL).localCheckpoint(eager=True)
     edges.createOrReplaceTempView("bfs_edges_pinned")
     return spark.sql(
-        _BFS_SQL.replace(edges_body, "SELECT u, v FROM bfs_edges_pinned")
+        _BFS_SQL.replace(EDGES_BODY, "SELECT u, v FROM bfs_edges_pinned")
     )

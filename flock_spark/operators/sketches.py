@@ -1435,16 +1435,12 @@ def graph_2hop_reach_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, t).createOrReplaceTempView(t)
     # Pin the bounded edge relation once (distinct bipartite pairs, both
     # directions — edge-sized, never corpus-sized): seven CTE consumers
-    # otherwise re-derive the orders ⋈ lineitem pairs join each.
-    edges = spark.sql(
-        """
-        WITH pairs AS (
-          SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS u,
-                          CAST(l_suppkey * 2 + 1 AS BIGINT) AS v
-          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
-        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
-        """
-    ).localCheckpoint(eager=True)
+    # otherwise re-derive the orders ⋈ lineitem pairs join each. The SQL
+    # is the shared module-level literal so it can never diverge from the
+    # oracle-mirrored pairs text (r12 ADVICE).
+    from flock_spark.operators.graph import PINNED_EDGES_SQL
+
+    edges = spark.sql(PINNED_EDGES_SQL).localCheckpoint(eager=True)
     edges.createOrReplaceTempView("reach2_edges_pinned")
     return spark.sql(
         _reach2_sql(SPARK_D, edges_from="SELECT u, v FROM reach2_edges_pinned")

@@ -146,36 +146,48 @@ def _spark_range_view(spark: SparkSession, n: int, name: str) -> None:
     spark.range(n).createOrReplaceTempView(name)
 
 
-# Generated tables memoized (and cached) per session: a sweep over the ~20
-# NEXMark/YSB entries would otherwise regenerate the same md5-heavy
-# projection per query. 46k bid rows cached in memory is negligible; at
-# production stream sizes generation is a straight pipeline over range(n) and
-# callers would skip the cache.
-_GEN_MEMO: dict[tuple[str, str, str, int], DataFrame] = {}
+# Generated tables are staged ONCE to parquet and every consumer reads the
+# files — the same durable-fixture contract as the staged WARC/ORC/kafka-wire
+# bytes (staging.py). This replaced a session-lifetime `.cache()` memo in
+# round 13: after the r12 cross-run-caching sweep (wave E) a cached generator
+# was the one remaining warm-input inconsistency — bench best-of-3 paid
+# generation on run 1 and reused the materialization on runs 2-3, whereas
+# every computed relation rebuilds per run (r12 VERDICT item 3). As a staged
+# fixture the cost is identical every run (a parquet scan, like every other
+# base table). The version string hashes the generator SQL + row count, so
+# any derivation change rebuilds the fixture instead of silently reusing
+# stale bytes.
+
+
+def _staged_gen_table(
+    spark: SparkSession, kind: str, table: str, n: int, sql: str
+) -> DataFrame:
+    import hashlib as _hl
+
+    from flock_spark.staging import stage_once
+
+    version = _hl.md5(f"{n}:{sql}".encode()).hexdigest()[:12]
+
+    def write(tmp: str) -> None:
+        spark.sql(sql).repartition(4).write.mode("overwrite").parquet(tmp)
+
+    path = stage_once(f"gen_{kind}_{table}", version, write)
+    return spark.read.parquet(path)
 
 
 def nexmark_table(spark: SparkSession, table: str) -> DataFrame:
-    """Generate one NEXMark table (person/auction/bid), parallel over range."""
-    from flock_spark.catalog import session_key
-
-    key = (session_key(spark), "nexmark", table, N_EVENTS)
-    if key not in _GEN_MEMO:
-        _spark_range_view(spark, N_EVENTS, "nexmark_ids")
-        sql = _nexmark_sql(_H_SPARK, "nexmark_ids")[table]
-        _GEN_MEMO[key] = spark.sql(sql).cache()
-    return _GEN_MEMO[key]
+    """One NEXMark table (person/auction/bid): staged parquet fixture of the
+    deterministic projection over range(n)."""
+    _spark_range_view(spark, N_EVENTS, "nexmark_ids")
+    sql = _nexmark_sql(_H_SPARK, "nexmark_ids")[table]
+    return _staged_gen_table(spark, "nexmark", table, N_EVENTS, sql)
 
 
 def ysb_table(spark: SparkSession, table: str) -> DataFrame:
-    from flock_spark.catalog import session_key
-
     n = N_CAMPAIGNS * ADS_PER_CAMPAIGN if table == "campaign" else N_EVENTS
-    key = (session_key(spark), "ysb", table, N_EVENTS)
-    if key not in _GEN_MEMO:
-        _spark_range_view(spark, n, f"ysb_ids_{table}")
-        sql = _ysb_sql(_H_SPARK, f"ysb_ids_{table}")[table]
-        _GEN_MEMO[key] = spark.sql(sql).cache()
-    return _GEN_MEMO[key]
+    _spark_range_view(spark, n, f"ysb_ids_{table}")
+    sql = _ysb_sql(_H_SPARK, f"ysb_ids_{table}")[table]
+    return _staged_gen_table(spark, "ysb", table, n, sql)
 
 
 def _duck_nexmark(table: str) -> str:
