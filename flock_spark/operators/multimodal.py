@@ -2101,6 +2101,7 @@ def _build_fast(lengths: list[int]) -> tuple[list[int], int, int, dict]:
 
 
 _BUILD_FAST_CACHE: dict[bytes, tuple[list[int], int, int, dict]] = {}
+_BUILD_FAST_TASK: tuple[int, int] | None = None
 
 
 def _build_fast_cached(lengths: list[int]) -> tuple[list[int], int, int, dict]:
@@ -2108,8 +2109,27 @@ def _build_fast_cached(lengths: list[int]) -> tuple[list[int], int, int, dict]:
     fits a byte). Small dynamic-Huffman members often repeat identical
     tables — per-member rebuilds dominated the header cost of many-member
     streams (WARC shards are thousands of tiny gzip members). Callers only
-    READ the returned structures. Bounded: the cache resets at 4096
-    distinct tables so a long-lived worker never grows it unbounded."""
+    READ the returned structures.
+
+    Scope: ONE Spark task attempt. Payload-derived tables memoized at module
+    level would otherwise survive in reused executor Python workers across
+    tasks, queries, and bench runs — the cross-run result-caching class the
+    r12 wave-E sweep removed everywhere else (r12 ADVICE, medium). The cache
+    is cleared whenever the running task attempt changes, so amortization is
+    strictly within-task (where the repeated-table locality lives: one task
+    walks thousands of members of the same shard) and a second bench run
+    rebuilds every table honestly. Driver-side callers (tests, fixture
+    builders) see no TaskContext and share the process-lifetime cache, which
+    times nothing. Bounded at 4096 entries either way."""
+    global _BUILD_FAST_TASK
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    if tc is not None:
+        tid = (tc.stageId(), tc.taskAttemptId())
+        if tid != _BUILD_FAST_TASK:
+            _BUILD_FAST_CACHE.clear()
+            _BUILD_FAST_TASK = tid
     key = bytes(lengths)
     hit = _BUILD_FAST_CACHE.get(key)
     if hit is None:
