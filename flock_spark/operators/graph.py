@@ -537,17 +537,41 @@ def graph_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the smallest label) degenerates to min(v) per u: one aggregation
         # on the already-u-partitioned edges, no join, no label build.
         lab = edges.groupBy("u").agg(F.min("v").alias("lab"))
+        # Single-BIGINT arg-max encode (most votes, smallest label on ties):
+        # max over a STRUCT is not hash-aggregable (the plan paid a
+        # Sort+SortAggregate pair per round), but max over
+        # c * B + (B - 1 - lab) is — one declarative hash aggregate, no
+        # sort. Exact by monotonicity: for fixed c the term (B - 1 - lab)
+        # lies in [0, B-1] (labels are node ids, 0 <= lab < B), so the
+        # encode orders first by c, then by -lab, identically to the old
+        # struct max. B is data-derived (max node id + 1) and rides as a
+        # broadcast ONE-ROW relation inside the same job DAG (a separate
+        # scalar collect measured slower — an extra job barrier per
+        # invocation). Overflow bound: c <= max degree and
+        # B = 2*max(custkey,suppkey)+3, so c*B needs degree * node-universe
+        # > 2^63 to overflow — at that point the vote relation itself
+        # (Σdeg rows) is the problem, not the encode.
+        bmax = edges.agg(F.max("v").alias("vmax"))
         for _ in range(LP_ROUNDS - 1):
             votes = (
                 edges.join(F.broadcast(lab.withColumnRenamed("u", "v")), "v")
                 .groupBy("u", "lab")
                 .agg(F.count("*").alias("c"))
             )
-            # arg-max as a HASH aggregate, not a window sort: lexicographic
-            # max of (count, -label) = most votes, smallest label on ties
-            lab = votes.groupBy("u").agg(
-                F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m")
-            ).select("u", (-F.col("m.nl")).alias("lab"))
+            enc = (
+                votes.join(F.broadcast(bmax))
+                .groupBy("u", "vmax")
+                .agg(
+                    F.max(
+                        F.col("c") * (F.col("vmax") + 1)
+                        + (F.col("vmax") - F.col("lab"))
+                    ).alias("m")
+                )
+            )
+            lab = enc.select(
+                "u",
+                (F.col("vmax") - F.col("m") % (F.col("vmax") + 1)).alias("lab"),
+            )
     out = lab.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").cast("long").alias("n_members")
     )

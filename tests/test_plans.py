@@ -1206,3 +1206,18 @@ def test_archive_chain_plan_shape(spark, sf_dir):
     p = plan_of(spark, sf_dir, "archive_ingest_chain_end_to_end")
     assert "MapInPandas" in p and "hashpartitioning" not in p
     assert "binaryFile" in p or "Scan binaryFile" in p
+
+
+def test_label_prop_argmax_is_hash_aggregate(spark, sf_dir, monkeypatch):
+    # round-13: the per-round arg-max (most votes, smallest label on ties)
+    # runs as a single-BIGINT hash aggregate — the struct-max form paid a
+    # Sort + SortAggregate pair over the edge-sized vote relation per round.
+    # The query returns an eager localCheckpoint, so stub it (and the edge
+    # cache teardown) to expose the full build plan.
+    import pyspark.sql.classic.dataframe as cdf
+
+    monkeypatch.setattr(cdf.DataFrame, "localCheckpoint", lambda self, eager=True: self)
+    monkeypatch.setattr(cdf.DataFrame, "unpersist", lambda self, blocking=False: self)
+    plan = plan_of(spark, sf_dir, "graph_label_prop_communities")
+    assert "SortAggregate" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
