@@ -2034,6 +2034,14 @@ class _BitReader:
         return v
 
     def align_byte(self) -> None:
+        # Return whole buffered bytes to the stream before dropping the
+        # current byte's partial bits: a huffman block that ends with >= 8
+        # bits buffered (always possible — the symbol loop refills ahead of
+        # each decode) must not swallow the following stored block's header.
+        # The old form (bitbuf = nbits = 0 with no pos rewind) mis-read
+        # huffman->stored transitions: 152/200 Z_FULL_FLUSH streams failed
+        # with LEN/NLEN mismatch before this fix (round-13 regression test).
+        self.pos -= self.nbits >> 3
         self.bitbuf = 0
         self.nbits = 0
 
@@ -2073,31 +2081,55 @@ def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 _FAST_ROOT_BITS = 10  # root-table width for the fast Huffman decode path
 
+# bit-reverse of every 10-bit value, built once: reverse(c, ln) for ln <= 10
+# is _BITREV10[c] >> (10 - ln) (c's leading zero bits land trailing and are
+# shifted out), replacing the per-code bit loop in the table build
+_BITREV10: list[int] = [
+    int(f"{i:010b}"[::-1], 2) for i in range(1 << _FAST_ROOT_BITS)
+]
+
 
 def _build_fast(lengths: list[int]) -> tuple[list[int], int, int, dict]:
-    """Flat root-table decoder over the same canonical code as
-    _build_huffman: entry at index = the next R raw stream bits (LSB-first,
-    as _BitReader delivers them) is (symbol << 4) | code_length for codes
-    of length <= R, 0 for root misses (longer codes or invalid prefixes —
-    resolved by the bit-by-bit dict fallback). DEFLATE packs a code's MSB
-    in the earliest raw bit, so a code c of length L lands at every index
-    whose low L bits are bit-reverse(c, L)."""
-    table_dict = _build_huffman(lengths)
+    """Flat root-table decoder over the canonical code of RFC 1951 §3.2.2:
+    entry at index = the next R raw stream bits (LSB-first, as _BitReader
+    delivers them) is (symbol << 4) | code_length for codes of length <= R,
+    0 for root misses (longer codes or invalid prefixes — resolved by the
+    bit-by-bit dict fallback, whose dict therefore only needs the LONG
+    codes). DEFLATE packs a code's MSB in the earliest raw bit, so a code c
+    of length L lands at every index whose low L bits are bit-reverse(c, L);
+    the fill is a C-speed list slice assignment, and the reversal one table
+    lookup — per-member table construction dominated many-small-member
+    streams even after memoization (mostly-unique tables, ~25% hit rate on
+    zlib level-6 text)."""
     max_len = max(lengths, default=0)
     root_bits = min(max_len, _FAST_ROOT_BITS) or 1
-    root = [0] * (1 << root_bits)
-    for (ln, code), sym in table_dict.items():
-        if ln > root_bits:
+    size = 1 << root_bits
+    root = [0] * size
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    table_dict: dict[tuple[int, int], int] = {}
+    rev10 = _BITREV10
+    drop = _FAST_ROOT_BITS
+    for sym, ln in enumerate(lengths):
+        if not ln:
             continue
-        rev = 0
-        c = code
-        for _ in range(ln):
-            rev = (rev << 1) | (c & 1)
-            c >>= 1
-        ent = (sym << 4) | ln
-        for idx in range(rev, 1 << root_bits, 1 << ln):
-            root[idx] = ent
-    return root, root_bits, (1 << root_bits) - 1, table_dict
+        c = next_code[ln]
+        next_code[ln] = c + 1
+        if ln > root_bits:
+            table_dict[(ln, c)] = sym
+            continue
+        rev = rev10[c] >> (drop - ln)
+        step = 1 << ln
+        n_fill = ((size - rev - 1) >> ln) + 1
+        root[rev::step] = [(sym << 4) | ln] * n_fill
+    return root, root_bits, size - 1, table_dict
 
 
 _BUILD_FAST_CACHE: dict[bytes, tuple[list[int], int, int, dict]] = {}
@@ -2244,11 +2276,18 @@ def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
             data_l = br.data
             n_l = len(data_l)
             pos, bitbuf, nbits = br.pos, br.bitbuf, br.nbits
+            out_append = out.append
+            from_bytes = int.from_bytes
             while True:
-                while nbits < 15 and pos < n_l:
-                    bitbuf |= data_l[pos] << nbits
-                    pos += 1
-                    nbits += 8
+                # batched refill: top up ~6 bytes in one int.from_bytes
+                # instead of a byte-at-a-time loop — several symbols then
+                # decode per refill (align_byte rewinds whole buffered
+                # bytes, so over-buffering across a block edge is safe)
+                if nbits < 15:
+                    chunk = data_l[pos : pos + 6]
+                    bitbuf |= from_bytes(chunk, "little") << nbits
+                    pos += len(chunk)
+                    nbits += len(chunk) << 3
                 ent = lit_root[bitbuf & lit_mask]
                 if ent:
                     L = ent & 15
@@ -2279,7 +2318,7 @@ def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
                     if sym < 0:
                         raise ValueError("invalid Huffman code")
                 if sym < 256:
-                    out.append(sym)
+                    out_append(sym)
                 elif sym == 256:
                     br.pos, br.bitbuf, br.nbits = pos, bitbuf, nbits
                     break
@@ -2295,10 +2334,11 @@ def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
                     length = _LEN_BASE[li] + (bitbuf & ((1 << w) - 1))
                     bitbuf >>= w
                     nbits -= w
-                    while nbits < 15 and pos < n_l:
-                        bitbuf |= data_l[pos] << nbits
-                        pos += 1
-                        nbits += 8
+                    if nbits < 15:
+                        chunk = data_l[pos : pos + 6]
+                        bitbuf |= from_bytes(chunk, "little") << nbits
+                        pos += len(chunk)
+                        nbits += len(chunk) << 3
                     ent = dist_root[bitbuf & dist_mask]
                     if ent:
                         L = ent & 15
@@ -2348,7 +2388,7 @@ def inflate_at(data: bytes, start: int = 0) -> tuple[bytes, int]:
                         out += out[copy_from : copy_from + length]
                     else:
                         for k in range(length):  # overlap-safe byte copy
-                            out.append(out[copy_from + k])
+                            out_append(out[copy_from + k])
                 else:
                     raise ValueError(f"invalid literal/length symbol {sym}")
         else:

@@ -125,3 +125,22 @@ def test_xz_encode_any_bytes_liblzma_decodes(data: bytes) -> None:
     x = L.xz_compress(data)
     assert lzma.decompress(x, format=lzma.FORMAT_XZ) == data
     assert L.xz_decompress(x) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(payloads, payloads)
+def test_inflate_huffman_to_stored_block_transition(a: bytes, b: bytes) -> None:
+    # round-13 regression: a huffman block that ends with >= 8 bits buffered
+    # must not swallow the following stored block's header — align_byte()
+    # has to rewind whole buffered bytes before dropping partial bits.
+    # Z_FULL_FLUSH/Z_SYNC_FLUSH insert an empty STORED block mid-stream,
+    # which is exactly that transition (152/200 such streams failed before
+    # the fix).
+    import zlib
+
+    from flock_spark.operators.multimodal import inflate
+
+    for flush in (zlib.Z_FULL_FLUSH, zlib.Z_SYNC_FLUSH):
+        c = zlib.compressobj(6)
+        s = c.compress(a) + c.flush(flush) + c.compress(b) + c.flush()
+        assert inflate(s[2:-4]) == a + b
