@@ -118,9 +118,7 @@ DRIVER_SLATE: tuple[str, ...] = (
 # post-closure rotation policy (COVERAGE.md "Post-closure rotation policy")
 # sorts by: oldest-certified entries re-certify first.
 CERTIFIED_ROUNDS: dict[str, int] = {
-    # round 2 (12 entries)
-    "set_intersect": 2, "set_union_all": 2, "sort_global_range": 2,
-    "sort_multi_col": 2, "string_funcs": 2, "subquery_in": 2,
+    # round 2 (6 entries)
     "window_first_last": 2, "window_frame_moving_avg": 2, "window_lag_lead": 2,
     "window_percentiles": 2, "window_range_frame_sum": 2,
     "window_rank_dense": 2,
@@ -274,7 +272,7 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "text_langid_confusion_audit": 9, "text_url_canonicalize_dedup": 9,
     "theta_sketch_native_audit": 9, "tokenizer_vocab_coverage_curve": 9,
     "window_percentiles_twopass": 9,
-    # round 10 (40 entries)
+    # round 10 (37 entries)
     "agg_count_distinct": 10, "agg_having": 10, "analytics_friedman_test": 10,
     "analytics_ks_two_sample": 10, "analytics_mann_whitney_u": 10,
     "analytics_wilcoxon_signed_rank": 10, "case_when": 10,
@@ -285,37 +283,58 @@ CERTIFIED_ROUNDS: dict[str, int] = {
     "join_anti": 10, "join_broadcast_dim": 10, "join_cross": 10,
     "join_full_outer": 10, "join_global_max": 10, "mm_gif_deinterlace": 10,
     "mm_gzip_member_parse": 10, "mm_gzip_multistream_walk": 10,
-    "mm_http_chunked_decode": 10, "mm_jpeg_baseline_decode": 10,
-    "mm_png_chunk_walk": 10, "mm_tar_member_walk": 10,
-    "mm_warc_record_walk": 10, "mm_wet_conversion_roundtrip": 10,
+    "mm_http_chunked_decode": 10, "mm_png_chunk_walk": 10,
+    "mm_tar_member_walk": 10, "mm_warc_record_walk": 10,
     "mm_zip_central_dir_walk": 10, "scan_parquet_footer_thrift_walk": 10,
     "scan_parquet_page_decode": 10, "shard_rendezvous_rebalance_audit": 10,
     "sketch_space_saving_topk": 10, "sketch_tdigest_quantile_audit": 10,
     "streaming_warc_ingest_decode": 10, "text_blocklist_multimatch": 10,
-    "text_boilerplate_linefilter": 10, "text_robots_longest_match": 10,
-    # round 11 (50 entries)
-    "agg_basic": 11, "crawl_frontier_politeness_schedule": 11,
-    "crawl_link_extract_resolve": 11, "crawl_sitemap_xml_walk": 11,
-    "crawl_url_resolve_rfc3986": 11, "cube_agg": 11, "dedup_exact": 11,
-    "hll_sketch_portable": 11, "join_inner": 11, "join_left_outer": 11,
-    "join_range_theta": 11, "join_self_agg_max": 11, "join_semi": 11,
-    "math_funcs": 11, "mm_jpeg_progressive_decode": 11,
-    "mm_lz4_block_roundtrip": 11, "mm_png_filter_suite_decode": 11,
-    "mm_quoted_printable_roundtrip": 11, "mm_warc_file_ingest": 11,
-    "nexmark_gen_bid": 11, "nexmark_gen_person_auction": 11,
-    "nexmark_q1_currency": 11, "nexmark_q3_join_filter": 11,
-    "nexmark_q4_avg_of_max": 11, "nexmark_q6_double_rownum": 11,
-    "nexmark_q7_max_per_window": 11, "nexmark_q8_sellers": 11,
-    "nexmark_q9_winning_bids": 11, "pandas_udaf_weighted_mean": 11,
-    "pivot_agg": 11, "proj_arith": 11, "rollup_agg": 11,
-    "scan_csv_rfc4180_parse": 11, "scan_parquet_gzip_page_decode": 11,
-    "scan_parquet_lz4_page_decode": 11, "sketch_roaring_bitmap_ops": 11,
-    "sort_limit_topk": 11, "streaming_tumbling_agg": 11,
-    "streaming_warc_file_ingest": 11, "text_cdx_surt_dedup": 11,
-    "text_punycode_idna_roundtrip": 11, "text_robots_file_parse": 11,
-    "text_robots_wildcard_match": 11, "tokenizer_unigram_viterbi": 11,
-    "tpch_q2": 11, "tpch_q3": 11, "tpch_q4": 11, "tpch_q5": 11,
-    "window_running_sum": 11, "zorder_layout_scan": 11,
+    "text_boilerplate_linefilter": 10,
+    # round 11 (40 entries)
+    "crawl_frontier_politeness_schedule": 11, "crawl_link_extract_resolve": 11,
+    "crawl_sitemap_xml_walk": 11, "crawl_url_resolve_rfc3986": 11,
+    "cube_agg": 11, "join_left_outer": 11, "join_range_theta": 11,
+    "join_self_agg_max": 11, "join_semi": 11, "math_funcs": 11,
+    "mm_jpeg_progressive_decode": 11, "mm_lz4_block_roundtrip": 11,
+    "mm_png_filter_suite_decode": 11, "mm_quoted_printable_roundtrip": 11,
+    "mm_warc_file_ingest": 11, "nexmark_gen_bid": 11,
+    "nexmark_gen_person_auction": 11, "nexmark_q1_currency": 11,
+    "nexmark_q3_join_filter": 11, "nexmark_q4_avg_of_max": 11,
+    "nexmark_q6_double_rownum": 11, "nexmark_q7_max_per_window": 11,
+    "nexmark_q8_sellers": 11, "nexmark_q9_winning_bids": 11, "pivot_agg": 11,
+    "rollup_agg": 11, "scan_csv_rfc4180_parse": 11,
+    "scan_parquet_gzip_page_decode": 11, "scan_parquet_lz4_page_decode": 11,
+    "sketch_roaring_bitmap_ops": 11, "streaming_warc_file_ingest": 11,
+    "text_cdx_surt_dedup": 11, "text_punycode_idna_roundtrip": 11,
+    "text_robots_file_parse": 11, "text_robots_wildcard_match": 11,
+    "tokenizer_unigram_viterbi": 11, "tpch_q2": 11, "tpch_q3": 11,
+    "tpch_q4": 11, "tpch_q5": 11,
+    # round 12 (50 entries)
+    "agg_basic": 12, "archive_ingest_chain_end_to_end": 12,
+    "arena_window_completeness_audit": 12, "corpus_epoch_shuffle_audit": 12,
+    "crawl_chain_end_to_end": 12, "dedup_exact": 12, "hll_sketch_portable": 12,
+    "join_inner": 12, "mm_arrow_ipc_encode_roundtrip": 12,
+    "mm_avro_encode_roundtrip": 12, "mm_bzip2_decode": 12,
+    "mm_bzip2_encode_roundtrip": 12, "mm_deflate_encode_roundtrip": 12,
+    "mm_jpeg_baseline_decode": 12, "mm_snappy_encode_roundtrip": 12,
+    "mm_wet_conversion_roundtrip": 12, "mm_xz_encode_roundtrip": 12,
+    "mm_xz_lzma_decode": 12, "mm_zstd_encode_roundtrip": 12,
+    "mm_zstd_frame_roundtrip": 12, "pandas_udaf_weighted_mean": 12,
+    "proj_arith": 12, "scan_arrow_ipc_file_walk": 12,
+    "scan_arrow_ipc_stream_walk": 12, "scan_avro_container_decode": 12,
+    "scan_formats_consensus": 12, "scan_orc_own_writer_roundtrip": 12,
+    "scan_orc_stripe_decode": 12, "scan_own_writers_consensus": 12,
+    "scan_parquet_own_writer_roundtrip": 12,
+    "scan_parquet_own_writer_v2_roundtrip": 12,
+    "scan_parquet_page_index_prune": 12, "scan_parquet_v2_delta_decode": 12,
+    "scan_parquet_zstd_page_decode": 12, "set_intersect": 12,
+    "set_union_all": 12, "sort_global_range": 12, "sort_limit_topk": 12,
+    "sort_multi_col": 12, "streaming_arrow_ipc_ingest": 12,
+    "streaming_avro_file_ingest": 12, "streaming_orc_file_ingest": 12,
+    "streaming_tumbling_agg": 12, "streaming_xz_file_ingest": 12,
+    "string_funcs": 12, "subquery_in": 12, "text_charset_detect_transcode": 12,
+    "text_robots_longest_match": 12, "window_running_sum": 12,
+    "zorder_layout_scan": 12,
 }
 
 

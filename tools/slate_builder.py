@@ -69,12 +69,8 @@ STANDING_CANARIES: tuple[str, ...] = (
 # until CERTIFIED_ROUNDS records a green row >= that round, after which the
 # entry drops out of this dict's effect automatically (delete it then).
 FORCED_RECERTS: dict[str, int] = {
-    # round 11 changed these (JPEG seed ord(c)%256, WET doc_id>=1e8 guard,
-    # anchored robots matcher) and regenerated entry_fingerprints.json, but
-    # the committed r11 slate omitted all three (ADVICE r11).
-    "mm_jpeg_baseline_decode": 11,
-    "mm_wet_conversion_roundtrip": 11,
-    "text_robots_longest_match": 11,
+    # (round 11's three debts — JPEG seed, WET guard, anchored robots —
+    # certified green in round 12 and were deleted at the r13 fold.)
 }
 
 # Entries whose FIRST execution in a cold-per-entry session is known heavy
