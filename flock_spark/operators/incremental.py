@@ -418,11 +418,27 @@ def ivm_distinct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "treatment; complements agg/distinct/join deltas).",
 )
 def ivm_window_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = tbl(spark, sf_dir, "events").withColumn(
-        "micros", F.expr("CAST(round(value * 1000000) AS BIGINT)")
+    # Delta-spine pin: every branch of the scoped recompute (standing view,
+    # affected keys, final rows) derives from ONE skinny events projection.
+    # Unpinned, the DAG re-inlined the scan under each consumer — 7 parquet
+    # scans of events per refresh (base twice, inserts twice, deletes once,
+    # plus the affected subtree re-inlined under both the semi and the anti
+    # join); at scale that is a 7x re-read of the change-capture input. The
+    # pin materializes (user_id, event_id, micros) once; the affected-keys
+    # relation is additionally pinned because two joins consume it. The
+    # scoped-recompute SHAPE is unchanged — the window still runs only over
+    # affected users' final rows, untouched users keep their standing rows.
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("micros"),
+        )
+        .localCheckpoint(eager=True)
     )
-    base = e.filter(F.col("event_id") % 13 != 0)
-    inserts = e.filter(F.col("event_id") % 13 == 0)
+    base = ev.filter(F.col("event_id") % 13 != 0)
+    inserts = ev.filter(F.col("event_id") % 13 == 0)
     deletes = base.filter(F.col("event_id") % 17 == 0)
 
     w = W.partitionBy("user_id").orderBy(F.col("micros").desc(), "event_id")
@@ -436,7 +452,10 @@ def ivm_window_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     standing = top2(base)
     affected = (
-        inserts.select("user_id").unionAll(deletes.select("user_id")).distinct()
+        inserts.select("user_id")
+        .unionAll(deletes.select("user_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     final_rows = base.filter(F.col("event_id") % 17 != 0).unionByName(inserts)
     recomputed = top2(final_rows.join(affected, "user_id", "semi"))
