@@ -69,14 +69,20 @@ def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _word_shingles_spark() -> str:
-    """Spark SQL: distinct word-CONTAM_K-gram array of ``text``."""
-    toks = "split(trim(text), ' ')"
+def _word_shingles_spark(tk: str = "tk") -> str:
+    """Spark SQL: distinct word-CONTAM_K-gram array over a materialized
+    token-array column. Callers project split(trim(text)) once per row as
+    ``tk`` first — slicing an inline split inside the lambda re-evaluates
+    the split for every element (O(tokens²·len) interpreted work per doc,
+    the same class as the bigram fix in _bigram_rows)."""
     return (
         f"array_distinct(transform("
-        f" sequence(1, greatest(size({toks}) - {CONTAM_K - 1}, 1)),"
-        f" i -> array_join(slice({toks}, i, {CONTAM_K}), ' ')))"
+        f" sequence(1, greatest(size({tk}) - {CONTAM_K - 1}, 1)),"
+        f" i -> array_join(slice({tk}, i, {CONTAM_K}), ' ')))"
     )
+
+
+_TK = "split(trim(text), ' ')"
 
 
 def _word_shingles_duck() -> str:
@@ -116,7 +122,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploded relation (the old .cache()) actually pessimized this by
     # materializing the full shingle stream AND blocking the pushdown
     # (and a cached plan leaks into later runs — cross-run caching).
-    sh = d.select(
+    sh = d.select("doc_id", F.expr(_TK).alias("tk")).select(
         "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
     )
     eval_sh = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
@@ -126,9 +132,11 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pushdown is untouched. No-op once real scans have >= cores splits.
     from flock_spark.catalog import spread
 
-    train = spread(
-        d.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text")
-    ).select("doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle"))
+    train = (
+        spread(d.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text"))
+        .select("doc_id", F.expr(_TK).alias("tk"))
+        .select("doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle"))
+    )
     return (
         train.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
@@ -1094,17 +1102,23 @@ DIVERSITY_K = 5  # word-gram width; wider than dedup's candidate shingles so
 )
 def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(tbl(spark, sf_dir, "documents"))
-    toks = "split(trim(text), ' ')"
-    grams = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size({toks}) - {DIVERSITY_K - 1}),"
-                f" i -> array_join(slice({toks}, i, {DIVERSITY_K}), ' '))"
-            )
-        ).alias("gram"),
-    ).where(F.expr(f"size({toks}) >= {DIVERSITY_K}"))
+    # tk materialized once per row (see _word_shingles_spark note); the
+    # size filter moves explicitly below the explode — the same place the
+    # optimizer pushed it before, now without re-evaluating the split.
+    grams = (
+        d.select("doc_id", "lang", F.expr(_TK).alias("tk"))
+        .where(F.expr(f"size(tk) >= {DIVERSITY_K}"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {DIVERSITY_K - 1}),"
+                    f" i -> array_join(slice(tk, i, {DIVERSITY_K}), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
     # One keyed repartition up front: the COUNT(DISTINCT doc_id) rewrite
     # otherwise plans TWO full-width exchanges of the gram strings —
     # hash(lang, gram, doc_id) for the distinct level, then hash(lang,
@@ -1174,8 +1188,10 @@ def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass, and a cache registered here outlives the query (bench sessions
     # run every entry 3x — leaked token streams caused 3-4x slowdowns of
     # unrelated queries via eviction churn)
-    sh = spread(d).select(
-        "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
+    sh = (
+        spread(d)
+        .select("doc_id", F.expr(_TK).alias("tk"))
+        .select("doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle"))
     )
     eval_sh = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
     scored = (

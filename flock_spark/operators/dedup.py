@@ -1602,14 +1602,19 @@ _REG_DD["dedup_lsh_recall_audit"].oracle = _recall_audit_oracle()
 )
 def dedup_line_hash_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
+    # token array materialized once per row: slicing an inline split inside
+    # the lambda re-evaluated split(trim(text)) per block (O(tokens²/8)
+    # interpreted work per doc — same class as corpus._bigram_rows)
     blocks = d.select(
+        "doc_id", "lang", F.expr("split(trim(text), ' ')").alias("tk")
+    ).select(
         "doc_id",
         "lang",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(trim(text), ' ')) >= 8 THEN "
-                "transform(sequence(0, size(split(trim(text), ' ')) div 8 - 1),"
-                " i -> array_join(slice(split(trim(text), ' '), i*8+1, 8), ' '))"
+                "CASE WHEN size(tk) >= 8 THEN "
+                "transform(sequence(0, size(tk) div 8 - 1),"
+                " i -> array_join(slice(tk, i*8+1, 8), ' '))"
                 " ELSE array() END"
             )
         ).alias("blk"),
