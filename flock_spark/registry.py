@@ -57,55 +57,55 @@ REGISTRY: dict[str, QuerySpec] = {}
 # ---------------------------------------------------------------------------
 DRIVER_SLATE: tuple[str, ...] = (
     "proj_arith",
-    "join_inner",
-    "agg_basic",
-    "window_running_sum",
-    "sort_limit_topk",
     "pandas_udaf_weighted_mean",
-    "hll_sketch_portable",
-    "dedup_exact",
-    "streaming_tumbling_agg",  # heavy
     "zorder_layout_scan",
-    "mm_zstd_frame_roundtrip",
-    "mm_zstd_encode_roundtrip",
-    "mm_bzip2_decode",
-    "mm_deflate_encode_roundtrip",
-    "mm_bzip2_encode_roundtrip",
-    "corpus_epoch_shuffle_audit",
-    "scan_parquet_zstd_page_decode",
-    "crawl_chain_end_to_end",  # heavy
-    "scan_parquet_v2_delta_decode",
-    "scan_parquet_page_index_prune",
-    "mm_snappy_encode_roundtrip",
-    "scan_arrow_ipc_stream_walk",
-    "scan_arrow_ipc_file_walk",
-    "mm_arrow_ipc_encode_roundtrip",
-    "scan_orc_stripe_decode",
-    "scan_formats_consensus",
-    "streaming_arrow_ipc_ingest",  # heavy
-    "scan_avro_container_decode",
-    "mm_avro_encode_roundtrip",
-    "mm_xz_lzma_decode",
-    "mm_xz_encode_roundtrip",
-    "scan_parquet_own_writer_roundtrip",
-    "scan_parquet_own_writer_v2_roundtrip",
-    "scan_orc_own_writer_roundtrip",
-    "scan_own_writers_consensus",
-    "streaming_orc_file_ingest",  # heavy
-    "text_charset_detect_transcode",
-    "archive_ingest_chain_end_to_end",
-    "arena_window_completeness_audit",
-    "mm_jpeg_baseline_decode",
-    "mm_wet_conversion_roundtrip",
-    "text_robots_longest_match",
-    "set_intersect",
-    "set_union_all",
-    "streaming_avro_file_ingest",  # heavy
-    "sort_global_range",
-    "sort_multi_col",
-    "string_funcs",
-    "subquery_in",
-    "streaming_xz_file_ingest",  # heavy
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_topk_bruteforce",
+    "streaming_tumbling_agg",  # heavy
+    "corpus_bigram_counts",
+    "corpus_contamination_overlap",
+    "corpus_decontaminate",
+    "corpus_lang_quality_buckets",
+    "corpus_lm_score_proxy",
+    "corpus_ngram_diversity",
+    "ann_ivf_nprobe_recall_curve",  # heavy
+    "corpus_ngram_novelty",
+    "dedup_chunk_shared",
+    "dedup_embedding_cosine",
+    "dedup_line_hash_boilerplate",
+    "dedup_substring_spans",
+    "embedding_power_iteration_pc",
+    "dedup_lsh_band_tradeoff_audit",  # heavy
+    "events_session_gap_sweep",
+    "graph_bfs_layers",
+    "graph_pagerank_two_iter",
+    "ivm_window_delta",
+    "kmeans_two_iterations",
+    "mm_audio_window_energy",
+    "embedding_matryoshka_recall_audit",  # heavy
+    "mm_byte_histogram",
+    "mm_frame_sample",
+    "mm_gif_deinterlace",
+    "mm_gif_header_dims",
+    "mm_gif_lzw_decode",
+    "mm_header_dims",
+    "graph_2hop_reach_hll_audit",  # heavy
+    "mm_image_tile_stats",
+    "mm_jpeg_header_dims",
+    "mm_meta_extract",
+    "mm_phash64",
+    "mm_png_inflate_stored",
+    "mm_resize_bilinear",
+    "graph_label_prop_communities",  # heavy
+    "mm_resize_nearest",
+    "mm_scene_cut_detect",
+    "mm_wav_header_audio",
+    "mm_zlib_inflate_dynamic",
+    "privacy_t_closeness",
+    "sketch_space_saving_topk",
+    "text_bm25_doc_ranking",
+    "items_cooccurrence_jaccard",  # heavy
 )
 
 # Machine-readable certification history: registry name -> MOST RECENT round

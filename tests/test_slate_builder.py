@@ -19,8 +19,11 @@ def test_standing_canaries_are_certified_and_span_families():
     for name in sb.STANDING_CANARIES:
         assert name in REGISTRY, f"canary {name} not registered"
         assert name in CERTIFIED_ROUNDS, f"canary {name} never certified"
-    # one canary per family, no duplicates
-    assert len(set(sb.STANDING_CANARIES)) == len(sb.STANDING_CANARIES) == 10
+    # one canary per family, no duplicates; the front is 10 in steady-state
+    # rounds and may shrink (never below 4) when a changed-entry wave
+    # claims the slots (see the ROUND 13 REDUCTION note in slate_builder)
+    assert len(set(sb.STANDING_CANARIES)) == len(sb.STANDING_CANARIES)
+    assert 4 <= len(sb.STANDING_CANARIES) <= 10
 
 
 def test_generated_slate_shape_and_priorities():

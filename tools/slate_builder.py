@@ -47,16 +47,20 @@ sys.path.insert(0, ROOT)
 FINGERPRINT_PATH = os.path.join(ROOT, "flock_spark", "entry_fingerprints.json")
 
 # (a) Standing canaries: one cheap certified entry per execution family.
+#
+# ROUND 13 REDUCTION: the optimization rounds (r12+r13) left 46 entries with
+# changed fingerprints owing re-certification (rule (b)) — more than fit
+# beside the full 10-canary front. Certification debt outranks canary
+# redundancy for one round (r12 VERDICT item 1: "Done = CORRECTNESS_r13
+# covers the changed set"), so the front temporarily keeps one canary per
+# family NOT already exercised by the changed set (which spans dedup, ANN,
+# graph, corpus, windows, sketches, joins, aggregates, and the mm_* decode
+# paths): relational core, streaming drain, Arrow/pandas UDF, layout/scan
+# pruning. Restore the 10-canary front in the next steady-state round.
 STANDING_CANARIES: tuple[str, ...] = (
-    "proj_arith",               # projection / scalar expressions
-    "join_inner",               # shuffle hash equi-join
-    "agg_basic",                # two-phase hash aggregate
-    "window_running_sum",       # window function
-    "sort_limit_topk",          # TakeOrderedAndProject
+    "proj_arith",               # projection / scalar expressions (relational core)
     "streaming_tumbling_agg",   # streaming micro-batch drain
     "pandas_udaf_weighted_mean",  # Arrow / pandas UDF path
-    "hll_sketch_portable",      # sketch family
-    "dedup_exact",              # dedup family
     "zorder_layout_scan",       # layout / scan-pruning family
 )
 
